@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Access to the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * Every roster query reads through here so that scan options stay uniform.
+  * Parquet scans are columnar + whole-stage-codegen'd; Catalyst prunes
+  * columns and pushes predicates into the scan, so each query should
+  * `select` only what it needs and filter as early as possible.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's TimestampType
+    * (µs) cannot hold; Spark 4 refuses the file outright. Read `ts` as a
+    * raw nanosecond long (legacy flag), keep it as `ts_ns` for exact
+    * ordering, and expose `ts` as a µs-truncated TimestampType for
+    * date/window arithmetic. Oracle queries must never emit raw `ts`
+    * (DuckDB keeps full ns precision). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts_ns") / 1000L)
+            .cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

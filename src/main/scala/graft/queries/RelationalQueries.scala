@@ -1,0 +1,591 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query roster: the operator families the reference lacks
+  * entirely (SURVEY.md §2.4–2.8) re-expressed as idiomatic Catalyst-
+  * optimized DataFrame plans over the TPC-H-ish testdata. Each query has
+  * a DuckDB oracle in [[oracleSql]] with identical column aliases and a
+  * deterministic ORDER BY.
+  *
+  * Scale notes (100 TB stance):
+  *  - dimension tables (region/nation/part/supplier) are broadcast —
+  *    no shuffle on the fact side for those joins;
+  *  - fact-fact joins shuffle on their join key only after filters are
+  *    pushed into the parquet scan;
+  *  - aggregates are partial (map-side) + final by Catalyst default;
+  *  - doubles that cross an aggregation are rounded in BOTH engines so
+  *    the hash compare is stable under reordered float addition.
+  */
+object RelationalQueries {
+
+  /** Register the named testdata tables as temp views and run SQL through
+    * Catalyst — used for the few queries clearer in SQL form
+    * (grouping sets, scalar subqueries). */
+  private def viaSql(s: SparkSession, dir: String, names: String*)(sql: String): DataFrame = {
+    names.foreach(n => Tables.t(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** Deterministic cross-engine rounding. Spark's `round` goes through
+    * BigDecimal.valueOf (shortest decimal repr + HALF_UP) while DuckDB
+    * multiplies and rounds the raw double — they disagree whenever the
+    * shortest repr lands exactly on a .xx5 boundary. floor(x*10^n+0.5)
+    * is pure IEEE arithmetic, bit-identical in both engines; the oracle
+    * SQL spells out the same formula. */
+  private[queries] def rnd(c: Column, n: Int): Column = {
+    val m = math.pow(10, n)
+    floor(c * m + 0.5) / m
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation -----------------------------------------------------
+    "q01_agg_battery" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          rnd(sum("l_quantity"), 2).as("sum_qty"),
+          rnd(sum("l_extendedprice"), 2).as("sum_base_price"),
+          rnd(sum(revenue), 2).as("sum_disc_price"),
+          rnd(sum(revenue * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          rnd(avg("l_quantity"), 4).as("avg_qty"),
+          rnd(avg("l_extendedprice"), 4).as("avg_price"),
+          rnd(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05 && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q06_selective_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(rnd(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- joins -----------------------------------------------------------
+    "q03_join_agg_topk" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(rnd(sum(revenue), 2).as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_broadcast_join" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(rnd(sum("l_quantity"), 2).as("sum_qty"),
+          rnd(avg("p_retailprice"), 4).as("avg_retail"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
+
+    "q05_multi_join_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(rnd(sum(revenue), 2).as("rev"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q07_left_join_agg" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          rnd(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    "q08_semi_join" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q09_anti_join" -> ((s, d) => {
+      // anti-join against a filtered subset so the result is non-empty
+      // (every customer has at least one order in the testdata).
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- distinct --------------------------------------------------------
+    "q10_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q11_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct("l_partkey").as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // HLL sketch — not exactly reproducible in DuckDB; rows-only check.
+    "q12_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", 0.01).as("approx_parts"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- multi-dimensional aggregation -----------------------------------
+    "q13_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(rnd(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "q14_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), rnd(sum("o_totalprice"), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    "q15_grouping_sets" -> ((s, d) => viaSql(s, d, "lineitem")(
+      """SELECT l_returnflag, l_linestatus,
+        |       floor((sum(l_quantity))*100+0.5)/100 AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        |""".stripMargin)),
+
+    // ---- window functions ------------------------------------------------
+    "q16_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "rn", "rnk", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    "q17_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Running sums stay in the integer domain (quantity is integral,
+      // revenue pre-rounded to cents) — float window sums differ in last
+      // bits between engines (segment-tree vs sequential accumulation),
+      // so a double running total cannot hash-match reliably.
+      Tables.lineitem(s, d)
+        .withColumn("rev_cents", floor(revenue * 100 + 0.5).cast("long"))
+        .withColumn("running_qty", sum(col("l_quantity").cast("long")).over(w))
+        .withColumn("running_rev_cents", sum(col("rev_cents")).over(w))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty", "running_rev_cents")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    "q18_window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_value", rnd(lag("value", 1).over(w), 4))
+        .withColumn("next_value", rnd(lead("value", 1).over(w), 4))
+        .withColumn("delta", rnd(col("value") - coalesce(lag("value", 1).over(w), lit(0.0)), 4))
+        .select("event_id", "user_id", "prev_value", "next_value", "delta")
+        .orderBy("event_id")
+    }),
+
+    // ---- sort / top-k ----------------------------------------------------
+    "q19_topk" -> ((s, d) => {
+      // orderBy+limit = Catalyst TakeOrderedAndProject: per-partition heap,
+      // only k rows reach the driver — safe at any scale.
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- set operations --------------------------------------------------
+    "q20_union_all" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      c.union(o).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    }),
+
+    "q21_union_distinct" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+      c.union(su).distinct().orderBy("nk")
+    }),
+
+    "q22_intersect" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .orderBy("k")
+    }),
+
+    "q23_except" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("k")))
+        .orderBy("k")
+    }),
+
+    // ---- scalar function batteries ---------------------------------------
+    "q24_string_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") <= 200)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          lower(col("p_brand")).as("lbrand"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_name"), 1, 8).as("prefix"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+          reverse(col("p_type")).as("rev_type"),
+          trim(col("p_name")).as("trimmed"))
+        .orderBy("p_partkey")
+    }),
+
+    "q25_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          rnd(sum("o_totalprice"), 2).as("total"),
+          min(col("o_orderdate").cast("date")).as("first_day"),
+          max(col("o_orderdate").cast("date")).as("last_day"))
+        .orderBy("yr", "mo")
+    }),
+
+    "q26_math_funcs" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          rnd(sum(sqrt(col("l_quantity"))), 2).as("sum_sqrt_qty"),
+          rnd(sum(log(col("l_extendedprice"))), 2).as("sum_ln_price"),
+          rnd(avg(pow(col("l_discount"), 2)), 6).as("avg_disc_sq"),
+          rnd(sum(abs(col("l_tax") - 0.04)), 2).as("sum_abs_tax"),
+          sum(ceil(col("l_quantity")).cast("double")).as("sum_ceil_qty"),
+          sum(floor(col("l_quantity")).cast("double")).as("sum_floor_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q27_case_when" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("band",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 200000, "medium")
+            .otherwise("large"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), rnd(avg("o_totalprice"), 2).as("avg_price"))
+        .orderBy("band")
+    }),
+
+    "q28_having" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(rnd(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .filter(col("n") > 50)
+        .orderBy("l_suppkey")
+    }),
+
+    "q29_scalar_subquery" -> ((s, d) => viaSql(s, d, "orders")(
+      """SELECT count(*) AS n_above,
+        |       floor((min(o_totalprice))*100+0.5)/100 AS min_above,
+        |       floor((max(o_totalprice))*100+0.5)/100 AS max_above
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |""".stripMargin)),
+
+    "q30_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P"))
+        .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+          col("P").as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q31_cast_formats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          col("l_orderkey").cast("string").as("okey_str"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_str"),
+          floor(col("l_quantity")).cast("long").as("qty_int"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q32_regex_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", regexp_extract(col("props"), "[0-9]+", 0).cast("int"))
+        .withColumn("etype", coalesce(nullif(col("event_type"), lit("error")), lit("ERR")))
+        .groupBy("etype")
+        .agg(count(lit(1)).as("n"), rnd(avg("k"), 4).as("avg_k"),
+          rnd(sum("value"), 2).as("sum_value"))
+        .orderBy("etype")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_agg_battery" ->
+      """SELECT l_returnflag, l_linestatus,
+        | floor((sum(l_quantity))*100+0.5)/100 AS sum_qty,
+        | floor((sum(l_extendedprice))*100+0.5)/100 AS sum_base_price,
+        | floor((sum(l_extendedprice*(1-l_discount)))*100+0.5)/100 AS sum_disc_price,
+        | floor((sum(l_extendedprice*(1-l_discount)*(1+l_tax)))*100+0.5)/100 AS sum_charge,
+        | floor((avg(l_quantity))*10000+0.5)/10000 AS avg_qty,
+        | floor((avg(l_extendedprice))*10000+0.5)/10000 AS avg_price,
+        | floor((avg(l_discount))*10000+0.5)/10000 AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount > 0.05 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q06_selective_agg" ->
+      """SELECT floor((sum(l_extendedprice*l_discount))*100+0.5)/100 AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q03_join_agg_topk" ->
+      """SELECT l_orderkey, floor((sum(l_extendedprice*(1-l_discount)))*100+0.5)/100 AS rev
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY l_orderkey
+        |ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q04_broadcast_join" ->
+      """SELECT p_brand, floor((sum(l_quantity))*100+0.5)/100 AS sum_qty,
+        | floor((avg(p_retailprice))*10000+0.5)/10000 AS avg_retail, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q05_multi_join_revenue" ->
+      """SELECT r_name, n_name,
+        | floor((sum(l_extendedprice*(1-l_discount)))*100+0.5)/100 AS rev, count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q07_left_join_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | floor((coalesce(sum(o_totalprice),0))*100+0.5)/100 AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q08_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q11_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, floor((sum(l_quantity))*100+0.5)/100 AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q14_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | floor((sum(o_totalprice))*100+0.5)/100 AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q15_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, floor((sum(l_quantity))*100+0.5)/100 AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q16_window_rank" ->
+      """SELECT c_mktsegment, rn, rnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+        |    rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q17_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(sum(CAST(floor(l_quantity) AS BIGINT)) OVER w AS BIGINT) AS running_qty,
+        | CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) OVER w AS BIGINT) AS running_rev_cents
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q18_window_lag_lead" ->
+      """SELECT event_id, user_id,
+        | floor((lag(value) OVER w)*10000+0.5)/10000 AS prev_value,
+        | floor((lead(value) OVER w)*10000+0.5)/10000 AS next_value,
+        | floor((value - coalesce(lag(value) OVER w, 0))*10000+0.5)/10000 AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q19_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q20_union_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  UNION ALL SELECT o_custkey AS k FROM orders) t
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q21_union_distinct" ->
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION SELECT s_nationkey AS nk FROM supplier) t
+        |ORDER BY nk""".stripMargin,
+
+    "q22_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+        |INTERSECT SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin,
+
+    "q23_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000
+        |ORDER BY k""".stripMargin,
+
+    "q24_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname, lower(p_brand) AS lbrand,
+        | length(p_name) AS name_len, substr(p_name, 1, 8) AS prefix,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+        | reverse(p_type) AS rev_type, trim(p_name) AS trimmed
+        |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
+
+    "q25_date_funcs" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | count(*) AS n, floor((sum(o_totalprice))*100+0.5)/100 AS total,
+        | min(CAST(o_orderdate AS DATE)) AS first_day,
+        | max(CAST(o_orderdate AS DATE)) AS last_day
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "q26_math_funcs" ->
+      """SELECT l_returnflag,
+        | floor((sum(sqrt(l_quantity)))*100+0.5)/100 AS sum_sqrt_qty,
+        | floor((sum(ln(l_extendedprice)))*100+0.5)/100 AS sum_ln_price,
+        | floor((avg(pow(l_discount,2)))*1000000+0.5)/1000000 AS avg_disc_sq,
+        | floor((sum(abs(l_tax - 0.04)))*100+0.5)/100 AS sum_abs_tax,
+        | sum(ceil(l_quantity)) AS sum_ceil_qty,
+        | sum(floor(l_quantity)) AS sum_floor_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q27_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 200000 THEN 'medium'
+        |            ELSE 'large' END AS band,
+        | count(*) AS n, floor((avg(o_totalprice))*100+0.5)/100 AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "q28_having" ->
+      """SELECT l_suppkey, floor((sum(l_quantity))*100+0.5)/100 AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 50
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q29_scalar_subquery" ->
+      """SELECT count(*) AS n_above, floor((min(o_totalprice))*100+0.5)/100 AS min_above,
+        | floor((max(o_totalprice))*100+0.5)/100 AS max_above
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+
+    "q30_pivot" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q31_cast_formats" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(l_orderkey AS VARCHAR) AS okey_str,
+        | CAST(l_shipdate AS DATE) AS ship_date,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_str,
+        | CAST(floor(l_quantity) AS BIGINT) AS qty_int
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q32_regex_extract" ->
+      """SELECT coalesce(nullif(event_type,'error'),'ERR') AS etype,
+        | count(*) AS n,
+        | floor((avg(CAST(regexp_extract(props,'[0-9]+',0) AS INTEGER)))*10000+0.5)/10000 AS avg_k,
+        | floor((sum(value))*100+0.5)/100 AS sum_value
+        |FROM events GROUP BY 1 ORDER BY etype""".stripMargin,
+  )
+}
