@@ -22,10 +22,20 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.queries
+    graft.queries.RelationalQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.EventQueries.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracleSql
+    graft.queries.RelationalQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql ++
+      graft.queries.EventQueries.oracleSql ++
+      graft.queries.DedupQueries.oracleSql ++
+      graft.queries.SimilarityQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }

@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata travelling beside them. The
+  * testdata has no binary table, so `documents.text` is encoded to
+  * bytes to exercise the real Spark plumbing — binary columns through
+  * parquet-compatible schemas, per-partition batch decode, typed
+  * Datasets, feature vectors as array columns.
+  *
+  * The decode step itself is a clearly-marked deterministic STUB (the
+  * container ships no image/audio codecs): it derives fake
+  * width/height/frame metadata and a 16-bin byte histogram from the
+  * payload. Swapping [[MultimodalQueries.stubDecode]] for a real codec
+  * (JNI/ImageIO per partition) changes nothing about the plan shape,
+  * partitioning, or schema — which is the part under test.
+  */
+object MultimodalQueries {
+
+  /** One decoded media record (the typed side of the pipeline). */
+  final case class MediaRecord(
+      doc_id: Long,
+      source: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      features: Array[Double])
+
+  /** STUB decoder — stands in for a real image/audio decode. It is
+    * deterministic in the payload bytes only, so the pipeline around it
+    * is fully testable; a real implementation would decode pixels and
+    * compute embeddings here, one partition's batch at a time. */
+  def stubDecode(docId: Long, source: String, content: Array[Byte]): MediaRecord = {
+    val w = 16 + (math.abs(content.length) % 64)
+    val h = 16 + (math.abs(content.headOption.getOrElse(0: Byte).toInt) % 64)
+    val frames = 1 + (content.length % 8)
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < content.length) {
+      hist((content(i) & 0xff) / 16) += 1.0
+      i += 1
+    }
+    val n = math.max(1, content.length)
+    MediaRecord(docId, source, content.length, w, h, frames, hist.map(_ / n))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    /** Binary metadata pass: byte length + content hash + lead byte —
+      * pure Column ops over a binary column, with a DuckDB oracle. */
+    "m01_binary_meta" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          col("text").cast("binary").as("content"))
+        .select(col("doc_id"),
+          octet_length(col("content")).as("n_bytes"),
+          md5(col("content")).as("content_md5"),
+          ascii(col("content").cast("string")).as("first_code"))
+        .filter(col("doc_id") < 100)
+        .orderBy("doc_id")
+    }),
+
+    /** Typed per-partition decode → feature aggregation. The decode runs
+      * batch-at-a-time inside mapPartitions (how a real codec would be
+      * amortized); downstream is ordinary Column math over the feature
+      * array. Rows-only check (the stub is not expressible in SQL). */
+    "m02_decode_features" -> ((s, d) => {
+      import s.implicits._
+      val ds: Dataset[(Long, String, Array[Byte])] = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text").cast("binary"))
+        .as[(Long, String, Array[Byte])]
+      val decoded = ds.mapPartitions(_.map { case (id, src, bytes) =>
+        stubDecode(id, src, bytes)
+      })
+      decoded.toDF()
+        .withColumn("feat_norm", sqrt(aggregate(
+          col("features"), lit(0.0), (acc, x) => acc + x * x)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_media"),
+          RelationalQueries.rnd(avg("width"), 4).as("avg_width"),
+          RelationalQueries.rnd(avg("height"), 4).as("avg_height"),
+          RelationalQueries.rnd(avg("n_frames"), 4).as("avg_frames"),
+          RelationalQueries.rnd(avg("feat_norm"), 4).as("avg_feat_norm"))
+        .orderBy("source")
+    }),
+
+    /** Frame sampling: every k-th chunk of the payload as a "frame" row
+      * — the explode/posexplode pattern used to fan a video column out
+      * to frame rows, with deterministic chunking (oracle-able). */
+    "m03_frame_sample" -> ((s, d) => {
+      val chunk = 64
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, greatest(CAST(floor((octet_length(content)-1)/$chunk) AS INT), 0)), i -> substring(content, i*$chunk+1, $chunk))")))
+        .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+          octet_length(col("col")).as("frame_bytes"),
+          md5(col("col")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "m01_binary_meta" ->
+      """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5,
+        | ascii(text) AS first_code
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    "m03_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(CAST(floor((strlen(text)-1)/64) AS BIGINT) + 1, 1))) AS frame_idx,
+        |    text
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, frame_idx,
+        | strlen(substr(text, CAST(frame_idx*64+1 AS BIGINT), 64)) AS frame_bytes,
+        | md5(substr(text, CAST(frame_idx*64+1 AS BIGINT), 64)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale design: the query set is tiny and broadcast, so brute force is
+  * one scan of the corpus with per-row vector math (no shuffle but the
+  * final top-k); the LSH variant prunes the scan to one bucket per
+  * query — the standard recall/latency trade. Vector math is done in
+  * double via codegen'd higher-order functions (zip_with/aggregate); a
+  * real deployment would bucket once and store bucket ids.
+  */
+object SimilarityQueries {
+
+  /** embedding as double[] (float arithmetic differs across engines;
+    * double is bit-stable for the oracle compare). */
+  private def embD(c: Column): Column =
+    transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Deterministic random hyperplanes (fixed seed — the plan must be
+    * reproducible across runs and engines). */
+  private def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "s01_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), embD(col("embedding")).as("q_vec"))
+      val corpus = emb
+        .select(col("vec_id").as("n_id"), embD(col("embedding")).as("n_vec"))
+      val scored = corpus.join(broadcast(queriesDf), col("q_id") =!= col("n_id"))
+        .withColumn("cos",
+          dot(col("q_vec"), col("n_vec")) / (norm(col("q_vec")) * norm(col("n_vec"))))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          RelationalQueries.rnd(col("cos"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "s02_ann_lsh" -> ((s, d) => {
+      // Multi-table sign-LSH: L=4 tables × 8 hyperplanes. One table of
+      // many bits strands near-orthogonal queries alone in their bucket;
+      // multiple short tables give each query E[corpus/256] candidates
+      // per table while still pruning ~99.6% of the scan. Rows-only
+      // check (hyperplane constants are not portable to SQL); the spec
+      // asserts recall against s01 on planted neighbors.
+      val L = 4; val bits = 8
+      val allPlanes = planes(L * bits, 64)
+      def signature(vec: Column, table: Int): Column =
+        aggregate(
+          zip_with(typedLit(allPlanes.slice(table * bits, (table + 1) * bits)),
+            sequence(lit(0), lit(bits - 1)),
+            (plane, idx) => when(dot(plane, vec) > 0,
+              pow(lit(2.0), idx).cast("long")).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val tabled = emb.select(col("vec_id"), col("vec"),
+        explode(array((0 until L).map(t =>
+          struct(lit(t).as("tbl"), signature(col("vec"), t).as("bucket"))): _*)).as("tb"))
+        .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
+      val queriesDf = tabled.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+      // dedupe on the id pair only (a pair can collide in several
+      // tables), then join the vectors back — never shuffles payload
+      // arrays through the distinct
+      val candIds = tabled.select(col("vec_id"), col("tbl"), col("bucket"))
+        .join(broadcast(queriesDf), Seq("tbl", "bucket"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .select("q_id", "vec_id").distinct()
+      val scored = candIds
+        .join(broadcast(emb.select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+          .filter(col("q_id") < 3)), "q_id")
+        .join(emb, "vec_id")
+        .withColumn("cos",
+          dot(col("q_vec"), col("vec")) / (norm(col("q_vec")) * norm(col("vec"))))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+          RelationalQueries.rnd(col("cos"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }),
+
+    "s03_centroid_stats" -> ((s, d) => {
+      // per-label centroid + dispersion: the IVF coarse-quantizer build
+      // step (centroids of an existing partition), expressed as one
+      // aggregation with element-wise array sums.
+      val emb = Tables.embeddings(s, d)
+        .select(col("label"), embD(col("embedding")).as("vec"))
+      val agged = emb.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          array((0 until 64).map(i =>
+            RelationalQueries.rnd(avg(element_at(col("vec"), i + 1)), 6)): _*)
+            .as("centroid"))
+      agged.select(col("label"), col("n_vecs"),
+          RelationalQueries.rnd(norm(col("centroid")), 4).as("centroid_norm"),
+          RelationalQueries.rnd(element_at(col("centroid"), 1), 6).as("c0"),
+          RelationalQueries.rnd(element_at(col("centroid"), 2), 6).as("c1"))
+        .orderBy("label")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        |           FROM embeddings WHERE vec_id < 3),
+        | scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    list_cosine_similarity(q.q_vec, e.embedding::DOUBLE[]) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        | ranked AS (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_id, floor((cos)*10000+0.5)/10000 AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "s03_centroid_stats" ->
+      """WITH e AS (
+        |  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        | c AS (
+        |  SELECT label, i, floor((avg(v))*1000000+0.5)/1000000 AS m
+        |  FROM e GROUP BY label, i),
+        | n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT n.label, n.n_vecs,
+        | floor((sqrt(sum(c.m*c.m)))*10000+0.5)/10000 AS centroid_norm,
+        | floor((max(CASE WHEN c.i=1 THEN c.m END))*1000000+0.5)/1000000 AS c0,
+        | floor((max(CASE WHEN c.i=2 THEN c.m END))*1000000+0.5)/1000000 AS c1
+        |FROM n JOIN c ON n.label = c.label
+        |GROUP BY n.label, n.n_vecs ORDER BY n.label""".stripMargin,
+  )
+}

@@ -1,0 +1,100 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSessionFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral tests for the LLM-pipeline operators on corpora with
+  * PLANTED duplicates / neighbors — the synthetic testdata has none, so
+  * the roster summaries alone can't show the finders find. */
+class PipelineSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  /** Build a testdata-shaped dir with planted dup structure. */
+  private lazy val plantedDir: String = {
+    val dir = Files.createTempDirectory("graft-planted").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    val nearDup = base.replace("lazy", "sleepy") // one token differs
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src0", base.length.toLong),              // exact dup of 0
+      (2L, nearDup, "en", "src1", nearDup.length.toLong),        // near dup of 0
+      (3L, "totally different content about spark catalyst optimizer rules " * 6,
+        "en", "src1", 60L),
+      (4L, base.toUpperCase, "en", "src2", base.length.toLong))  // case variant
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+
+    val rng = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    val v0 = vec()
+    val nearV = v0.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val embs = Seq(
+      (0L, v0, 0), (1L, nearV, 0), // planted near-neighbors
+      (2L, vec(), 1), (3L, vec(), 2), (4L, vec(), 3),
+      (5L, vec(), 4), (6L, vec(), 5), (7L, vec(), 6))
+    embs.toDF("vec_id", "embedding", "label")
+      .repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("d01_exact_dedup finds the planted exact duplicate") {
+    val r = DedupQueries.queries("d01_exact_dedup")(spark, plantedDir).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 5)
+    assert(r.getAs[Long]("n_unique_texts") == 4)
+    assert(r.getAs[Long]("n_exact_dups") == 1)
+  }
+
+  test("d02_minhash_lsh flags exact+near dup pairs with high jaccard") {
+    val r = DedupQueries.queries("d02_minhash_lsh")(spark, plantedDir).collect()(0)
+    assert(r.getAs[Long]("n_candidate_pairs") >= 2) // (0,1) exact, (0,2)/(1,2) near
+    assert(r.getAs[Long]("n_dups_05") >= 2)
+    assert(r.getAs[Double]("max_jaccard") == 1.0)
+  }
+
+  test("d03_simhash: exact dups share a simhash, near dups land close") {
+    val r = DedupQueries.queries("d03_simhash")(spark, plantedDir).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 5)
+    assert(r.getAs[Long]("n_distinct_simhash") <= 4) // 0 and 1 identical
+    assert(r.getAs[Long]("n_pairs_hamming_le8") >= 1)
+    assert(r.getAs[Number]("min_hamming").intValue == 0)
+  }
+
+  test("d04_ngram_jaccard scores the near-dup pair above 0.3") {
+    val r = DedupQueries.queries("d04_ngram_jaccard")(spark, plantedDir).collect()(0)
+    assert(r.getAs[Long]("n_pairs_compared") >= 1)
+    assert(r.getAs[Double]("max_jaccard") >= 0.9) // exact pair in same block
+  }
+
+  test("t04_fingerprint collapses case/punctuation variants") {
+    val r = TextQueries.queries("t04_fingerprint")(spark, plantedDir).collect()(0)
+    // docs 0, 1 and the uppercase variant 4 share a normalized fingerprint
+    assert(r.getAs[Long]("largest_group") == 3)
+    assert(r.getAs[Long]("docs_in_dup_groups") == 3)
+  }
+
+  test("s01_knn_brute ranks the planted neighbor first") {
+    val rows = SimilarityQueries.queries("s01_knn_brute")(spark, plantedDir)
+      .filter(col("q_id") === 0 && col("rank") === 1).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("n_id") == 1L)
+    assert(rows(0).getAs[Double]("cos_sim") > 0.99)
+  }
+
+  test("s02_ann_lsh buckets the planted neighbor pair together") {
+    val rows = SimilarityQueries.queries("s02_ann_lsh")(spark, plantedDir)
+      .filter(col("q_id") === 0).collect()
+    // near-identical vectors must share all 12 hyperplane signs
+    assert(rows.exists(r => r.getAs[Long]("n_id") == 1L))
+  }
+
+  test("m02_decode_features: stub decode is deterministic and partition-independent") {
+    val a = MultimodalQueries.queries("m02_decode_features")(spark, plantedDir).collect()
+    val b = MultimodalQueries.queries("m02_decode_features")(spark, plantedDir).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.getAs[Long]("n_media")).sum == 5)
+  }
+}
