@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * Scale design: the query set is tiny and broadcast, so brute force is
   * one scan of the corpus with per-row vector math (no shuffle but the
   * final top-k); the LSH variant prunes the scan to one bucket per
-  * query — the standard recall/latency trade. Vector math is done in
-  * double via codegen'd higher-order functions (zip_with/aggregate); a
-  * real deployment would bucket once and store bucket ids.
+  * query — the standard recall/latency trade. Vector math runs through
+  * the native codegen'd kernels in [[graft.functions.VectorExpressions]]
+  * in double precision; a real deployment would bucket once and store
+  * bucket ids.
   */
 object SimilarityQueries {
 
@@ -23,8 +24,15 @@ object SimilarityQueries {
   private def embD(c: Column): Column =
     transform(c, x => x.cast("double"))
 
+  // Native codegen'd kernels (graft.functions.VectorExpressions) — the
+  // HOF composition aggregate(zip_with(...)) is interpreted and ~10×
+  // slower on the ANN scan path. Same accumulation order, so results
+  // are bit-identical to the composed form and to the DuckDB oracle.
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.array_dot(a, b)
+
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.array_cosine(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -44,8 +52,7 @@ object SimilarityQueries {
       val corpus = emb
         .select(col("vec_id").as("n_id"), embD(col("embedding")).as("n_vec"))
       val scored = corpus.join(broadcast(queriesDf), col("q_id") =!= col("n_id"))
-        .withColumn("cos",
-          dot(col("q_vec"), col("n_vec")) / (norm(col("q_vec")) * norm(col("n_vec"))))
+        .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -90,8 +97,7 @@ object SimilarityQueries {
         .join(broadcast(emb.select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
           .filter(col("q_id") < 3)), "q_id")
         .join(emb, "vec_id")
-        .withColumn("cos",
-          dot(col("q_vec"), col("vec")) / (norm(col("q_vec")) * norm(col("vec"))))
+        .withColumn("cos", cosine(col("q_vec"), col("vec")))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkSessionFixture
+import graft.functions.VectorExpressions.{array_cosine, array_dot}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorExpressionsSpec extends AnyFunSuite {
+  import SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val df = Seq(
+    (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+    (Seq(2.0, 0.0), Seq(4.0, 0.0))).toDF("a", "b")
+
+  test("array_dot matches the HOF composition bit-for-bit") {
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(array_dot(col("a"), col("b")).as("native"), hof.as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows(0).getDouble(0) == 32.0)
+  }
+
+  test("array_cosine: orthogonal→0, parallel→1") {
+    val out = df.select(array_cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(out(1)) < 1e-15)
+    assert(math.abs(out(2) - 1.0) < 1e-15)
+  }
+
+  test("null inputs propagate null") {
+    val r = Seq((Option.empty[Seq[Double]], Option(Seq(1.0))))
+      .toDF("a", "b")
+      .select(array_cosine(col("a"), col("b")))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("codegen path: expression works inside a multi-row pipeline with filter") {
+    val n = spark.range(1000)
+      .select(transform(sequence(lit(0), lit(9)),
+        i => (col("id") + i).cast("double")).as("v"))
+      .select(array_cosine(col("v"), col("v")).as("c"))
+      .filter(col("c") > 0.999999)
+      .count()
+    assert(n == 1000)
+  }
+}

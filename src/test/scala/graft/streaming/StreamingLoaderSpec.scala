@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSessionFixture
+import graft.engine.schema.Schemas
+import graft.engine.sink.JdbcTableSink
+import graft.engine.source.CsvOptions
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingLoaderSpec extends AnyFunSuite {
+  import SparkSessionFixture.spark
+
+  test("file-stream CSVs land in Derby through the sink, batch-by-batch") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.csv"), "1,x\n2,y\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "b.csv"), "3,z\n")
+
+    val url = "jdbc:derby:memory:stream1;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().executeUpdate(
+      """CREATE TABLE st ("k" BIGINT, "v" VARCHAR(50))""")
+    conn.close()
+
+    val sink = new JdbcTableSink(spark, url, "st")
+    val q = StreamingLoader.start(spark,
+      StreamingLoader.StreamConfig(dir, CsvOptions(),
+        Schemas.syntheticSchema(2)), sink)
+    q.awaitTermination(60000)
+
+    val conn2 = java.sql.DriverManager.getConnection(url)
+    val rs = conn2.createStatement().executeQuery(
+      """SELECT "k", "v" FROM st ORDER BY "k"""")
+    val rows = Iterator.continually(rs).takeWhile(_.next())
+      .map(r => (r.getLong(1), r.getString(2))).toList
+    conn2.close()
+    assert(rows == List((1L, "x"), (2L, "y"), (3L, "z")))
+  }
+
+  test("stream into a missing table is refused (as-is semantics)") {
+    val url = "jdbc:derby:memory:stream2;create=true"
+    intercept[IllegalArgumentException] {
+      StreamingLoader.start(spark,
+        StreamingLoader.StreamConfig("/tmp/nowhere", CsvOptions(),
+          Schemas.syntheticSchema(2)),
+        new JdbcTableSink(spark, url, "missing"))
+    }
+  }
+}
