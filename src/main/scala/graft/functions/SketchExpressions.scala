@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native sketch kernels for the dedup operators.
+  *
+  * The composable formulations (explode + K min-aggregates for MinHash,
+  * explode + 64 vote-sums for SimHash) are correct but spend their time
+  * in generator/aggregate machinery: the per-document sketch is really a
+  * tight loop over a small long array. These expressions run that loop
+  * once per row inside whole-stage codegen — no explode, no shuffle
+  * until the (tiny) band join.
+  *
+  * Hash family: splitmix64 finalizer over (element ^ seed_k), the
+  * standard public-domain mixer — one multiply-xor chain per element
+  * per hash function, statistically independent across seeds.
+  */
+object SketchOps {
+  /** splitmix64 finalizer. */
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** K minhashes of a long-hashed shingle set. */
+  def minhash(elems: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      val e = elems.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = mix(e ^ (j * 0xd6e8feb86659fd93L))
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over token hashes: each hash votes ±1 per bit. */
+  def simhash(elems: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = elems.numElements()
+    var i = 0
+    while (i < n) {
+      val h = mix(elems.getLong(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** `minhash_sig(hashedShingles, k)` → array<long> of k minhashes. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && k <= 1024, "k must be in (0, 1024]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires ARRAY<BIGINT>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.minhash(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchOps.minhash($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** `simhash64(hashedTokens)` → 64-bit SimHash. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires ARRAY<BIGINT>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.simhash(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SketchOps.simhash($c);")
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+object SketchExpressions {
+  def minhash_sig(c: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+}

@@ -28,12 +28,16 @@ object DedupQueries {
 
   private def toks: Column = filter(split(col("text"), " "), t => t =!= "")
 
-  /** Word 3-gram shingles, distinct. */
+  /** Word 3-gram shingles, distinct, already hashed to long — building
+    * shingle strings (concat_ws) costs an allocation per shingle in the
+    * interpreted HOF path; hashing the three tokens directly is ~3×
+    * cheaper and everything downstream (minhash, jaccard) only needs
+    * set identity, not the text. */
   private def shingles: Column = array_distinct(expr(
     """CASE WHEN size(toks) >= 3
       | THEN transform(sequence(0, size(toks)-3),
-      |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-      | ELSE array(concat_ws(' ', toks)) END""".stripMargin))
+      |                i -> xxhash64(toks[i], toks[i+1], toks[i+2]))
+      | ELSE array(xxhash64(concat_ws(' ', toks))) END""".stripMargin))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -48,23 +52,24 @@ object DedupQueries {
     }),
 
     "d02_minhash_lsh" -> ((s, d) => {
-      // K=32 minhash functions (8 bands × 4 rows), computed columnar:
-      // explode shingles once, take 32 seeded mins in ONE hash
-      // aggregate (codegen'd, map-side partial) — not nested per-row
-      // lambdas, which fall out of codegen and cost ~10× wall-clock.
+      // K=32 minhash functions (8 bands × 4 rows). The signature is ONE
+      // native codegen'd kernel per row (graft.functions.MinHashSig) —
+      // the explode + K-min-aggregate formulation spends its wall-clock
+      // in generator/aggregate machinery for what is a tight loop over
+      // ~50 longs, and the per-row form needs no shuffle at all until
+      // the (tiny) band join.
       val K = 32; val B = 8; val R = 4
       val docs = Tables.documents(s, d)
         .withColumn("toks", toks)
         .withColumn("sh", shingles)
         .select("doc_id", "sh")
-      val exploded = docs.select(col("doc_id"), explode(col("sh")).as("g"))
-      val sig = exploded.groupBy("doc_id")
-        .agg(min(xxhash64(col("g"), lit(0))).as("m0"),
-          (1 until K).map(k => min(xxhash64(col("g"), lit(k))).as(s"m$k")): _*)
+      val sig = docs.withColumn("sig",
+        graft.functions.SketchExpressions.minhash_sig(col("sh"), K))
       val bands = sig.select(col("doc_id"),
           explode(array((0 until B).map(b =>
             struct(lit(b).as("band"),
-              hash((b * R until (b + 1) * R).map(k => col(s"m$k")): _*).as("bucket"))): _*)).as("bb"))
+              hash((b * R until (b + 1) * R).map(k =>
+                element_at(col("sig"), k + 1)): _*).as("bucket"))): _*)).as("bb"))
         .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -88,20 +93,13 @@ object DedupQueries {
 
     "d03_simhash" -> ((s, d) => {
       // 64-bit SimHash: per-token hash votes on each bit, sign of the
-      // vote sum sets the bit; near-dups collide on 16-bit bands.
-      // Columnar formulation: explode tokens, then ONE codegen'd hash
-      // aggregate with 64 vote sums (the nested array-lambda version of
-      // this runs interpreted and was ~100× slower at sf0.1).
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("t"))
-        .withColumn("h", xxhash64(col("t")))
-      val votes = tok.groupBy("doc_id")
-        .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("v0"),
-          (1 until 64).map(i =>
-            sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")): _*)
-      val docs = votes.withColumn("simhash",
-          (0 until 64).map(i =>
-            when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _))
+      // vote sum sets the bit; near-dups collide on 16-bit bands. The
+      // vote loop is one native codegen'd kernel per row
+      // (graft.functions.SimHash64) — no explode, no 64-column
+      // aggregate, no shuffle until the band join.
+      val docs = Tables.documents(s, d)
+        .withColumn("hs", transform(toks, t => xxhash64(t)))
+        .withColumn("simhash", graft.functions.SketchExpressions.simhash64(col("hs")))
         .select("doc_id", "simhash")
       val bands = docs.select(col("doc_id"), col("simhash"),
         expr("explode(transform(sequence(0, 3), b -> named_struct('band', b, 'bits', shiftright(simhash, b*16) & 65535)))").as("bb"))
