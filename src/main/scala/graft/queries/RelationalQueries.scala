@@ -357,6 +357,52 @@ object RelationalQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "q33_array_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sort_array(collect_set("l_linestatus")).as("statuses"),
+          sort_array(collect_set("l_linenumber")).as("linenumbers"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q34_in_subquery" -> ((s, d) => viaSql(s, d, "orders", "customer")(
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'MACHINERY')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    "q35_sliding_frame" -> ((s, d) => {
+      // RANGE/ROWS sliding frame: centered 5-row moving totals per user,
+      // in the integer cents domain (float window sums are not
+      // bit-stable across engines — see q17).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 2)
+      Tables.events(s, d)
+        .withColumn("v_cents", floor(col("value") * 100 + 0.5).cast("long"))
+        .withColumn("win_cents", sum("v_cents").over(w))
+        .withColumn("win_n", count(lit(1)).over(w))
+        .select("event_id", "user_id", "win_cents", "win_n")
+        .orderBy("event_id")
+    }),
+
+    "q36_ntile_percentile" -> ((s, d) => {
+      // ntile partitioned by priority (a global ntile would funnel the
+      // whole table through one window partition — fine for a demo,
+      // wrong at scale), plus exact interpolated median per group.
+      val nt = ntile(4).over(Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey")))
+      Tables.orders(s, d)
+        .withColumn("quartile", nt)
+        .groupBy("o_orderpriority", "quartile")
+        .agg(count(lit(1)).as("n"),
+          rnd(min("o_totalprice"), 2).as("lo"),
+          rnd(max("o_totalprice"), 2).as("hi"),
+          rnd(median(col("o_totalprice")), 2).as("med"))
+        .orderBy("o_orderpriority", "quartile")
+    }),
+
     "q32_regex_extract" -> ((s, d) => {
       Tables.events(s, d)
         .withColumn("k", regexp_extract(col("props"), "[0-9]+", 0).cast("int"))
@@ -580,6 +626,41 @@ object RelationalQueries {
         | CAST(floor(l_quantity) AS BIGINT) AS qty_int
         |FROM lineitem WHERE l_orderkey <= 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q33_array_agg" ->
+      """SELECT l_returnflag,
+        | list(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses,
+        | list(DISTINCT l_linenumber ORDER BY l_linenumber) AS linenumbers
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q34_in_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'MACHINERY')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q35_sliding_frame" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) OVER w AS BIGINT) AS win_cents,
+        | count(*) OVER w AS win_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "q36_ntile_percentile" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(4) OVER (PARTITION BY o_orderpriority
+        |                   ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders)
+        |SELECT o_orderpriority, quartile, count(*) AS n,
+        | floor((min(o_totalprice))*100+0.5)/100 AS lo,
+        | floor((max(o_totalprice))*100+0.5)/100 AS hi,
+        | floor((median(o_totalprice))*100+0.5)/100 AS med
+        |FROM t GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
 
     "q32_regex_extract" ->
       """SELECT coalesce(nullif(event_type,'error'),'ERR') AS etype,

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization via `flatMapGroupsWithState` —
+  * the per-key custom-state primitive (SURVEY.md §2.11; batch analog is
+  * the e01 window formulation).
+  *
+  * State per user is O(1) (running session bounds, not buffered
+  * events), so the operator's memory footprint is keys × a few longs —
+  * the shape that survives unbounded streams. A processing-time timeout
+  * flushes sessions for keys that go quiet.
+  */
+object StatefulSessionize {
+
+  final case class Event(user_id: Long, ts: Timestamp, event_id: Long)
+  final case class SessionState(start: Long, last: Long, n: Long,
+      firstEvent: Long, lastEvent: Long)
+  final case class Session(user_id: Long, n_events: Long, dur_sec: Double,
+      first_event: Long, last_event: Long)
+
+  /** Close a session after `gapSec` of inactivity within the stream.
+    *
+    * `idleTimeout = true` additionally flushes a key's open session when
+    * the key goes quiet wall-clock-wise (ProcessingTimeTimeout). Leave
+    * it off for synchronous testing: under `processAllAvailable` the
+    * timeout clock keeps scheduling evaluation batches and the call
+    * never converges. */
+  def sessions(events: Dataset[Event], gapSec: Long = 3600,
+      idleTimeout: Boolean = false)(
+      implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val timeoutMode =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutMode)(
+        (uid: Long, evs: Iterator[Event], state: GroupState[SessionState]) => {
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(st) if t - st.last <= gapSec * 1000 =>
+                cur = Some(st.copy(last = t, n = st.n + 1, lastEvent = e.event_id))
+              case Some(st) =>
+                out += Session(uid, st.n, (st.last - st.start) / 1000.0,
+                  st.firstEvent, st.lastEvent)
+                cur = Some(SessionState(t, t, 1, e.event_id, e.event_id))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.event_id, e.event_id))
+            }
+          }
+          if (state.hasTimedOut) {
+            cur.foreach(st => out += Session(uid, st.n,
+              (st.last - st.start) / 1000.0, st.firstEvent, st.lastEvent))
+            state.remove()
+          } else {
+            cur.foreach(state.update)
+            if (idleTimeout) state.setTimeoutDuration(s"${gapSec} seconds")
+          }
+          out.iterator
+        })
+  }
+}
