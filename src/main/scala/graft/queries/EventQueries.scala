@@ -26,8 +26,10 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "e01_sessionize" -> ((s, d) => {
+      // ns-exact ordering (see q18) — epoch values stay µs-derived,
+      // which only shifts gap boundaries by <2µs
       val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
       val gapped = Tables.events(s, d)
         .withColumn("prev_sec", lag(epochSec, 1).over(byUser))
         .withColumn("is_new",

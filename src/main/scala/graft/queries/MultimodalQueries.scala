@@ -108,7 +108,7 @@ object MultimodalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "m01_binary_meta" ->
-      """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5,
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, md5(text) AS content_md5,
         | ascii(text) AS first_code
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
@@ -119,7 +119,7 @@ object MultimodalQueries {
         |    text
         |  FROM documents WHERE doc_id < 50)
         |SELECT doc_id, frame_idx,
-        | strlen(substr(text, CAST(frame_idx*64+1 AS BIGINT), 64)) AS frame_bytes,
+        | CAST(strlen(substr(text, CAST(frame_idx*64+1 AS BIGINT), 64)) AS INTEGER) AS frame_bytes,
         | md5(substr(text, CAST(frame_idx*64+1 AS BIGINT), 64)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )

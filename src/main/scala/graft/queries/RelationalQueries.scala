@@ -221,7 +221,9 @@ object RelationalQueries {
     }),
 
     "q18_window_lag_lead" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // order by the exact ns value: the µs-truncated `ts` could order
+      // two sub-µs-apart events differently than DuckDB's ns ordering
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
       Tables.events(s, d)
         .withColumn("prev_value", rnd(lag("value", 1).over(w), 4))
         .withColumn("next_value", rnd(lead("value", 1).over(w), 4))
@@ -377,7 +379,7 @@ object RelationalQueries {
       // in the integer cents domain (float window sums are not
       // bit-stable across engines — see q17).
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
         .rowsBetween(-2, 2)
       Tables.events(s, d)
         .withColumn("v_cents", floor(col("value") * 100 + 0.5).cast("long"))
@@ -518,8 +520,8 @@ object RelationalQueries {
     "q16_window_rank" ->
       """SELECT c_mktsegment, rn, rnk, c_custkey, c_acctbal FROM (
         |  SELECT c_mktsegment, c_custkey, c_acctbal,
-        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
-        |    rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn,
+        |    CAST(rank()  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rnk
         |  FROM customer) t
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
 
@@ -570,14 +572,14 @@ object RelationalQueries {
 
     "q24_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS uname, lower(p_brand) AS lbrand,
-        | length(p_name) AS name_len, substr(p_name, 1, 8) AS prefix,
+        | CAST(length(p_name) AS INTEGER) AS name_len, substr(p_name, 1, 8) AS prefix,
         | concat_ws('|', p_brand, p_type) AS brand_type,
         | regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
         | reverse(p_type) AS rev_type, trim(p_name) AS trimmed
         |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin,
 
     "q25_date_funcs" ->
-      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mo,
         | count(*) AS n, floor((sum(o_totalprice))*100+0.5)/100 AS total,
         | min(CAST(o_orderdate AS DATE)) AS first_day,
         | max(CAST(o_orderdate AS DATE)) AS last_day
@@ -652,8 +654,8 @@ object RelationalQueries {
     "q36_ntile_percentile" ->
       """WITH t AS (
         |  SELECT o_orderpriority, o_totalprice,
-        |    ntile(4) OVER (PARTITION BY o_orderpriority
-        |                   ORDER BY o_totalprice, o_orderkey) AS quartile
+        |    CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |                   ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
         |  FROM orders)
         |SELECT o_orderpriority, quartile, count(*) AS n,
         | floor((min(o_totalprice))*100+0.5)/100 AS lo,

@@ -138,7 +138,8 @@ object SimilarityQueries {
         |  SELECT q_id, n_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
         |  FROM scored)
-        |SELECT q_id, rank, n_id, floor((cos)*10000+0.5)/10000 AS cos_sim
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
+        | floor((cos)*10000+0.5)/10000 AS cos_sim
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "s03_centroid_stats" ->

@@ -78,6 +78,12 @@ def main():
             print(f"FAIL {name}: columns differ\n  spark={got_cols}\n  duck ={exp_cols}")
             n_fail += 1
             continue
+        # dtype drift warning (the driver's hash may be dtype-aware)
+        gt = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
+        et = dict(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
+        for c in got_rel.columns:
+            if gt[c] != et.get(c):
+                print(f"WARN {name}: dtype {c}: spark={gt[c]} duck={et.get(c)}")
         if len(got) != len(exp):
             print(f"FAIL {name}: row count {len(got)} vs {len(exp)}")
             n_fail += 1
