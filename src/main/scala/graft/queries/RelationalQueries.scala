@@ -405,6 +405,45 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "quartile")
     }),
 
+    "q37_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), rnd(avg("value"), 4).as("avg_value"))
+        .orderBy("k")
+    }),
+
+    "q38_stats_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          rnd(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          rnd(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+          rnd(stddev_samp(col("l_extendedprice")), 2).as("std_price"),
+          rnd(var_pop(col("l_discount")), 6).as("varp_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q39_bitwise" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_orderkey").bitwiseAND(col("l_linenumber").cast("long"))).as("k_and"),
+          (col("l_orderkey").bitwiseOR(15)).as("k_or"),
+          (col("l_orderkey").bitwiseXOR(col("l_suppkey"))).as("k_xor"),
+          shiftleft(col("l_linenumber"), 3).as("ln_shl"),
+          shiftright(col("l_orderkey"), 1).as("k_shr"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q40_string_agg" -> ((s, d) => {
+      Tables.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(array_join(sort_array(collect_set(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    }),
+
     "q32_regex_extract" -> ((s, d) => {
       Tables.events(s, d)
         .withColumn("k", regexp_extract(col("props"), "[0-9]+", 0).cast("int"))
@@ -663,6 +702,35 @@ object RelationalQueries {
         | floor((median(o_totalprice))*100+0.5)/100 AS med
         |FROM t GROUP BY o_orderpriority, quartile
         |ORDER BY o_orderpriority, quartile""".stripMargin,
+
+    "q37_json_extract" ->
+      """SELECT json_extract_string(props, '$.k') AS k, count(*) AS n,
+        | floor((avg(value))*10000+0.5)/10000 AS avg_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q38_stats_agg" ->
+      """SELECT l_returnflag,
+        | floor((corr(l_quantity, l_extendedprice))*1000000+0.5)/1000000 AS corr_qty_price,
+        | floor((covar_samp(l_quantity, l_extendedprice))*100+0.5)/100 AS covar_qp,
+        | floor((stddev_samp(l_extendedprice))*100+0.5)/100 AS std_price,
+        | floor((var_pop(l_discount))*1000000+0.5)/1000000 AS varp_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q39_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_orderkey & CAST(l_linenumber AS BIGINT) AS k_and,
+        | l_orderkey | 15 AS k_or,
+        | xor(l_orderkey, l_suppkey) AS k_xor,
+        | CAST(l_linenumber << 3 AS INTEGER) AS ln_shl,
+        | l_orderkey >> 1 AS k_shr
+        |FROM lineitem WHERE l_orderkey <= 50
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q40_string_agg" ->
+      """SELECT n_regionkey,
+        | string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+        | count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q32_regex_extract" ->
       """SELECT coalesce(nullif(event_type,'error'),'ERR') AS etype,
