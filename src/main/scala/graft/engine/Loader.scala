@@ -38,7 +38,8 @@ object Loader {
   final case class LoadResult(
       rowsLoaded: Long,
       alignment: Alignment,
-      createdTable: Boolean)
+      createdTable: Boolean,
+      bytesRead: Long = 0L)
 
   def perform(spark: SparkSession, cfg: LoadConfig, sink: TableSink): LoadResult = {
     CsvSource.validated(cfg.csv)
@@ -76,7 +77,10 @@ object Loader {
     val projected: DataFrame = raw.select(
       align.cols.map(a => ValMappers.mapper(a.csvCol, a.target)): _*)
 
-    sink.append(projected)
-    LoadResult(projected.count(), align, mustCreate)
+    // byte-level progress (ref A3) via task input metrics
+    val (_, progress) = ProgressListener.tracking(spark) {
+      sink.append(projected)
+    }
+    LoadResult(projected.count(), align, mustCreate, progress.bytesRead.get())
   }
 }

@@ -61,6 +61,34 @@ class AuxSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  // --- A3 progress + SQL function registration ----------------------------
+  test("loader reports bytes read via task metrics (ref A3 progress)") {
+    val f = Files.createTempFile("graft-prog", ".csv")
+    Files.writeString(f, "1,aa\n2,bb\n3,cc\n")
+    val res = graft.engine.Loader.perform(spark,
+      graft.engine.Loader.LoadConfig(f.toString,
+        graft.engine.source.CsvOptions(), graft.engine.sink.TableMode.Create),
+      new graft.engine.sink.JdbcTableSink(spark,
+        "jdbc:derby:memory:prog1;create=true", "progt"))
+    assert(res.rowsLoaded == 3)
+    assert(res.bytesRead > 0)
+  }
+
+  test("custom expressions register into SQL (extensions surface)") {
+    graft.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT go_bool('True') AS b,
+        |  array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  array_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |  size(minhash_sig(array(1L, 2L, 3L), 8)) AS m,
+        |  simhash64(array(1L, 2L, 3L)) AS sh
+        |""".stripMargin).collect()(0)
+    assert(r.getBoolean(0))
+    assert(r.getDouble(1) == 11.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-15)
+    assert(r.getInt(3) == 8)
+  }
+
   // --- multi-format IO ----------------------------------------------------
   test("format round-trip: parquet/orc/json/csv read back equal") {
     val df = Generator.randomTable(spark, 50, 2, 6)
