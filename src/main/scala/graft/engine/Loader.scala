@@ -42,7 +42,6 @@ object Loader {
       bytesRead: Long = 0L)
 
   def perform(spark: SparkSession, cfg: LoadConfig, sink: TableSink): LoadResult = {
-    CsvSource.validated(cfg.csv)
     val raw = CsvSource.readInferringNames(spark, cfg.path, cfg.csv)
 
     val tableExists = sink.exists()
@@ -77,10 +76,13 @@ object Loader {
     val projected: DataFrame = raw.select(
       align.cols.map(a => ValMappers.mapper(a.csvCol, a.target)): _*)
 
-    // byte-level progress (ref A3) via task input metrics
+    // byte/row progress (ref A3) via task input metrics — also the row
+    // count, so the CSV is scanned exactly once (a projected.count()
+    // would re-run the whole scan+cast pipeline a second time)
     val (_, progress) = ProgressListener.tracking(spark) {
       sink.append(projected)
     }
-    LoadResult(projected.count(), align, mustCreate, progress.bytesRead.get())
+    LoadResult(progress.recordsRead.get(), align, mustCreate,
+      progress.bytesRead.get())
   }
 }

@@ -39,6 +39,10 @@ object Presets {
 
   def save(path: Path, name: String, p: Preset): Unit = {
     val props = loadProps(path)
+    // clear the preset's previous keys first: an unset (None) field must
+    // not resurrect a stale value on the next load
+    props.keySet.asScala.map(_.toString).filter(_.startsWith(s"$name."))
+      .foreach(props.remove)
     def put(k: String, v: Option[String]): Unit =
       v.foreach(value => props.setProperty(s"$name.$k", value))
     put("url", p.url); put("table", p.table); put("mode", p.mode)

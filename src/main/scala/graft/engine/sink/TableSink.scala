@@ -45,13 +45,25 @@ trait TableSink {
   * truncate: DELETE FROM needs a v2/ACID table, and for a managed
   * parquet table the two have identical observable results. */
 final class ManagedTableSink(spark: SparkSession, table: String) extends TableSink {
+  // Spark forces file-based table schemas nullable, which would flip the
+  // reference's create-path semantics from "empty cell loads as empty
+  // string" to ""→NULL (the rule is keyed on target nullability). When
+  // THIS sink created the table, we know the intended shape and report
+  // it; a pre-existing managed table is genuinely all-nullable.
+  private var createdCols: Option[Seq[String]] = None
+
   override def exists(): Boolean = spark.catalog.tableExists(table)
-  override def schema(): StructType = spark.table(table).schema
+
+  override def schema(): StructType = createdCols match {
+    case Some(cols) => graft.engine.schema.Schemas.headerSchema(cols)
+    case None       => spark.table(table).schema
+  }
 
   override def createAllString(cols: Seq[String]): Unit = {
     val st = StructType(graft.engine.schema.Schemas.headerSchema(cols))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
       .write.saveAsTable(table)
+    createdCols = Some(cols)
   }
 
   override def drop(): Unit = spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -92,8 +104,17 @@ final class JdbcTableSink(
     try f(conn) finally conn.close()
   }
 
+  /** Fold an unquoted identifier the way THIS database stores it (Derby
+    * and PG disagree: upper- vs lowercase folding). */
+  private def fold(conn: java.sql.Connection, name: String): String = {
+    val md = conn.getMetaData
+    if (md.storesUpperCaseIdentifiers) name.toUpperCase
+    else if (md.storesLowerCaseIdentifiers) name.toLowerCase
+    else name
+  }
+
   override def exists(): Boolean = withConn { conn =>
-    val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+    val rs = conn.getMetaData.getTables(null, null, fold(conn, table), null)
     try rs.next() finally rs.close()
   }
 
@@ -102,7 +123,7 @@ final class JdbcTableSink(
     * Spark marks every JDBC relation field nullable, losing exactly the
     * bit that drives the reference's `""→NULL` vs fail-on-empty split. */
   override def schema(): StructType = withConn { conn =>
-    val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
+    val rs = conn.getMetaData.getColumns(null, null, fold(conn, table), null)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, StructField)]
     try {
       while (rs.next()) {

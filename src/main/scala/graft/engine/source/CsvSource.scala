@@ -25,10 +25,13 @@ final case class CsvOptions(
 
 object CsvSource {
 
-  /** Validate like ref `config.go:67-72` (single-char delimiter). */
-  def validated(opts: CsvOptions): CsvOptions = {
-    require(opts.delimiter.toString.length == 1, "delimiter must be a single character")
-    opts
+  /** Parse a user-supplied delimiter string, enforcing the reference's
+    * single-character rule (`config.go:67-72`). `CsvOptions.delimiter`
+    * is a Char, so the type enforces it downstream; this is the boundary
+    * where a CLI-style string input gets validated. */
+  def parseDelimiter(s: String): Char = {
+    require(s.length == 1, s"delimiter must be a single character, got '$s'")
+    s.head
   }
 
   /** Read with a known all-string schema (header used only to skip).
@@ -60,9 +63,9 @@ object CsvSource {
     * width (ref `csv2db.go:88-106`, lazy from first record). All
     * columns are StringType. */
   def readInferringNames(spark: SparkSession, path: String, opts: CsvOptions): DataFrame = {
-    // One cheap pass over the first record only (limit(1) short-circuits
-    // the scan) to learn the width/names — the reference does the same
-    // by peeking the first CSV record.
+    // Schema-only probe (no inferSchema: Spark reads just the header
+    // line / first record to size the row) — the reference does the
+    // same by peeking the first CSV record.
     val probe = spark.read
       .option("header", opts.header.toString)
       .option("sep", opts.delimiter.toString)

@@ -30,13 +30,15 @@ object SketchOps {
     z ^ (z >>> 31)
   }
 
-  /** K minhashes of a long-hashed shingle set. */
+  /** K minhashes of a long-hashed shingle set; null elements yield a
+    * NULL signature (see VectorOps null policy). */
   def minhash(elems: ArrayData, k: Int): ArrayData = {
     val out = new Array[Long](k)
     java.util.Arrays.fill(out, Long.MaxValue)
     val n = elems.numElements()
     var i = 0
     while (i < n) {
+      if (elems.isNullAt(i)) return null
       val e = elems.getLong(i)
       var j = 0
       while (j < k) {
@@ -49,12 +51,14 @@ object SketchOps {
     new GenericArrayData(out)
   }
 
-  /** 64-bit SimHash over token hashes: each hash votes ±1 per bit. */
-  def simhash(elems: ArrayData): Long = {
+  /** 64-bit SimHash over token hashes: each hash votes ±1 per bit;
+    * null elements yield SQL NULL. */
+  def simhash(elems: ArrayData): java.lang.Long = {
     val votes = new Array[Int](64)
     val n = elems.numElements()
     var i = 0
     while (i < n) {
+      if (elems.isNullAt(i)) return null
       val h = mix(elems.getLong(i))
       var b = 0
       while (b < 64) {
@@ -69,7 +73,7 @@ object SketchOps {
       if (votes(b) > 0) sig |= (1L << b)
       b += 1
     }
-    sig
+    java.lang.Long.valueOf(sig)
   }
 }
 
@@ -77,6 +81,7 @@ object SketchOps {
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0 && k <= 1024, "k must be in (0, 1024]")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // null element → null signature
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -88,8 +93,10 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     SketchOps.minhash(v.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SketchOps.minhash($c, $k);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData r =
+        graft.functions.SketchOps.minhash($c, $k);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }""")
 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   override def prettyName: String = "minhash_sig"
@@ -98,6 +105,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 /** `simhash64(hashedTokens)` → 64-bit SimHash. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null element → null signature
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -109,8 +117,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     SketchOps.simhash(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SketchOps.simhash($c);")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long r = graft.functions.SketchOps.simhash($c);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }""")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   override def prettyName: String = "simhash64"

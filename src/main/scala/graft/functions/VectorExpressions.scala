@@ -22,29 +22,39 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the oracle hash-compare bit-stable.
   */
 object VectorOps {
-  def dot(a: ArrayData, b: ArrayData): Double = {
+  /** Boxed results: a null ELEMENT in either input yields SQL NULL for
+    * the whole row (arrays arrive with containsNull=true from casts and
+    * SQL literals; reading a null slot as 0.0 would silently corrupt
+    * similarity scores). */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
-    acc
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i); i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       ab += x * y; aa += x * x; bb += y * y
       i += 1
     }
-    ab / (math.sqrt(aa) * math.sqrt(bb))
+    java.lang.Double.valueOf(ab / (math.sqrt(aa) * math.sqrt(bb)))
   }
 }
 
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // a null ELEMENT nulls the result even when the array itself is non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -61,8 +71,9 @@ case class ArrayDot(left: Expression, right: Expression) extends VectorBinaryExp
     VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VectorOps.dot($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.functions.VectorOps.dot($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }""")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
     copy(left = l, right = r)
@@ -76,8 +87,9 @@ case class ArrayCosine(left: Expression, right: Expression) extends VectorBinary
     VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VectorOps.cosine($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.functions.VectorOps.cosine($a, $b);
+      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }""")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayCosine =
     copy(left = l, right = r)

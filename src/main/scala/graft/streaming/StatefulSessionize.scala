@@ -45,7 +45,13 @@ object StatefulSessionize {
             val t = e.ts.getTime
             cur match {
               case Some(st) if t - st.last <= gapSec * 1000 =>
-                cur = Some(st.copy(last = t, n = st.n + 1, lastEvent = e.event_id))
+                // events are sorted per batch only; a late cross-batch
+                // event must not move the session bounds backwards
+                cur = Some(st.copy(
+                  start = math.min(st.start, t),
+                  last = math.max(st.last, t),
+                  n = st.n + 1,
+                  lastEvent = if (t >= st.last) e.event_id else st.lastEvent))
               case Some(st) =>
                 out += Session(uid, st.n, (st.last - st.start) / 1000.0,
                   st.firstEvent, st.lastEvent)

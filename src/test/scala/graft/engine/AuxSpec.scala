@@ -47,6 +47,12 @@ class AuxSpec extends AnyFunSuite {
     assert(merged.delimiter.contains(";"))     // preset fills missing
     assert(Presets.load(f, "nope").isEmpty)
     assert(Presets.names(f) == Set("default"))
+
+    // re-saving with a field unset must drop the stale value
+    Presets.save(f, "default", Presets.Preset(url = Some("jdbc:derby:memory:y")))
+    val resaved = Presets.load(f, "default").get
+    assert(resaved.url.contains("jdbc:derby:memory:y"))
+    assert(resaved.delimiter.isEmpty && resaved.header.isEmpty)
   }
 
   // --- S9 generator -------------------------------------------------------

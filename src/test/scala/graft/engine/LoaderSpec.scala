@@ -206,11 +206,29 @@ class LoaderSpec extends AnyFunSuite {
   test("custom delimiter + validation (ref config.go:67-72)") {
     val p = csvFile("1;x\n2;y\n")
     val url = freshDb()
+    val delim = graft.engine.source.CsvSource.parseDelimiter(";")
     val res = Loader.perform(spark,
-      Loader.LoadConfig(p, CsvOptions(delimiter = ';'), TableMode.Create),
+      Loader.LoadConfig(p, CsvOptions(delimiter = delim), TableMode.Create),
       new JdbcTableSink(spark, url, "tsemi"))
     assert(res.rowsLoaded == 2)
     assert(derbyQuery(url, """SELECT "col1" FROM tsemi ORDER BY "col0"""")
       .map(_(0)) == Seq("x", "y"))
+    intercept[IllegalArgumentException] {
+      graft.engine.source.CsvSource.parseDelimiter(";;")
+    }
+  }
+
+  test("managed create-path keeps empty cells as empty strings (ref parity)") {
+    val sink = new ManagedTableSink(spark, "managed_t2")
+    try {
+      Loader.perform(spark,
+        Loader.LoadConfig(headerCsv, CsvOptions(header = true), TableMode.Create), sink)
+      // row 2 has an empty score cell; created-table semantics are
+      // all-string NOT NULL, so it must load as "", not NULL
+      val scores = spark.table("managed_t2").select("score")
+        .collect().map(_.getString(0)).toSet
+      assert(scores.contains(""))
+      assert(!scores.contains(null))
+    } finally spark.sql("DROP TABLE IF EXISTS managed_t2")
   }
 }

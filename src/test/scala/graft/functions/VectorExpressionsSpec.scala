@@ -29,6 +29,14 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(math.abs(out(2) - 1.0) < 1e-15)
   }
 
+  test("null ELEMENT yields null result, not garbage") {
+    val r = Seq((Seq(Some(1.0), None), Seq(Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+      .select(array_dot(col("a"), col("b")), array_cosine(col("a"), col("b")))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("null inputs propagate null") {
     val r = Seq((Option.empty[Seq[Double]], Option(Seq(1.0))))
       .toDF("a", "b")
