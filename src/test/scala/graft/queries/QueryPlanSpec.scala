@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSessionFixture}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the roster's scale claims (pushdown,
+  * pruning, broadcast, top-k) hold in the executed plans, not just in
+  * comments. */
+class QueryPlanSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.collect()
+    // formatted mode prints full scan metadata (PushedFilters,
+    // ReadSchema) even under the AQE wrapper
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q02: filters are pushed into the parquet scan; columns pruned") {
+    // AQE wraps the tree, so assert on the full plan text (scan metadata
+    // is printed inline)
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_quantity"), plan.take(3000))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("l_extendedprice"),
+      s"unpruned column: $readSchema")
+  }
+
+  test("q01: aggregate runs partial (map-side) + final") {
+    val plan = planOf("q01_agg_battery")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_sum") || plan.contains("Partial"), plan)
+  }
+
+  test("q04: dimension join is a broadcast hash join") {
+    assert(planOf("q04_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q05: nation/region dims broadcast, no shuffle on their joins") {
+    val plan = planOf("q05_multi_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q19: top-k plans as TakeOrderedAndProject (no global sort materialization)") {
+    assert(planOf("q19_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q08/q09: semi/anti joins plan as semi/anti, not materialized subqueries") {
+    assert(planOf("q08_semi_join").contains("LeftSemi"))
+    assert(planOf("q09_anti_join").contains("LeftAnti"))
+  }
+
+  test("d02: minhash signature computes scan-side (no explode before the band join)") {
+    val plan = planOf("d02_minhash_lsh")
+    assert(plan.contains("minhash_sig"), plan.take(2000))
+  }
+}
