@@ -107,6 +107,46 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    /** Embedding-cosine near-duplicate detection (the dedup framing of
+      * ANN): every vector pair sharing an LSH bucket is a candidate;
+      * candidates are verified with exact cosine. Same multi-table
+      * machinery as s02 but all-pairs within buckets instead of
+      * query-driven, which is the shape that scales — candidate volume
+      * is Σ bucket² rather than n². Rows-only check (hyperplane
+      * constants aren't portable to SQL); PipelineSpec proves planted
+      * near-identical vectors are caught. */
+    "d05_embed_neardup" -> ((s, d) => {
+      val L = 4; val bits = 8
+      val allPlanes = planes(L * bits, 64)
+      def signature(vec: Column, table: Int): Column =
+        aggregate(
+          zip_with(typedLit(allPlanes.slice(table * bits, (table + 1) * bits)),
+            sequence(lit(0), lit(bits - 1)),
+            (plane, idx) => when(dot(plane, vec) > 0,
+              pow(lit(2.0), idx).cast("long")).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val tabled = emb.select(col("vec_id"),
+        explode(array((0 until L).map(t =>
+          struct(lit(t).as("tbl"), signature(col("vec"), t).as("bucket"))): _*)).as("tb"))
+        .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+      val candIds = tabled.as("a").join(tabled.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct()
+      val verified = candIds
+        .join(emb.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), "id_a")
+        .join(emb.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), "id_b")
+        .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      verified.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("cos") >= 0.95, 1).otherwise(0)).as("n_neardups_095"),
+        sum(when(col("cos") >= 0.8, 1).otherwise(0)).as("n_neardups_08"),
+        RelationalQueries.rnd(coalesce(max("cos"), lit(-1.0)), 4).as("max_cos"))
+    }),
+
     "s03_centroid_stats" -> ((s, d) => {
       // per-label centroid + dispersion: the IVF coarse-quantizer build
       // step (centroids of an existing partition), expressed as one

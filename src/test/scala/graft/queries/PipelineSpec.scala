@@ -91,6 +91,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("n_id") == 1L))
   }
 
+  test("d05_embed_neardup catches the planted near-identical vector pair") {
+    val r = SimilarityQueries.queries("d05_embed_neardup")(spark, plantedDir).collect()(0)
+    assert(r.getAs[Long]("n_candidate_pairs") >= 1)
+    assert(r.getAs[Long]("n_neardups_095") >= 1) // vectors 0 and 1
+    assert(r.getAs[Double]("max_cos") > 0.99)
+  }
+
   test("m02_decode_features: stub decode is deterministic and partition-independent") {
     val a = MultimodalQueries.queries("m02_decode_features")(spark, plantedDir).collect()
     val b = MultimodalQueries.queries("m02_decode_features")(spark, plantedDir).collect()
