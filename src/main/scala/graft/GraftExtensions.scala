@@ -26,7 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
 
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
