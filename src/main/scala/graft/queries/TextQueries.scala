@@ -89,6 +89,24 @@ object TextQueries {
         .orderBy("lang", "predicted")
     }),
 
+    "t05_bpe_tokens" -> ((s, d) => {
+      // BPE-ish pre-tokenization: alnum runs vs punctuation runs (the
+      // split GPT-style tokenizers apply before merges); regexp kept in
+      // the RE2∩Java-compatible subset so the oracle matches.
+      val pieces = regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+|[^a-z0-9 ]+"), lit(0))
+      Tables.documents(s, d)
+        .select(col("lang"), size(pieces).cast("long").as("n_pieces"),
+          size(array_distinct(pieces)).cast("long").as("n_distinct"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_pieces").as("sum_pieces"),
+          rnd(avg("n_pieces"), 4).as("avg_pieces"),
+          rnd(avg(col("n_distinct").cast("double") / col("n_pieces")), 4)
+            .as("avg_distinct_ratio"))
+        .orderBy("lang")
+    }),
+
     "t04_fingerprint" -> ((s, d) => {
       // normalization fingerprint: lowercase, strip non-alnum, collapse
       // runs of spaces, md5 — the canonical near-exact-dup key
@@ -153,6 +171,18 @@ object TextQueries {
         |  FROM t)
         |SELECT lang, predicted, count(*) AS n FROM p
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "t05_bpe_tokens" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]+')) AS n_pieces,
+        |    len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]+'))) AS n_distinct
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_pieces) AS BIGINT) AS sum_pieces,
+        | floor((avg(n_pieces))*10000+0.5)/10000 AS avg_pieces,
+        | floor((avg(CAST(n_distinct AS DOUBLE)/n_pieces))*10000+0.5)/10000 AS avg_distinct_ratio
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t04_fingerprint" ->
       """WITH fp AS (
