@@ -25,8 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
-  private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
+  // 2-arg ctor is (className, functionName); the 3-arg form is
+  // (className, DB, functionName) — passing usage there corrupts the
+  // DESCRIBE FUNCTION metadata
+  private def info(name: String, usage: String): ExpressionInfo = {
+    val _ = usage // usage requires the deprecated 5-arg ctor; name suffices
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+  }
 
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
