@@ -205,8 +205,15 @@ object RelationalQueries {
     }),
 
     "q17_window_running" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+      // (118k dup pairs at sf0.1), so the order keys must include every
+      // column that determines a row's contribution — then any residual
+      // tie is between rows with equal contributions and the running
+      // sums are order-independent across engines.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // Running sums stay in the integer domain (quantity is integral,
       // revenue pre-rounded to cents) — float window sums differ in last
@@ -217,7 +224,8 @@ object RelationalQueries {
         .withColumn("running_qty", sum(col("l_quantity").cast("long")).over(w))
         .withColumn("running_rev_cents", sum(col("rev_cents")).over(w))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty", "running_rev_cents")
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty",
+          "running_rev_cents")
     }),
 
     "q18_window_lag_lead" -> ((s, d) => {
@@ -570,9 +578,10 @@ object RelationalQueries {
         | CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)) OVER w AS BIGINT) AS running_rev_cents
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_suppkey
-        |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |                      l_partkey, l_quantity, l_extendedprice, l_discount
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty, running_rev_cents""".stripMargin,
 
     "q18_window_lag_lead" ->
       """SELECT event_id, user_id,
