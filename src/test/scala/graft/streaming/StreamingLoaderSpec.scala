@@ -37,6 +37,26 @@ class StreamingLoaderSpec extends AnyFunSuite {
     assert(rows == List((1L, "x"), (2L, "y"), (3L, "z")))
   }
 
+  test("streaming dedup: dropDuplicatesWithinWatermark removes replayed events") {
+    import SparkSessionFixture.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = mem.toDS().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_dedup").start()
+    def ev(id: Long, sec: Long) = (id, new java.sql.Timestamp(sec * 1000))
+    mem.addData(ev(1, 0), ev(2, 10), ev(1, 20)) // in-batch replay
+    q.processAllAvailable()
+    mem.addData(ev(2, 30), ev(3, 40))           // cross-batch replay
+    q.processAllAvailable()
+    val n = spark.table("graft_stream_dedup").count()
+    q.stop()
+    assert(n == 3) // ids 1, 2, 3 exactly once
+  }
+
   test("stream into a missing table is refused (as-is semantics)") {
     val url = "jdbc:derby:memory:stream2;create=true"
     intercept[IllegalArgumentException] {
