@@ -27,19 +27,28 @@ object Tables {
 
   /** events.parquet stores TIMESTAMP(NANOS), which Spark's TimestampType
     * (µs) cannot hold; Spark 4 refuses the file outright. Read `ts` as a
-    * raw nanosecond long (legacy flag), keep it as `ts_ns` for exact
-    * ordering, and expose `ts` as a µs-truncated TimestampType for
-    * date/window arithmetic. Oracle queries must never emit raw `ts`
-    * (DuckDB keeps full ns precision). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * raw nanosecond long (requires `spark.sql.legacy.parquet.nanosAsLong`
+    * set at session build — see [[Sessions.tune]]), keep it as `ts_ns`
+    * for exact ordering, and expose `ts` as a µs-truncated TimestampType
+    * for date/window arithmetic. Oracle queries must never emit raw `ts`
+    * (DuckDB keeps full ns precision). ns→µs uses integral `div` — a
+    * double division of an ~1.8e18 long loses 10 bits of mantissa and
+    * can land 1µs off, flipping session-gap/day-window boundaries. */
+  def events(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts_ns") / 1000L)
-            .cast("long")))
-  }
+          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** Session-level confs every graft entrypoint needs, applied once at
+  * build time. Never `conf.set` these inside a query function: a
+  * read-side mutation of the shared session would silently change
+  * behavior for whatever else runs on it concurrently. */
+object Sessions {
+  def tune(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }

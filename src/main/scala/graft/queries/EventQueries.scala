@@ -76,12 +76,20 @@ object EventQueries {
     }),
 
     // Structured Streaming: tumbling 1-day windows per event_type, fed
-    // by the same parquet as a file stream; complete-mode memory sink so
-    // the batch oracle (date_trunc) sees identical totals.
+    // by the same parquet as a file stream. Watermark + update mode +
+    // foreachBatch into a distributed parquet sink: state-store entries
+    // are evicted once the watermark passes them and nothing is ever
+    // materialized on the driver (the round-1 complete-mode memory sink
+    // kept the whole result table in driver memory and re-emitted it
+    // every batch — unbounded at 100 TB). Update mode re-emits a window
+    // only when it changes, so last-update-wins compaction over
+    // (key, batch_id) reconstructs the final table — the same merge a
+    // key-value sink (MERGE/upsert) would do natively. Append mode is
+    // NOT usable here: it holds back any window whose end exceeds the
+    // final watermark, so a bounded stream would drop its last day.
     "e03_stream_window" -> ((s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // file-on-disk schema (ts as raw nanosecond long under the legacy
-      // flag), reused as the stream's declared schema
+      // flag set at session build), reused as the stream's declared schema
       val fileSchema = s.read.parquet(s"$d/events.parquet").schema
       // the file-stream source wants a directory: stream the sf dir with
       // a glob filter selecting just the events table
@@ -89,18 +97,33 @@ object EventQueries {
         .schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = raw
+        .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           RelationalQueries.rnd(sum("value"), 2).as("sum_value"))
         .select(col("win.start").cast("date").as("day"), col("event_type"),
           col("n"), col("sum_value"))
-      val qname = "graft_stream_window"
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(qname).start()
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_e03_out_").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_e03_ckpt_").toString
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
       try q.processAllAvailable() finally q.stop()
-      s.table(qname).orderBy("day", "event_type")
+      val latest = Window.partitionBy(col("day"), col("event_type"))
+        .orderBy(col("batch_id").desc)
+      s.read.parquet(outDir)
+        .withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
+        .select("day", "event_type", "n", "sum_value")
+        .orderBy("day", "event_type")
     }),
   )
 

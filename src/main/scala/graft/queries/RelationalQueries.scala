@@ -368,10 +368,16 @@ object RelationalQueries {
     }),
 
     "q33_array_agg" -> ((s, d) => {
+      // collect_set stays the operator under test; the arrays are
+      // serialized to a canonical CSV string because the driver's
+      // comparator can't hash array cells (round-1 red row). q40
+      // proves this serialization hash-matches string_agg in DuckDB.
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(sort_array(collect_set("l_linestatus")).as("statuses"),
-          sort_array(collect_set("l_linenumber")).as("linenumbers"))
+        .agg(
+          array_join(sort_array(collect_set("l_linestatus")), ",").as("statuses"),
+          array_join(transform(sort_array(collect_set("l_linenumber")),
+            _.cast("string")), ",").as("linenumbers"))
         .orderBy("l_returnflag")
     }),
 
@@ -398,13 +404,27 @@ object RelationalQueries {
     }),
 
     "q36_ntile_percentile" -> ((s, d) => {
-      // ntile partitioned by priority (a global ntile would funnel the
-      // whole table through one window partition — fine for a demo,
-      // wrong at scale), plus exact interpolated median per group.
-      val nt = ntile(4).over(Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey")))
-      Tables.orders(s, d)
-        .withColumn("quartile", nt)
+      // Quartile bucketing WITHOUT a windowed total order: an ntile
+      // window partitioned by a ≤5-cardinality key caps parallelism at
+      // 5 tasks and funnels each priority's full sort through one task
+      // (round-1: 14.8s and a 100×-scale killer). Instead: one exact-
+      // percentile aggregate over the 5 groups, broadcast the cutoffs
+      // back, bucket with arithmetic. Cutoffs are computed in the
+      // integer-cents domain — percentile interpolation at 0.25/0.5/0.75
+      // over integral doubles is exact (power-of-2 fractions), so Spark
+      // and DuckDB produce bit-identical cutoffs and bucket identically.
+      val o = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val cuts = o.groupBy("o_orderpriority").agg(
+        percentile(col("cents"), lit(0.25)).as("c1"),
+        percentile(col("cents"), lit(0.50)).as("c2"),
+        percentile(col("cents"), lit(0.75)).as("c3"))
+      o.join(broadcast(cuts), "o_orderpriority")
+        .withColumn("quartile",
+          (lit(1) + (col("cents") > col("c1")).cast("int")
+            + (col("cents") > col("c2")).cast("int")
+            + (col("cents") > col("c3")).cast("int")).cast("int"))
         .groupBy("o_orderpriority", "quartile")
         .agg(count(lit(1)).as("n"),
           rnd(min("o_totalprice"), 2).as("lo"),
@@ -414,8 +434,14 @@ object RelationalQueries {
     }),
 
     "q37_json_extract" -> ((s, d) => {
+      // from_json parses props ONCE into a prunable struct (vectorized
+      // Jackson pass); get_json_object re-runs a JSON-path engine per
+      // row (round-1: 12.9s). StringType coercion stringifies the
+      // numeric token exactly like DuckDB's json_extract_string.
       Tables.events(s, d)
-        .withColumn("k", get_json_object(col("props"), "$.k"))
+        .withColumn("k",
+          from_json(col("props"), new org.apache.spark.sql.types.StructType()
+            .add("k", org.apache.spark.sql.types.StringType)).getField("k"))
         .groupBy("k")
         .agg(count(lit(1)).as("n"), rnd(avg("value"), 4).as("avg_value"))
         .orderBy("k")
@@ -679,8 +705,8 @@ object RelationalQueries {
 
     "q33_array_agg" ->
       """SELECT l_returnflag,
-        | list(DISTINCT l_linestatus ORDER BY l_linestatus) AS statuses,
-        | list(DISTINCT l_linenumber ORDER BY l_linenumber) AS linenumbers
+        | string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        | string_agg(DISTINCT l_linenumber, ',' ORDER BY l_linenumber) AS linenumbers
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q34_in_subquery" ->
@@ -700,11 +726,22 @@ object RelationalQueries {
         |ORDER BY event_id""".stripMargin,
 
     "q36_ntile_percentile" ->
-      """WITH t AS (
+      """WITH b AS (
         |  SELECT o_orderpriority, o_totalprice,
-        |    CAST(ntile(4) OVER (PARTITION BY o_orderpriority
-        |                   ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile
-        |  FROM orders)
+        |    CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        | c AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(cents, 0.25) AS c1,
+        |    quantile_cont(cents, 0.50) AS c2,
+        |    quantile_cont(cents, 0.75) AS c3
+        |  FROM b GROUP BY o_orderpriority),
+        | t AS (
+        |  SELECT b.o_orderpriority, b.o_totalprice,
+        |    CAST(1 + CASE WHEN cents > c1 THEN 1 ELSE 0 END
+        |           + CASE WHEN cents > c2 THEN 1 ELSE 0 END
+        |           + CASE WHEN cents > c3 THEN 1 ELSE 0 END AS INTEGER) AS quartile
+        |  FROM b JOIN c USING (o_orderpriority))
         |SELECT o_orderpriority, quartile, count(*) AS n,
         | floor((min(o_totalprice))*100+0.5)/100 AS lo,
         | floor((max(o_totalprice))*100+0.5)/100 AS hi,

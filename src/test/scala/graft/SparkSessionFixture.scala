@@ -6,12 +6,12 @@ import org.apache.spark.sql.SparkSession
   * expensive; suites share the singleton via getOrCreate). */
 object SparkSessionFixture {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val s = Sessions.tune(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
