@@ -93,10 +93,15 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     SketchOps.minhash(v.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      org.apache.spark.sql.catalyst.util.ArrayData r =
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: a fixed local collides when two kernel calls land in
+      // the same codegen'd function (non-nullable children emit unwrapped)
+      val r = ctx.freshName("r")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
         graft.functions.SketchOps.minhash($c, $k);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }""")
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }"""
+    })
 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   override def prettyName: String = "minhash_sig"
@@ -117,9 +122,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     SketchOps.simhash(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Long r = graft.functions.SketchOps.simhash($c);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }""")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+      java.lang.Long $r = graft.functions.SketchOps.simhash($c);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }"""
+    })
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   override def prettyName: String = "simhash64"

@@ -26,8 +26,18 @@ object VectorOps {
     * the whole row (arrays arrive with containsNull=true from casts and
     * SQL literals; reading a null slot as 0.0 would silently corrupt
     * similarity scores). */
+  /** Mismatched dimensions are a data bug — fail loudly (DuckDB's list
+    * functions also error), never truncate to the shorter vector: a
+    * silent truncation corrupts every similarity score downstream. */
+  @inline private def checkDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"vector dimension mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -38,7 +48,7 @@ object VectorOps {
   }
 
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
@@ -71,9 +81,14 @@ case class ArrayDot(left: Expression, right: Expression) extends VectorBinaryExp
     VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.functions.VectorOps.dot($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }""")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: a fixed local collides when two kernel calls land in
+      // the same codegen'd function (non-nullable children emit unwrapped)
+      val r = ctx.freshName("r")
+      s"""
+      java.lang.Double $r = graft.functions.VectorOps.dot($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }"""
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
     copy(left = l, right = r)
@@ -87,9 +102,12 @@ case class ArrayCosine(left: Expression, right: Expression) extends VectorBinary
     VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.functions.VectorOps.cosine($a, $b);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }""")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+      java.lang.Double $r = graft.functions.VectorOps.cosine($a, $b);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }"""
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayCosine =
     copy(left = l, right = r)

@@ -26,7 +26,69 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
+  /** Max docs per d04 (lang, length-bucket) block before prefix-hash
+    * salting splits it into ceil(n/BlockCap) sub-blocks. Caps the
+    * in-block self-join at ~BlockCap²/2 comparisons per sub-block
+    * regardless of corpus size. 256 exercises the salting path at
+    * sf0.1 (largest natural block there is ~304 docs) while leaving
+    * small unit-test corpora unsalted. */
+  val BlockCap = 256
+
   private def toks: Column = filter(split(col("text"), " "), t => t =!= "")
+
+  /** Explode a 64-bit `simhash` column into `bands` bands of `bits`
+    * bits each (`bands * bits <= 64`); near-dup candidates are docs
+    * agreeing exactly on at least one band.
+    *
+    * Bucket-occupancy math — parameterize per corpus: a band of b bits
+    * yields 2^b buckets, so a corpus of n docs averages n/2^b docs per
+    * bucket and each band's in-bucket self-join does ~n²/2^(b+1)
+    * comparisons. The 4×16 default is sized for ≤10^8 docs (≤~1.5k
+    * docs/bucket); at 10^10 docs, 16-bit bands hold ~150k docs each and
+    * the self-join quadratics — choose bits ≈ log2(n) − log2(target
+    * bucket size), e.g. 2 bands × 32 bits at 10^10 (recall drops with
+    * fewer/wider bands; compensate with a second pass on rotated
+    * simhashes if needed).
+    */
+  def simhashBands(bands: Int, bits: Int): Column = {
+    require(bands > 0 && bits > 0 && bands * bits <= 64,
+      s"bands*bits must fit in 64 bits, got $bands x $bits")
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    explode(expr(
+      s"""transform(sequence(0, ${bands - 1}),
+         | b -> named_struct('band', b,
+         |                   'bits', shiftright(simhash, b * $bits) & $mask))"""
+        .stripMargin))
+  }
+
+  /** d04's blocking stage, exposed for the skew spec: docs →
+    * (doc_id, lang, lbucket, sub, g) where `sub` splits any
+    * (lang, lbucket) block larger than [[BlockCap]] into
+    * ceil(n/BlockCap) prefix-hash sub-blocks. Input needs
+    * (doc_id, lang, n_chars, text). */
+  def d04Blocked(docs: DataFrame): DataFrame = {
+    val grams = array_distinct(expr(
+      """CASE WHEN length(text) >= 5
+        | THEN transform(sequence(1, length(text)-4), i -> substring(text, i, 5))
+        | ELSE array(text) END""".stripMargin))
+    val pint = expr(
+      """ascii(substring(md5(substring(text, 1, 32)), 1, 1)) * 65536
+        | + ascii(substring(md5(substring(text, 1, 32)), 2, 1)) * 256
+        | + ascii(substring(md5(substring(text, 1, 32)), 3, 1))""".stripMargin)
+    val blocked = docs
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 64).as("lbucket"), grams.as("g"),
+        pint.as("pint"))
+    // block census is a tiny aggregate (one row per block) — broadcast
+    // it back so salting adds no extra shuffle of the payload
+    val sizes = blocked.groupBy("lang", "lbucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("nsub",
+        expr(s"cast((bn + ${BlockCap - 1}) div $BlockCap as int)"))
+    blocked.join(broadcast(sizes), Seq("lang", "lbucket"))
+      .withColumn("sub", pmod(col("pint"), col("nsub")))
+      .select("doc_id", "lang", "lbucket", "sub", "g")
+  }
 
   /** Word 3-gram shingles, distinct, already hashed to long — building
     * shingle strings (concat_ws) costs an allocation per shingle in the
@@ -102,7 +164,7 @@ object DedupQueries {
         .withColumn("simhash", graft.functions.SketchExpressions.simhash64(col("hs")))
         .select("doc_id", "simhash")
       val bands = docs.select(col("doc_id"), col("simhash"),
-        expr("explode(transform(sequence(0, 3), b -> named_struct('band', b, 'bits', shiftright(simhash, b*16) & 65535)))").as("bb"))
+          simhashBands(bands = 4, bits = 16).as("bb"))
         .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bits"))
       val a = bands.select(col("band"), col("bits"),
         col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
@@ -122,21 +184,23 @@ object DedupQueries {
     }),
 
     "d04_ngram_jaccard" -> ((s, d) => {
-      // char 5-gram Jaccard inside (lang, length-bucket) blocks: the
-      // blocking keys bound the self-join; at corpus scale you'd salt
-      // oversized blocks the same way.
-      val grams = array_distinct(expr(
-        """CASE WHEN length(text) >= 5
-          | THEN transform(sequence(1, length(text)-4), i -> substring(text, i, 5))
-          | ELSE array(text) END""".stripMargin))
-      val blocked = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / 64).as("lbucket"), grams.as("g"))
-      val a = blocked.select(col("lang"), col("lbucket"),
+      // char 5-gram Jaccard inside (lang, length-bucket) blocks, with
+      // SIZE-CAPPED blocks: a web-scale corpus puts millions of docs in
+      // one (en, bucket) block and the in-block self-join goes quadratic.
+      // Oversized blocks (> CAP docs) are split into ceil(n/CAP)
+      // sub-blocks keyed by a 32-char text-PREFIX hash — prefix blocking
+      // from the entity-resolution literature: near-dups overwhelmingly
+      // share their opening, so recall loss is confined to docs that
+      // diverge in the first 32 chars (and exact dups always share a
+      // sub-block). The sub-bucket hash is md5-prefix → ascii arithmetic,
+      // chosen because Spark and DuckDB compute it bit-identically, so
+      // the whole salted pipeline is oracle-verifiable end-to-end.
+      val salted = d04Blocked(Tables.documents(s, d))
+      val a = salted.select(col("lang"), col("lbucket"), col("sub"),
         col("doc_id").as("doc_a"), col("g").as("g_a"))
-      val b = blocked.select(col("lang"), col("lbucket"),
+      val b = salted.select(col("lang"), col("lbucket"), col("sub"),
         col("doc_id").as("doc_b"), col("g").as("g_b"))
-      val pairs = a.join(b, Seq("lang", "lbucket"))
+      val pairs = a.join(b, Seq("lang", "lbucket", "sub"))
         .filter(col("doc_a") < col("doc_b"))
         .withColumn("jaccard",
           size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
@@ -157,7 +221,40 @@ object DedupQueries {
         | CAST(sum(n) - count(*) AS BIGINT) AS n_exact_dups,
         | CAST(max(n) AS BIGINT) AS largest_group
         |FROM g""".stripMargin,
-    // d02/d03/d04: LSH banding and bit sketches are not reproducible in
-    // DuckDB SQL (xxhash64/murmur internals) → rows-only checks.
+
+    // d04 is pure string/list SQL (no engine-private hash), so the whole
+    // salted pipeline — including the prefix-hash sub-bucketing — is
+    // replicated verbatim in DuckDB.
+    "d04_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(n_chars / 64) AS BIGINT) AS lbucket,
+        |    list_distinct(CASE WHEN length(text) >= 5
+        |      THEN list_transform(range(1, length(text) - 3),
+        |                          i -> substring(text, i, 5))
+        |      ELSE [text] END) AS g,
+        |    ascii(substring(md5(substring(text, 1, 32)), 1, 1)) * 65536
+        |      + ascii(substring(md5(substring(text, 1, 32)), 2, 1)) * 256
+        |      + ascii(substring(md5(substring(text, 1, 32)), 3, 1)) AS pint
+        |  FROM documents),
+        | sz AS (
+        |  SELECT lang, lbucket, count(*) AS bn FROM g GROUP BY lang, lbucket),
+        | s AS (
+        |  SELECT g.*, pint % CAST((bn + 255) // 256 AS INTEGER) AS sub
+        |  FROM g JOIN sz USING (lang, lbucket)),
+        | p AS (
+        |  SELECT len(list_intersect(a.g, b.g)) * 1.0
+        |           / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
+        |  FROM s a JOIN s b
+        |    ON a.lang = b.lang AND a.lbucket = b.lbucket AND a.sub = b.sub
+        |   AND a.doc_id < b.doc_id)
+        |SELECT count(*) AS n_pairs_compared,
+        | CAST(sum(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_sim_03,
+        | floor((coalesce(max(jaccard), 0.0))*10000+0.5)/10000 AS max_jaccard,
+        | floor((coalesce(avg(jaccard), 0.0))*10000+0.5)/10000 AS avg_jaccard
+        |FROM p""".stripMargin,
+    // d02/d03: LSH banding and bit sketches are not reproducible in
+    // DuckDB SQL (xxhash64/murmur internals) → rows-only checks, plus
+    // planted-duplicate count oracles via Verify-derived corpora.
   )
 }

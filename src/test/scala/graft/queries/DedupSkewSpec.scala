@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.SparkSessionFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale proofs for the dedup blocking strategies on SKEWED corpora:
+  * the roster queries only show the operators run; these show the
+  * block/bucket sizes that drive the self-join cost stay bounded when
+  * the corpus piles into one block — the failure mode that quadratics
+  * at web scale.
+  */
+class DedupSkewSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+  private def randWords(n: Int): String =
+    Seq.fill(n)("w" + rng.nextInt(100000)).mkString(" ")
+
+  test("d04Blocked splits an oversized block and caps sub-block size") {
+    // 1000 DISTINCT texts forced into ONE (lang, lbucket) block — the
+    // unsalted self-join would do 1000*999/2 ≈ 500k comparisons.
+    val docs = (0 until 1000).map { i =>
+      (i.toLong, s"document number $i " + randWords(20), "en", 100L)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+
+    val sizes = DedupQueries.d04Blocked(docs)
+      .groupBy("lang", "lbucket", "sub").count()
+      .select("count").as[Long].collect()
+
+    val expectedSubs = (1000 + DedupQueries.BlockCap - 1) / DedupQueries.BlockCap
+    assert(sizes.length == expectedSubs,
+      s"expected $expectedSubs sub-blocks, got ${sizes.length}")
+    assert(sizes.sum == 1000, "salting must not drop or duplicate docs")
+    // md5-prefix assignment is near-uniform: each sub-block stays within
+    // a small factor of BlockCap instead of holding the whole corpus
+    assert(sizes.max <= 2L * DedupQueries.BlockCap,
+      s"sub-block of ${sizes.max} exceeds 2*BlockCap")
+    val pairCost = sizes.map(c => c * (c - 1) / 2).sum
+    assert(pairCost < 1000L * 999 / 2 / 3,
+      s"salted pair cost $pairCost is not a meaningful cut of the 499500 unsalted pairs")
+  }
+
+  test("d04Blocked keeps exact duplicates in the same sub-block") {
+    val dupText = "identical text that appears many times " + randWords(10)
+    val fillers = (0 until 600).map { i =>
+      (i.toLong, s"filler $i " + randWords(20), "en", 100L)
+    }
+    val docs = (fillers :+ (9001L, dupText, "en", 100L) :+ (9002L, dupText, "en", 100L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val subs = DedupQueries.d04Blocked(docs)
+      .filter(col("doc_id") >= 9000L)
+      .select("sub").as[Int].collect()
+    assert(subs.length == 2 && subs(0) == subs(1),
+      "identical texts (identical prefixes) must land in the same sub-block")
+  }
+
+  test("simhashBands: band buckets stay near-uniform on a skewed corpus") {
+    // 2000 distinct docs, all same lang/length-profile: the only thing
+    // bounding the candidate join is the band-bucket distribution.
+    val docs = (0 until 2000).map { i =>
+      (i.toLong, s"doc $i " + randWords(30))
+    }.toDF("doc_id", "text")
+      .withColumn("hs", transform(
+        filter(split(col("text"), " "), t => t =!= ""), t => xxhash64(t)))
+      .withColumn("simhash", graft.functions.SketchExpressions.simhash64(col("hs")))
+
+    val bucketSizes = docs
+      .select(DedupQueries.simhashBands(bands = 4, bits = 16).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bits")).count()
+      .select("count").as[Long].collect()
+
+    assert(bucketSizes.sum == 4L * 2000, "every doc must hit every band once")
+    // 2000 docs over 65536 buckets/band: occupancy stays tiny, so the
+    // in-bucket self-join cost is Σ c² ≪ n² (the whole point of banding)
+    assert(bucketSizes.max <= 16,
+      s"a 16-bit band bucket holds ${bucketSizes.max} docs — distribution is broken")
+    val pairCost = bucketSizes.map(c => c * (c - 1) / 2).sum
+    assert(pairCost < 2000L * 1999 / 2 / 100,
+      s"band-join pair cost $pairCost is not ≪ the 1999000 all-pairs cost")
+  }
+
+  test("simhashBands rejects configurations that overflow 64 bits") {
+    intercept[IllegalArgumentException] {
+      DedupQueries.simhashBands(bands = 5, bits = 16)
+    }
+  }
+}
