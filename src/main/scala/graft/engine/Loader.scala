@@ -33,7 +33,15 @@ object Loader {
       path: String,
       csv: CsvOptions = CsvOptions(),
       mode: TableMode = TableMode.AsIs,
-      alignment: AlignmentMode = ByOrdinal)
+      alignment: Option[AlignmentMode] = None) {
+    /** Effective alignment: explicit override, else derived from the
+      * CSV shape exactly like the reference (ref csv2db.go:163-169) —
+      * a header names the columns → ByName; a headerless CSV can only
+      * pair by position → ByOrdinal. A header load against a reordered
+      * target must NOT silently pair wrong columns. */
+    def resolvedAlignment: AlignmentMode =
+      alignment.getOrElse(if (csv.header) ByName else ByOrdinal)
+  }
 
   final case class LoadResult(
       rowsLoaded: Long,
@@ -65,7 +73,7 @@ object Loader {
     }
 
     val target = sink.schema()
-    val align = cfg.alignment match {
+    val align = cfg.resolvedAlignment match {
       case ByName    => Schemas.alignByName(raw.schema, target)
       case ByOrdinal => Schemas.alignByOrdinal(raw.schema, target)
     }

@@ -51,6 +51,12 @@ object StatefulSessionize {
                   start = math.min(st.start, t),
                   last = math.max(st.last, t),
                   n = st.n + 1,
+                  // both bounds track symmetrically: a late in-gap event
+                  // earlier than the recorded start becomes first_event
+                  // (ties on ts resolve to the smaller event_id)
+                  firstEvent =
+                    if (t < st.start || (t == st.start && e.event_id < st.firstEvent))
+                      e.event_id else st.firstEvent,
                   lastEvent = if (t >= st.last) e.event_id else st.lastEvent))
               case Some(st) =>
                 out += Session(uid, st.n, (st.last - st.start) / 1000.0,

@@ -27,8 +27,15 @@ object StreamingLoader {
       dir: String,
       csv: CsvOptions = CsvOptions(),
       schema: StructType,                 // declared: streams cannot infer
-      alignment: graft.engine.Loader.AlignmentMode = graft.engine.Loader.ByOrdinal,
-      maxFilesPerTrigger: Int = 16)
+      alignment: Option[graft.engine.Loader.AlignmentMode] = None,
+      maxFilesPerTrigger: Int = 16) {
+    /** Same default rule as batch [[graft.engine.Loader.LoadConfig]]:
+      * header → ByName, else ByOrdinal, explicit override wins. */
+    def resolvedAlignment: graft.engine.Loader.AlignmentMode =
+      alignment.getOrElse(
+        if (csv.header) graft.engine.Loader.ByName
+        else graft.engine.Loader.ByOrdinal)
+  }
 
   /** Start the ingest stream into `sink`. The target table must exist
     * (streaming load is `as-is` append by nature — DDL modes belong to
@@ -36,7 +43,7 @@ object StreamingLoader {
   def start(spark: SparkSession, cfg: StreamConfig, sink: TableSink): StreamingQuery = {
     require(sink.exists(), "streaming load requires an existing target table")
     val target = sink.schema()
-    val align = cfg.alignment match {
+    val align = cfg.resolvedAlignment match {
       case graft.engine.Loader.ByName    => Schemas.alignByName(cfg.schema, target)
       case graft.engine.Loader.ByOrdinal => Schemas.alignByOrdinal(cfg.schema, target)
     }

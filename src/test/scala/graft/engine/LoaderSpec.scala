@@ -34,6 +34,13 @@ class LoaderSpec extends AnyFunSuite {
     """1,alpha,{},2020-01-01,10
       |2,beta,{"k":1},2020-01-02,20
       |""".stripMargin)
+  // scenario-4 shape: headerless (the reference's "typed table, no
+  // header" case pairs by native column order) with an empty cell
+  private val noHeaderEmptyCsv = csvFile(
+    """1,alpha,{},2020-01-01,10
+      |2,beta,{"k":1},2020-01-02,
+      |3,gamma,{},2020-01-03,30
+      |""".stripMargin)
 
   private def derbyQuery(url: String, sql: String): Seq[Seq[Any]] = {
     val conn = java.sql.DriverManager.getConnection(url)
@@ -84,7 +91,7 @@ class LoaderSpec extends AnyFunSuite {
         | "d" VARCHAR(100), "e" INTEGER)""".stripMargin)
     conn.close()
     val res = Loader.perform(spark,
-      Loader.LoadConfig(headerCsv, CsvOptions(header = true), TableMode.AsIs),
+      Loader.LoadConfig(noHeaderEmptyCsv, CsvOptions(), TableMode.AsIs),
       new JdbcTableSink(spark, url, "t4"))
     assert(res.rowsLoaded == 3)
     val rows = derbyQuery(url, """SELECT "a","e" FROM t4 ORDER BY "a"""")
@@ -100,7 +107,7 @@ class LoaderSpec extends AnyFunSuite {
     conn2.close()
     intercept[Exception] {
       Loader.perform(spark,
-        Loader.LoadConfig(headerCsv, CsvOptions(header = true), TableMode.AsIs),
+        Loader.LoadConfig(noHeaderEmptyCsv, CsvOptions(), TableMode.AsIs),
         new JdbcTableSink(spark, url2, "t4b"))
     }
   }
@@ -159,6 +166,16 @@ class LoaderSpec extends AnyFunSuite {
     assert(derbyQuery(url, "SELECT count(*) FROM t8")(0)(0) == 2)
   }
 
+  test("alignment default derives from the CSV shape; explicit override wins") {
+    // header=true → ByName without saying so (ref csv2db.go:163-169)
+    assert(Loader.LoadConfig("x", CsvOptions(header = true), TableMode.AsIs)
+      .resolvedAlignment == Loader.ByName)
+    assert(Loader.LoadConfig("x", CsvOptions(), TableMode.AsIs)
+      .resolvedAlignment == Loader.ByOrdinal)
+    assert(Loader.LoadConfig("x", CsvOptions(header = true), TableMode.AsIs,
+      Some(Loader.ByOrdinal)).resolvedAlignment == Loader.ByOrdinal)
+  }
+
   test("scenario 9: by-name alignment with header (ref :207-228)") {
     val url = freshDb()
     val conn = java.sql.DriverManager.getConnection(url)
@@ -169,7 +186,7 @@ class LoaderSpec extends AnyFunSuite {
     conn.close()
     val res = Loader.perform(spark,
       Loader.LoadConfig(headerCsv, CsvOptions(header = true), TableMode.AsIs,
-        Loader.ByName),
+        Some(Loader.ByName)),
       new JdbcTableSink(spark, url, "t9"))
     assert(res.alignment.droppedCsv.toSet == Set("payload", "created"))
     assert(res.alignment.unloadedTarget == Seq("missing"))

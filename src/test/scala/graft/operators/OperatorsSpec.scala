@@ -85,4 +85,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0) == StatefulSessionize.Session(1, 2, 30.0, 1, 2))
   }
+
+  test("sessionize: late in-gap event moves first_event with the start") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StatefulSessionize.Event]
+    val q = StatefulSessionize.sessions(mem.toDS(), gapSec = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions_late").start()
+    def ev(u: Long, sec: Long, id: Long) =
+      StatefulSessionize.Event(u, new java.sql.Timestamp(sec * 1000), id)
+    mem.addData(ev(1, 30, 2))
+    q.processAllAvailable()
+    // late event BEFORE the recorded start, still within the gap:
+    // session becomes [10, 30] and its first event must be id 9
+    mem.addData(ev(1, 10, 9))
+    q.processAllAvailable()
+    mem.addData(ev(1, 300, 3)) // gap > 60 closes the session
+    q.processAllAvailable()
+    val out = spark.table("graft_sessions_late")
+      .as[StatefulSessionize.Session].collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out(0) == StatefulSessionize.Session(1, 2, 20.0, 9, 2))
+  }
 }
