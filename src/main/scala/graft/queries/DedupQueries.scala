@@ -101,6 +101,50 @@ object DedupQueries {
       |                i -> xxhash64(toks[i], toks[i+1], toks[i+2]))
       | ELSE array(xxhash64(concat_ws(' ', toks))) END""".stripMargin))
 
+  /** The d02 MinHash+LSH pipeline over an arbitrary (doc_id, text)
+    * corpus, returning one row per LSH candidate pair with its exact
+    * verified jaccard: (doc_a, doc_b, jaccard). Factored out so the
+    * planted-duplicate oracle (d06) proves the very same code path
+    * count-correct against a DuckDB brute force.
+    *
+    * K=32 minhash functions (8 bands × 4 rows). The signature is ONE
+    * native codegen'd kernel per row (graft.functions.MinHashSig) —
+    * the explode + K-min-aggregate formulation spends its wall-clock
+    * in generator/aggregate machinery for what is a tight loop over
+    * ~50 longs, and the per-row form needs no shuffle at all until
+    * the (tiny) band join.
+    */
+  def minhashPairs(docsIn: DataFrame): DataFrame = {
+    val K = 32; val B = 8; val R = 4
+    val docs = docsIn
+      .withColumn("toks", toks)
+      .withColumn("sh", shingles)
+      .select("doc_id", "sh")
+    val sig = docs.withColumn("sig",
+      graft.functions.SketchExpressions.minhash_sig(col("sh"), K))
+    val bands = sig.select(col("doc_id"),
+        explode(array((0 until B).map(b =>
+          struct(lit(b).as("band"),
+            hash((b * R until (b + 1) * R).map(k =>
+              element_at(col("sig"), k + 1)): _*).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates only: join the (tiny) pair set back to the
+    // shingle arrays — signatures never carry the payload through the
+    // band shuffle
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "d01_exact_dedup" -> ((s, d) => {
@@ -114,43 +158,38 @@ object DedupQueries {
     }),
 
     "d02_minhash_lsh" -> ((s, d) => {
-      // K=32 minhash functions (8 bands × 4 rows). The signature is ONE
-      // native codegen'd kernel per row (graft.functions.MinHashSig) —
-      // the explode + K-min-aggregate formulation spends its wall-clock
-      // in generator/aggregate machinery for what is a tight loop over
-      // ~50 longs, and the per-row form needs no shuffle at all until
-      // the (tiny) band join.
-      val K = 32; val B = 8; val R = 4
-      val docs = Tables.documents(s, d)
-        .withColumn("toks", toks)
-        .withColumn("sh", shingles)
-        .select("doc_id", "sh")
-      val sig = docs.withColumn("sig",
-        graft.functions.SketchExpressions.minhash_sig(col("sh"), K))
-      val bands = sig.select(col("doc_id"),
-          explode(array((0 until B).map(b =>
-            struct(lit(b).as("band"),
-              hash((b * R until (b + 1) * R).map(k =>
-                element_at(col("sig"), k + 1)): _*).as("bucket"))): _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // verify candidates only: join the (tiny) pair set back to the
-      // shingle arrays — signatures never carry the payload through the
-      // band shuffle
-      val verified = cand
-        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      verified.agg(
+      minhashPairs(Tables.documents(s, d)).agg(
         count(lit(1)).as("n_candidate_pairs"),
         sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).as("n_dups_05"),
         RelationalQueries.rnd(coalesce(max("jaccard"), lit(0.0)), 4).as("max_jaccard"))
+    }),
+
+    /** d02's pipeline, count-verified against ground truth: augment a
+      * fixed 200-doc subset with doctored near-duplicates (one appended
+      * token ⇒ jaccard = (n−2)/(n−1) ≥ 0.947 at ≥20 tokens; the LSH
+      * miss probability at that similarity is ~2e−6 per pair, and the
+      * hashes are deterministic, so candidate recall on the planted +
+      * organic ≥0.5 pairs is exact). The oracle brute-forces ALL pairs
+      * of the same augmented corpus in DuckDB with string shingles —
+      * jaccard over hashed shingle sets equals jaccard over the strings
+      * absent 64-bit collisions — so the counts compare against a
+      * pipeline-independent ground truth, not against the LSH itself.
+      */
+    "d06_minhash_planted" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val planted = base
+        .filter(col("doc_id") < 40 && size(toks) >= 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      val corpus = base.unionByName(planted)
+      corpus.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+        .crossJoin(minhashPairs(corpus).agg(
+          sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).as("n_dups_05"),
+          RelationalQueries.rnd(
+            max(when(col("jaccard") >= 0.5, col("jaccard"))), 4)
+            .as("max_jaccard_05")))
     }),
 
     "d03_simhash" -> ((s, d) => {
@@ -254,7 +293,36 @@ object DedupQueries {
         | floor((coalesce(avg(jaccard), 0.0))*10000+0.5)/10000 AS avg_jaccard
         |FROM p""".stripMargin,
     // d02/d03: LSH banding and bit sketches are not reproducible in
-    // DuckDB SQL (xxhash64/murmur internals) → rows-only checks, plus
-    // planted-duplicate count oracles via Verify-derived corpora.
+    // DuckDB SQL (xxhash64/murmur internals) → rows-only checks. d06
+    // closes the gap for d02: the same Spark pipeline runs on a
+    // planted-duplicate corpus whose ground-truth pair counts DuckDB
+    // brute-forces below (all pairs, string shingles — no LSH).
+    "d06_minhash_planted" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        | pl AS (
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
+        |  FROM base
+        |  WHERE doc_id < 40
+        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
+        | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+        | t AS (SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |       FROM c),
+        | sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk) - 1),
+        |                        i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM t),
+        | p AS (
+        |  SELECT len(list_intersect(a.s, b.s)) * 1.0
+        |           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT (SELECT count(*) FROM c) AS n_docs,
+        | (SELECT count(*) FROM pl) AS n_planted,
+        | CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_05,
+        | floor((max(CASE WHEN jaccard >= 0.5 THEN jaccard END))*10000+0.5)/10000
+        |   AS max_jaccard_05
+        |FROM p""".stripMargin,
   )
 }

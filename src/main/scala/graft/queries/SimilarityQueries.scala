@@ -43,6 +43,40 @@ object SimilarityQueries {
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** The d05 all-pairs-within-buckets near-dup pipeline over an
+    * arbitrary (vec_id, vec double[]) frame, returning one row per LSH
+    * candidate pair with its exact cosine: (id_a, id_b, cos). Factored
+    * out so the planted-duplicate oracle (d07) proves the same code
+    * path count-correct against a DuckDB brute force. Candidate volume
+    * is Σ bucket² rather than n²; the id-only dedup happens before the
+    * vector rejoin so payload arrays never shuffle with signatures.
+    */
+  def neardupPairs(emb: DataFrame): DataFrame = {
+    val L = 4; val bits = 8
+    val allPlanes = planes(L * bits, 64)
+    def signature(vec: Column, table: Int): Column =
+      aggregate(
+        zip_with(typedLit(allPlanes.slice(table * bits, (table + 1) * bits)),
+          sequence(lit(0), lit(bits - 1)),
+          (plane, idx) => when(dot(plane, vec) > 0,
+            pow(lit(2.0), idx).cast("long")).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+    val tabled = emb.select(col("vec_id"),
+      explode(array((0 until L).map(t =>
+        struct(lit(t).as("tbl"), signature(col("vec"), t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    val candIds = tabled.as("a").join(tabled.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    candIds
+      .join(emb.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .select("id_a", "id_b", "cos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "s01_knn_brute" -> ((s, d) => {
@@ -116,35 +150,36 @@ object SimilarityQueries {
       * constants aren't portable to SQL); PipelineSpec proves planted
       * near-identical vectors are caught. */
     "d05_embed_neardup" -> ((s, d) => {
-      val L = 4; val bits = 8
-      val allPlanes = planes(L * bits, 64)
-      def signature(vec: Column, table: Int): Column =
-        aggregate(
-          zip_with(typedLit(allPlanes.slice(table * bits, (table + 1) * bits)),
-            sequence(lit(0), lit(bits - 1)),
-            (plane, idx) => when(dot(plane, vec) > 0,
-              pow(lit(2.0), idx).cast("long")).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), embD(col("embedding")).as("vec"))
-      val tabled = emb.select(col("vec_id"),
-        explode(array((0 until L).map(t =>
-          struct(lit(t).as("tbl"), signature(col("vec"), t).as("bucket"))): _*)).as("tb"))
-        .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
-      val candIds = tabled.as("a").join(tabled.as("b"),
-          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-        .distinct()
-      val verified = candIds
-        .join(emb.select(col("vec_id").as("id_a"), col("vec").as("vec_a")), "id_a")
-        .join(emb.select(col("vec_id").as("id_b"), col("vec").as("vec_b")), "id_b")
-        .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
-      verified.agg(
+      neardupPairs(emb).agg(
         count(lit(1)).as("n_candidate_pairs"),
         sum(when(col("cos") >= 0.95, 1).otherwise(0)).as("n_neardups_095"),
         sum(when(col("cos") >= 0.8, 1).otherwise(0)).as("n_neardups_08"),
         RelationalQueries.rnd(coalesce(max("cos"), lit(-1.0)), 4).as("max_cos"))
+    }),
+
+    /** d05's pipeline, count-verified against ground truth: augment a
+      * fixed 100-vector subset with scaled copies (×1.001). Scaling by
+      * a positive constant preserves every hyperplane sign, so each
+      * planted copy lands in its original's bucket in ALL L tables —
+      * candidate recall on the planted pairs is structural, not
+      * probabilistic — and cosine(v, 1.001·v) = 1 to within ulps,
+      * far above the 0.999 threshold (organic subset max is ~0.48).
+      * DuckDB brute-forces all pairs of the same augmented corpus, so
+      * the count compares against pipeline-independent ground truth.
+      */
+    "d07_embed_planted" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val planted = base.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("vec"), x => x * lit(1.001)).as("vec"))
+      val corpus = base.unionByName(planted)
+      corpus.agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+        .crossJoin(neardupPairs(corpus).agg(
+          sum(when(col("cos") >= 0.999, 1).otherwise(0)).as("n_neardups"),
+          RelationalQueries.rnd(max("cos"), 4).as("max_cos")))
     }),
 
     "s03_centroid_stats" -> ((s, d) => {
@@ -167,6 +202,26 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // d05/s02's hyperplane constants aren't portable to SQL → rows-only.
+    // d07 closes the gap for d05: the same Spark pipeline runs on a
+    // planted-duplicate corpus whose ground-truth pair counts DuckDB
+    // brute-forces here (all pairs, exact cosine — no LSH involved).
+    "d07_embed_planted" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+        |              FROM embeddings WHERE vec_id < 100),
+        | pl AS (SELECT vec_id + 100000 AS vec_id,
+        |          list_transform(vec, x -> x * 1.001) AS vec
+        |        FROM base),
+        | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+        | p AS (
+        |  SELECT list_cosine_similarity(a.vec, b.vec) AS cos
+        |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+        |SELECT (SELECT count(*) FROM c) AS n_vecs,
+        | (SELECT count(*) FROM pl) AS n_planted,
+        | CAST(sum(CASE WHEN cos >= 0.999 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardups,
+        | floor((max(cos))*10000+0.5)/10000 AS max_cos
+        |FROM p""".stripMargin,
+
     "s01_knn_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
         |           FROM embeddings WHERE vec_id < 3),

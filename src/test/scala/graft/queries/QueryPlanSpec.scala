@@ -39,9 +39,16 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(planOf("q04_broadcast_join").contains("BroadcastHashJoin"))
   }
 
-  test("q05: nation/region dims broadcast, no shuffle on their joins") {
+  test("q05: ALL four joins broadcast; lineitem never shuffles pre-aggregate") {
+    // Verified at sf0.1 too (2026-08-12): the filtered orders (~2 MiB)
+    // and customer (~1.1 MiB) sit under the 10 MB broadcast threshold,
+    // so even the initial plan broadcasts all four build sides and the
+    // fact table's only exchange is the final aggregate's. This pins
+    // that shape: a dropped hint or a split plan shows up as a
+    // SortMergeJoin / missing broadcast here.
     val plan = planOf("q05_multi_join_revenue")
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
   test("q19: top-k plans as TakeOrderedAndProject (no global sort materialization)") {
