@@ -145,6 +145,37 @@ object DedupQueries {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** 64-bit SimHash sketch of a (doc_id, text) corpus: per-token hash
+    * votes on each bit, sign of the vote sum sets the bit. The vote
+    * loop is one native codegen'd kernel per row
+    * (graft.functions.SimHash64) — no explode, no 64-column aggregate,
+    * no shuffle at all. */
+  def simhashSketch(docsIn: DataFrame): DataFrame =
+    docsIn
+      .withColumn("hs", transform(toks, t => xxhash64(t)))
+      .withColumn("simhash", graft.functions.SketchExpressions.simhash64(col("hs")))
+      .select("doc_id", "simhash")
+
+  /** Band-collision candidate pairs of a (doc_id, simhash) sketch frame
+    * with their hamming distance: (doc_a, doc_b, hamming). Near-dups
+    * collide on at least one 16-bit band (banding parameterized via
+    * [[simhashBands]]). Factored out so d03 and the planted oracle
+    * (d08) share one code path. */
+  def simhashPairs(sketch: DataFrame): DataFrame = {
+    val bands = sketch.select(col("doc_id"), col("simhash"),
+        simhashBands(bands = 4, bits = 16).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bits"))
+    val a = bands.select(col("band"), col("bits"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = bands.select(col("band"), col("bits"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "d01_exact_dedup" -> ((s, d) => {
@@ -193,33 +224,39 @@ object DedupQueries {
     }),
 
     "d03_simhash" -> ((s, d) => {
-      // 64-bit SimHash: per-token hash votes on each bit, sign of the
-      // vote sum sets the bit; near-dups collide on 16-bit bands. The
-      // vote loop is one native codegen'd kernel per row
-      // (graft.functions.SimHash64) — no explode, no 64-column
-      // aggregate, no shuffle until the band join.
-      val docs = Tables.documents(s, d)
-        .withColumn("hs", transform(toks, t => xxhash64(t)))
-        .withColumn("simhash", graft.functions.SketchExpressions.simhash64(col("hs")))
-        .select("doc_id", "simhash")
-      val bands = docs.select(col("doc_id"), col("simhash"),
-          simhashBands(bands = 4, bits = 16).as("bb"))
-        .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bits"))
-      val a = bands.select(col("band"), col("bits"),
-        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      val b = bands.select(col("band"), col("bits"),
-        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-      val cand = a.join(b, Seq("band", "bits"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-        .distinct()
+      val docs = simhashSketch(Tables.documents(s, d))
       docs.agg(count(lit(1)).as("n_docs"),
           countDistinct("simhash").as("n_distinct_simhash"))
-        .crossJoin(cand.agg(
+        .crossJoin(simhashPairs(docs).agg(
           count(lit(1)).as("n_band_collisions"),
           sum(when(col("hamming") <= 8, 1).otherwise(0)).as("n_pairs_hamming_le8"),
           coalesce(min("hamming"), lit(64)).as("min_hamming")))
+    }),
+
+    /** d03's pipeline, count-verified against ground truth: augment a
+      * fixed 200-doc subset with EXACT copies. Identical text ⇒
+      * identical simhash ⇒ identical bits in every band ⇒ the pair is a
+      * band candidate with hamming 0 — recall on planted pairs is
+      * structural, no probability involved (unlike near-dup hamming,
+      * which DuckDB cannot compute since the sketch is xxhash-based).
+      * The output counts candidate pairs that are hamming-0 AND
+      * text-identical, which DuckDB brute-forces as the number of
+      * identical-text pairs in the same augmented corpus.
+      */
+    "d08_simhash_planted" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val planted = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val corpus = base.unionByName(planted)
+      val exactPairs = simhashPairs(simhashSketch(corpus))
+        .filter(col("hamming") === 0)
+        .join(corpus.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+        .join(corpus.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+        .filter(col("text_a") === col("text_b"))
+      corpus.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+        .crossJoin(exactPairs.agg(count(lit(1)).as("n_exact_pairs")))
     }),
 
     "d04_ngram_jaccard" -> ((s, d) => {
@@ -297,6 +334,19 @@ object DedupQueries {
     // closes the gap for d02: the same Spark pipeline runs on a
     // planted-duplicate corpus whose ground-truth pair counts DuckDB
     // brute-forces below (all pairs, string shingles — no LSH).
+    // d08: recall on exact-copy plants is structural (identical text ⇒
+    // identical simhash ⇒ band collision), so ground truth is simply
+    // the identical-text pair count of the augmented corpus — no
+    // sketch math needed on the DuckDB side.
+    "d08_simhash_planted" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        | pl AS (SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id < 40),
+        | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl)
+        |SELECT (SELECT count(*) FROM c) AS n_docs,
+        | (SELECT count(*) FROM pl) AS n_planted,
+        | (SELECT count(*) FROM c a JOIN c b
+        |    ON a.doc_id < b.doc_id AND a.text = b.text) AS n_exact_pairs""".stripMargin,
+
     "d06_minhash_planted" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
         | pl AS (

@@ -487,6 +487,22 @@ object RelationalQueries {
           rnd(sum("value"), 2).as("sum_value"))
         .orderBy("etype")
     }),
+
+    /** Salted two-stage aggregation over a pathologically hot grouping
+      * key — l_returnflag has 3 distinct values, so a plain groupBy
+      * funnels the whole fact table through 3 reducers at any scale.
+      * [[graft.operators.SkewTools.saltedSumCount]] splits each key
+      * across 32 salt buckets with map-side partials and re-aggregates;
+      * results are identical to the plain groupBy (the oracle is the
+      * plain GROUP BY), which is the point: salting is a physical
+      * rewrite, not a semantic one. */
+    "q41_salted_agg" -> ((s, d) => {
+      graft.operators.SkewTools
+        .saltedSumCount(Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")
+        .select(col("l_returnflag"),
+          rnd(col("sum_l_quantity"), 2).as("sum_qty"), col("cnt"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -784,5 +800,13 @@ object RelationalQueries {
         | floor((avg(CAST(regexp_extract(props,'[0-9]+',0) AS INTEGER)))*10000+0.5)/10000 AS avg_k,
         | floor((sum(value))*100+0.5)/100 AS sum_value
         |FROM events GROUP BY 1 ORDER BY etype""".stripMargin,
+
+    // The salted two-stage rewrite must be invisible in the result:
+    // the oracle is the plain GROUP BY it replaces.
+    "q41_salted_agg" ->
+      """SELECT l_returnflag,
+        | floor((sum(l_quantity))*100+0.5)/100 AS sum_qty,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -182,6 +182,53 @@ object SimilarityQueries {
           RelationalQueries.rnd(max("cos"), 4).as("max_cos")))
     }),
 
+    /** IVF approximate nearest-neighbor search — the scale path beside
+      * s02's sign-LSH: coarse-quantize to per-label centroids (the s03
+      * build step), assign every corpus vector to its nearest centroid
+      * (broadcast centroid table, no shuffle), then answer each query by
+      * probing only the `nprobe` nearest centroid lists, shrinking the
+      * scored candidate set from n to ~n·nprobe/K. Centroid elements and
+      * assignment similarities are rounded (6 dp) on both engines so the
+      * argmin/argtop are stable cross-engine; unlike s02 every stage is
+      * portable math, so the whole approximate pipeline hash-matches the
+      * DuckDB replica below rather than settling for a rows-only check.
+      */
+    "s04_ivf_topk" -> ((s, d) => {
+      val nprobe = 3
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val centroids = Tables.embeddings(s, d)
+        .select(col("label"), embD(col("embedding")).as("vec"))
+        .groupBy(col("label").as("cl_id"))
+        .agg(array((0 until 64).map(i =>
+          RelationalQueries.rnd(avg(element_at(col("vec"), i + 1)), 6)): _*)
+          .as("cvec"))
+      val wNearest = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cl_id"))
+      val sims = emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("cl_id"),
+          RelationalQueries.rnd(cosine(col("vec"), col("cvec")), 6).as("csim"))
+      val assign = sims.withColumn("rn", row_number().over(wNearest))
+        .filter(col("rn") === 1).select("vec_id", "cl_id")
+      val probes = sims.filter(col("vec_id") < 3)
+        .withColumn("rn", row_number().over(wNearest))
+        .filter(col("rn") <= nprobe)
+        .select(col("vec_id").as("q_id"), col("cl_id"))
+      val cand = assign.join(broadcast(probes), "cl_id")
+        .filter(col("q_id") =!= col("vec_id"))
+      val scored = cand
+        .join(broadcast(emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))), "q_id")
+        .join(emb, "vec_id")
+        .withColumn("cos", cosine(col("q_vec"), col("vec")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+          RelationalQueries.rnd(col("cos"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     "s03_centroid_stats" -> ((s, d) => {
       // per-label centroid + dispersion: the IVF coarse-quantizer build
       // step (centroids of an existing partition), expressed as one
@@ -232,6 +279,48 @@ object SimilarityQueries {
         | ranked AS (
         |  SELECT q_id, n_id, cos,
         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
+        | floor((cos)*10000+0.5)/10000 AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // Full replica of the IVF pipeline: same centroid rounding (6 dp),
+    // same rounded assignment similarity, same nprobe=3 probe set —
+    // this checks the approximate operator itself, not brute force.
+    "s04_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+        | cex AS (SELECT label AS cl_id, unnest(vec) AS v,
+        |                generate_subscripts(vec, 1) AS i FROM e),
+        | cel AS (SELECT cl_id, i, floor((avg(v))*1000000+0.5)/1000000 AS m
+        |         FROM cex GROUP BY cl_id, i),
+        | cen AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM cel GROUP BY cl_id),
+        | sims AS (
+        |  SELECT e.vec_id, cen.cl_id,
+        |    floor((list_cosine_similarity(e.vec, cen.cvec))*1000000+0.5)/1000000
+        |      AS csim
+        |  FROM e CROSS JOIN cen),
+        | assign AS (
+        |  SELECT vec_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims) WHERE rn = 1),
+        | probes AS (
+        |  SELECT vec_id AS q_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims WHERE vec_id < 3) WHERE rn <= 3),
+        | cand AS (
+        |  SELECT p.q_id, a.vec_id FROM assign a JOIN probes p USING (cl_id)
+        |  WHERE a.vec_id <> p.q_id),
+        | scored AS (
+        |  SELECT c.q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.vec, n.vec) AS cos
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.q_id
+        |  JOIN e n ON n.vec_id = c.vec_id),
+        | ranked AS (
+        |  SELECT q_id, n_id, cos, row_number()
+        |    OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
         |  FROM scored)
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
         | floor((cos)*10000+0.5)/10000 AS cos_sim
