@@ -77,6 +77,49 @@ object SimilarityQueries {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Query-driven multi-table sign-LSH top-k over (vec_id, vec):
+    * L=4 tables × 8 hyperplanes. One table of many bits strands
+    * near-orthogonal queries alone in their bucket; multiple short
+    * tables give each query E[corpus/256] candidates per table while
+    * still pruning ~99.6% of the scan. Queries are the rows matching
+    * `isQuery`; candidates are deduped on the id pair only (a pair can
+    * collide in several tables) before the vectors join back, so
+    * payload arrays never shuffle through the distinct. Factored out so
+    * s02 and the planted ground-truth check (s05) share one code path. */
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val L = 4; val bits = 8
+    val allPlanes = planes(L * bits, 64)
+    def signature(vec: Column, table: Int): Column =
+      aggregate(
+        zip_with(typedLit(allPlanes.slice(table * bits, (table + 1) * bits)),
+          sequence(lit(0), lit(bits - 1)),
+          (plane, idx) => when(dot(plane, vec) > 0,
+            pow(lit(2.0), idx).cast("long")).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+    val tabled = emb.select(col("vec_id"), col("vec"),
+      explode(array((0 until L).map(t =>
+        struct(lit(t).as("tbl"), signature(col("vec"), t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
+    val queriesDf = tabled.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val candIds = tabled.select(col("vec_id"), col("tbl"), col("bucket"))
+      .join(broadcast(queriesDf), Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id").distinct()
+    val scored = candIds
+      .join(broadcast(emb.filter(isQuery)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))), "q_id")
+      .join(emb, "vec_id")
+      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        RelationalQueries.rnd(col("cos"), 4).as("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "s01_knn_brute" -> ((s, d) => {
@@ -97,48 +140,31 @@ object SimilarityQueries {
     }),
 
     "s02_ann_lsh" -> ((s, d) => {
-      // Multi-table sign-LSH: L=4 tables × 8 hyperplanes. One table of
-      // many bits strands near-orthogonal queries alone in their bucket;
-      // multiple short tables give each query E[corpus/256] candidates
-      // per table while still pruning ~99.6% of the scan. Rows-only
-      // check (hyperplane constants are not portable to SQL); the spec
-      // asserts recall against s01 on planted neighbors.
-      val L = 4; val bits = 8
-      val allPlanes = planes(L * bits, 64)
-      def signature(vec: Column, table: Int): Column =
-        aggregate(
-          zip_with(typedLit(allPlanes.slice(table * bits, (table + 1) * bits)),
-            sequence(lit(0), lit(bits - 1)),
-            (plane, idx) => when(dot(plane, vec) > 0,
-              pow(lit(2.0), idx).cast("long")).otherwise(0L)),
-          lit(0L), (acc, x) => acc + x)
+      // Rows-only check (hyperplane constants are not portable to SQL);
+      // the spec asserts recall against s01 on planted neighbors, and
+      // s05 ground-truth-verifies the same code path via planted copies.
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), embD(col("embedding")).as("vec"))
-      val tabled = emb.select(col("vec_id"), col("vec"),
-        explode(array((0 until L).map(t =>
-          struct(lit(t).as("tbl"), signature(col("vec"), t).as("bucket"))): _*)).as("tb"))
-        .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
-      val queriesDf = tabled.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
-      // dedupe on the id pair only (a pair can collide in several
-      // tables), then join the vectors back — never shuffles payload
-      // arrays through the distinct
-      val candIds = tabled.select(col("vec_id"), col("tbl"), col("bucket"))
-        .join(broadcast(queriesDf), Seq("tbl", "bucket"))
-        .filter(col("q_id") =!= col("vec_id"))
-        .select("q_id", "vec_id").distinct()
-      val scored = candIds
-        .join(broadcast(emb.select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
-          .filter(col("q_id") < 3)), "q_id")
-        .join(emb, "vec_id")
-        .withColumn("cos", cosine(col("q_vec"), col("vec")))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
-          RelationalQueries.rnd(col("cos"), 4).as("cos_sim"))
-        .orderBy("q_id", "rank")
+      lshTopK(emb, col("vec_id") < 3, 5)
+    }),
+
+    /** s02's pipeline, ground-truth-verified: augment the corpus with a
+      * scaled copy (×1.001) of each query vector. Scaling preserves
+      * every hyperplane sign, so the copy shares its query's bucket in
+      * ALL L tables — it is structurally in the candidate set — and its
+      * cosine is 1 to within ulps while the organic maximum is ~0.48,
+      * so the LSH's rank-1 neighbor equals the TRUE rank-1 neighbor
+      * that DuckDB finds by brute force over the same augmented corpus.
+      * This checks the recall property users actually care about: the
+      * ANN returns the true nearest neighbor whenever a genuine
+      * near-duplicate exists. */
+    "s05_ann_planted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val plantedCopies = emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("vec"), x => x * lit(1.001)).as("vec"))
+      lshTopK(emb.unionByName(plantedCopies), col("vec_id") < 3, 1)
     }),
 
     /** Embedding-cosine near-duplicate detection (the dedup framing of
@@ -268,6 +294,30 @@ object SimilarityQueries {
         | CAST(sum(CASE WHEN cos >= 0.999 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardups,
         | floor((max(cos))*10000+0.5)/10000 AS max_cos
         |FROM p""".stripMargin,
+
+    // s05: DuckDB brute-forces the TRUE rank-1 neighbor over the same
+    // augmented corpus — no LSH replica needed, because the planted
+    // copy is both the true nearest neighbor (cos≈1 vs organic ~0.48)
+    // and structurally recalled by the Spark pipeline (sign-invariant
+    // scaling ⇒ same bucket in every table).
+    "s05_ann_planted" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | pl AS (SELECT vec_id + 100000 AS vec_id,
+        |          list_transform(vec, x -> x * 1.001) AS vec
+        |        FROM base WHERE vec_id < 3),
+        | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec FROM base WHERE vec_id < 3),
+        | scored AS (
+        |  SELECT q.q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.q_vec, c.vec) AS cos
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+        | ranked AS (
+        |  SELECT q_id, n_id, cos, row_number()
+        |    OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
+        | floor((cos)*10000+0.5)/10000 AS cos_sim
+        |FROM ranked WHERE rank <= 1 ORDER BY q_id, rank""".stripMargin,
 
     "s01_knn_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
