@@ -259,6 +259,55 @@ object DedupQueries {
         .crossJoin(exactPairs.agg(count(lit(1)).as("n_exact_pairs")))
     }),
 
+    /** Duplicate-cluster resolution: near-dup PAIRS are only half a
+      * dedup pipeline — transitive groups must be clustered so one
+      * keeper survives per group. Edges are word-3-gram jaccard ≥ 0.3
+      * pairs over the planted corpus (portable string math, so DuckDB
+      * builds the identical graph); components come from 8 rounds of
+      * min-label propagation — each round one join + one min-aggregate,
+      * all shuffle-bounded. 8 rounds cover diameter-8 components (far
+      * beyond the planted cliques); a web-scale corpus would swap in
+      * the pointer-doubling variant (O(log n) rounds) but keep exactly
+      * this join shape. The oracle recomputes components with a
+      * recursive CTE — pipeline-independent ground truth.
+      */
+    "d09_dup_clusters" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val planted1 = base.filter(col("doc_id") < 40 && size(toks) >= 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      val planted2 = base.filter(col("doc_id") < 20 && size(toks) >= 20)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" graftdup graftdup2")).as("text"))
+      val corpus = base.unionByName(planted1).unionByName(planted2)
+        .withColumn("toks", toks).withColumn("sh", shingles)
+        .select("doc_id", "sh")
+      val a = corpus.select(col("doc_id").as("u"), col("sh").as("sh_a"))
+      val b = corpus.select(col("doc_id").as("v"), col("sh").as("sh_b"))
+      val pairs = a.join(b, col("u") < col("v"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.3)
+        .select("u", "v")
+      val edges = pairs.unionByName(
+        pairs.select(col("v").as("u"), col("u").as("v"))).cache()
+      var labels = edges.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to 8) {
+        val fromNeighbors = labels
+          .join(edges, labels("node") === edges("u"))
+          .select(col("v").as("node"), col("lbl"))
+        labels = labels.unionByName(fromNeighbors)
+          .groupBy("node").agg(min("lbl").as("lbl"))
+      }
+      val clusters = labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+      clusters.agg(
+        count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_clustered_docs"),
+        max("sz").as("largest_cluster"),
+        sum(col("sz") - 1).as("n_dups_to_drop"))
+    }),
+
     "d04_ngram_jaccard" -> ((s, d) => {
       // char 5-gram Jaccard inside (lang, length-bucket) blocks, with
       // SIZE-CAPPED blocks: a web-scale corpus puts millions of docs in
@@ -334,6 +383,52 @@ object DedupQueries {
     // closes the gap for d02: the same Spark pipeline runs on a
     // planted-duplicate corpus whose ground-truth pair counts DuckDB
     // brute-forces below (all pairs, string shingles — no LSH).
+    // d09: DuckDB rebuilds the identical jaccard edge set (portable
+    // string shingles, double division on both engines) and resolves
+    // components with a recursive CTE instead of label propagation —
+    // same graph, independent algorithm.
+    "d09_dup_clusters" ->
+      """WITH RECURSIVE
+        | base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        | pl1 AS (
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
+        |  FROM base WHERE doc_id < 40
+        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
+        | pl2 AS (
+        |  SELECT doc_id + 200000 AS doc_id, text || ' graftdup graftdup2' AS text
+        |  FROM base WHERE doc_id < 20
+        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
+        | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl1
+        |       UNION ALL SELECT * FROM pl2),
+        | t AS (SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |       FROM c),
+        | sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk) - 1),
+        |                        i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM t),
+        | p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+        |        >= 0.3),
+        | e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+        | n AS (SELECT DISTINCT u AS node FROM e),
+        | reach AS (
+        |  SELECT node, node AS lbl FROM n
+        |  UNION
+        |  SELECT e.v AS node, r.lbl FROM reach r JOIN e ON e.u = r.node),
+        | lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+        | cl AS (SELECT lbl, count(*) AS sz FROM lab GROUP BY lbl)
+        |SELECT count(*) AS n_clusters,
+        | CAST(sum(sz) AS BIGINT) AS n_clustered_docs,
+        | CAST(max(sz) AS BIGINT) AS largest_cluster,
+        | CAST(sum(sz - 1) AS BIGINT) AS n_dups_to_drop
+        |FROM cl""".stripMargin,
+
     // d08: recall on exact-copy plants is structural (identical text ⇒
     // identical simhash ⇒ band collision), so ground truth is simply
     // the identical-text pair count of the augmented corpus — no

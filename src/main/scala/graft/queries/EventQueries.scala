@@ -125,6 +125,46 @@ object EventQueries {
         .select("day", "event_type", "n", "sum_value")
         .orderBy("day", "event_type")
     }),
+
+    /** The stateful streaming sessionizer
+      * ([[graft.streaming.StatefulSessionize]], flatMapGroupsWithState,
+      * O(1) state per key) run over the bounded events replay as a
+      * roster query. The operator emits a session only when a LATER
+      * event closes it, so on a bounded stream the emitted set is
+      * exactly "every session except each user's last" — which is plain
+      * SQL, giving the streaming operator a full DuckDB oracle (unlike
+      * e03's windowed aggregate, this exercises custom state logic).
+      * The oracle works in the millisecond domain because the operator
+      * compares `Timestamp.getTime` (ms): session boundaries, ordering
+      * and durations all use epoch_ms on both engines.
+      */
+    "e04_stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[graft.streaming.StatefulSessionize.Event]
+      val sessions = graft.streaming.StatefulSessionize.sessions(raw)(s)
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_e04_out_").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_e04_ckpt_").toString
+      val q = sessions.toDF.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .select("user_id", "n_events", "dur_sec", "first_event", "last_event")
+        .orderBy("user_id", "first_event")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -167,5 +207,44 @@ object EventQueries {
         | count(*) AS n,
         | floor((sum(value))*100+0.5)/100 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    // Millisecond-domain replica of the stateful sessionizer's contract:
+    // sessions split on >1h gaps of epoch_ms, first/last event follow
+    // (ms, event_id) processing order, dur = integer-ms delta / 1000.0
+    // (bit-identical IEEE division on both engines), and each user's
+    // LAST session is excluded — on a bounded stream it is never closed
+    // by a later event, so the operator never emits it.
+    "e04_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER w AS prev_ms
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        | m AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 3600000 THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        | sess AS (
+        |  SELECT user_id, event_id, ms,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+        |  FROM m),
+        | ranked AS (
+        |  SELECT user_id, event_id, ms, sidx,
+        |    row_number() OVER (PARTITION BY user_id, sidx
+        |                       ORDER BY ms, event_id) AS rn_asc,
+        |    row_number() OVER (PARTITION BY user_id, sidx
+        |                       ORDER BY ms DESC, event_id DESC) AS rn_desc
+        |  FROM sess),
+        | agg AS (
+        |  SELECT user_id, sidx, count(*) AS n_events,
+        |    (max(ms) - min(ms)) / 1000.0 AS dur_sec,
+        |    max(CASE WHEN rn_asc = 1 THEN event_id END) AS first_event,
+        |    max(CASE WHEN rn_desc = 1 THEN event_id END) AS last_event,
+        |    max(sidx) OVER (PARTITION BY user_id) AS max_sidx
+        |  FROM ranked GROUP BY user_id, sidx)
+        |SELECT user_id, n_events, dur_sec, first_event, last_event
+        |FROM agg WHERE sidx < max_sidx
+        |ORDER BY user_id, first_event""".stripMargin,
   )
 }

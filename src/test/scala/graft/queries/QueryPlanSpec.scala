@@ -64,4 +64,20 @@ class QueryPlanSpec extends AnyFunSuite {
     val plan = planOf("d02_minhash_lsh")
     assert(plan.contains("minhash_sig"), plan.take(2000))
   }
+
+  test("s04: centroid table broadcasts; corpus never cartesian-products") {
+    // the crossJoin against the K-row centroid frame must plan as a
+    // broadcast nested-loop, not a CartesianProduct shuffle
+    val plan = planOf("s04_ivf_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q41: salted agg runs two aggregate stages, salt never reaches output") {
+    val plan = planOf("q41_salted_agg")
+    // partial+final for each of the two groupBys
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(3000))
+    val df = SparkEntry.queries("q41_salted_agg")(spark, sf0001)
+    assert(!df.columns.contains("__salt"))
+  }
 }
