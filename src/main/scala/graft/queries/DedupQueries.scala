@@ -289,16 +289,22 @@ object DedupQueries {
         .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.3)
         .select("u", "v")
+      // Iterative algorithms MUST truncate lineage each round: labels
+      // feeds both branches of the next round, so an unmaterialized
+      // loop doubles the plan per iteration (2^8 copies of the edge
+      // build — measured 100s at sf0.1; materialized: ~2s). Eager
+      // localCheckpoint materializes and cuts the DAG; a fault-tolerant
+      // cluster run would use checkpoint() to reliable storage instead.
       val edges = pairs.unionByName(
-        pairs.select(col("v").as("u"), col("u").as("v"))).cache()
+        pairs.select(col("v").as("u"), col("u").as("v"))).localCheckpoint(true)
       var labels = edges.select(col("u").as("node")).distinct()
-        .withColumn("lbl", col("node"))
+        .withColumn("lbl", col("node")).localCheckpoint(true)
       for (_ <- 1 to 8) {
         val fromNeighbors = labels
           .join(edges, labels("node") === edges("u"))
           .select(col("v").as("node"), col("lbl"))
         labels = labels.unionByName(fromNeighbors)
-          .groupBy("node").agg(min("lbl").as("lbl"))
+          .groupBy("node").agg(min("lbl").as("lbl")).localCheckpoint(true)
       }
       val clusters = labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
       clusters.agg(
