@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sampling for training-data pipelines.
@@ -30,6 +30,27 @@ object Sampling {
     val gate = pmod(xxhash64(col(keyCol), lit(seed)), lit(buckets))
     val cut = (evalFraction * buckets).toLong
     (df.filter(gate >= cut), df.filter(gate < cut))
+  }
+
+  /** Engine-portable deterministic gate: a 24-bit integer derived from
+    * the md5 hex prefix of the key, computable bit-identically in any
+    * engine with md5 + ascii (the cross-engine-verified split query t07
+    * builds on this). The xxhash64 gates above are faster (codegen'd,
+    * no hex string) — prefer them when cross-engine replay of the exact
+    * split isn't required. */
+  def portableGate(key: Column): Column = {
+    val h = md5(key.cast("string"))
+    ascii(substring(h, 1, 1)) * 65536 +
+      ascii(substring(h, 2, 1)) * 256 +
+      ascii(substring(h, 3, 1))
+  }
+
+  /** Deterministic disjoint train/eval split on the portable gate:
+    * eval = rows with gate mod `buckets` < `evalBuckets`. */
+  def splitPortable(df: DataFrame, keyCol: String, buckets: Int = 10,
+      evalBuckets: Int = 2): (DataFrame, DataFrame) = {
+    val g = pmod(portableGate(col(keyCol)), lit(buckets))
+    (df.filter(g >= evalBuckets), df.filter(g < evalBuckets))
   }
 
   /** Per-stratum fractions (e.g. balance languages): deterministic,

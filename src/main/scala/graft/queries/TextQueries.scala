@@ -120,6 +120,42 @@ object TextQueries {
           sum(when(col("n_docs") > 1, col("n_docs")).otherwise(0)).as("docs_in_dup_groups"),
           max("n_docs").as("largest_group"))
     }),
+
+    /** PII-style redaction: mask every digit run in an identifying
+      * column and prove the anonymization both happened (redaction
+      * counts, shrunken lengths) and collapsed identity (distinct
+      * redacted names per segment drops to the template count). The
+      * regex stays in the RE2∩Java-compatible subset so DuckDB applies
+      * the identical mask. */
+    "t06_redact" -> ((s, d) => {
+      val redacted = regexp_replace(col("c_name"), "[0-9]+", "[ID]")
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), redacted.as("red"),
+          regexp_count(col("c_name"), lit("[0-9]+")).as("n_red"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("n_red").as("n_redactions"),
+          countDistinct("red").as("n_distinct_redacted"),
+          sum(length(col("red"))).as("sum_red_len"))
+        .orderBy("c_mktsegment")
+    }),
+
+    /** Reproducible train/eval split via the engine-portable hash gate
+      * ([[graft.operators.Sampling.splitPortable]]): the same row lands
+      * on the same side on any engine and any partitioning, which is
+      * what makes a split a versionable artifact. The oracle recomputes
+      * the gate in DuckDB and must agree on every per-(split, lang)
+      * count — not just the fractions. */
+    "t07_split_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (train, eval_) = graft.operators.Sampling.splitPortable(docs, "doc_id")
+      train.withColumn("split", lit("train"))
+        .unionByName(eval_.withColumn("split", lit("eval")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("split", "lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -195,5 +231,34 @@ object TextQueries {
         | CAST(sum(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS docs_in_dup_groups,
         | CAST(max(n_docs) AS BIGINT) AS largest_group
         |FROM g""".stripMargin,
+
+    "t06_redact" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment,
+        |    regexp_replace(c_name, '[0-9]+', '[ID]', 'g') AS red,
+        |    len(regexp_extract_all(c_name, '[0-9]+')) AS n_red
+        |  FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_rows,
+        | CAST(sum(n_red) AS BIGINT) AS n_redactions,
+        | count(DISTINCT red) AS n_distinct_redacted,
+        | CAST(sum(length(red)) AS BIGINT) AS sum_red_len
+        |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // Recomputes Sampling.splitPortable's md5-prefix gate verbatim —
+    // every per-(split, lang) count must agree, not just the fractions.
+    "t07_split_stats" ->
+      """WITH g AS (
+        |  SELECT lang, n_chars,
+        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
+        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
+        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 10 AS gate
+        |  FROM documents),
+        | s AS (
+        |  SELECT CASE WHEN gate < 2 THEN 'eval' ELSE 'train' END AS split,
+        |    lang, n_chars
+        |  FROM g)
+        |SELECT split, lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
   )
 }
