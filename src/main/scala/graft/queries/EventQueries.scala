@@ -23,6 +23,21 @@ object EventQueries {
     * within the ns→µs truncation of the Spark-side read. */
   private def epochSec = col("ts").cast("double")
 
+  /** Scratch dir for a stream's sink/checkpoint, removed when the JVM
+    * exits — repeated Bench/Verify runs must not accumulate state-store
+    * and result files on the host. */
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "e01_sessionize" -> ((s, d) => {
@@ -87,6 +102,12 @@ object EventQueries {
     // key-value sink (MERGE/upsert) would do natively. Append mode is
     // NOT usable here: it holds back any window whose end exceeds the
     // final watermark, so a bounded stream would drop its last day.
+    // Oracle parity additionally relies on the bounded replay arriving
+    // as ONE micro-batch (a single parquet file, no maxFilesPerTrigger):
+    // across batches, rows later than watermark + 1 day would be
+    // dropped by design. A production deployment sizes the watermark to
+    // the source's real disorder bound; the batch oracle then matches
+    // up to that bound, which is the contract watermarks define.
     "e03_stream_window" -> ((s, d) => {
       // file-on-disk schema (ts as raw nanosecond long under the legacy
       // flag set at session build), reused as the stream's declared schema
@@ -105,10 +126,8 @@ object EventQueries {
           RelationalQueries.rnd(sum("value"), 2).as("sum_value"))
         .select(col("win.start").cast("date").as("day"), col("event_type"),
           col("n"), col("sum_value"))
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_e03_out_").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_e03_ckpt_").toString
+      val outDir = tempDir("graft_e03_out_")
+      val ckpt = tempDir("graft_e03_ckpt_")
       val q = agg.writeStream
         .outputMode("update")
         .option("checkpointLocation", ckpt)
@@ -149,10 +168,8 @@ object EventQueries {
         .select(col("user_id"), col("ts"), col("event_id"))
         .as[graft.streaming.StatefulSessionize.Event]
       val sessions = graft.streaming.StatefulSessionize.sessions(raw)(s)
-      val outDir = java.nio.file.Files
-        .createTempDirectory("graft_e04_out_").toString
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_e04_ckpt_").toString
+      val outDir = tempDir("graft_e04_out_")
+      val ckpt = tempDir("graft_e04_ckpt_")
       val q = sessions.toDF.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)

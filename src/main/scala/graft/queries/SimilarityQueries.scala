@@ -43,6 +43,23 @@ object SimilarityQueries {
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
+  /** One shared multi-table sign-LSH configuration: every pipeline that
+    * buckets vectors (s02/s05 query-driven, d05/d07 all-pairs) MUST use
+    * the same tables × bits and the same hyperplanes, or their planted
+    * oracles would silently describe different hash families. */
+  private val LshTables = 4
+  private val LshBits = 8
+  private lazy val lshPlanes = planes(LshTables * LshBits, 64)
+
+  /** Sign-pattern bucket id of `vec` in hash table `table`. */
+  private def lshSignature(vec: Column, table: Int): Column =
+    aggregate(
+      zip_with(typedLit(lshPlanes.slice(table * LshBits, (table + 1) * LshBits)),
+        sequence(lit(0), lit(LshBits - 1)),
+        (plane, idx) => when(dot(plane, vec) > 0,
+          pow(lit(2.0), idx).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+
   /** The d05 all-pairs-within-buckets near-dup pipeline over an
     * arbitrary (vec_id, vec double[]) frame, returning one row per LSH
     * candidate pair with its exact cosine: (id_a, id_b, cos). Factored
@@ -52,18 +69,9 @@ object SimilarityQueries {
     * vector rejoin so payload arrays never shuffle with signatures.
     */
   def neardupPairs(emb: DataFrame): DataFrame = {
-    val L = 4; val bits = 8
-    val allPlanes = planes(L * bits, 64)
-    def signature(vec: Column, table: Int): Column =
-      aggregate(
-        zip_with(typedLit(allPlanes.slice(table * bits, (table + 1) * bits)),
-          sequence(lit(0), lit(bits - 1)),
-          (plane, idx) => when(dot(plane, vec) > 0,
-            pow(lit(2.0), idx).cast("long")).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x)
     val tabled = emb.select(col("vec_id"),
-      explode(array((0 until L).map(t =>
-        struct(lit(t).as("tbl"), signature(col("vec"), t).as("bucket"))): _*)).as("tb"))
+      explode(array((0 until LshTables).map(t =>
+        struct(lit(t).as("tbl"), lshSignature(col("vec"), t).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
     val candIds = tabled.as("a").join(tabled.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -87,18 +95,9 @@ object SimilarityQueries {
     * payload arrays never shuffle through the distinct. Factored out so
     * s02 and the planted ground-truth check (s05) share one code path. */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val L = 4; val bits = 8
-    val allPlanes = planes(L * bits, 64)
-    def signature(vec: Column, table: Int): Column =
-      aggregate(
-        zip_with(typedLit(allPlanes.slice(table * bits, (table + 1) * bits)),
-          sequence(lit(0), lit(bits - 1)),
-          (plane, idx) => when(dot(plane, vec) > 0,
-            pow(lit(2.0), idx).cast("long")).otherwise(0L)),
-        lit(0L), (acc, x) => acc + x)
     val tabled = emb.select(col("vec_id"), col("vec"),
-      explode(array((0 until L).map(t =>
-        struct(lit(t).as("tbl"), signature(col("vec"), t).as("bucket"))): _*)).as("tb"))
+      explode(array((0 until LshTables).map(t =>
+        struct(lit(t).as("tbl"), lshSignature(col("vec"), t).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
     val queriesDf = tabled.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))

@@ -44,20 +44,31 @@ object StatefulSessionize {
           evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val t = e.ts.getTime
             cur match {
-              case Some(st) if t - st.last <= gapSec * 1000 =>
-                // events are sorted per batch only; a late cross-batch
-                // event must not move the session bounds backwards
+              // in-gap on BOTH sides of the open session's interval: a
+              // late cross-batch event only extends the session if it's
+              // within the gap of [start, last] — an event far BEFORE
+              // start must NOT merge (it belongs to an earlier session)
+              case Some(st) if t - st.last <= gapSec * 1000 &&
+                  st.start - t <= gapSec * 1000 =>
                 cur = Some(st.copy(
                   start = math.min(st.start, t),
                   last = math.max(st.last, t),
                   n = st.n + 1,
-                  // both bounds track symmetrically: a late in-gap event
-                  // earlier than the recorded start becomes first_event
-                  // (ties on ts resolve to the smaller event_id)
+                  // both bounds track symmetrically with (ts, event_id)
+                  // tie order: first = smallest id at the earliest ts,
+                  // last = largest id at the latest ts
                   firstEvent =
                     if (t < st.start || (t == st.start && e.event_id < st.firstEvent))
                       e.event_id else st.firstEvent,
-                  lastEvent = if (t >= st.last) e.event_id else st.lastEvent))
+                  lastEvent =
+                    if (t > st.last || (t == st.last && e.event_id > st.lastEvent))
+                      e.event_id else st.lastEvent))
+              case Some(st) if st.start - t > gapSec * 1000 =>
+                // late event predating the open session by more than the
+                // gap: under the bounded-lateness contract (disorder <=
+                // gap within a session) it can only be a session of its
+                // own — emit it closed, keep the open session untouched
+                out += Session(uid, 1, 0.0, e.event_id, e.event_id)
               case Some(st) =>
                 out += Session(uid, st.n, (st.last - st.start) / 1000.0,
                   st.firstEvent, st.lastEvent)

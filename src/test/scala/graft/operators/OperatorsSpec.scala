@@ -109,4 +109,53 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0) == StatefulSessionize.Session(1, 2, 20.0, 9, 2))
   }
+
+  test("sessionize: far-early late event becomes its own session, no merge") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StatefulSessionize.Event]
+    val q = StatefulSessionize.sessions(mem.toDS(), gapSec = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions_early").start()
+    def ev(u: Long, sec: Long, id: Long) =
+      StatefulSessionize.Event(u, new java.sql.Timestamp(sec * 1000), id)
+    mem.addData(ev(1, 1000, 2))
+    q.processAllAvailable()
+    // late event 900s BEFORE the open session's start (gap is 60s): it
+    // must NOT merge — the open session's bounds stay [1000, 1000]
+    mem.addData(ev(1, 100, 1))
+    q.processAllAvailable()
+    mem.addData(ev(1, 2000, 3)) // closes the open session
+    q.processAllAvailable()
+    val out = spark.table("graft_sessions_early")
+      .as[StatefulSessionize.Session].collect().sortBy(_.first_event)
+    q.stop()
+    assert(out.toSeq == Seq(
+      StatefulSessionize.Session(1, 1, 0.0, 1, 1),
+      StatefulSessionize.Session(1, 1, 0.0, 2, 2)))
+  }
+
+  test("sessionize: equal-ts late event never demotes last_event") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StatefulSessionize.Event]
+    val q = StatefulSessionize.sessions(mem.toDS(), gapSec = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions_tie").start()
+    def ev(u: Long, sec: Long, id: Long) =
+      StatefulSessionize.Event(u, new java.sql.Timestamp(sec * 1000), id)
+    mem.addData(ev(1, 30, 5))
+    q.processAllAvailable()
+    // same timestamp, smaller id, later batch: (ts, event_id) order says
+    // id 5 is still the last event (and 2 becomes the first)
+    mem.addData(ev(1, 30, 2))
+    q.processAllAvailable()
+    mem.addData(ev(1, 300, 9))
+    q.processAllAvailable()
+    val out = spark.table("graft_sessions_tie")
+      .as[StatefulSessionize.Session].collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out(0) == StatefulSessionize.Session(1, 2, 0.0, 2, 5))
+  }
 }
