@@ -162,10 +162,21 @@ object RelationalQueries {
     }),
 
     // HLL sketch — not exactly reproducible in DuckDB; rows-only check.
+    /** HLL++ sketch values aren't portable across engines, but HLL
+      * ACCURACY is checkable: emit the exact distinct count plus a
+      * within-tolerance flag for the sketch estimate. The oracle
+      * recomputes the exact count and asserts the flag true — a broken
+      * or drifting sketch implementation goes red, while the
+      * engine-private estimate itself never needs to match. rsd=0.01
+      * with a 5% gate leaves a 5-sigma margin. */
     "q12_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey", 0.01).as("approx_parts"))
+        .agg(approx_count_distinct("l_partkey", 0.01).as("approx_parts"),
+          countDistinct("l_partkey").as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("est_within_5pct"))
         .orderBy("l_returnflag")
     }),
 
@@ -586,6 +597,15 @@ object RelationalQueries {
     "q11_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         | count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q12: the estimate itself is engine-private; the oracle checks the
+    // exact count and asserts the accuracy flag — TRUE is a genuine
+    // claim about the Spark sketch, not a tautology.
+    "q12_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS est_within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q13_rollup" ->
