@@ -48,6 +48,13 @@ object MultimodalQueries {
     MediaRecord(docId, source, content.length, w, h, frames, hist.map(_ / n))
   }
 
+  /** Aspect-preserving fit of (w, h) into a `box`×`box` target —
+    * integer arithmetic only, so engines agree bit-for-bit. The short
+    * side floors (standard image-resize convention) with a 1px minimum. */
+  def resizeFit(w: Int, h: Int, box: Int): (Int, Int) =
+    if (w >= h) (box, math.max(1, h * box / w))
+    else (math.max(1, w * box / h), box)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     /** Binary metadata pass: byte length + content hash + lead byte —
@@ -88,6 +95,32 @@ object MultimodalQueries {
         .orderBy("source")
     }),
 
+    /** Typed resize stage: decode → aspect-preserving 224-box resize,
+      * batch-at-a-time in the same mapPartitions shape a real resampler
+      * (JNI/ImageIO) would use. Unlike m02's histogram features, the
+      * stub's width/height derivation is pure arithmetic on the payload
+      * (length + lead byte), so the WHOLE typed pipeline — binary cast,
+      * partition batching, resize math — is verified against a DuckDB
+      * replica, not just smoke-checked. */
+    "m04_resize" -> ((s, d) => {
+      import s.implicits._
+      val ds: Dataset[(Long, String, Array[Byte])] = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("source"), col("text").cast("binary"))
+        .as[(Long, String, Array[Byte])]
+      val resized = ds.mapPartitions(_.map { case (id, src, bytes) =>
+        val m = stubDecode(id, src, bytes)
+        val (nw, nh) = resizeFit(m.width, m.height, 224)
+        (id, src, m.width, m.height, nw, nh)
+      }).toDF("doc_id", "source", "width", "height", "new_w", "new_h")
+      resized.groupBy("source")
+        .agg(count(lit(1)).as("n_media"),
+          sum("width").as("sum_w"), sum("height").as("sum_h"),
+          sum("new_w").as("sum_new_w"), sum("new_h").as("sum_new_h"),
+          max("new_h").as("max_new_h"))
+        .orderBy("source")
+    }),
+
     /** Frame sampling: every k-th chunk of the payload as a "frame" row
       * — the explode/posexplode pattern used to fan a video column out
       * to frame rows, with deterministic chunking (oracle-able). */
@@ -111,6 +144,27 @@ object MultimodalQueries {
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, md5(text) AS content_md5,
         | ascii(text) AS first_code
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    // m04: replica of stubDecode's w/h derivation (16 + len%64,
+    // 16 + lead_byte%64 — ASCII corpus, so ascii() == the signed byte)
+    // and of resizeFit's integer box-fit arithmetic.
+    "m04_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |    16 + (strlen(text) % 64) AS w,
+        |    16 + (ascii(text) % 64) AS h
+        |  FROM documents WHERE doc_id < 100),
+        | r AS (
+        |  SELECT source, w, h,
+        |    CASE WHEN w >= h THEN 224 ELSE greatest(1, (w * 224) // h) END AS new_w,
+        |    CASE WHEN w >= h THEN greatest(1, (h * 224) // w) ELSE 224 END AS new_h
+        |  FROM m)
+        |SELECT source, count(*) AS n_media,
+        | CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h,
+        | CAST(sum(new_w) AS BIGINT) AS sum_new_w,
+        | CAST(sum(new_h) AS BIGINT) AS sum_new_h,
+        | CAST(max(new_h) AS INTEGER) AS max_new_h
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "m03_frame_sample" ->
       """WITH f AS (
