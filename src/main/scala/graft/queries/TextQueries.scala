@@ -121,6 +121,25 @@ object TextQueries {
           max("n_docs").as("largest_group"))
     }),
 
+    /** Vocabulary building: top-5 most frequent tokens per language —
+      * explode → count → windowed top-k, the shape of stopword /
+      * vocab-table construction over a corpus. The groupBy absorbs the
+      * exploded volume map-side before any shuffle; the final window
+      * only ranks the (lang, token) aggregate, which is corpus-
+      * vocabulary-sized, not corpus-sized. Ties break on the token
+      * string so both engines rank identically. */
+    "t08_top_tokens" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("token"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("token"), col("n"))
+        .orderBy("lang", "rank")
+    }),
+
     /** PII-style redaction: mask every digit run in an identifying
       * column and prove the anonymization both happened (redaction
       * counts, shrunken lengths) and collapsed identity (distinct
@@ -231,6 +250,19 @@ object TextQueries {
         | CAST(sum(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS docs_in_dup_groups,
         | CAST(max(n_docs) AS BIGINT) AS largest_group
         |FROM g""".stripMargin,
+
+    "t08_top_tokens" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        | c AS (SELECT lang, token, count(*) AS n FROM t GROUP BY lang, token),
+        | r AS (
+        |  SELECT lang, token, n, row_number()
+        |    OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+        |  FROM c)
+        |SELECT lang, CAST(rank AS INTEGER) AS rank, token, n
+        |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "t06_redact" ->
       """WITH r AS (
