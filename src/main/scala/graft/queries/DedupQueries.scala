@@ -206,10 +206,14 @@ object DedupQueries {
       * The count threshold is 0.9, NOT the 0.5 the corpus-wide d02
       * reports at: oracle equality needs the LSH to recall every
       * ground-truth pair, and the per-pair miss probability at 8 bands
-      * × 4 rows is ~2e−6 at j≥0.9 but ~40% at j≈0.5 — a mid-similarity
-      * ORGANIC pair would go permanently red. Above 0.9 the equality is
-      * effectively structural (planted pairs are ≥0.947, organic dups
-      * in this corpus are ≥0.95).
+      * × 4 rows is (1−0.9⁴)⁸ ≈ 2e−4 at j=0.9 but ~40% at j≈0.5 — a
+      * mid-similarity ORGANIC pair would go permanently red. The
+      * equality is therefore deterministic-empirical, not structural:
+      * the fixed hash family recalls every ground-truth pair of the
+      * fixed corpora (verified at all three SFs; ground-truth minima
+      * are ~0.909 organic / 0.947 planted). A corpus regeneration or
+      * band-parameter change re-rolls those ~2e−4-per-pair dice and may
+      * require re-tuning the threshold.
       */
     "d06_minhash_planted" -> ((s, d) => {
       val base = Tables.documents(s, d).filter(col("doc_id") < 200)

@@ -25,16 +25,22 @@ object EventQueries {
 
   /** Scratch dir for a stream's sink/checkpoint, removed when the JVM
     * exits — repeated Bench/Verify runs must not accumulate state-store
-    * and result files on the host. */
-  private def tempDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    * and result files on the host. ONE static hook drains a queue of
+    * registered paths (a hook Thread per call would accumulate for the
+    * JVM's lifetime in a long-lived driver). */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm))
         f.delete(): Unit
       }
-      rm(p.toFile)
+      scratchDirs.forEach(p => rm(p.toFile))
     }))
+  private def tempDir(prefix: String): String = {
+    cleanupHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
     p.toString
   }
 

@@ -168,7 +168,10 @@ object RelationalQueries {
       * recomputes the exact count and asserts the flag true — a broken
       * or drifting sketch implementation goes red, while the
       * engine-private estimate itself never needs to match. rsd=0.01
-      * with a 5% gate leaves a 5-sigma margin. */
+      * with a 5% gate leaves a 5-sigma margin. (The exact count adds
+      * ~0.4s at sf0.1 to this query's bench entry — accepted: it buys
+      * the only feasible correctness check of the sketch, and the bare
+      * sketch cost is still visible as q12 minus q11's distinct.) */
     "q12_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")

@@ -40,7 +40,15 @@ object StatefulSessionize {
       .flatMapGroupsWithState(OutputMode.Append, timeoutMode)(
         (uid: Long, evs: Iterator[Event], state: GroupState[SessionState]) => {
           var cur = state.getOption
+          // batch-local track for late events that predate the open
+          // session by more than the gap: they form their own earlier
+          // session(s), merged among themselves in sorted order, and
+          // must never corrupt the open session's bounds
+          var early: Option[SessionState] = None
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          def close(st: SessionState): Unit =
+            out += Session(uid, st.n, (st.last - st.start) / 1000.0,
+              st.firstEvent, st.lastEvent)
           evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val t = e.ts.getTime
             cur match {
@@ -64,18 +72,33 @@ object StatefulSessionize {
                     if (t > st.last || (t == st.last && e.event_id > st.lastEvent))
                       e.event_id else st.lastEvent))
               case Some(st) if st.start - t > gapSec * 1000 =>
-                // late event predating the open session by more than the
-                // gap: under the bounded-lateness contract (disorder <=
-                // gap within a session) it can only be a session of its
-                // own — emit it closed, keep the open session untouched
-                out += Session(uid, 1, 0.0, e.event_id, e.event_id)
+                // sorted order means t only grows, so the early track
+                // merges or closes strictly left-to-right
+                early match {
+                  case Some(es) if t - es.last <= gapSec * 1000 =>
+                    early = Some(es.copy(last = t, n = es.n + 1,
+                      lastEvent = e.event_id))
+                  case other =>
+                    other.foreach(close)
+                    early = Some(SessionState(t, t, 1, e.event_id, e.event_id))
+                }
               case Some(st) =>
-                out += Session(uid, st.n, (st.last - st.start) / 1000.0,
-                  st.firstEvent, st.lastEvent)
+                close(st)
                 cur = Some(SessionState(t, t, 1, e.event_id, e.event_id))
               case None =>
                 cur = Some(SessionState(t, t, 1, e.event_id, e.event_id))
             }
+          }
+          // drain the early track: if a late chain grew to within the
+          // gap of the open session, they are one session — merge;
+          // otherwise the open session's existence > gap later proves
+          // the early session closed in event time
+          (early, cur) match {
+            case (Some(es), Some(st)) if st.start - es.last <= gapSec * 1000 =>
+              cur = Some(st.copy(start = es.start, n = st.n + es.n,
+                firstEvent = es.firstEvent))
+            case (Some(es), _) => close(es)
+            case _ =>
           }
           if (state.hasTimedOut) {
             cur.foreach(st => out += Session(uid, st.n,

@@ -65,97 +65,78 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
-  test("stateful streaming sessionization emits closed sessions") {
+  private def ev(u: Long, sec: Long, id: Long) =
+    StatefulSessionize.Event(u, new java.sql.Timestamp(sec * 1000), id)
+
+  /** Feed `batches` one micro-batch at a time through the sessionizer
+    * (gap 60s) and return everything emitted, sorted by first_event.
+    * The query is stopped in a finally so a failing assertion cannot
+    * leak a running stream into later tests. */
+  private def runSessions(name: String)(
+      batches: Seq[StatefulSessionize.Event]*): Seq[StatefulSessionize.Session] = {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StatefulSessionize.Event]
     val q = StatefulSessionize.sessions(mem.toDS(), gapSec = 60)
       .writeStream.outputMode("append")
-      .format("memory").queryName("graft_sessions").start()
-    def ev(u: Long, sec: Long, id: Long) =
-      StatefulSessionize.Event(u, new java.sql.Timestamp(sec * 1000), id)
+      .format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).as[StatefulSessionize.Session]
+        .collect().toSeq.sortBy(_.first_event)
+    } finally q.stop()
+  }
+
+  test("stateful streaming sessionization emits closed sessions") {
     // session 1: events at t=0,30; gap >60 → closes when t=200 arrives
-    mem.addData(ev(1, 0, 1), ev(1, 30, 2))
-    q.processAllAvailable()
-    mem.addData(ev(1, 200, 3))
-    q.processAllAvailable()
-    val out = spark.table("graft_sessions")
-      .as[StatefulSessionize.Session].collect()
-    q.stop()
-    assert(out.length == 1)
-    assert(out(0) == StatefulSessionize.Session(1, 2, 30.0, 1, 2))
+    val out = runSessions("graft_sessions")(
+      Seq(ev(1, 0, 1), ev(1, 30, 2)), Seq(ev(1, 200, 3)))
+    assert(out == Seq(StatefulSessionize.Session(1, 2, 30.0, 1, 2)))
   }
 
   test("sessionize: late in-gap event moves first_event with the start") {
-    implicit val s = spark
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[StatefulSessionize.Event]
-    val q = StatefulSessionize.sessions(mem.toDS(), gapSec = 60)
-      .writeStream.outputMode("append")
-      .format("memory").queryName("graft_sessions_late").start()
-    def ev(u: Long, sec: Long, id: Long) =
-      StatefulSessionize.Event(u, new java.sql.Timestamp(sec * 1000), id)
-    mem.addData(ev(1, 30, 2))
-    q.processAllAvailable()
     // late event BEFORE the recorded start, still within the gap:
     // session becomes [10, 30] and its first event must be id 9
-    mem.addData(ev(1, 10, 9))
-    q.processAllAvailable()
-    mem.addData(ev(1, 300, 3)) // gap > 60 closes the session
-    q.processAllAvailable()
-    val out = spark.table("graft_sessions_late")
-      .as[StatefulSessionize.Session].collect()
-    q.stop()
-    assert(out.length == 1)
-    assert(out(0) == StatefulSessionize.Session(1, 2, 20.0, 9, 2))
+    val out = runSessions("graft_sessions_late")(
+      Seq(ev(1, 30, 2)), Seq(ev(1, 10, 9)), Seq(ev(1, 300, 3)))
+    assert(out == Seq(StatefulSessionize.Session(1, 2, 20.0, 9, 2)))
   }
 
   test("sessionize: far-early late event becomes its own session, no merge") {
-    implicit val s = spark
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[StatefulSessionize.Event]
-    val q = StatefulSessionize.sessions(mem.toDS(), gapSec = 60)
-      .writeStream.outputMode("append")
-      .format("memory").queryName("graft_sessions_early").start()
-    def ev(u: Long, sec: Long, id: Long) =
-      StatefulSessionize.Event(u, new java.sql.Timestamp(sec * 1000), id)
-    mem.addData(ev(1, 1000, 2))
-    q.processAllAvailable()
     // late event 900s BEFORE the open session's start (gap is 60s): it
     // must NOT merge — the open session's bounds stay [1000, 1000]
-    mem.addData(ev(1, 100, 1))
-    q.processAllAvailable()
-    mem.addData(ev(1, 2000, 3)) // closes the open session
-    q.processAllAvailable()
-    val out = spark.table("graft_sessions_early")
-      .as[StatefulSessionize.Session].collect().sortBy(_.first_event)
-    q.stop()
-    assert(out.toSeq == Seq(
+    val out = runSessions("graft_sessions_early")(
+      Seq(ev(1, 1000, 2)), Seq(ev(1, 100, 1)), Seq(ev(1, 2000, 3)))
+    assert(out == Seq(
       StatefulSessionize.Session(1, 1, 0.0, 1, 1),
       StatefulSessionize.Session(1, 1, 0.0, 2, 2)))
   }
 
+  test("sessionize: clustered far-early late events merge into ONE session") {
+    // two late events within the gap of each other, both far before the
+    // open session: they are a single earlier session [100, 140], not
+    // two singletons
+    val out = runSessions("graft_sessions_early2")(
+      Seq(ev(1, 1000, 5)), Seq(ev(1, 100, 1), ev(1, 140, 2)), Seq(ev(1, 2000, 9)))
+    assert(out == Seq(
+      StatefulSessionize.Session(1, 2, 40.0, 1, 2),
+      StatefulSessionize.Session(1, 1, 0.0, 5, 5)))
+  }
+
+  test("sessionize: late chain bridging into the open session merges with it") {
+    // late events [700, 750, ..., 950] chain to within the gap of the
+    // open session's start (1000): batch semantics say ONE session
+    val chain = (0 to 5).map(i => ev(1, 700 + i * 50, 10 + i))
+    val out = runSessions("graft_sessions_bridge")(
+      Seq(ev(1, 1000, 5)), chain, Seq(ev(1, 2000, 9)))
+    assert(out == Seq(StatefulSessionize.Session(1, 7, 300.0, 10, 5)))
+  }
+
   test("sessionize: equal-ts late event never demotes last_event") {
-    implicit val s = spark
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[StatefulSessionize.Event]
-    val q = StatefulSessionize.sessions(mem.toDS(), gapSec = 60)
-      .writeStream.outputMode("append")
-      .format("memory").queryName("graft_sessions_tie").start()
-    def ev(u: Long, sec: Long, id: Long) =
-      StatefulSessionize.Event(u, new java.sql.Timestamp(sec * 1000), id)
-    mem.addData(ev(1, 30, 5))
-    q.processAllAvailable()
     // same timestamp, smaller id, later batch: (ts, event_id) order says
     // id 5 is still the last event (and 2 becomes the first)
-    mem.addData(ev(1, 30, 2))
-    q.processAllAvailable()
-    mem.addData(ev(1, 300, 9))
-    q.processAllAvailable()
-    val out = spark.table("graft_sessions_tie")
-      .as[StatefulSessionize.Session].collect()
-    q.stop()
-    assert(out.length == 1)
-    assert(out(0) == StatefulSessionize.Session(1, 2, 0.0, 2, 5))
+    val out = runSessions("graft_sessions_tie")(
+      Seq(ev(1, 30, 5)), Seq(ev(1, 30, 2)), Seq(ev(1, 300, 9)))
+    assert(out == Seq(StatefulSessionize.Session(1, 2, 0.0, 2, 5)))
   }
 }
