@@ -132,6 +132,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq(StatefulSessionize.Session(1, 7, 300.0, 10, 5)))
   }
 
+  test("sessionize: cross-batch state matches a batch reference on seeded random streams") {
+    // 300 seeded random events over 6 users, delivered in 6 ts-ordered
+    // micro-batches (ordered delivery = no lateness, so the pure
+    // cross-batch state-resumption path is what's under test). The
+    // operator must emit exactly the batch-computed sessions minus each
+    // user's final (never-closed) one.
+    val rng = new scala.util.Random(7)
+    val events = (1 to 300).map { id =>
+      ev(1 + rng.nextInt(6), rng.nextInt(10000).toLong, id.toLong)
+    }
+    val sorted = events.sortBy(e => (e.ts.getTime, e.event_id))
+    val batches = sorted.grouped(50).toSeq
+    def batchSessions(evs: Seq[StatefulSessionize.Event]): Seq[StatefulSessionize.Session] =
+      evs.groupBy(_.user_id).toSeq.flatMap { case (uid, us) =>
+        val ordered = us.sortBy(e => (e.ts.getTime, e.event_id))
+        val groups = ordered.tail.foldLeft(Vector(Vector(ordered.head))) {
+          (acc, e) =>
+            if (e.ts.getTime - acc.last.last.ts.getTime <= 60000L)
+              acc.init :+ (acc.last :+ e)
+            else acc :+ Vector(e)
+        }
+        groups.map { g =>
+          StatefulSessionize.Session(uid, g.size,
+            (g.last.ts.getTime - g.head.ts.getTime) / 1000.0,
+            g.head.event_id, g.last.event_id)
+        }
+      }
+    val expected = batchSessions(sorted)
+      .groupBy(_.user_id).values.flatMap(_.init).toSet // drop each user's open last
+    val emitted = runSessions("graft_sessions_prop")(batches: _*).toSet
+    assert(emitted == expected,
+      s"missing=${expected -- emitted} extra=${emitted -- expected}")
+  }
+
   test("sessionize: equal-ts late event never demotes last_event") {
     // same timestamp, smaller id, later batch: (ts, event_id) order says
     // id 5 is still the last event (and 2 becomes the first)
