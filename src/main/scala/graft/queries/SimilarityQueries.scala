@@ -95,13 +95,15 @@ object SimilarityQueries {
     * payload arrays never shuffle through the distinct. Factored out so
     * s02 and the planted ground-truth check (s05) share one code path. */
   def lshTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val tabled = emb.select(col("vec_id"), col("vec"),
+    // signatures only — the payload vector must not fan out through the
+    // ×L explode (it rejoins by id after the candidate dedup)
+    val tabled = emb.select(col("vec_id"),
       explode(array((0 until LshTables).map(t =>
         struct(lit(t).as("tbl"), lshSignature(col("vec"), t).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("vec"), col("tb.tbl"), col("tb.bucket"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
     val queriesDf = tabled.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
-    val candIds = tabled.select(col("vec_id"), col("tbl"), col("bucket"))
+    val candIds = tabled
       .join(broadcast(queriesDf), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id").distinct()

@@ -73,6 +73,13 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("t08: exploded token counts combine map-side before the shuffle") {
+    val plan = planOf("t08_top_tokens")
+    assert(plan.contains("Generate"), plan.take(3000))
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      plan.take(3000))
+  }
+
   test("q41: salted agg runs two aggregate stages, salt never reaches output") {
     val plan = planOf("q41_salted_agg")
     // partial+final for each of the two groupBys
