@@ -214,6 +214,13 @@ object DedupQueries {
       * are ~0.909 organic / 0.947 planted). A corpus regeneration or
       * band-parameter change re-rolls those ~2e−4-per-pair dice and may
       * require re-tuning the threshold.
+      *
+      * `n_planted_09` (high-jaccard pairs whose doc_b is a plant,
+      * i.e. doc_b >= 100000) is emitted separately: it is the
+      * structural recall claim — every planted near-dup found — so if
+      * this row ever goes red, comparing n_planted_09 against
+      * n_dups_09 immediately attributes the miss to a planted pair
+      * (code bug) vs an organic mid-similarity pair (LSH dice).
       */
     "d06_minhash_planted" -> ((s, d) => {
       val base = Tables.documents(s, d).filter(col("doc_id") < 200)
@@ -227,6 +234,8 @@ object DedupQueries {
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
         .crossJoin(minhashPairs(corpus).agg(
           sum(when(col("jaccard") >= 0.9, 1).otherwise(0)).as("n_dups_09"),
+          sum(when(col("jaccard") >= 0.9 && col("doc_b") >= 100000, 1)
+            .otherwise(0)).as("n_planted_09"),
           RelationalQueries.rnd(
             max(when(col("jaccard") >= 0.9, col("jaccard"))), 4)
             .as("max_jaccard_09")))
@@ -476,12 +485,15 @@ object DedupQueries {
         |    ELSE [array_to_string(tk, ' ')] END) AS s
         |  FROM t),
         | p AS (
-        |  SELECT len(list_intersect(a.s, b.s)) * 1.0
+        |  SELECT b.doc_id AS doc_b,
+        |         len(list_intersect(a.s, b.s)) * 1.0
         |           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT (SELECT count(*) FROM c) AS n_docs,
         | (SELECT count(*) FROM pl) AS n_planted,
         | CAST(sum(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_09,
+        | CAST(sum(CASE WHEN jaccard >= 0.9 AND doc_b >= 100000 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_planted_09,
         | floor((max(CASE WHEN jaccard >= 0.9 THEN jaccard END))*10000+0.5)/10000
         |   AS max_jaccard_09
         |FROM p""".stripMargin,

@@ -143,9 +143,19 @@ object EventQueries {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
+      val out = s.read.parquet(outDir)
+      // Oracle parity depends on the bounded replay arriving as exactly
+      // ONE micro-batch (single parquet file, no maxFilesPerTrigger):
+      // across batches, rows later than watermark + 1 day in an earlier
+      // batch are dropped by design and the result would come up
+      // subtly short. Fail loudly if the data layout ever changes.
+      val maxBatch = out.agg(max("batch_id")).head().getLong(0)
+      require(maxBatch == 0,
+        s"e03 oracle assumes a single micro-batch replay, saw batch_id up to $maxBatch — " +
+          "events.parquet became multi-file or a trigger limit was set")
       val latest = Window.partitionBy(col("day"), col("event_type"))
         .orderBy(col("batch_id").desc)
-      s.read.parquet(outDir)
+      out
         .withColumn("rn", row_number().over(latest)).filter(col("rn") === 1)
         .select("day", "event_type", "n", "sum_value")
         .orderBy("day", "event_type")

@@ -33,10 +33,19 @@ object MultimodalQueries {
   /** STUB decoder — stands in for a real image/audio decode. It is
     * deterministic in the payload bytes only, so the pipeline around it
     * is fully testable; a real implementation would decode pixels and
-    * compute embeddings here, one partition's batch at a time. */
+    * compute embeddings here, one partition's batch at a time.
+    *
+    * The fake height derives from the Unicode code point of the
+    * payload's first character (UTF-8 decoded), NOT the signed lead
+    * byte: DuckDB's `ascii()` returns the code point, and a signed-byte
+    * derivation would diverge from the m04 oracle on any non-ASCII
+    * lead (0xC3-led text: abs(-61)=61 vs code point 233). */
   def stubDecode(docId: Long, source: String, content: Array[Byte]): MediaRecord = {
     val w = 16 + (math.abs(content.length) % 64)
-    val h = 16 + (math.abs(content.headOption.getOrElse(0: Byte).toInt) % 64)
+    val lead =
+      if (content.isEmpty) 0
+      else new String(content, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
+    val h = 16 + (lead % 64)
     val frames = 1 + (content.length % 8)
     val hist = new Array[Double](16)
     var i = 0
@@ -146,8 +155,9 @@ object MultimodalQueries {
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     // m04: replica of stubDecode's w/h derivation (16 + len%64,
-    // 16 + lead_byte%64 — ASCII corpus, so ascii() == the signed byte)
-    // and of resizeFit's integer box-fit arithmetic.
+    // 16 + first-code-point%64 — ascii() is the code point in both
+    // engines, so no ASCII-corpus assumption) and of resizeFit's
+    // integer box-fit arithmetic.
     "m04_resize" ->
       """WITH m AS (
         |  SELECT doc_id, source,

@@ -151,14 +151,18 @@ object SimilarityQueries {
 
     /** s02's pipeline, ground-truth-verified: augment the corpus with a
       * scaled copy (×1.001) of each query vector. Scaling preserves
-      * every hyperplane sign, so the copy shares its query's bucket in
-      * ALL L tables — it is structurally in the candidate set — and its
-      * cosine is 1 to within ulps while the organic maximum is ~0.48,
-      * so the LSH's rank-1 neighbor equals the TRUE rank-1 neighbor
-      * that DuckDB finds by brute force over the same augmented corpus.
-      * This checks the recall property users actually care about: the
-      * ANN returns the true nearest neighbor whenever a genuine
-      * near-duplicate exists. */
+      * every hyperplane sign — structurally up to the floating-point
+      * sign stability of near-zero projections: the hyperplane dot is
+      * recomputed on the rounded scaled elements, so a projection
+      * within ulps of 0 could in principle flip a bucket bit on a
+      * regenerated corpus (none of the fixed corpora are near that
+      * edge). The copy then shares its query's bucket in ALL L tables —
+      * it is in the candidate set — and its cosine is 1 to within ulps
+      * while the organic maximum is ~0.48, so the LSH's rank-1 neighbor
+      * equals the TRUE rank-1 neighbor that DuckDB finds by brute force
+      * over the same augmented corpus. This checks the recall property
+      * users actually care about: the ANN returns the true nearest
+      * neighbor whenever a genuine near-duplicate exists. */
     "s05_ann_planted" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), embD(col("embedding")).as("vec"))
@@ -190,8 +194,11 @@ object SimilarityQueries {
       * fixed 100-vector subset with scaled copies (×1.001). Scaling by
       * a positive constant preserves every hyperplane sign, so each
       * planted copy lands in its original's bucket in ALL L tables —
-      * candidate recall on the planted pairs is structural, not
-      * probabilistic — and cosine(v, 1.001·v) = 1 to within ulps,
+      * candidate recall on the planted pairs is structural up to
+      * floating-point sign stability of near-zero projections (the dot
+      * is recomputed on the rounded scaled elements; a projection
+      * within ulps of 0 could flip a bit on a regenerated corpus) —
+      * and cosine(v, 1.001·v) = 1 to within ulps,
       * far above the 0.999 threshold (organic subset max is ~0.48).
       * DuckDB brute-forces all pairs of the same augmented corpus, so
       * the count compares against pipeline-independent ground truth.
@@ -299,8 +306,9 @@ object SimilarityQueries {
     // s05: DuckDB brute-forces the TRUE rank-1 neighbor over the same
     // augmented corpus — no LSH replica needed, because the planted
     // copy is both the true nearest neighbor (cos≈1 vs organic ~0.48)
-    // and structurally recalled by the Spark pipeline (sign-invariant
-    // scaling ⇒ same bucket in every table).
+    // and recalled by the Spark pipeline (positive scaling preserves
+    // hyperplane signs up to float stability of near-zero projections
+    // ⇒ same bucket in every table on these corpora).
     "s05_ann_planted" ->
       """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         | pl AS (SELECT vec_id + 100000 AS vec_id,

@@ -13,12 +13,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * events), so the operator's memory footprint is keys × a few longs —
   * the shape that survives unbounded streams. A processing-time timeout
   * flushes sessions for keys that go quiet.
+  *
+  * == Known cross-batch limitation (append-mode, by design) ==
+  * The early-session track (late events predating the open session by
+  * more than the gap) is batch-local: once an early session is closed
+  * and EMITTED at end of batch, a clustered late event arriving in a
+  * LATER micro-batch that would have merged into it (e.g. t=100 in
+  * batch 2, t=130 in batch 3, gap 60s) starts a fresh early session
+  * instead — two emitted sessions where batch semantics would produce
+  * one. Append-mode output cannot retract the first emission, so the
+  * divergence is unavoidable; what the operator does instead is keep
+  * the most recently closed session's bounds in state and DETECT the
+  * divergence: pass a `splitCounter` accumulator and every such event
+  * increments it, giving the pipeline an auditable measure of how much
+  * its output diverges from the batch reference. Production streams
+  * bound this by their real disorder window (events later than the gap
+  * are rare by construction); a pipeline needing exact batch parity
+  * must re-sessionize the affected keys in batch.
   */
 object StatefulSessionize {
 
   final case class Event(user_id: Long, ts: Timestamp, event_id: Long)
   final case class SessionState(start: Long, last: Long, n: Long,
-      firstEvent: Long, lastEvent: Long)
+      firstEvent: Long, lastEvent: Long,
+      // bounds of the most recently CLOSED session (any track), kept
+      // across batches purely so later batches can detect — not
+      // retract — cross-batch early-session splits (see object doc)
+      prevStart: Long = -1L, prevLast: Long = -1L)
   final case class Session(user_id: Long, n_events: Long, dur_sec: Double,
       first_event: Long, last_event: Long)
 
@@ -30,7 +51,8 @@ object StatefulSessionize {
     * timeout clock keeps scheduling evaluation batches and the call
     * never converges. */
   def sessions(events: Dataset[Event], gapSec: Long = 3600,
-      idleTimeout: Boolean = false)(
+      idleTimeout: Boolean = false,
+      splitCounter: Option[org.apache.spark.util.LongAccumulator] = None)(
       implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     val timeoutMode =
@@ -40,17 +62,34 @@ object StatefulSessionize {
       .flatMapGroupsWithState(OutputMode.Append, timeoutMode)(
         (uid: Long, evs: Iterator[Event], state: GroupState[SessionState]) => {
           var cur = state.getOption
+          // bounds of sessions closed in EARLIER batches (persisted) or
+          // in this batch — used only to detect cross-batch splits
+          var prevStart = cur.map(_.prevStart).getOrElse(-1L)
+          var prevLast = cur.map(_.prevLast).getOrElse(-1L)
           // batch-local track for late events that predate the open
           // session by more than the gap: they form their own earlier
           // session(s), merged among themselves in sorted order, and
           // must never corrupt the open session's bounds
           var early: Option[SessionState] = None
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          def close(st: SessionState): Unit =
+          def close(st: SessionState): Unit = {
             out += Session(uid, st.n, (st.last - st.start) / 1000.0,
               st.firstEvent, st.lastEvent)
+            if (st.last > prevLast) { prevStart = st.start; prevLast = st.last }
+          }
+          val persistedPrevStart = prevStart
+          val persistedPrevLast = prevLast
           evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val t = e.ts.getTime
+            // cross-batch split detection: this event would have merged
+            // into a session already closed AND emitted by an earlier
+            // batch (within the gap of its persisted bounds) — batch
+            // semantics would produce one session, the stream two
+            if (persistedPrevLast >= 0 &&
+                t - persistedPrevLast <= gapSec * 1000 &&
+                persistedPrevStart - t <= gapSec * 1000 &&
+                cur.exists(st => st.start - t > gapSec * 1000))
+              splitCounter.foreach(_.add(1))
             cur match {
               // in-gap on BOTH sides of the open session's interval: a
               // late cross-batch event only extends the session if it's
@@ -105,7 +144,8 @@ object StatefulSessionize {
               (st.last - st.start) / 1000.0, st.firstEvent, st.lastEvent))
             state.remove()
           } else {
-            cur.foreach(state.update)
+            cur.foreach(st => state.update(
+              st.copy(prevStart = prevStart, prevLast = prevLast)))
             if (idleTimeout) state.setTimeoutDuration(s"${gapSec} seconds")
           }
           out.iterator

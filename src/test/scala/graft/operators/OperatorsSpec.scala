@@ -166,6 +166,35 @@ class OperatorsSpec extends AnyFunSuite {
       s"missing=${expected -- emitted} extra=${emitted -- expected}")
   }
 
+  test("sessionize: cross-batch early split is detected via the counter") {
+    // t=100 arrives in batch 2 (early session, closed + emitted at end
+    // of batch), t=130 in batch 3: batch semantics would merge them
+    // (gap 60) into ONE session, but append mode cannot retract the
+    // emission — the operator emits two sessions AND increments the
+    // split counter so the divergence is auditable.
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val counter = spark.sparkContext.longAccumulator("graft_session_splits")
+    val mem = MemoryStream[StatefulSessionize.Event]
+    val q = StatefulSessionize.sessions(mem.toDS(), gapSec = 60,
+        splitCounter = Some(counter))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions_split").start()
+    try {
+      Seq(Seq(ev(1, 1000, 5)), Seq(ev(1, 100, 1)), Seq(ev(1, 130, 2)),
+        Seq(ev(1, 2000, 9))).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      val out = spark.table("graft_sessions_split")
+        .as[StatefulSessionize.Session].collect().toSeq.sortBy(_.first_event)
+      assert(out == Seq(
+        StatefulSessionize.Session(1, 1, 0.0, 1, 1),
+        StatefulSessionize.Session(1, 1, 0.0, 2, 2),
+        StatefulSessionize.Session(1, 1, 0.0, 5, 5)))
+      assert(counter.value == 1L, s"split counter = ${counter.value}")
+    } finally q.stop()
+  }
+
   test("sessionize: equal-ts late event never demotes last_event") {
     // same timestamp, smaller id, later batch: (ts, event_id) order says
     // id 5 is still the last event (and 2 becomes the first)
