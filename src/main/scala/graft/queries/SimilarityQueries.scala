@@ -263,6 +263,35 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    /** Symmetric int8 quantization of the embedding column — the
+      * compression step a vector store applies before indexing (4×
+      * smaller than float32, 8× smaller than the double working form).
+      * Per-vector absmax scale, q = floor(x/scale·127 + 0.5) ∈
+      * [−127, 127], reconstruction error = ‖x − q·scale/127‖₂. Pure
+      * per-row arithmetic (no shuffle until the per-label aggregate);
+      * every op (+,×,/,floor,sqrt over IEEE doubles) is correctly
+      * rounded and therefore bit-identical across engines, so the whole
+      * quantize→reconstruct→error pipeline is oracle-verified. The
+      * error dot-product runs through the native codegen'd ArrayDot
+      * kernel, ascending-index accumulation like the cosine kernels. */
+    "s06_vec_quantize" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("label"), col("vec_id"), embD(col("embedding")).as("vec"))
+      val staged = emb
+        .withColumn("scale", array_max(transform(col("vec"), x => abs(x))))
+        .withColumn("qv", expr("transform(vec, x -> floor(x / scale * 127.0 + 0.5))"))
+        .withColumn("diff", expr("zip_with(vec, qv, (a, q) -> a - (q * scale) / 127.0)"))
+        .withColumn("err", sqrt(dot(col("diff"), col("diff"))))
+        .withColumn("qmax", array_max(expr("transform(qv, q -> abs(q))")))
+      staged.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          RelationalQueries.rnd(avg("scale"), 6).as("avg_scale"),
+          RelationalQueries.rnd(avg("err"), 6).as("avg_err"),
+          RelationalQueries.rnd(max("err"), 6).as("max_err"),
+          max("qmax").as("max_q"))
+        .orderBy("label")
+    }),
+
     "s03_centroid_stats" -> ((s, d) => {
       // per-label centroid + dispersion: the IVF coarse-quantizer build
       // step (centroids of an existing partition), expressed as one
@@ -384,6 +413,36 @@ object SimilarityQueries {
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
         | floor((cos)*10000+0.5)/10000 AS cos_sim
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // s06: same absmax scale, floor-round quantizer, and ascending-index
+    // error dot (list_inner_product matches ArrayDot's accumulation
+    // order, like list_cosine_similarity does for the ANN kernels).
+    "s06_vec_quantize" ->
+      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | s1 AS (
+        |  SELECT label, vec_id, vec,
+        |    list_max(list_transform(vec, x -> abs(x))) AS scale
+        |  FROM e),
+        | q AS (
+        |  SELECT label, vec_id, vec, scale,
+        |    list_transform(vec, x -> floor(x / scale * 127.0 + 0.5)) AS qv
+        |  FROM s1),
+        | r AS (
+        |  SELECT label, scale,
+        |    list_transform(range(1, len(vec) + 1),
+        |                   i -> vec[i] - (qv[i] * scale) / 127.0) AS diff,
+        |    list_max(list_transform(qv, x -> abs(x))) AS qmax
+        |  FROM q),
+        | m AS (
+        |  SELECT label, scale, qmax,
+        |    sqrt(list_inner_product(diff, diff)) AS err
+        |  FROM r)
+        |SELECT label, count(*) AS n_vecs,
+        | floor((avg(scale))*1000000+0.5)/1000000 AS avg_scale,
+        | floor((avg(err))*1000000+0.5)/1000000 AS avg_err,
+        | floor((max(err))*1000000+0.5)/1000000 AS max_err,
+        | CAST(max(qmax) AS BIGINT) AS max_q
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "s03_centroid_stats" ->
       """WITH e AS (

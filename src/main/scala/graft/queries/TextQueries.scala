@@ -17,6 +17,11 @@ object TextQueries {
 
   private def rnd(c: Column, n: Int): Column = RelationalQueries.rnd(c, n)
 
+  /** t09 chunking window/stride (tokens). 64-token windows at stride 48
+    * = 16 tokens of overlap between consecutive chunks. */
+  val ChunkW = 64
+  val ChunkS = 48
+
   /** Whitespace tokens, Go-/DuckDB-compatible splitting (consecutive
     * separators produce empty tokens in both engines; filtered out). */
   private def tokens: Column =
@@ -159,6 +164,107 @@ object TextQueries {
         .orderBy("c_mktsegment")
     }),
 
+    /** Document chunking into overlapping token windows — the step that
+      * turns raw documents into training-sized sequences (context-window
+      * packing). Windows of [[ChunkW]] tokens at stride [[ChunkS]]
+      * (ChunkW − ChunkS tokens of overlap); a doc shorter than one
+      * window is its own single chunk. The explode fans each doc out to
+      * its chunk starts and the per-lang aggregate absorbs the volume
+      * map-side — no driver state, no shuffle of chunk text beyond the
+      * (tiny) distinct-fingerprint count. Chunk boundaries and the md5
+      * content fingerprints are deterministic string math, so the whole
+      * chunker is oracle-verified (chunk counts AND content hashes). */
+    "t09_chunk_stats" -> ((s, d) => {
+      val (w, st) = (ChunkW, ChunkS)
+      val docs = Tables.documents(s, d)
+        .withColumn("tk", tokens)
+        .withColumn("n", size(col("tk")))
+      val chunks = docs
+        .withColumn("j", explode(sequence(lit(0),
+          greatest(ceil((col("n") - w).cast("double") / st).cast("int"), lit(0)))))
+        .withColumn("chunk_toks", expr(s"slice(tk, j * $st + 1, $w)"))
+        .select(col("lang"), col("doc_id"),
+          least(lit(w), col("n") - col("j") * st).as("chunk_len"),
+          md5(concat_ws(" ", col("chunk_toks"))).as("chunk_md5"))
+      chunks.groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum("chunk_len").as("sum_chunk_tokens"),
+          countDistinct("chunk_md5").as("n_distinct_chunks"),
+          rnd(avg("chunk_len"), 4).as("avg_chunk_len"))
+        .orderBy("lang")
+    }),
+
+    /** TF-IDF scoring: the classic corpus-statistics ranking used for
+      * keyword extraction / quality features. df is corpus-global,
+      * tf per (lang, token); the idf uses the BM25 rational form
+      * (N − df + 0.5)/(df + 0.5) rather than a logarithm because +,×,/
+      * on integer-valued doubles are correctly rounded IEEE ops — bit
+      * identical across engines — while ln() is libm-dependent and
+      * could flip the rank of near-tied scores. Two shuffles (tf agg,
+      * df agg), both absorbing the exploded token volume map-side;
+      * the final ranking windows over the vocabulary-sized aggregate,
+      * never the corpus. */
+    "t10_tfidf" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(tokens).as("token"))
+      val nDocs = Tables.documents(s, d)
+        .agg(count(lit(1)).as("nd"))
+      val tf = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+      val df_ = tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df_, "token").crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf") * ((col("nd") - col("df") + 0.5) / (col("df") + 0.5)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("score").desc, col("token"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("lang"), col("rank"), col("token"), col("tf"), col("df"),
+          rnd(col("score"), 4).as("score"))
+        .orderBy("lang", "rank")
+    }),
+
+    /** Train/eval contamination check: eval documents sharing any word
+      * 8-gram with a training document leak test signal — the standard
+      * decontamination pass before an eval split ships. The split is
+      * the same portable hash gate as t07; 20 eval docs are planted
+      * verbatim into the train side (ids +500000) so the detector's
+      * recall is measurable against ground truth, not just zero.
+      * 8-grams are md5'd before the shuffle (16-byte keys instead of
+      * arbitrary-length text) and deduped per side; the detector is one
+      * semi join on the gram hash — at corpus scale this is the
+      * bloom-join shape, and the semi join keeps eval payloads out of
+      * the shuffle. Everything (gate, grams, md5) is portable string
+      * math, so contamination counts are oracle-verified end-to-end. */
+    "t11_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (train, eval_) = graft.operators.Sampling.splitPortable(docs, "doc_id")
+      val plants = eval_.filter(col("doc_id") < 300)
+        .select((col("doc_id") + 500000).as("doc_id"), col("lang"), col("text"))
+      val trainAll = train.select("doc_id", "lang", "text").unionByName(plants)
+      def grams(df: DataFrame): DataFrame = df
+        .withColumn("tk", tokens)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """CASE WHEN size(tk) >= 8
+            | THEN transform(sequence(1, size(tk) - 7),
+            |                i -> md5(concat_ws(' ', slice(tk, i, 8))))
+            | ELSE array(md5(concat_ws(' ', tk))) END""".stripMargin)).as("g"))
+      val trainGrams = grams(trainAll).select("g").distinct()
+      val contaminated = grams(eval_)
+        .select("doc_id", "lang", "g").distinct()
+        .join(trainGrams, Seq("g"), "left_semi")
+        .select("doc_id", "lang").distinct()
+      val evalByLang = eval_.groupBy("lang").agg(count(lit(1)).as("n_eval_docs"))
+      val contamByLang = contaminated.groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+      evalByLang.join(contamByLang, Seq("lang"), "left")
+        .select(col("lang"), col("n_eval_docs"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          rnd(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+            col("n_eval_docs"), 4).as("contamination_rate"))
+        .orderBy("lang")
+    }),
+
     /** Reproducible train/eval split via the engine-portable hash gate
       * ([[graft.operators.Sampling.splitPortable]]): the same row lands
       * on the same side on any engine and any partitioning, which is
@@ -275,6 +381,99 @@ object TextQueries {
         | count(DISTINCT red) AS n_distinct_redacted,
         | CAST(sum(length(red)) AS BIGINT) AS sum_red_len
         |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // t09: same window/stride arithmetic and md5 chunk fingerprints;
+    // list_slice is 1-based inclusive like Spark's slice(arr, start, n).
+    "t09_chunk_stats" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | m AS (SELECT doc_id, lang, tk, len(tk) AS n FROM t),
+        | st AS (
+        |  SELECT doc_id, lang, tk, n,
+        |    unnest(range(0, greatest(CAST(ceil((n - $ChunkW) / ${ChunkS.toDouble})
+        |                                  AS BIGINT), 0) + 1)) AS j
+        |  FROM m),
+        | ch AS (
+        |  SELECT lang, doc_id,
+        |    least($ChunkW, n - j * $ChunkS) AS chunk_len,
+        |    md5(array_to_string(list_slice(tk, j * $ChunkS + 1,
+        |                                   j * $ChunkS + $ChunkW), ' ')) AS chunk_md5
+        |  FROM st)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs,
+        | count(*) AS n_chunks,
+        | CAST(sum(chunk_len) AS BIGINT) AS sum_chunk_tokens,
+        | count(DISTINCT chunk_md5) AS n_distinct_chunks,
+        | floor((avg(chunk_len))*10000+0.5)/10000 AS avg_chunk_len
+        |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t10: BM25-form idf — rational arithmetic only, so scores are
+    // bit-identical across engines (ln() is libm-dependent and is
+    // deliberately avoided; see the query scaladoc).
+    "t10_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        | tf AS (SELECT lang, token, count(*) AS tf FROM tok GROUP BY lang, token),
+        | df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        | n AS (SELECT count(*) AS nd FROM documents),
+        | sc AS (
+        |  SELECT lang, token, tf, df,
+        |    tf * ((nd - df + 0.5) / (df + 0.5)) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        | r AS (
+        |  SELECT lang, token, tf, df, score, row_number()
+        |    OVER (PARTITION BY lang ORDER BY score DESC, token) AS rank
+        |  FROM sc)
+        |SELECT lang, CAST(rank AS INTEGER) AS rank, token,
+        | CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        | floor((score)*10000+0.5)/10000 AS score
+        |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    // t11: same portable gate as t07, same planted train copies, same
+    // md5'd word 8-grams — the contamination counts are ground truth
+    // recomputed from scratch, not a replay of the Spark plan.
+    "t11_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, text,
+        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
+        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
+        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 10 AS gate
+        |  FROM documents),
+        | ev AS (SELECT doc_id, lang, text FROM g WHERE gate < 2),
+        | tr AS (
+        |  SELECT doc_id, lang, text FROM g WHERE gate >= 2
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, lang, text FROM ev WHERE doc_id < 300),
+        | evtk AS (SELECT doc_id, lang,
+        |            list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM ev),
+        | trtk AS (SELECT doc_id,
+        |            list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM tr),
+        | evg AS (
+        |  SELECT DISTINCT doc_id, lang, gr FROM (
+        |    SELECT doc_id, lang, unnest(CASE WHEN len(tk) >= 8
+        |      THEN list_transform(range(1, len(tk) - 6),
+        |             i -> md5(array_to_string(list_slice(tk, i, i + 7), ' ')))
+        |      ELSE [md5(array_to_string(tk, ' '))] END) AS gr
+        |    FROM evtk)),
+        | trg AS (
+        |  SELECT DISTINCT gr FROM (
+        |    SELECT unnest(CASE WHEN len(tk) >= 8
+        |      THEN list_transform(range(1, len(tk) - 6),
+        |             i -> md5(array_to_string(list_slice(tk, i, i + 7), ' ')))
+        |      ELSE [md5(array_to_string(tk, ' '))] END) AS gr
+        |    FROM trtk)),
+        | contam AS (
+        |  SELECT DISTINCT doc_id, lang FROM evg WHERE gr IN (SELECT gr FROM trg)),
+        | e AS (SELECT lang, count(*) AS n_eval_docs FROM ev GROUP BY lang),
+        | c AS (SELECT lang, count(*) AS n_contaminated FROM contam GROUP BY lang)
+        |SELECT e.lang, e.n_eval_docs,
+        | CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        | floor((CAST(coalesce(c.n_contaminated, 0) AS DOUBLE) / e.n_eval_docs)
+        |   *10000+0.5)/10000 AS contamination_rate
+        |FROM e LEFT JOIN c ON e.lang = c.lang ORDER BY e.lang""".stripMargin,
 
     // Recomputes Sampling.splitPortable's md5-prefix gate verbatim —
     // every per-(split, lang) count must agree, not just the fractions.

@@ -104,4 +104,74 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
     assert(a.map(_.getAs[Long]("n_media")).sum == 5)
   }
+
+  test("t09_chunk_stats: window/stride arithmetic matches a direct reference") {
+    // independent Scala reference for the chunk count of every doc:
+    // 1 + max(ceil((n - W)/S), 0) chunks, each of min(W, n - j*S) tokens
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+    val expected = docs.map { r =>
+      val n = r.getAs[String]("text").split(" ").count(_.nonEmpty)
+      val extra = math.max(
+        math.ceil((n - TextQueries.ChunkW).toDouble / TextQueries.ChunkS).toLong, 0L)
+      (r.getAs[String]("lang"), 1L + extra,
+        (0L to extra).map(j =>
+          math.min(TextQueries.ChunkW.toLong, n - j * TextQueries.ChunkS)).sum)
+    }
+    val expByLang = expected.groupBy(_._1).map { case (l, xs) =>
+      l -> (xs.map(_._2).sum, xs.map(_._3).sum)
+    }
+    val got = TextQueries.queries("t09_chunk_stats")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("sum_chunk_tokens"))).toMap
+    assert(got == expByLang)
+  }
+
+  test("t10_tfidf: three ranked terms per lang, scores non-increasing") {
+    val rows = TextQueries.queries("t10_tfidf")(spark, sf0001).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == 3, s"$lang has ${rs.length} ranked terms")
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$lang scores not non-increasing: ${scores.toSeq}")
+    }
+  }
+
+  test("t11_contamination detects every planted train copy of an eval doc") {
+    // the plants are verbatim copies of eval docs with doc_id < 300, so
+    // each such eval doc shares ALL its 8-grams with train — the
+    // detector must flag at least those docs
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val gate = graft.operators.Sampling.portableGate(col("doc_id")) % 10
+    val plantedEval = docs.filter(gate < 2 && col("doc_id") < 300)
+      .select("doc_id", "lang").collect()
+    assert(plantedEval.nonEmpty, "fixture has no eval docs under id 300")
+    val plantedByLang = plantedEval.groupBy(_.getAs[String]("lang"))
+      .map { case (l, xs) => l -> xs.length.toLong }
+    val got = TextQueries.queries("t11_contamination")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_contaminated")).toMap
+    plantedByLang.foreach { case (lang, n) =>
+      assert(got.getOrElse(lang, 0L) >= n,
+        s"$lang: ${got.getOrElse(lang, 0L)} contaminated < $n planted")
+    }
+  }
+
+  test("s06_vec_quantize: error bounded by the quantizer's step size") {
+    // per-dim error <= scale/254 (half a step of 2*scale/254... the
+    // round-half-up quantizer's max per-dim error is scale/254), so
+    // ||err||_2 <= sqrt(64) * scale/254; check against the per-label
+    // max with the reported avg scale as a conservative proxy
+    val rows = SimilarityQueries.queries("s06_vec_quantize")(spark, sf0001).collect()
+    rows.foreach { r =>
+      val maxErr = r.getAs[Double]("max_err")
+      val avgScale = r.getAs[Double]("avg_scale")
+      val maxQ = r.getAs[Long]("max_q")
+      assert(maxQ <= 127, s"quantized magnitude $maxQ exceeds int8 range")
+      // loose structural bound: max scale <= ~3x avg scale on this data
+      assert(maxErr <= math.sqrt(64.0) * (3 * avgScale) / 254.0,
+        s"reconstruction error $maxErr too large for avg scale $avgScale")
+      assert(maxErr > 0.0, "quantization of gaussian data cannot be lossless")
+    }
+  }
 }
