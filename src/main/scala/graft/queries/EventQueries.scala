@@ -198,6 +198,43 @@ object EventQueries {
         .select("user_id", "n_events", "dur_sec", "first_event", "last_event")
         .orderBy("user_id", "first_event")
     }),
+
+    /** Streaming ingest deduplication via `dropDuplicatesWithinWatermark`
+      * — the operator a training-data pipeline puts in front of its
+      * event firehose so replayed/at-least-once deliveries don't double
+      * count. State per key is evicted once the watermark passes it
+      * (bounded state at any volume, unlike a plain `dropDuplicates`
+      * whose state grows forever on a stream). The replay is the events
+      * table DOUBLED (every row delivered twice, staged as one file so
+      * the bounded replay is one micro-batch); the dedup must collapse
+      * it back to exactly the original table, so the oracle is the
+      * plain per-type aggregate over the ORIGINAL events — duplicate
+      * delivery must be invisible downstream. */
+    "e05_stream_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      val src = tempDir("graft_e05_src_")
+      ev.unionByName(ev).coalesce(1).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val deduped = s.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("event_id")
+      val outDir = tempDir("graft_e05_out_")
+      val ckpt = tempDir("graft_e05_ckpt_")
+      val q = deduped.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          RelationalQueries.rnd(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -240,6 +277,13 @@ object EventQueries {
         | count(*) AS n,
         | floor((sum(value))*100+0.5)/100 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    // e05: the doubled replay must collapse back to the original table
+    // — the oracle aggregates the ORIGINAL events, never the doubling.
+    "e05_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        | floor((sum(value))*100+0.5)/100 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Millisecond-domain replica of the stateful sessionizer's contract:
     // sessions split on >1h gaps of epoch_ms, first/last event follow

@@ -517,6 +517,29 @@ object RelationalQueries {
           rnd(col("sum_l_quantity"), 2).as("sum_qty"), col("cnt"))
         .orderBy("l_returnflag")
     }),
+
+    /** Replicate-salted join for a skewed join key — the join-side
+      * counterpart of q41: l_returnflag has 3 values, so a plain
+      * shuffle join funnels each key's entire fact volume through one
+      * reducer at any scale. [[graft.operators.SkewTools.saltedJoin]]
+      * replicates the (tiny) dim row across 8 salt buckets and salts
+      * the fact side, spreading each hot key over 8 reducers. Like q41
+      * the oracle is the PLAIN join: salting is a physical rewrite and
+      * must be invisible in the result. */
+    "q42_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("k"), col("l_extendedprice"))
+      val dim = Tables.lineitem(s, d).select(col("l_returnflag").as("k"))
+        .distinct()
+        .withColumn("mult",
+          when(col("k") === "A", 0.9).when(col("k") === "N", 1.1)
+            .otherwise(1.0))
+      graft.operators.SkewTools.saltedJoin(li, dim, "k")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          rnd(sum(col("l_extendedprice") * col("mult")), 2).as("adj_revenue"))
+        .orderBy("k")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -831,5 +854,18 @@ object RelationalQueries {
         | floor((sum(l_quantity))*100+0.5)/100 AS sum_qty,
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Like q41, the replicate-salted join must be invisible in the
+    // result: the oracle is the plain join it replaces.
+    "q42_salted_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT l_returnflag AS k,
+        |    CASE WHEN l_returnflag = 'A' THEN 0.9
+        |         WHEN l_returnflag = 'N' THEN 1.1 ELSE 1.0 END AS mult
+        |  FROM lineitem)
+        |SELECT li.l_returnflag AS k, count(*) AS n,
+        | floor((sum(li.l_extendedprice * dim.mult))*100+0.5)/100 AS adj_revenue
+        |FROM lineitem li JOIN dim ON li.l_returnflag = dim.k
+        |GROUP BY li.l_returnflag ORDER BY k""".stripMargin,
   )
 }
