@@ -68,7 +68,13 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // hygiene, off the clock: a query that persists intermediates
+      // (d09's localCheckpoint rounds) must not leave them cached to
+      // inflate later queries' memory pressure
+      try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      catch { case _: Throwable => () }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

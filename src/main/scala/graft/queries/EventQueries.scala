@@ -138,6 +138,10 @@ object EventQueries {
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // do NOT coalesce here: coalesce is a narrow dependency, so
+          // it would collapse the stateful-aggregate stage itself to
+          // one task (all 32 state stores updated serially — measured
+          // 2× slower), not just the file write
           batch.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(outDir)
         }
@@ -190,6 +194,8 @@ object EventQueries {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // no coalesce: it would narrow the flatMapGroupsWithState
+          // stage itself (see e03)
           batch.write.mode("append").parquet(outDir)
         }
         .start()
@@ -225,6 +231,7 @@ object EventQueries {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // no coalesce: it would narrow the dedup state stage (see e03)
           batch.write.mode("append").parquet(outDir)
         }
         .start()

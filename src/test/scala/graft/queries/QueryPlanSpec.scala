@@ -87,4 +87,36 @@ class QueryPlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("q41_salted_agg")(spark, sf0001)
     assert(!df.columns.contains("__salt"))
   }
+
+  test("q42: salted join spreads the hot key; salt never reaches output") {
+    val plan = planOf("q42_salted_join")
+    // the join key must be (k, __salt), not the bare 3-value hot key
+    assert(plan.contains("__salt"), plan.take(3000))
+    val df = SparkEntry.queries("q42_salted_join")(spark, sf0001)
+    assert(!df.columns.contains("__salt"))
+  }
+
+  test("t11: contamination detector plans as a semi join (eval payload never shuffles wide)") {
+    val plan = planOf("t11_contamination")
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+  }
+
+  test("t10: tf and df aggregates both combine map-side before their shuffles") {
+    val plan = planOf("t10_tfidf")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      plan.take(3000))
+    // the corpus-size scalar joins in as a broadcast, not a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("s06: quantization is per-row until the final per-label aggregate") {
+    // scope to the AQE final plan (the formatted string also prints the
+    // initial plan, which would double every operator count)
+    val plan = planOf("s06_vec_quantize").split("== Initial Plan ==")(0)
+    // one aggregation pair (partial+final) — no other shuffle-producing
+    // operator: quantize/reconstruct/error are all projections
+    assert("HashAggregate".r.findAllIn(plan).size <= 2, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
 }
