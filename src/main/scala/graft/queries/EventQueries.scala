@@ -242,6 +242,41 @@ object EventQueries {
           RelationalQueries.rnd(sum("value"), 2).as("sum_value"))
         .orderBy("event_type")
     }),
+
+    /** Stream-static enrichment join: the events stream joined to the
+      * (static, broadcast) customer dimension — the stateless shape
+      * that attaches account metadata to a firehose. No watermark and
+      * no state store: an inner stream-static join re-evaluates the
+      * static side per micro-batch and holds nothing between batches,
+      * so it costs the same at any stream length. The aggregation
+      * happens AFTER the sink (batch-side), keeping the streaming part
+      * stateless end-to-end. */
+    "e06_stream_enrich" -> ((s, d) => {
+      val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .select(col("user_id"), col("value"))
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+      val enriched = raw.join(dim, "user_id")
+      val outDir = tempDir("graft_e06_out_")
+      val ckpt = tempDir("graft_e06_ckpt_")
+      val q = enriched.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          RelationalQueries.rnd(sum("value"), 2).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -291,6 +326,13 @@ object EventQueries {
       """SELECT event_type, count(*) AS n,
         | floor((sum(value))*100+0.5)/100 AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // e06: the stream-static join is semantically the plain batch join.
+    "e06_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        | floor((sum(value))*100+0.5)/100 AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // Millisecond-domain replica of the stateful sessionizer's contract:
     // sessions split on >1h gaps of epoch_ms, first/last event follow

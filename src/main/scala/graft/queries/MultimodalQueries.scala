@@ -130,6 +130,36 @@ object MultimodalQueries {
         .orderBy("source")
     }),
 
+    /** Multimodal training-record assembly: the id-equi-join that zips
+      * a document's text payload (opaque binary), its embedding vector,
+      * and typed metadata into one record — the last step before a
+      * training shard is written. Both sides are corpus-sized, so this
+      * is the one genuinely large join of the multimodal family; at
+      * scale it shuffles on the shared id (or avoids the shuffle
+      * entirely when both tables are bucketed by id —
+      * [[graft.operators.StorageLayout]] proves that layout). Vector
+      * norm runs through the native ArrayDot kernel; all downstream
+      * stats are portable, so assembly is oracle-verified. */
+    "m05_record_assembly" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          col("text").cast("binary").as("content"), col("n_chars"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      docs.join(emb, "doc_id")
+        .withColumn("n_bytes", octet_length(col("content")))
+        .withColumn("vec_norm",
+          sqrt(graft.functions.VectorExpressions.array_dot(col("vec"), col("vec"))))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_records"),
+          sum("n_bytes").as("sum_bytes"),
+          RelationalQueries.rnd(avg("n_chars"), 4).as("avg_chars"),
+          RelationalQueries.rnd(avg("vec_norm"), 4).as("avg_vec_norm"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("label")
+    }),
+
     /** Frame sampling: every k-th chunk of the payload as a "frame" row
       * — the explode/posexplode pattern used to fan a video column out
       * to frame rows, with deterministic chunking (oracle-able). */
@@ -175,6 +205,21 @@ object MultimodalQueries {
         | CAST(sum(new_h) AS BIGINT) AS sum_new_h,
         | CAST(max(new_h) AS INTEGER) AS max_new_h
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // m05: byte length via octet_length(encode(...)) — the UTF-8 byte
+    // count, matching Spark's octet_length on the binary cast with no
+    // ASCII assumption; vector norm via list_inner_product (same
+    // ascending accumulation as the native ArrayDot kernel).
+    "m05_record_assembly" ->
+      """SELECT e.label, count(*) AS n_records,
+        | CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS sum_bytes,
+        | floor((avg(d.n_chars))*10000+0.5)/10000 AS avg_chars,
+        | floor((avg(sqrt(list_inner_product(e.embedding::DOUBLE[],
+        |                                    e.embedding::DOUBLE[]))))*10000+0.5)/10000
+        |   AS avg_vec_norm,
+        | count(DISTINCT d.lang) AS n_langs
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY e.label ORDER BY e.label""".stripMargin,
 
     "m03_frame_sample" ->
       """WITH f AS (

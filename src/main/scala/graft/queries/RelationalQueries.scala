@@ -518,6 +518,28 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Value-based (RANGE) window frame — q35 covers the row-based
+      * frame; this is the other framing semantic: every same-priority
+      * order within ±3 calendar days of the current row, regardless of
+      * how many rows that spans. Sums stay in the integer-cents domain
+      * (double running sums diverge across engines — see the scaladoc
+      * parity rules); the frame bound is seconds on an epoch-seconds
+      * ordering so both engines frame identically. The window computes
+      * over the FULL table and only the output is key-limited. */
+    "q43_range_frame" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("timestamp").cast("long").as("sec"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("sec"))
+        .rangeBetween(-3L * 86400, 3L * 86400)
+      o.withColumn("win_cents", sum("cents").over(w))
+        .withColumn("win_n", count(lit(1)).over(w))
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("win_cents").cast("double") / 100).as("win_total"), col("win_n"))
+        .orderBy("o_orderkey")
+    }),
+
     /** Replicate-salted join for a skewed join key — the join-side
       * counterpart of q41: l_returnflag has 3 values, so a plain
       * shuffle join funnels each key's entire fact volume through one
@@ -854,6 +876,27 @@ object RelationalQueries {
         | floor((sum(l_quantity))*100+0.5)/100 AS sum_qty,
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q43: RANGE frame over epoch seconds, sums in integer cents; the
+    // division back to currency is a correctly-rounded double op on
+    // both engines.
+    "q43_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    epoch(CAST(o_orderdate AS TIMESTAMP)) AS sec,
+        |    CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        | w AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    sum(cents) OVER win AS win_cents,
+        |    count(*) OVER win AS win_n
+        |  FROM o
+        |  WINDOW win AS (PARTITION BY o_orderpriority ORDER BY sec
+        |    RANGE BETWEEN 259200 PRECEDING AND 259200 FOLLOWING))
+        |SELECT o_orderkey, o_orderpriority,
+        | CAST(win_cents AS DOUBLE)/100 AS win_total,
+        | CAST(win_n AS BIGINT) AS win_n
+        |FROM w WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
 
     // Like q41, the replicate-salted join must be invisible in the
     // result: the oracle is the plain join it replaces.
