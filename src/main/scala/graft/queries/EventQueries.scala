@@ -243,6 +243,83 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    /** Ordered conversion funnel view → click → purchase. Each stage is
+      * a per-user min-timestamp aggregate joined to the previous stage
+      * and filtered to strictly-later events — every join and groupBy
+      * shuffles on `user_id`, so at scale one partitioning is reused
+      * across all three stages (co-partitioned by AQE / explicit
+      * repartition on a cluster) and nothing is ever widened beyond
+      * (user, ts). Stage times stay in the exact ns domain (`ts_ns`);
+      * conversion delays are truncated to integer ms before averaging
+      * so the cross-engine double math is exact (sum of <2^53 ints). */
+    "e07_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_ns"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_ns").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_ns") > col("t_view"))
+        .groupBy("user_id")
+        .agg(min("ts_ns").as("t_click"), min("t_view").as("t_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_ns") > col("t_click"))
+        .groupBy("user_id")
+        .agg(min("ts_ns").as("t_purchase"), min("t_click").as("t_click"))
+      val rnd = RelationalQueries.rnd _
+      v.agg(count(lit(1)).as("n_view_users"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_users"),
+          rnd(avg(expr("(t_click - t_view) div 1000000")) / 1000.0, 4)
+            .as("avg_view_click_sec")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_users"),
+          rnd(avg(expr("(t_purchase - t_click) div 1000000")) / 1000.0, 4)
+            .as("avg_click_purchase_sec")))
+    }),
+
+    /** Cohort retention: users bucketed by first-seen day, activity
+      * counted per (cohort day, day offset). Two shuffles on `user_id`
+      * (cohort assignment, then the join back) and one on the cohort
+      * cell for the distinct-count — the standard formulation that
+      * scales as long as no single cohort cell dominates, which day
+      * granularity guarantees here. */
+    "e08_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val coh = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(coh, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("offset_days"))
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "offset_days")
+    }),
+
+    /** Interval (range) join without a range explosion: every `error`
+      * event opens a 5-minute incident window; count the same user's
+      * other events falling inside any window. A naive formulation is
+      * an inequality join (quadratic per user); instead both sides are
+      * bucketed to 5-minute bins — each window spans exactly two bins,
+      * so intervals are replicated twice, the join becomes an equi-join
+      * on (user, bin), and the range predicate only re-checks the
+      * candidates. Work is Σ bin-pair sizes, not Σ user².
+      * Replication factor generalizes to ⌈len/binWidth⌉+1 for longer
+      * intervals. */
+    "e09_range_join" -> ((s, d) => {
+      val W = 300000000000L // 5 min in ns; also the bin width
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      val winBins = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts_ns").as("w_start"))
+        .select(col("user_id"), col("w_start"),
+          explode(array(expr(s"w_start div $W"),
+            expr(s"(w_start + $W) div $W"))).as("bin"))
+      ev.filter(col("event_type") =!= "error")
+        .withColumn("bin", expr(s"ts_ns div $W"))
+        .join(winBins, Seq("user_id", "bin"))
+        .filter(col("ts_ns").between(col("w_start"), col("w_start") + W))
+        .select("event_id", "event_type").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+
     /** Stream-static enrichment join: the events stream joined to the
       * (static, broadcast) customer dimension — the stateless shape
       * that attaches account metadata to a firehose. No watermark and
@@ -313,6 +390,48 @@ object EventQueries {
         |FROM events e
         |ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    // e07: stage delays are integer-ms truncated on both sides before
+    // the avg, so the double math is exact (sum of <2^53 integers).
+    "e07_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_ns(ts)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        | c AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_click, min(v.t_view) AS t_view
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t_view GROUP BY 1),
+        | p AS (
+        |  SELECT e.user_id, min(epoch_ns(e.ts)) AS t_purchase, min(c.t_click) AS t_click
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click GROUP BY 1)
+        |SELECT * FROM
+        | (SELECT count(*) AS n_view_users FROM v),
+        | (SELECT count(*) AS n_click_users,
+        |    floor(avg((t_click - t_view) // 1000000) / 1000.0 * 10000 + 0.5) / 10000
+        |      AS avg_view_click_sec FROM c),
+        | (SELECT count(*) AS n_purchase_users,
+        |    floor(avg((t_purchase - t_click) // 1000000) / 1000.0 * 10000 + 0.5) / 10000
+        |      AS avg_click_purchase_sec FROM p)""".stripMargin,
+
+    "e08_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        | coh AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT coh.cohort_day,
+        | CAST(date_diff('day', coh.cohort_day, ev.day) AS INT) AS offset_days,
+        | count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN coh ON ev.user_id = coh.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // e09: the oracle states the SEMANTICS (plain inequality join); the
+    // Spark side implements it as a bin-replicated equi-join.
+    "e09_range_join" ->
+      """SELECT e.event_type, count(DISTINCT e.event_id) AS n_events
+        |FROM events e JOIN events w ON e.user_id = w.user_id
+        | AND w.event_type = 'error'
+        | AND epoch_ns(e.ts) BETWEEN epoch_ns(w.ts) AND epoch_ns(w.ts) + 300000000000
+        |WHERE e.event_type <> 'error'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "e03_stream_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
