@@ -281,9 +281,130 @@ object TextQueries {
           sum("n_chars").as("sum_chars"))
         .orderBy("split", "lang")
     }),
+
+    /** Gopher-style repetition filters: per-doc duplicate-2-gram
+      * fraction (how much of the doc is repeated word pairs) and
+      * top-token fraction (how much is one repeated token). The 2-gram
+      * path is pure array math inside the row — no explode, no
+      * shuffle; the top-token path explodes but aggregates map-side to
+      * (doc, token) then (doc), so shuffled volume is vocabulary-
+      * bounded per doc. The doc_id join of the two per-doc metrics is
+      * an equi-join both sides already partition on. Flag thresholds
+      * (dup2 > 0.05, top > 0.1) mark docs a training pipeline would
+      * drop. */
+    "t12_repetition" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), tokens.as("toks"))
+      // sequence(0, n-2) would run DESCENDING for n<2 (Spark generates
+      // backwards when start>stop) — guard short docs to an empty array
+      val perDoc = base.withColumn("n", size(col("toks")))
+        .withColumn("grams", when(col("n") >= 2,
+          transform(sequence(lit(0), col("n") - 2),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>")))
+        .withColumn("dup2", when(size(col("grams")) > 0,
+          lit(1.0) - size(array_distinct(col("grams"))).cast("double") /
+            size(col("grams"))).otherwise(lit(0.0)))
+        .select("doc_id", "lang", "n", "dup2")
+      val top = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_cnt"))
+      val topFrac = col("top_cnt").cast("double") / col("n")
+      perDoc.join(top, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          rnd(avg("dup2"), 4).as("avg_dup2"),
+          rnd(avg(topFrac), 4).as("avg_topfrac"),
+          sum(when(col("dup2") > 0.05, 1).otherwise(0)).cast("long")
+            .as("n_flag_dup"),
+          sum(when(topFrac > 0.1, 1).otherwise(0)).cast("long")
+            .as("n_flag_top"))
+        .orderBy("lang")
+    }),
+
+    /** C4/Gopher-style quality gate battery: per-doc boolean gates
+      * (token count in range, mean word length in range, ≥2 distinct
+      * stopwords, digit-token fraction below cap) aggregated to pass
+      * counts per source. Everything is row-local Column math until the
+      * final small aggregate, so the filter costs one corpus scan at
+      * any scale — the shape of a pretraining-corpus cleaning pass. */
+    "t13_quality_gates" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("source"), col("text"), tokens.as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("awl",
+          length(regexp_replace(col("text"), " ", "")).cast("double") / col("n"))
+        .withColumn("nstop", size(array_intersect(array_distinct(col("toks")),
+          array(StopWords.map(lit): _*))))
+        .withColumn("digit_frac",
+          size(filter(col("toks"), t => t.rlike("[0-9]"))).cast("double") / col("n"))
+      val gLen = col("n").between(20, 1000)
+      val gAwl = col("awl").between(3.0, 10.0)
+      val gStop = col("nstop") >= 2
+      val gDigit = col("digit_frac") <= 0.2
+      def cnt(c: Column): Column = sum(when(c, 1).otherwise(0)).cast("long")
+      base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          cnt(gLen).as("pass_len"),
+          cnt(gAwl).as("pass_wordlen"),
+          cnt(gStop).as("pass_stopwords"),
+          cnt(gDigit).as("pass_digits"),
+          cnt(gLen && gAwl && gStop && gDigit).as("pass_all"))
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t12_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        | g AS (
+        |  SELECT doc_id, lang, len(toks) AS n,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE [] END AS grams
+        |  FROM base),
+        | d AS (
+        |  SELECT doc_id, lang, n,
+        |    CASE WHEN len(grams) > 0
+        |      THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |      ELSE 0.0 END AS dup2
+        |  FROM g),
+        | tc AS (
+        |  SELECT doc_id, tok, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY 1, 2),
+        | top AS (SELECT doc_id, max(c) AS top_cnt FROM tc GROUP BY 1)
+        |SELECT d.lang, count(*) AS n_docs,
+        | floor(avg(d.dup2)*10000+0.5)/10000 AS avg_dup2,
+        | floor(avg(CAST(top.top_cnt AS DOUBLE)/d.n)*10000+0.5)/10000 AS avg_topfrac,
+        | CAST(sum(CASE WHEN d.dup2 > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup,
+        | CAST(sum(CASE WHEN CAST(top.top_cnt AS DOUBLE)/d.n > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top
+        |FROM d JOIN top ON d.doc_id = top.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t13_quality_gates" ->
+      """WITH m AS (
+        |  SELECT source, len(toks) AS n,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS awl,
+        |    len(list_intersect(list_distinct(toks),
+        |        ['the','a','of','and','to','in'])) AS nstop,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[0-9]'))) AS DOUBLE)
+        |      / len(toks) AS digit_frac
+        |  FROM (SELECT source, text,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM documents))
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN n BETWEEN 20 AND 1000 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+        | CAST(sum(CASE WHEN awl BETWEEN 3 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordlen,
+        | CAST(sum(CASE WHEN nstop >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+        | CAST(sum(CASE WHEN digit_frac <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_digits,
+        | CAST(sum(CASE WHEN n BETWEEN 20 AND 1000 AND awl BETWEEN 3 AND 10
+        |   AND nstop >= 2 AND digit_frac <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "t01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(list_filter(string_split(text,' '), t -> t <> ''))) AS BIGINT) AS sum_tokens,
