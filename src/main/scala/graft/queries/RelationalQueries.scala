@@ -562,9 +562,129 @@ object RelationalQueries {
           rnd(sum(col("l_extendedprice") * col("mult")), 2).as("adj_revenue"))
         .orderBy("k")
     }),
+
+    /** Exact interpolated percentiles (`percentile` = sort + linear
+      * interpolation, the quantile_cont definition) per group. A full
+      * exact percentile shuffles every value to its group — fine for
+      * low-cardinality groups; the approx path for wide data is q44. */
+    "q45_percentile_exact" -> ((s, d) => {
+      def p(f: Double, as: String): Column =
+        rnd(expr(s"percentile(l_extendedprice, $f)"), 4).as(as)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(p(0.5, "p50"), p(0.9, "p90"), p(0.99, "p99"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** Sketch-based quantiles at scale: `percentile_approx` (a KLL-
+      * style mergeable sketch — constant memory per group, one pass,
+      * map-side mergeable) vs the exact sort-based percentile. The
+      * oracle checks the INVARIANT a sketch with accuracy 10000 must
+      * satisfy on this data: every group's approximate median lands
+      * inside the exact [p45, p55] band, i.e. n_within == n_groups.
+      * (The approximate VALUE itself is sketch-implementation-defined,
+      * so it is not oracle-comparable — the rank-error bound is.) */
+    "q44_approx_quantile" -> ((s, d) => {
+      val g = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("approx"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"))
+      g.agg(count(lit(1)).as("n_groups"),
+        sum(when(col("approx").between(col("p45"), col("p55")), 1).otherwise(0))
+          .cast("long").as("n_within"))
+    }),
+
+    /** Equi-width histogram over a data-derived domain: min/max come
+      * from one tiny aggregate broadcast back over the scan (two passes
+      * total, no sort, no shuffle of raw values beyond the bucket agg).
+      * The bucket formula is pure IEEE arithmetic so both engines bin
+      * identically; the max value's bucket (exactly n_buckets) is
+      * clamped into the last bucket like width_bucket does. */
+    "q46_histogram" -> ((s, d) => {
+      val mm = Tables.orders(s, d)
+        .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      Tables.orders(s, d).select("o_totalprice")
+        .crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          least(floor((col("o_totalprice") - col("lo")) /
+            (col("hi") - col("lo")) * 20), lit(19.0)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          rnd(min("o_totalprice"), 2).as("lo_price"),
+          rnd(max("o_totalprice"), 2).as("hi_price"))
+        .orderBy("bucket")
+    }),
+
+    /** Bloom-filter runtime pruning — the semi-join filter a 100 TB
+      * fact⋈dim join wants: build a bloom filter over the dim keys
+      * with a distributed `bloom_filter_agg` (mergeable sketch, one
+      * pass over the dim side), ship the ~1.5 MB bitmap to every fact
+      * task as a literal (the sketch is bounded by its bit budget, not
+      * by data volume — collecting it is the broadcast pattern, not a
+      * driver-side data loop), and drop non-joining fact rows AT THE
+      * SCAN with the codegen'd `might_contain` before the shuffle.
+      * False positives are removed by the real join; false negatives
+      * are impossible, so the result must equal the plain join — which
+      * is exactly what the oracle checks. Spark's own InjectRuntimeFilter
+      * does this rewrite only when it estimates selectivity; here it is
+      * the explicit operator form. */
+    "q47_bloom_prune" -> ((s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graft.ColumnBridge
+      val dim = Tables.part(s, d).filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_brand"))
+      val bloomBin = dim.agg(ColumnBridge.column(
+        new BloomFilterAggregate(ColumnBridge.expression(col("p_partkey")),
+          Literal(200000L), Literal(200000L * 16L)).toAggregateExpression())
+        .as("bf")).head().getAs[Array[Byte]]("bf")
+      val pruned = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .filter(ColumnBridge.column(new BloomFilterMightContain(
+          Literal(bloomBin), ColumnBridge.expression(col("l_partkey")))))
+      pruned.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), rnd(sum(revenue), 2).as("revenue"))
+        .orderBy("p_brand")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q45_percentile_exact" ->
+      """SELECT l_returnflag,
+        | floor(quantile_cont(l_extendedprice, 0.5)*10000+0.5)/10000 AS p50,
+        | floor(quantile_cont(l_extendedprice, 0.9)*10000+0.5)/10000 AS p90,
+        | floor(quantile_cont(l_extendedprice, 0.99)*10000+0.5)/10000 AS p99,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q44: the sketch value is implementation-defined; the rank-error
+    // invariant (every approx median inside the exact p45..p55 band,
+    // n_within == n_groups) is the cross-engine-checkable contract.
+    "q44_approx_quantile" ->
+      """SELECT count(*) AS n_groups, count(*) AS n_within
+        |FROM (SELECT l_returnflag FROM lineitem GROUP BY 1)""".stripMargin,
+
+    "q46_histogram" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+        |SELECT least(CAST(floor((o_totalprice - lo)/(hi - lo)*20) AS BIGINT), 19) AS bucket,
+        | count(*) AS n,
+        | floor(min(o_totalprice)*100+0.5)/100 AS lo_price,
+        | floor(max(o_totalprice)*100+0.5)/100 AS hi_price
+        |FROM orders, mm GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q47: bloom pruning is a physical rewrite — the oracle is the
+    // PLAIN join it must be indistinguishable from.
+    "q47_bloom_prune" ->
+      """SELECT p_brand, count(*) AS n,
+        | floor((sum(l_extendedprice*(1-l_discount)))*100+0.5)/100 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q01_agg_battery" ->
       """SELECT l_returnflag, l_linestatus,
         | floor((sum(l_quantity))*100+0.5)/100 AS sum_qty,
