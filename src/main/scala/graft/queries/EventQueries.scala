@@ -354,6 +354,56 @@ object EventQueries {
           RelationalQueries.rnd(sum("value"), 2).as("sum_value"))
         .orderBy("c_mktsegment")
     }),
+
+    /** Stream-stream inner join with watermarks on BOTH sides: every
+      * click joined to the same user's purchases within the following
+      * hour (attribution). The event-time range condition plus the two
+      * watermarks bound the join state — each side's buffered rows are
+      * evicted once the watermark passes the range they could still
+      * match, so state is (watermark window × arrival rate), not the
+      * stream's history. Timestamps compare in the µs domain on both
+      * engines and the delay sum stays integer-µs, so the oracle (the
+      * equivalent batch self-join) is exact. */
+    "e10_stream_stream_join" -> ((s, d) => {
+      val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+      // def, not val: each side of a self-join needs its own source
+      def src = s.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_ts", "1 day")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "1 day")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+      val outDir = tempDir("graft_e10_out_")
+      val ckpt = tempDir("graft_e10_ckpt_")
+      val q = joined
+        .select(col("click_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delay_us"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // no coalesce: it would narrow the join state stage (see e03)
+          batch.write.mode("append").parquet(outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(outDir)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct("click_id").as("n_clicks"),
+          countDistinct("purchase_id").as("n_purchases"),
+          sum("delay_us").as("sum_delay_us"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -422,6 +472,19 @@ object EventQueries {
         | count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN coh ON ev.user_id = coh.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // e10: the stream-stream join over a bounded replay is semantically
+    // the batch self-join; comparisons and the delay sum stay in the
+    // integer-µs domain (Spark's ts is µs-truncated from the ns file).
+    "e10_stream_stream_join" ->
+      """SELECT count(*) AS n_pairs,
+        | count(DISTINCT c.event_id) AS n_clicks,
+        | count(DISTINCT p.event_id) AS n_purchases,
+        | CAST(sum(epoch_ns(p.ts)//1000 - epoch_ns(c.ts)//1000) AS BIGINT) AS sum_delay_us
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_ns(p.ts)//1000 >= epoch_ns(c.ts)//1000
+        | AND epoch_ns(p.ts)//1000 <= epoch_ns(c.ts)//1000 + 3600000000""".stripMargin,
 
     // e09: the oracle states the SEMANTICS (plain inequality join); the
     // Spark side implements it as a bin-replicated equi-join.
