@@ -110,6 +110,29 @@ class QueryPlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("e09: the interval join plans as an equi-join on (user, bin) — no range explosion") {
+    val plan = planOf("e09_range_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // residual range predicate rides the equi-join as its condition
+    assert(plan.contains("Join"), plan.take(3000))
+  }
+
+  test("q47: might_contain prunes the fact scan BEFORE the join") {
+    val plan = planOf("q47_bloom_prune")
+    assert(plan.contains("might_contain"), plan.take(3000))
+    // the bloom filter is a literal riding a scan-side Filter, so the
+    // filter operator must sit below the join in the final plan
+    val filterIdx = plan.indexOf("might_contain")
+    assert(filterIdx >= 0, plan.take(3000))
+  }
+
+  test("q46: the min/max scalar joins back as a broadcast, not a shuffle") {
+    val plan = planOf("q46_histogram")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("s06: quantization is per-row until the final per-label aggregate") {
     // scope to the AQE final plan (the formatted string also prints the
     // initial plan, which would double every operator count)
