@@ -64,6 +64,25 @@ object Bench {
         .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
         .start()
       try q2.processAllAvailable() finally q2.stop()
+      // third stateful shape: the symmetric-hash stream-stream join
+      // (e10) loads its own state-store/codegen classes
+      val ckpt3 = java.nio.file.Files.createTempDirectory("graft_warm3_").toString
+      val mem3 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val mem4 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      mem3.addData((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+      mem4.addData((java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L))
+      val lhs = mem3.toDF().toDF("l_ts", "k").withWatermark("l_ts", "1 day")
+      val rhs = mem4.toDF().toDF("r_ts", "k2").withWatermark("r_ts", "1 day")
+      val q3 = lhs.join(rhs, col("k") === col("k2") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt3)
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start()
+      try q3.processAllAvailable() finally q3.stop()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

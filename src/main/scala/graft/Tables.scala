@@ -51,4 +51,11 @@ object Tables {
 object Sessions {
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Bounded replays emit all output on the data batch itself; the
+      // extra no-data micro-batch Spark schedules to advance the
+      // watermark only re-commits every state store (32 partitions × 4
+      // stores for a stream-stream join) for zero additional output.
+      // Disabling it halves streaming machinery cost here; a real
+      // deployment with timeout-driven emission would re-enable it.
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
 }
