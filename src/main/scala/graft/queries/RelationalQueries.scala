@@ -618,6 +618,38 @@ object RelationalQueries {
         .orderBy("bucket")
     }),
 
+    /** CDC latest-wins upsert compaction: merge a change feed into a
+      * snapshot by keeping, per key, the row with the highest change
+      * sequence — the MERGE/compaction shape every incrementally-
+      * maintained 100 TB table needs. `max_by` makes it ONE map-side-
+      * combinable aggregate (partial max_by per input partition, one
+      * shuffle on the key) instead of the window row_number
+      * formulation, which must materialize and sort every version of
+      * every key after the shuffle. The change feed is derived
+      * deterministically from the snapshot (every 10th key gets a
+      * priced-up update) so the oracle can rebuild it. */
+    "q48_upsert_merge" -> ((s, d) => {
+      val snap = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), lit(0L).as("seq"))
+      val changes = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit(1L).as("seq"))
+      snap.unionByName(changes)
+        .groupBy("o_orderkey")
+        .agg(max_by(col("o_totalprice"), col("seq")).as("price"),
+          max_by(col("o_orderpriority"), col("seq")).as("prio"),
+          max("seq").as("last_seq"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n_keys"),
+          rnd(sum("price"), 2).as("sum_price"),
+          sum(when(col("last_seq") === 1, 1).otherwise(0)).cast("long")
+            .as("n_updated"))
+        .orderBy("prio")
+    }),
+
     /** Bloom-filter runtime pruning — the semi-join filter a 100 TB
       * fact⋈dim join wants: build a bloom filter over the dim keys
       * with a distributed `bloom_filter_agg` (mergeable sketch, one
@@ -675,6 +707,23 @@ object RelationalQueries {
         | floor(min(o_totalprice)*100+0.5)/100 AS lo_price,
         | floor(max(o_totalprice)*100+0.5)/100 AS hi_price
         |FROM orders, mm GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q48_upsert_merge" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice, 0 AS seq FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        | latest AS (
+        |  SELECT o_orderkey,
+        |    arg_max(o_totalprice, seq) AS price,
+        |    arg_max(o_orderpriority, seq) AS prio,
+        |    max(seq) AS last_seq
+        |  FROM merged GROUP BY 1)
+        |SELECT prio, count(*) AS n_keys,
+        | floor((sum(price))*100+0.5)/100 AS sum_price,
+        | CAST(sum(CASE WHEN last_seq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+        |FROM latest GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q47: bloom pruning is a physical rewrite — the oracle is the
     // PLAIN join it must be indistinguishable from.

@@ -323,6 +323,36 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    /** Training-shard packing: lay documents end-to-end in a canonical
+      * (lang, doc_id) order and cut 4096-token shards at token offsets
+      * — the step that turns a cleaned corpus into fixed-budget
+      * training files. The token offsets come from
+      * [[graft.operators.PrefixScan.runningSum]], the two-pass
+      * distributed scan — NOT from a `Window.partitionBy(lang)` running
+      * sum, whose ≤5-partition total order would funnel each language
+      * through one task at any scale. A document lands in the shard its
+      * first token falls in (documents can straddle shard boundaries —
+      * offset packing, the deterministic variant of greedy packing).
+      * Integer token counts keep the scan cross-engine exact; the
+      * oracle recomputes the same offsets with a plain SQL window. */
+    "t14_shard_pack" -> ((s, d) => {
+      val B = 4096L // shard token budget
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(tokens).cast("long").as("n_tok"))
+      val scanned = graft.operators.PrefixScan.runningSum(
+        docs, group = Seq("lang"), order = Seq("doc_id"),
+        value = "n_tok", out = "cum_tok")
+      scanned
+        .withColumn("shard", expr(s"(cum_tok - n_tok) div $B"))
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("sum_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("lang", "shard")
+    }),
+
     /** C4/Gopher-style quality gate battery: per-doc boolean gates
       * (token count in range, mean word length in range, ≥2 distinct
       * stopwords, digit-token fraction below cap) aggregated to pass
@@ -356,6 +386,23 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t14_shard_pack" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+        |  FROM documents),
+        | c AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_tok
+        |  FROM d)
+        |SELECT lang, CAST((cum_tok - n_tok) // 4096 AS BIGINT) AS shard,
+        | count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "t12_repetition" ->
       """WITH base AS (
         |  SELECT doc_id, lang,

@@ -202,4 +202,36 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(ev(1, 30, 5)), Seq(ev(1, 30, 2)), Seq(ev(1, 300, 9)))
     assert(out == Seq(StatefulSessionize.Session(1, 2, 0.0, 2, 5)))
   }
+
+  test("PrefixScan.runningSum equals the window cumsum on a multi-partition frame") {
+    // 3 groups × 2000 rows over 16 input partitions, scanned with 8
+    // range partitions — every partition boundary cuts through a group
+    val df = spark.range(0, 6000, 1, 16)
+      .select((col("id") % 3).cast("string").as("g"), col("id").as("ord"),
+        ((col("id") * 7) % 13 + 1).as("v"))
+    val scanned = PrefixScan.runningSum(df, Seq("g"), Seq("ord"), "v", "cum",
+      numPartitions = 8)
+    val expected = df.withColumn("cum",
+      sum("v").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy("ord")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    assert(scanned.select("g", "ord", "v", "cum").except(expected).isEmpty &&
+      expected.except(scanned.select("g", "ord", "v", "cum")).isEmpty)
+    assert(scanned.count() == 6000)
+  }
+
+  test("PrefixScan: no window ever partitions by the bare low-cardinality group") {
+    // the data-sized window must key on (__pid, group); only the
+    // metadata-sized offset window may key on the group alone
+    val df = spark.range(0, 1000, 1, 8)
+      .select(lit("onegroup").as("g"), col("id").as("ord"), lit(1L).as("v"))
+    val scanned = PrefixScan.runningSum(df, Seq("g"), Seq("ord"), "v", "cum",
+      numPartitions = 4)
+    val plan = scanned.queryExecution.executedPlan.toString
+    // the big window runs over (__pid, g): its specification string
+    // mentions __pid; a bare [g] window over the full data would not
+    assert(plan.contains("__pid"), plan.take(2000))
+    val row = scanned.agg(max("cum")).collect()(0)
+    assert(row.getLong(0) == 1000L)
+  }
 }
