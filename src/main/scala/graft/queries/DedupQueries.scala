@@ -375,9 +375,46 @@ object DedupQueries {
         RelationalQueries.rnd(coalesce(max("jaccard"), lit(0.0)), 4).as("max_jaccard"),
         RelationalQueries.rnd(coalesce(avg("jaccard"), lit(0.0)), 4).as("avg_jaccard"))
     }),
+
+    /** Edit-distance record linkage: the fuzzy-identity dedup used for
+      * entity resolution (names, titles, addresses) where token
+      * sketches are too coarse. Candidates are blocked (segment key +
+      * key cap) exactly like d04 — levenshtein is O(len²) per pair, so
+      * the self-join must be block-bounded before the kernel runs; at
+      * corpus scale the block key would be a fingerprint prefix and
+      * the cap [[BlockCap]]-salted. The distance is integer and both
+      * engines implement the same DP metric, so the whole pipeline is
+      * exact-oracle-verified. */
+    "d10_edit_distance" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"), col("c_name"))
+      val a = c.toDF("id_a", "seg", "name_a")
+      val b = c.toDF("id_b", "seg", "name_b")
+      a.join(b, Seq("seg")).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_near_pairs"),
+          countDistinct("id_a").as("n_docs_with_dup"),
+          RelationalQueries.rnd(avg("dist"), 4).as("avg_dist"))
+        .orderBy("seg")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "d10_edit_distance" ->
+      """SELECT seg, count(*) AS n_near_pairs,
+        | count(DISTINCT id_a) AS n_docs_with_dup,
+        | floor(avg(dist)*10000+0.5)/10000 AS avg_dist
+        |FROM (
+        |  SELECT a.c_mktsegment AS seg, a.c_custkey AS id_a,
+        |    levenshtein(a.c_name, b.c_name) AS dist
+        |  FROM customer a JOIN customer b
+        |    ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+        |  WHERE a.c_custkey <= 500 AND b.c_custkey <= 500)
+        |WHERE dist <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "d01_exact_dedup" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
         |           FROM documents GROUP BY md5(text))

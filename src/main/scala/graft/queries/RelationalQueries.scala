@@ -618,6 +618,47 @@ object RelationalQueries {
         .orderBy("bucket")
     }),
 
+    /** Unpivot (melt): wide per-group measures → long (group, measure,
+      * value) triples — `Dataset.unpivot`, the inverse of q30's pivot.
+      * Runs on an already-aggregated 3-row frame, so the reshape is
+      * free at any scale; the oracle spells it as UNION ALL. */
+    "q49_unpivot" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(rnd(sum("l_quantity"), 2).as("qty"),
+          rnd(sum("l_extendedprice"), 2).as("price"),
+          rnd(sum(col("l_discount") * 100), 2).as("disc_pct"))
+      wide.unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc_pct")),
+        "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    }),
+
+    /** Ranking-function battery: row_number / rank / dense_rank /
+      * percent_rank / cume_dist over one window, on a key-bounded
+      * slice. percent_rank and cume_dist are rank arithmetic over
+      * small integers — bit-identical across engines without rounding.
+      * (The slice bound keeps this a FUNCTION-parity query; scale
+      * patterns for ranking are q19's TakeOrdered top-k and q36's
+      * cutoff bucketing, not a wide window.) */
+    "q50_rank_battery" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prnk", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          rnd(col("o_totalprice"), 2).as("price"),
+          col("rnk"), col("drnk"), col("prnk"), col("cdist"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
     /** CDC latest-wins upsert compaction: merge a change feed into a
       * snapshot by keeping, per key, the row with the highest change
       * sequence — the MERGE/compaction shape every incrementally-
@@ -707,6 +748,37 @@ object RelationalQueries {
         | floor(min(o_totalprice)*100+0.5)/100 AS lo_price,
         | floor(max(o_totalprice)*100+0.5)/100 AS hi_price
         |FROM orders, mm GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q49_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    floor(sum(l_quantity)*100+0.5)/100 AS qty,
+        |    floor(sum(l_extendedprice)*100+0.5)/100 AS price,
+        |    floor(sum(l_discount*100)*100+0.5)/100 AS disc_pct
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty' AS measure, qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'price', price FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'disc_pct', disc_pct FROM w
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q50_rank_battery" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey <= 2000),
+        | r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    percent_rank() OVER w AS prnk, cume_dist() OVER w AS cdist
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey,
+        | floor(o_totalprice*100+0.5)/100 AS price,
+        | CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk, prnk, cdist
+        |FROM r WHERE rn <= 20 ORDER BY 1, 2""".stripMargin,
 
     "q48_upsert_merge" ->
       """WITH merged AS (
