@@ -14,16 +14,31 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // dev-loop filter: SPARK_GRAFT_ONLY=e07,e08 limits the dump to the
-    // named prefixes (the driver never sets it, so its runs stay full)
+    // named prefixes (the driver never sets it, so its runs stay full).
+    // Filtered dumps land in <outDir>_partial so a truncated dump can
+    // never masquerade as a full one in a later full compare, and a
+    // filter that selects nothing (e.g. SPARK_GRAFT_ONLY='') fails
+    // loudly instead of silently dumping zero queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq.filter(_.nonEmpty))
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
+    val names = SparkEntry.queries.keys.filter(selected)
+    require(only.isEmpty || names.nonEmpty,
+      s"[verify] SPARK_GRAFT_ONLY='${sys.env("SPARK_GRAFT_ONLY")}' selects no query")
+    val effOut = only match {
+      case Some(o) =>
+        val p = s"${outDir}_partial"
+        println(s"[verify] FILTER ACTIVE (${o.mkString(",")}): " +
+          s"dumping ${names.size}/${SparkEntry.queries.size} queries to $p")
+        p
+      case None => outDir
+    }
+    new java.io.File(effOut).mkdirs()
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(s"$effOut/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -42,7 +57,7 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$effOut/oracle_sql.json"), json)
     spark.stop()
   }
 }

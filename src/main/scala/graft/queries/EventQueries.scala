@@ -142,8 +142,7 @@ object EventQueries {
           // it would collapse the stateful-aggregate stage itself to
           // one task (all 32 state stores updated serially — measured
           // 2× slower), not just the file write
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(outDir)
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
@@ -153,7 +152,9 @@ object EventQueries {
       // across batches, rows later than watermark + 1 day in an earlier
       // batch are dropped by design and the result would come up
       // subtly short. Fail loudly if the data layout ever changes.
-      val maxBatch = out.agg(max("batch_id")).head().getLong(0)
+      // batch_id is now a PARTITION column (IdempotentSink layout), so
+      // its read-back type follows partition inference — cast explicitly
+      val maxBatch = out.agg(max(col("batch_id").cast("long"))).head().getLong(0)
       require(maxBatch == 0,
         s"e03 oracle assumes a single micro-batch replay, saw batch_id up to $maxBatch — " +
           "events.parquet became multi-file or a trigger limit was set")
@@ -193,14 +194,19 @@ object EventQueries {
       val q = sessions.toDF.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // no coalesce: it would narrow the flatMapGroupsWithState
           // stage itself (see e03)
-          batch.write.mode("append").parquet(outDir)
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(outDir)
+      val out = s.read.parquet(outDir)
+      // cross-file invariant (Sessions.tune disables no-data
+      // micro-batches): every append-mode roster query must emit on the
+      // data batch itself — fail loudly, not hash-mismatch downstream
+      require(!out.isEmpty, "e04: streaming sink produced zero rows")
+      out
         .select("user_id", "n_events", "dur_sec", "first_event", "last_event")
         .orderBy("user_id", "first_event")
     }),
@@ -219,8 +225,14 @@ object EventQueries {
     "e05_stream_dedup" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      // Harness scaffolding, not the measured operator: the doubled
+      // replay is staged as ONE file so the bounded stream arrives as a
+      // single micro-batch (the oracle's contract). repartition(1) —
+      // not coalesce — keeps the upstream scan parallel and narrows
+      // only the final write task; a production pipeline never stages
+      // its own source like this.
       val src = tempDir("graft_e05_src_")
-      ev.unionByName(ev).coalesce(1).write.mode("overwrite").parquet(src)
+      ev.unionByName(ev).repartition(1).write.mode("overwrite").parquet(src)
       val schema = s.read.parquet(src).schema
       val deduped = s.readStream.schema(schema).parquet(src)
         .withWatermark("ts", "1 day")
@@ -230,13 +242,15 @@ object EventQueries {
       val q = deduped.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // no coalesce: it would narrow the dedup state stage (see e03)
-          batch.write.mode("append").parquet(outDir)
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(outDir)
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e05: streaming sink produced zero rows") // see e04
+      out
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           RelationalQueries.rnd(sum("value"), 2).as("sum_value"))
@@ -343,12 +357,14 @@ object EventQueries {
       val q = enriched.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(outDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(outDir)
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e06: streaming sink produced zero rows") // see e04
+      out
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
           RelationalQueries.rnd(sum("value"), 2).as("sum_value"))
@@ -392,13 +408,15 @@ object EventQueries {
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // no coalesce: it would narrow the join state stage (see e03)
-          batch.write.mode("append").parquet(outDir)
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(outDir)
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e10: streaming sink produced zero rows") // see e04
+      out
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct("click_id").as("n_clicks"),
           countDistinct("purchase_id").as("n_purchases"),

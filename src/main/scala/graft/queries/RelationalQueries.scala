@@ -608,9 +608,13 @@ object RelationalQueries {
         .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
       Tables.orders(s, d).select("o_totalprice")
         .crossJoin(broadcast(mm))
+        // degenerate-domain guard: if every value is equal, hi - lo = 0
+        // and the unguarded division is 0.0/0.0 = NaN (whose floor is
+        // engine-defined) — pin the single bucket to 0 on BOTH engines
         .withColumn("bucket",
-          least(floor((col("o_totalprice") - col("lo")) /
-            (col("hi") - col("lo")) * 20), lit(19.0)).cast("long"))
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(floor((col("o_totalprice") - col("lo")) /
+              (col("hi") - col("lo")) * 20), lit(19.0)).cast("long")))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           rnd(min("o_totalprice"), 2).as("lo_price"),
@@ -743,7 +747,9 @@ object RelationalQueries {
 
     "q46_histogram" ->
       """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
-        |SELECT least(CAST(floor((o_totalprice - lo)/(hi - lo)*20) AS BIGINT), 19) AS bucket,
+        |SELECT CASE WHEN hi = lo THEN 0
+        |  ELSE least(CAST(floor((o_totalprice - lo)/(hi - lo)*20) AS BIGINT), 19)
+        |  END AS bucket,
         | count(*) AS n,
         | floor(min(o_totalprice)*100+0.5)/100 AS lo_price,
         | floor(max(o_totalprice)*100+0.5)/100 AS hi_price

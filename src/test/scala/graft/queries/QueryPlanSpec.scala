@@ -118,13 +118,19 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(plan.contains("Join"), plan.take(3000))
   }
 
-  test("q47: might_contain prunes the fact scan BEFORE the join") {
-    val plan = planOf("q47_bloom_prune")
-    assert(plan.contains("might_contain"), plan.take(3000))
-    // the bloom filter is a literal riding a scan-side Filter, so the
-    // filter operator must sit below the join in the final plan
-    val filterIdx = plan.indexOf("might_contain")
-    assert(filterIdx >= 0, plan.take(3000))
+  test("q47: might_contain prunes the fact scan BELOW the join") {
+    // positional check needs the TREE string (children print below
+    // parents), not the formatted details section
+    val df = SparkEntry.queries("q47_bloom_prune")(spark, sf0001)
+    df.collect()
+    val tree = df.queryExecution.executedPlan.toString
+    val filterIdx = tree.indexOf("might_contain")
+    val joinIdx = "HashJoin|SortMergeJoin".r
+      .findFirstMatchIn(tree).map(_.start).getOrElse(-1)
+    assert(filterIdx >= 0, tree.take(3000))
+    assert(joinIdx >= 0, tree.take(3000))
+    assert(filterIdx > joinIdx,
+      s"might_contain filter does not sit below the join:\n${tree.take(3000)}")
   }
 
   test("q46: the min/max scalar joins back as a broadcast, not a shuffle") {

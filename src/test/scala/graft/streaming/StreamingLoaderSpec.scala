@@ -57,6 +57,22 @@ class StreamingLoaderSpec extends AnyFunSuite {
     assert(n == 3) // ids 1, 2, 3 exactly once
   }
 
+  test("IdempotentSink: a retried micro-batch replaces its output, not appends") {
+    import SparkSessionFixture.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-idem").toString
+    IdempotentSink.writeBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L, out)
+    IdempotentSink.writeBatch(Seq((3L, "c")).toDF("id", "v"), 1L, out)
+    // at-least-once delivery: the job died after the sink write but
+    // before the checkpoint commit, so batch 1 is delivered AGAIN
+    IdempotentSink.writeBatch(Seq((3L, "c")).toDF("id", "v"), 1L, out)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3, "replayed batch must overwrite its partition")
+    assert(got.filter(col("batch_id") === 1).count() == 1)
+    // and the retry must not have touched other batches' partitions
+    assert(got.filter(col("batch_id") === 0).count() == 2)
+  }
+
   test("stream into a missing table is refused (as-is semantics)") {
     val url = "jdbc:derby:memory:stream2;create=true"
     intercept[IllegalArgumentException] {
