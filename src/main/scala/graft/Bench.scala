@@ -18,10 +18,14 @@ object Bench {
     * restarts it.
     */
   private def scrub(spark: SparkSession): Unit = {
+    // NonFatal only: an OOM or linkage error (e.g. StateStore.stop()
+    // shifting on a Spark upgrade) must crash loudly, not be swallowed
     try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] scrub unpersist failed: ${e.getMessage}") }
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] scrub StateStore.stop failed: ${e.getMessage}") }
   }
 
   def main(args: Array[String]): Unit = {
@@ -121,7 +125,12 @@ object Bench {
         family = name.head
       }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(e) =>
+        // keep benching the rest, but make the failure attributable
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        -1L
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // one line per query, flushed as it completes: the driver keeps only
       // the last ~2000 bytes of output, and a single 95-query JSON line is
@@ -136,12 +145,15 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // the full line never fits in a 2000-byte tail capture; persist it in
-    // the repo so no round's per-query numbers can be lost again
+    // the full line never fits in a 2000-byte tail capture; persist it
+    // next to the build (env-overridable, cwd by default — NOT a
+    // hardcoded checkout path) so no round's per-query numbers are lost
+    val lastPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File("BENCH_LAST.json").getAbsolutePath)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(lastPath), (line + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $lastPath: ${e.getMessage}") }
     println(line)
     spark.stop()
   }

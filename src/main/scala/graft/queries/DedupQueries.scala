@@ -95,18 +95,26 @@ object DedupQueries {
     * alphanumerics, the standard-blocking key of the record-linkage
     * literature — and `sub` splits any block larger than [[BlockCap]]
     * into ceil(n/BlockCap) sub-blocks keyed by the portable hash of the
-    * 14-char fingerprint prefix. Records sharing 14 fingerprint chars
-    * (in particular exact duplicates) always share a sub-block, so the
-    * recall loss of the cap is confined to near-dup pairs that diverge
-    * inside the first 14 normalized chars. Every piece (lower,
-    * regexp_replace, substring, md5-ascii gate) computes bit-identically
-    * in DuckDB, so the capped pipeline stays exact-oracle-verifiable. */
+    * FULL fingerprint. Salting on the full fingerprint (not a prefix)
+    * makes the cap genuine: distinct fingerprints spread ~uniformly over
+    * the sub-blocks even when every name shares a long common prefix
+    * (e.g. 'Customer#0000…' corpora, where any fixed-prefix salt
+    * collapses to one value and the cap silently vanishes). Recall
+    * contract: exact-fingerprint duplicates always share a sub-block;
+    * a near-dup pair whose fingerprints differ ANYWHERE survives an
+    * overflowing block's salt only with probability 1/nsub — the price
+    * of a hard O(BlockCap²) bound. The one residual way to overflow a
+    * sub-block is >BlockCap records with the IDENTICAL fingerprint;
+    * those are exact dups at the fingerprint level and belong to the
+    * exact-dedup pass (d01) that a linkage pipeline runs first. Every
+    * piece (lower, regexp_replace, substring, md5-ascii gate) computes
+    * bit-identically in DuckDB, so the capped pipeline stays
+    * exact-oracle-verifiable. */
   def d10Blocked(recs: DataFrame): DataFrame = {
     val fingerprint = regexp_replace(lower(col("name")), "[^a-z0-9]", "")
     val keyed = recs.select(col("id"), col("seg"),
       substring(fingerprint, 1, 12).as("fp"),
-      graft.operators.Sampling.portableGate(substring(fingerprint, 1, 14))
-        .as("pint"),
+      graft.operators.Sampling.portableGate(fingerprint).as("pint"),
       col("name"))
     // block census is one row per (seg, fp) — broadcast it back so the
     // salting adds no extra shuffle of the payload
@@ -190,9 +198,9 @@ object DedupQueries {
     * collide on at least one 16-bit band (banding parameterized via
     * [[simhashBands]]). Factored out so d03 and the planted oracle
     * (d08) share one code path. */
-  def simhashPairs(sketch: DataFrame): DataFrame = {
+  def simhashPairs(sketch: DataFrame, nBands: Int = 4, nBits: Int = 16): DataFrame = {
     val bands = sketch.select(col("doc_id"), col("simhash"),
-        simhashBands(bands = 4, bits = 16).as("bb"))
+        simhashBands(bands = nBands, bits = nBits).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bits"))
     val a = bands.select(col("band"), col("bits"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
@@ -307,6 +315,90 @@ object DedupQueries {
         .crossJoin(exactPairs.agg(count(lit(1)).as("n_exact_pairs")))
     }),
 
+    /** d03's sketch, NEAR-dup-verified against planted ground truth —
+      * closes the gap d08 leaves (exact copies only): plant one-token
+      * edits (append " graftdup" to ≥20-token docs, the d06 recipe) and
+      * demand the band join recalls every planted pair. One appended
+      * token shifts each of the 64 per-bit vote sums by ±1, so only
+      * bits whose vote margin was 0/±1 can flip — measured across all
+      * three SFs the planted pairs stay at hamming ≤ 6. Banding here is
+      * 8 bands × 8 bits (the [[simhashBands]] parameterization d03
+      * defaults to 4×16): with 8 bands, any pair at hamming ≤ 7 dirties
+      * at most 7 bands, so ≥ 1 stays clean and recall is PIGEONHOLE-
+      * guaranteed, not banding luck — the 4×16 default only guarantees
+      * hamming ≤ 3 and measurably drops one h=5 pair. DuckDB cannot
+      * recompute the xxhash-based sketch, so — exactly as d06 — the
+      * oracle is deterministic-empirical, pipeline-independent ground
+      * truth: the planted census with recall and the hamming-≤ 8 gate
+      * asserted at 100% (verified at all three SFs; a corpus
+      * regeneration re-rolls the vote margins and a pair past hamming 7
+      * would need the threshold revisited). */
+    "d11_simhash_neardup" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val planted = base
+        .filter(col("doc_id") < 40 && size(toks) >= 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      val corpus = base.unionByName(planted)
+      val plantedPairs = simhashPairs(simhashSketch(corpus), nBands = 8, nBits = 8)
+        .filter(col("doc_b") === col("doc_a") + 100000)
+      corpus.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+        .crossJoin(plantedPairs.agg(
+          count(lit(1)).as("n_planted_recalled"),
+          sum(when(col("hamming") <= 8, 1).otherwise(0))
+            .as("n_hamming_le8")))
+    }),
+
+    /** Incremental (cross-corpus) exact dedup — ingestion-time dedup of
+      * a new delivery against the standing corpus, the daily shape of a
+      * training-data pipeline (the corpus is never re-deduped whole;
+      * each batch is checked against it). Deterministic 60/40
+      * corpus/batch split on doc_id mod 5. Membership is probed in two
+      * phases: a distributed `bloom_filter_agg` over the corpus
+      * text-hashes collapses to ONE bounded binary (the q47 broadcast
+      * pattern — `.head()` reads a sketch, not data), the batch side is
+      * first grouped per-hash (map-side combinable, so the probe volume
+      * is distinct-hash-bounded) and filtered on `might_contain` —
+      * bloom-NEGATIVE hashes are DEFINITELY new and never reach a join
+      * — and only the bloom-positive sliver semi-joins the corpus to
+      * kill the ~1% false positives. At 100 TB the corpus hash set
+      * dwarfs executor memory but the bloom stays broadcastable, and
+      * join traffic is (true dups + fp) only. The bloom is physically
+      * load-bearing but semantically invisible: the oracle is the plain
+      * hash join in DuckDB. */
+    "d12_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graft.ColumnBridge
+      val all = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val corpus = all.filter(col("doc_id") % 5 < 3).select("h").distinct()
+      val bh = all.filter(col("doc_id") % 5 >= 3)
+        .groupBy("h").agg(count(lit(1)).as("n"))
+      val bloomBin = corpus.agg(ColumnBridge.column(
+        new BloomFilterAggregate(ColumnBridge.expression(xxhash64(col("h"))),
+          Literal(100000L), Literal(100000L * 16L)).toAggregateExpression())
+        .as("bf")).head().getAs[Array[Byte]]("bf")
+      // INNER join against the distinct corpus hash set, which is ≡ a
+      // semi join here — deliberately not "left_semi": Catalyst's
+      // PushDownLeftSemiAntiJoin rule rewrites Filter(SemiJoin) order
+      // and would hoist the bloom ABOVE the join, defeating the
+      // prefilter (QueryPlanSpec pins the filter-below-join shape)
+      val dupHashes = bh.filter(ColumnBridge.column(new BloomFilterMightContain(
+          Literal(bloomBin), ColumnBridge.expression(xxhash64(col("h"))))))
+        .join(corpus, Seq("h"))
+      bh.agg(sum("n").as("n_batch"), count(lit(1)).as("n_batch_hashes"))
+        .crossJoin(dupHashes.agg(
+          coalesce(sum("n"), lit(0L)).as("n_dup_vs_corpus"),
+          count(lit(1)).as("n_dup_hashes")))
+        .select(col("n_batch"), col("n_dup_vs_corpus"),
+          (col("n_batch") - col("n_dup_vs_corpus")
+            - (col("n_batch_hashes") - col("n_dup_hashes"))).as("n_batch_dups"),
+          (col("n_batch_hashes") - col("n_dup_hashes")).as("n_unique_new"))
+    }),
+
     /** Duplicate-cluster resolution: near-dup PAIRS are only half a
       * dedup pipeline — transitive groups must be clustered so one
       * keeper survives per group. Edges are word-3-gram jaccard ≥ 0.3
@@ -411,11 +503,13 @@ object DedupQueries {
       * sketches are too coarse. levenshtein is O(len²) per pair, so the
       * self-join must be block-bounded BEFORE the kernel runs: blocks
       * are (segment, 12-char name-fingerprint prefix) and any block
-      * larger than [[BlockCap]] is salted into prefix-hash sub-blocks
-      * by [[d10Blocked]] — at corpus scale no block ever exceeds
-      * ~BlockCap no matter how the names skew (DedupSkewSpec proves
-      * it), unlike a bare low-cardinality segment key whose blocks grow
-      * with the corpus. The distance is integer, both engines implement
+      * larger than [[BlockCap]] is salted into full-fingerprint-hash
+      * sub-blocks by [[d10Blocked]] — at corpus scale no sub-block
+      * exceeds ~BlockCap however the names skew (DedupSkewSpec proves
+      * it), with one documented exception: >BlockCap records sharing an
+      * IDENTICAL fingerprint, i.e. exact dups, which the d01 pass
+      * upstream collapses first. Unlike a bare low-cardinality segment
+      * key, blocks do not grow with the corpus. The distance is integer, both engines implement
       * the same DP metric, and the blocking replicates bit-identically
       * in DuckDB, so the whole capped pipeline is exact-oracle-verified. */
     "d10_edit_distance" -> ((s, d) => {
@@ -440,7 +534,7 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     // d10 replicates the whole capped blocking in DuckDB (fingerprint,
-    // 12-char block key, portable md5 gate on the 14-char prefix,
+    // 12-char block key, portable md5 gate on the FULL fingerprint,
     // BlockCap interpolated) so tuning the Scala side can never
     // desynchronize the replica — same recipe as d04.
     "d10_edit_distance" ->
@@ -448,15 +542,15 @@ object DedupQueries {
         |  SELECT c_custkey AS id, c_mktsegment AS seg, c_name AS name,
         |    substring(regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'),
         |              1, 12) AS fp,
-        |    ascii(substring(md5(substring(
-        |        regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'),
-        |        1, 14)), 1, 1)) * 65536
-        |      + ascii(substring(md5(substring(
-        |          regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'),
-        |          1, 14)), 2, 1)) * 256
-        |      + ascii(substring(md5(substring(
-        |          regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'),
-        |          1, 14)), 3, 1)) AS pint
+        |    ascii(substring(md5(
+        |        regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
+        |        ), 1, 1)) * 65536
+        |      + ascii(substring(md5(
+        |          regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
+        |          ), 2, 1)) * 256
+        |      + ascii(substring(md5(
+        |          regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
+        |          ), 3, 1)) AS pint
         |  FROM customer WHERE c_custkey <= 500),
         | sz AS (SELECT seg, fp, count(*) AS bn FROM c GROUP BY seg, fp),
         | s AS (
@@ -608,5 +702,38 @@ object DedupQueries {
         | floor((max(CASE WHEN jaccard >= 0.9 THEN jaccard END))*10000+0.5)/10000
         |   AS max_jaccard_09
         |FROM p""".stripMargin,
+
+    // d11: DuckDB cannot rebuild the xxhash simhash sketch, so the
+    // oracle states the pipeline-independent ground truth directly —
+    // the planted census, with recall and the hamming-≤8 gate asserted
+    // at 100% of it (deterministic-empirical, same stance as d06; the
+    // Spark side goes red the moment the band join misses ONE pair).
+    "d11_simhash_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        | pl AS (
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
+        |  FROM base
+        |  WHERE doc_id < 40
+        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20)
+        |SELECT (SELECT count(*) FROM base) + (SELECT count(*) FROM pl) AS n_docs,
+        | (SELECT count(*) FROM pl) AS n_planted,
+        | (SELECT count(*) FROM pl) AS n_planted_recalled,
+        | (SELECT count(*) FROM pl) AS n_hamming_le8""".stripMargin,
+
+    // d12: the bloom is a physical optimization (no false negatives,
+    // fp killed by the confirm join) — the oracle is the plain hash
+    // join it accelerates.
+    "d12_incremental_dedup" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+        | corpus AS (SELECT DISTINCT h FROM a WHERE doc_id % 5 < 3),
+        | bh AS (SELECT h, count(*) AS n FROM a WHERE doc_id % 5 >= 3 GROUP BY h),
+        | dup AS (SELECT bh.h, bh.n FROM bh JOIN corpus USING (h))
+        |SELECT (SELECT CAST(sum(n) AS BIGINT) FROM bh) AS n_batch,
+        | CAST(coalesce((SELECT sum(n) FROM dup), 0) AS BIGINT) AS n_dup_vs_corpus,
+        | CAST((SELECT sum(n) FROM bh) - coalesce((SELECT sum(n) FROM dup), 0)
+        |   - ((SELECT count(*) FROM bh) - (SELECT count(*) FROM dup)) AS BIGINT)
+        |   AS n_batch_dups,
+        | CAST((SELECT count(*) FROM bh) - (SELECT count(*) FROM dup) AS BIGINT)
+        |   AS n_unique_new""".stripMargin,
   )
 }

@@ -154,6 +154,7 @@ object EventQueries {
       // subtly short. Fail loudly if the data layout ever changes.
       // batch_id is now a PARTITION column (IdempotentSink layout), so
       // its read-back type follows partition inference — cast explicitly
+      require(!out.isEmpty, "e03: streaming sink produced zero rows")
       val maxBatch = out.agg(max(col("batch_id").cast("long"))).head().getLong(0)
       require(maxBatch == 0,
         s"e03 oracle assumes a single micro-batch replay, saw batch_id up to $maxBatch — " +

@@ -383,9 +383,106 @@ object TextQueries {
           cnt(gLen && gAwl && gStop && gDigit).as("pass_all"))
         .orderBy("source")
     }),
+
+    /** Deterministic global corpus shuffle + shard assignment — the
+      * step in front of every pre-training run: examples must arrive in
+      * a reproducible pseudo-random order, decorrelated from crawl/
+      * source order, and land in fixed shards. Order key and shard are
+      * BOTH the portable md5 gate of (doc_id, seed) — never `rand()`,
+      * whose per-task re-evaluation reshuffles on every retry and
+      * breaks resumable training. At scale nothing here global-sorts:
+      * shard assignment is a projection, shard-balance stats one
+      * aggregate, and the order-head sample a TakeOrderedAndProject
+      * top-k; the full sharded write would be
+      * `.repartition(col("shard")).write.partitionBy("shard")` — one
+      * shuffle, balanced by hash uniformity, no sort at all. The md5
+      * arithmetic replicates verbatim in DuckDB, so order AND
+      * assignment are oracle-verified, not just row counts. */
+    "t15_corpus_shuffle" -> ((s, d) => {
+      val nShards = 16
+      val docs = Tables.documents(s, d)
+        .withColumn("skey", graft.operators.Sampling.portableGate(
+          concat(col("doc_id").cast("string"), lit(":graftshuffle42"))))
+        .withColumn("shard", pmod(col("skey"), lit(nShards)))
+      val balance = docs.groupBy("shard").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_shards"),
+          min("n").as("min_shard_docs"), max("n").as("max_shard_docs"))
+      val head = docs.orderBy(col("skey"), col("doc_id")).limit(5)
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct(col("skey"), col("doc_id")))),
+          r => r.getField("doc_id").cast("string"))).as("head_ids"))
+      balance.crossJoin(head)
+    }),
+
+    /** Stratified (language-rebalancing) sampler: per-stratum keep
+      * rates applied through the deterministic portable hash gate —
+      * downsample the dominant language, keep the tail whole, the
+      * standard domain-mixing move before training. One scan, zero
+      * shuffle until the per-lang stats aggregate, no `rand()` (same
+      * reproducibility argument as t15), and membership is a pure
+      * function of doc_id — a re-run, a retry, or an incremental
+      * extension of the corpus keeps every prior decision. The gate is
+      * pseudo-uniform over the 4096 md5-ascii values (production would
+      * use xxhash64's full 64 bits; md5-ascii is the engine-portable
+      * choice, so the achieved rates themselves are oracle-checked). */
+    "t16_stratified_sample" -> ((s, d) => {
+      val rates = Seq("en" -> 0.3, "de" -> 0.5, "es" -> 1.0,
+        "fr" -> 1.0, "zh" -> 1.0)
+      val gate = pmod(graft.operators.Sampling.portableGate(
+        concat(col("doc_id").cast("string"), lit(":strat"))), lit(4096))
+      val cut = rates.foldLeft(lit(0.0)) { case (acc, (l, f)) =>
+        when(col("lang") === l, lit(f * 4096)).otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .withColumn("kept", (gate < cut).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+          rnd(sum("kept").cast("double") / count(lit(1)), 4).as("kept_rate"))
+        .orderBy("lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // t15: the md5-ascii order key and shard assignment replicate
+    // verbatim, so the ORDER itself (head_ids) is oracle-verified —
+    // determinism is the contract, not just balance.
+    "t15_corpus_shuffle" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':graftshuffle42'), 1, 1)) * 65536
+        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':graftshuffle42'), 2, 1)) * 256
+        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':graftshuffle42'), 3, 1))) AS skey
+        |  FROM documents),
+        | s AS (SELECT doc_id, skey, skey % 16 AS shard FROM g),
+        | b AS (SELECT shard, count(*) AS n FROM s GROUP BY shard),
+        | h AS (SELECT array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY skey, doc_id), ',')
+        |         AS head_ids
+        |       FROM (SELECT doc_id, skey FROM s ORDER BY skey, doc_id LIMIT 5))
+        |SELECT (SELECT count(*) FROM b) AS n_shards,
+        | (SELECT CAST(min(n) AS BIGINT) FROM b) AS min_shard_docs,
+        | (SELECT CAST(max(n) AS BIGINT) FROM b) AS max_shard_docs,
+        | (SELECT head_ids FROM h) AS head_ids""".stripMargin,
+
+    // t16: gate arithmetic and per-stratum cuts replicate verbatim —
+    // the achieved per-lang keep counts are the check, not nominal rates.
+    "t16_stratified_sample" ->
+      """WITH g AS (
+        |  SELECT lang,
+        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 1)) * 65536
+        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 2, 1)) * 256
+        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 3, 1))) % 4096 AS gate
+        |  FROM documents),
+        | k AS (SELECT lang,
+        |   CASE WHEN gate < CASE lang WHEN 'en' THEN 0.3 * 4096
+        |     WHEN 'de' THEN 0.5 * 4096 WHEN 'es' THEN 1.0 * 4096
+        |     WHEN 'fr' THEN 1.0 * 4096 WHEN 'zh' THEN 1.0 * 4096
+        |     ELSE 0 END THEN 1 ELSE 0 END AS kept
+        |  FROM g)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+        | floor((CAST(sum(kept) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000
+        |   AS kept_rate
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
     "t14_shard_pack" ->
       """WITH d AS (
         |  SELECT lang, doc_id,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{SparkEntry, SparkSessionFixture}
+import org.apache.spark.sql.functions.{col, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions: the roster's scale claims (pushdown,
@@ -133,10 +134,66 @@ class QueryPlanSpec extends AnyFunSuite {
       s"might_contain filter does not sit below the join:\n${tree.take(3000)}")
   }
 
+  test("d12: bloom prefilter sits below the corpus confirm-join") {
+    // the whole point of the two-phase probe: bloom-negative batch
+    // hashes must be filtered out BEFORE the semi join, not after
+    val df = SparkEntry.queries("d12_incremental_dedup")(spark, sf0001)
+    df.collect()
+    val tree = df.queryExecution.executedPlan.toString
+    val filterIdx = tree.indexOf("might_contain")
+    val joinIdx = "HashJoin|SortMergeJoin".r
+      .findFirstMatchIn(tree).map(_.start).getOrElse(-1)
+    assert(filterIdx >= 0 && joinIdx >= 0, tree.take(3000))
+    assert(filterIdx > joinIdx,
+      s"might_contain does not sit below the join:\n${tree.take(3000)}")
+  }
+
+  test("t15: the shuffle-order head samples as top-k, never a global sort") {
+    val plan = planOf("t15_corpus_shuffle")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("q46: the min/max scalar joins back as a broadcast, not a shuffle") {
     val plan = planOf("q46_histogram")
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("AQE skew-join conversion still fires (q41/q42's documented backstop)") {
+    // SkewTools' comments lean on AQE handling skewed sort-merge joins;
+    // this pins that a Spark upgrade (or a conf default change) cannot
+    // silently drop the conversion. A hot key holding ~95% of the left
+    // side, thresholds tuned down so the test corpus trips them, must
+    // come back from AQE marked "skew=true" on the join node.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      // coalescing can merge the split partitions straight back at this
+      // tiny scale — keep the knobs from fighting each other
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 200000)
+        .select((when(col("id") % 20 =!= 0, 1L).otherwise(col("id")))
+          .as("k"), col("id").as("payload"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        (col("id") * 2).as("dim"))
+      // no groupBy on k after the join: reusing the join's partitioning
+      // downstream makes AQE (correctly) decline to split the skewed
+      // partitions, since that would force an extra shuffle
+      val joined = left.join(right, "k").select(col("payload"))
+      joined.collect()
+      val tree = joined.queryExecution.executedPlan.toString
+      assert(tree.contains("skew=true"),
+        s"AQE did not convert the skewed join:\n${tree.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("s06: quantization is per-row until the final per-label aggregate") {
