@@ -403,22 +403,23 @@ object DedupQueries {
       * dedup pipeline — transitive groups must be clustered so one
       * keeper survives per group. Edges are word-3-gram jaccard ≥ 0.3
       * pairs over the planted corpus (portable string math, so DuckDB
-      * builds the identical graph); components come from 8 rounds of
-      * min-label propagation — each round one join + one min-aggregate,
-      * all shuffle-bounded. 8 rounds cover diameter-8 components (far
-      * beyond the planted cliques); a web-scale corpus would swap in
-      * the pointer-doubling variant (O(log n) rounds) but keep exactly
-      * this join shape. The oracle recomputes components with a
-      * recursive CTE — pipeline-independent ground truth.
+      * builds the identical graph); components come from min-label
+      * propagation run to FIXPOINT — each round one join + one
+      * min-aggregate, all shuffle-bounded, convergence probed by the
+      * O(1)-row sum(lbl) aggregate (labels are monotone non-increasing,
+      * so an unchanged sum ⟺ no label moved). The oracle recomputes
+      * components with a recursive CTE — pipeline-independent ground
+      * truth.
       *
       * Rounds use the pointer-doubling (shortcutting) form: each round
       * takes the min over edge-neighbors' labels AND over the label of
       * the node's own label, so reach grows ~2× per round instead of
-      * +1 — 4 rounds cover diameter ≥ 15 (plain propagation needed 8
-      * rounds for diameter 8) and each materialization barrier is the
-      * dominant cost at interactive scale. This is exactly the variant
-      * a web-scale corpus needs (O(log d) rounds), not just a bench
-      * trick.
+      * +1 — O(log d) rounds to any diameter d, and the fixpoint exit
+      * means the planted cliques stop after ~3 rounds while a deep
+      * web-graph would keep going (capped at 16 doublings = diameter
+      * 2¹⁶, a loud bound rather than silent mislabeling). Each
+      * materialization barrier is the dominant cost at interactive
+      * scale — exactly the variant a web-scale corpus needs.
       */
     "d09_dup_clusters" -> ((s, d) => {
       val base = Tables.documents(s, d).filter(col("doc_id") < 200)
@@ -448,7 +449,22 @@ object DedupQueries {
         pairs.select(col("v").as("u"), col("u").as("v"))).localCheckpoint(true)
       var labels = edges.select(col("u").as("node")).distinct()
         .withColumn("lbl", col("node")).localCheckpoint(true)
-      for (_ <- 1 to 4) {
+      // Fixpoint loop, not a fixed round count: labels are monotone
+      // non-increasing under min-propagation, so sum(lbl) is strictly
+      // decreasing until converged — an O(1)-row aggregate over the
+      // just-checkpointed frame is a far cheaper convergence probe than
+      // a changed-rows join, and it both EARLY-EXITS (the planted
+      // cliques converge in ~2 doubling rounds, not a fixed 4) and
+      // makes the operator exact for ANY component diameter (2^16 via
+      // doubling), instead of silently mislabeling a graph deeper than
+      // a fixed round budget. The driver reads one Long per probe —
+      // bounded, not a data collect — and probing only starts at round
+      // 2 (nothing can converge before one propagate + one shortcut,
+      // so earlier probes would be pure job overhead).
+      var prevSum = Long.MinValue
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 16) {
         val fromNeighbors = labels
           .join(edges, labels("node") === edges("u"))
           .select(col("v").as("node"), col("lbl"))
@@ -461,6 +477,13 @@ object DedupQueries {
           .select(col("x.node").as("node"), col("l_lbl").as("lbl"))
         labels = labels.unionByName(fromNeighbors).unionByName(viaLabel)
           .groupBy("node").agg(min("lbl").as("lbl")).localCheckpoint(true)
+        rounds += 1
+        if (rounds >= 2) {
+          val s = Option(labels.agg(sum("lbl")).head().getAs[java.lang.Long](0))
+            .fold(0L)(_.longValue)
+          converged = s == prevSum
+          prevSum = s
+        }
       }
       val clusters = labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
       clusters.agg(
