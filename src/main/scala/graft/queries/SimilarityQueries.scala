@@ -216,6 +216,63 @@ object SimilarityQueries {
           RelationalQueries.rnd(max("cos"), 4).as("max_cos")))
     }),
 
+    /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+      * arXiv:2303.09540): cluster the embedding space with the coarse
+      * quantizer, and inside each cluster drop all but one of any
+      * near-identical group — the corpus-pruning step that catches
+      * paraphrases and re-encodes which exact/n-gram dedup miss.
+      * Clustering reuses the s03/s04 build (per-label centroids, rnd6
+      * elements; nearest-centroid assignment over a BROADCAST centroid
+      * table — the corpus never shuffles for assignment, and the
+      * payload vector rejoins by id after the assignment window, the
+      * d05 id-only discipline). Within a cluster, pairs at exact
+      * cosine ≥ 0.999 mark the higher vec_id dropped (keep-lowest-id
+      * is the deterministic representative rule). Pair volume is
+      * Σ cluster², never n² — the SemDeDup scaling argument: k grows
+      * with n, so per-cluster cost stays bounded; the pair join
+      * shuffles on cl_id only. Planted ×1.001 copies of every
+      * vec_id % 10 == 0 give the operator ground truth to find
+      * (cos ≈ 1 vs organic ~0.5), and every stage is portable math
+      * (rnd6 centroids/assignment, IEEE cosine), so DuckDB replicates
+      * the pipeline end-to-end — a strict hash oracle, not rows-only.
+      */
+    "d13_semantic_dedup" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("label"), embD(col("embedding")).as("vec"))
+      val planted = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+          transform(col("vec"), x => x * lit(1.001)).as("vec"))
+      val corpus = base.unionByName(planted)
+      val centroids = corpus
+        .groupBy(col("label").as("cl_id"))
+        .agg(array((0 until 64).map(i =>
+          RelationalQueries.rnd(avg(element_at(col("vec"), i + 1)), 6)): _*)
+          .as("cvec"))
+      val wNearest = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cl_id"))
+      val assign = corpus.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("cl_id"),
+          RelationalQueries.rnd(cosine(col("vec"), col("cvec")), 6).as("csim"))
+        .withColumn("rn", row_number().over(wNearest))
+        .filter(col("rn") === 1).select("vec_id", "cl_id")
+      val withCl = corpus.select("vec_id", "vec").join(assign, "vec_id")
+      val dupPairs = withCl.as("a").join(withCl.as("b"),
+          col("a.cl_id") === col("b.cl_id") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosine(col("a.vec"), col("b.vec")))
+        .filter(col("cos") >= 0.999)
+      val dropped = dupPairs.select(col("b.vec_id").as("vec_id")).distinct()
+      corpus.agg(count(lit(1)).as("n_vecs"))
+        .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+        .crossJoin(assign.agg(countDistinct("cl_id").as("n_clusters")))
+        .crossJoin(dupPairs.agg(
+          RelationalQueries.rnd(coalesce(max("cos"), lit(-1.0)), 4)
+            .as("max_dup_cos")))
+        .withColumn("n_survivors", col("n_vecs") - col("n_dropped"))
+        .select("n_vecs", "n_planted", "n_dropped", "n_survivors",
+          "n_clusters", "max_dup_cos")
+    }),
+
     /** IVF approximate nearest-neighbor search — the scale path beside
       * s02's sign-LSH: coarse-quantize to per-label centroids (the s03
       * build step), assign every corpus vector to its nearest centroid
@@ -331,6 +388,48 @@ object SimilarityQueries {
         | CAST(sum(CASE WHEN cos >= 0.999 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardups,
         | floor((max(cos))*10000+0.5)/10000 AS max_cos
         |FROM p""".stripMargin,
+
+    // d13: full pipeline replica — planting, rnd6 centroid build,
+    // nearest-centroid assignment (same rounding + tie-break as s04's
+    // replica), within-cluster exact-cosine pairs, keep-lowest-id drop.
+    "d13_semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec
+        |              FROM embeddings WHERE vec_id < 200),
+        | sel AS (SELECT * FROM base WHERE vec_id % 10 = 0),
+        | pl AS (SELECT vec_id + 100000 AS vec_id, label,
+        |          list_transform(vec, x -> x * 1.001) AS vec
+        |        FROM sel),
+        | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+        | cex AS (SELECT label AS cl_id, unnest(vec) AS v,
+        |                generate_subscripts(vec, 1) AS i FROM c),
+        | cel AS (SELECT cl_id, i, floor((avg(v))*1000000+0.5)/1000000 AS m
+        |         FROM cex GROUP BY cl_id, i),
+        | cen AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM cel GROUP BY cl_id),
+        | sims AS (
+        |  SELECT c.vec_id, cen.cl_id,
+        |    floor((list_cosine_similarity(c.vec, cen.cvec))*1000000+0.5)/1000000
+        |      AS csim
+        |  FROM c CROSS JOIN cen),
+        | assign AS (
+        |  SELECT vec_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims) WHERE rn = 1),
+        | wc AS (SELECT c.vec_id, a.cl_id, c.vec
+        |        FROM c JOIN assign a USING (vec_id)),
+        | dup AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(a.vec, b.vec) AS cos
+        |  FROM wc a JOIN wc b ON a.cl_id = b.cl_id AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.999)
+        |SELECT (SELECT count(*) FROM c) AS n_vecs,
+        | (SELECT count(*) FROM pl) AS n_planted,
+        | (SELECT count(DISTINCT id_b) FROM dup) AS n_dropped,
+        | (SELECT count(*) FROM c) - (SELECT count(DISTINCT id_b) FROM dup)
+        |   AS n_survivors,
+        | (SELECT count(DISTINCT cl_id) FROM assign) AS n_clusters,
+        | (SELECT coalesce(floor((max(cos))*10000+0.5)/10000, -1.0) FROM dup)
+        |   AS max_dup_cos""".stripMargin,
 
     // s05: DuckDB brute-forces the TRUE rank-1 neighbor over the same
     // augmented corpus — no LSH replica needed, because the planted

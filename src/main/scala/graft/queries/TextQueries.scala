@@ -22,6 +22,19 @@ object TextQueries {
   val ChunkW = 64
   val ChunkS = 48
 
+  /** t17 boilerplate chunking width (tokens) and corpus doc-frequency
+    * threshold: a chunk appearing verbatim in >= [[BoilerK]] distinct
+    * docs is template noise, not content. The planted header is exactly
+    * [[BoilerW]] tokens so it aligns at chunk 0 of every planted doc
+    * (a real corpus aligns on newlines instead). */
+  val BoilerW = 8
+  val BoilerK = 8
+  val BoilerHeader = "graft corpus license banner terms of use notice"
+
+  /** t18 α=0.5 temperature normalizer — a fixed config constant, not a
+    * data-dependent Σ (see the t18 scaladoc for the IEEE argument). */
+  val TempMixC = 50.0
+
   /** Whitespace tokens, Go-/DuckDB-compatible splitting (consecutive
     * separators produce empty tokens in both engines; filtered out). */
   private def tokens: Column =
@@ -440,6 +453,112 @@ object TextQueries {
           rnd(sum("kept").cast("double") / count(lit(1)), 4).as("kept_rate"))
         .orderBy("lang")
     }),
+
+    /** Corpus-level duplicated-chunk (boilerplate) removal — the
+      * line-dedup step of a web-scale pipeline (CCNet / RefinedWeb
+      * style: a passage repeated verbatim across many documents is
+      * template noise, not content, and is stripped before training).
+      * "Lines" here are non-overlapping [[BoilerW]]-token chunks (the
+      * synthetic corpus has no newlines); a planted 8-token header on
+      * every doc_id % 5 == 0 gives the operator real work — the header
+      * aligns at chunk 0 in every planted doc, exactly like a shared
+      * license banner.
+      *
+      * Shape: explode → chunk-hash doc-frequency aggregate (map-side
+      * combinable) → the tiny high-frequency hash set anti-joins back
+      * as a BROADCAST (the boilerplate set is at most n_chunks/K
+      * distinct values and in practice a handful, so the corpus-sized
+      * side never shuffles) → order-preserving reassembly groups each
+      * doc's surviving chunks once. The rebuilt text itself is pinned
+      * by min/max md5 per language, so reassembly ORDER is
+      * oracle-verified, not just the token counts. At 100 TB: two
+      * shuffles of the chunk stream (doc-freq agg, per-doc regroup),
+      * no self-joins, no driver state. */
+    "t17_boilerplate_prune" -> ((s, d) => {
+      val w = BoilerW
+      val planted = Tables.documents(s, d)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(lit(BoilerHeader + " "), col("text")))
+            .otherwise(col("text")))
+      val chunks = planted
+        .withColumn("tk", tokens)
+        .withColumn("n", size(col("tk")))
+        .withColumn("j", explode(sequence(lit(0),
+          greatest(ceil(col("n").cast("double") / w).cast("int") - 1, lit(0)))))
+        .select(col("lang"), col("doc_id"),
+          col("j"), expr(s"slice(tk, j * $w + 1, $w)").as("chunk_toks"))
+        .withColumn("chunk_txt", concat_ws(" ", col("chunk_toks")))
+        .withColumn("chunk_md5", md5(col("chunk_txt")))
+      val boiler = chunks.groupBy("chunk_md5")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= BoilerK)
+        .select("chunk_md5")
+      val kept = chunks.join(broadcast(boiler), Seq("chunk_md5"), "left_anti")
+      val rebuilt = kept.groupBy("lang", "doc_id")
+        .agg(concat_ws(" ", flatten(transform(
+            array_sort(collect_list(struct(col("j"), col("chunk_toks")))),
+            r => r.getField("chunk_toks")))).as("new_text"),
+          sum(size(col("chunk_toks"))).as("tok_after"))
+      val before = planted.select(col("doc_id"), size(tokens).as("tok_before"))
+      rebuilt.join(before, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tok_after") < col("tok_before"), 1L).otherwise(0L))
+            .as("n_docs_pruned"),
+          sum("tok_before").as("sum_tok_before"),
+          sum("tok_after").as("sum_tok_after"),
+          min(md5(col("new_text"))).as("min_rebuilt_md5"),
+          max(md5(col("new_text"))).as("max_rebuilt_md5"))
+        .orderBy("lang")
+    }),
+
+    /** Temperature-weighted mixture resampling over `source` — the
+      * multilingual-LM data-mixing move (sample source s with
+      * p ∝ tokens_s^α, α = 0.5, so dominant sources downsample and the
+      * tail keeps its mass). Keep rate r_s = min(1, C/√chars_s): the
+      * α-temperature rate up to the global normalizer, which is a fixed
+      * config constant here rather than a data-dependent Σ — summing 20
+      * doubles is ORDER-DEPENDENT in IEEE arithmetic and would make the
+      * gate engine-ambiguous, while /,×,√,floor are each correctly
+      * rounded and therefore bit-identical in Spark and DuckDB (a real
+      * pipeline computes the normalizer driver-side from the 20-row
+      * stats and bakes it into the job config the same way). Membership
+      * is the portable md5 gate of doc_id — deterministic under retry,
+      * re-run, and corpus extension, never `rand()` (t15's argument).
+      * Shape at 100 TB: one stats aggregate (20 rows), broadcast back,
+      * one gated scan — no second shuffle; the per-source integer char
+      * sums keep every cross-source total exact until the final
+      * rounded divisions. */
+    "t18_temp_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy("source")
+        .agg(sum("n_chars").as("chars_s"))
+        .withColumn("rate", least(lit(1.0), lit(TempMixC) / sqrt(col("chars_s"))))
+        .withColumn("cut", floor(col("rate") * 4096))
+      val gate = pmod(graft.operators.Sampling.portableGate(
+        concat(col("doc_id").cast("string"), lit(":tmix"))), lit(4096))
+      val kept = docs.join(broadcast(stats), "source")
+        .withColumn("keep", (gate < col("cut")).cast("long"))
+      val per = kept.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("keep").as("n_kept"),
+          max(rnd(col("rate"), 6)).as("rate_nominal"),
+          sum("n_chars").as("chars_before"),
+          sum(when(col("keep") === 1, col("n_chars")).otherwise(0L))
+            .as("chars_kept"))
+      per
+        .withColumn("total_kept",
+          sum("chars_kept").over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          col("rate_nominal"),
+          rnd(col("n_kept").cast("double") / col("n_docs"), 4)
+            .as("rate_achieved"),
+          col("chars_before"), col("chars_kept"),
+          rnd(col("chars_kept").cast("double") / col("total_kept"), 6)
+            .as("share_after"))
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -482,6 +601,96 @@ object TextQueries {
         | floor((CAST(sum(kept) AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000
         |   AS kept_rate
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t17: the whole pipeline replicates — planting, chunking, the
+    // doc-frequency cut, and the ORDER BY j reassembly — so the rebuilt
+    // text md5s pin chunk order, not just counts.
+    "t17_boilerplate_prune" ->
+      s"""WITH pl AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN '$BoilerHeader ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        | t AS (SELECT doc_id, lang,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |       FROM pl),
+        | m AS (SELECT doc_id, lang, tk, len(tk) AS n FROM t),
+        | st AS (
+        |  SELECT doc_id, lang, tk,
+        |    unnest(range(0, greatest(CAST(ceil(n / ${BoilerW.toDouble})
+        |                                  AS BIGINT) - 1, 0) + 1)) AS j
+        |  FROM m),
+        | ch AS (
+        |  SELECT lang, doc_id, j,
+        |    list_slice(tk, j * $BoilerW + 1, j * $BoilerW + $BoilerW)
+        |      AS chunk_toks
+        |  FROM st),
+        | ch2 AS (SELECT lang, doc_id, j, chunk_toks,
+        |           md5(array_to_string(chunk_toks, ' ')) AS chunk_md5
+        |         FROM ch),
+        | boiler AS (
+        |  SELECT chunk_md5 FROM (
+        |    SELECT chunk_md5, count(DISTINCT doc_id) AS df
+        |    FROM ch2 GROUP BY 1) WHERE df >= $BoilerK),
+        | kept AS (SELECT * FROM ch2
+        |          WHERE chunk_md5 NOT IN (SELECT chunk_md5 FROM boiler)),
+        | reb AS (
+        |  SELECT lang, doc_id,
+        |    array_to_string(flatten(list(chunk_toks ORDER BY j)), ' ')
+        |      AS new_text,
+        |    sum(len(chunk_toks)) AS tok_after
+        |  FROM kept GROUP BY lang, doc_id),
+        | bef AS (SELECT doc_id,
+        |           len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |             AS tok_before
+        |         FROM pl)
+        |SELECT r.lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN tok_after < tok_before THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_docs_pruned,
+        | CAST(sum(tok_before) AS BIGINT) AS sum_tok_before,
+        | CAST(sum(tok_after) AS BIGINT) AS sum_tok_after,
+        | min(md5(new_text)) AS min_rebuilt_md5,
+        | max(md5(new_text)) AS max_rebuilt_md5
+        |FROM reb r JOIN bef b USING (doc_id)
+        |GROUP BY r.lang ORDER BY r.lang""".stripMargin,
+
+    // t18: per-source √-temperature rate, integer char sums, and the
+    // md5 gate replicate verbatim; every double op in the gate chain
+    // (÷, ×, √, floor) is correctly rounded, so keep decisions are
+    // bit-identical (the scaladoc explains why the normalizer is a
+    // constant, not a Σ over doubles).
+    "t18_temp_mixture" ->
+      s"""WITH stats AS (
+        |  SELECT source,
+        |    least(1.0, $TempMixC / sqrt(CAST(sum(n_chars) AS BIGINT)))
+        |      AS rate
+        |  FROM documents GROUP BY source),
+        | st2 AS (SELECT source, rate, floor(rate * 4096) AS cut FROM stats),
+        | g AS (
+        |  SELECT d.source, d.n_chars, s.rate, s.cut,
+        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':tmix'), 1, 1)) * 65536
+        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':tmix'), 2, 1)) * 256
+        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':tmix'), 3, 1))) % 4096
+        |      AS gate
+        |  FROM documents d JOIN st2 s USING (source)),
+        | k AS (SELECT source, n_chars, rate,
+        |         CASE WHEN gate < cut THEN 1 ELSE 0 END AS keep
+        |       FROM g),
+        | per AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+        |    max(floor(rate * 1000000 + 0.5) / 1000000) AS rate_nominal,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars_before,
+        |    CAST(sum(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |      AS chars_kept
+        |  FROM k GROUP BY source)
+        |SELECT source, n_docs, n_kept, rate_nominal,
+        | floor((CAST(n_kept AS DOUBLE) / n_docs) * 10000 + 0.5) / 10000
+        |   AS rate_achieved,
+        | chars_before, chars_kept,
+        | floor((CAST(chars_kept AS DOUBLE)
+        |        / CAST(sum(chars_kept) OVER () AS DOUBLE)) * 1000000 + 0.5)
+        |   / 1000000 AS share_after
+        |FROM per ORDER BY source""".stripMargin,
 
     "t14_shard_pack" ->
       """WITH d AS (
