@@ -32,17 +32,42 @@ object Sampling {
     (df.filter(gate >= cut), df.filter(gate < cut))
   }
 
-  /** Engine-portable deterministic gate: a 24-bit integer derived from
-    * the md5 hex prefix of the key, computable bit-identically in any
-    * engine with md5 + ascii (the cross-engine-verified split query t07
-    * builds on this). The xxhash64 gates above are faster (codegen'd,
-    * no hex string) — prefer them when cross-engine replay of the exact
-    * split isn't required. */
+  /** Engine-portable deterministic gate: a UNIFORM 24-bit integer built
+    * from the VALUES of the first 6 hex nibbles of md5(key), computable
+    * bit-identically in any engine with md5 + ascii (the cross-engine-
+    * verified split query t07 builds on this; [[portableGateSql]] emits
+    * the matching DuckDB expression so the two can never drift).
+    *
+    * Why nibble values and not ascii codes: the ascii codes of hex
+    * digits occupy {48..57, 97..102} — a lumpy subset of 0..255 — so
+    * any gate built from raw `ascii(...)` bytes is structurally biased
+    * under power-of-two moduli (e.g. `% 16` of an ascii-byte gate
+    * depends only on the last char's code and hits just 10 of 16
+    * residues). Mapping each hex char to its 0..15 value first gives a
+    * gate uniform over 0..2^24-1, so `% 16`, `% 4096`, and (to within
+    * 1 part in 1.7M) `% 10` are all uniform. The xxhash64 gates above
+    * are faster (codegen'd, no hex string) — prefer them when
+    * cross-engine replay of the exact split isn't required. */
   def portableGate(key: Column): Column = {
     val h = md5(key.cast("string"))
-    ascii(substring(h, 1, 1)) * 65536 +
-      ascii(substring(h, 2, 1)) * 256 +
-      ascii(substring(h, 3, 1))
+    def nib(i: Int): Column = {
+      val a = ascii(substring(h, i, 1))
+      when(a >= 97, a - 87).otherwise(a - 48)
+    }
+    (1 to 6).map(i => nib(i) * lit(1 << (4 * (6 - i))): Column).reduce(_ + _)
+  }
+
+  /** The DuckDB-SQL mirror of [[portableGate]]: given a DuckDB string
+    * expression for the key, returns the SQL expression computing the
+    * identical uniform 24-bit gate. Oracle queries interpolate this so
+    * the Spark and DuckDB arithmetic stay in sync by construction. */
+  def portableGateSql(keySql: String): String = {
+    def nib(i: Int): String = {
+      val a = s"ascii(substring(md5($keySql), $i, 1))"
+      s"($a - CASE WHEN $a >= 97 THEN 87 ELSE 48 END)"
+    }
+    (1 to 6).map(i => s"${nib(i)} * ${1 << (4 * (6 - i))}")
+      .mkString("(", "\n       + ", ")")
   }
 
   /** Deterministic disjoint train/eval split on the portable gate:

@@ -107,7 +107,7 @@ object DedupQueries {
     * sub-block is >BlockCap records with the IDENTICAL fingerprint;
     * those are exact dups at the fingerprint level and belong to the
     * exact-dedup pass (d01) that a linkage pipeline runs first. Every
-    * piece (lower, regexp_replace, substring, md5-ascii gate) computes
+    * piece (lower, regexp_replace, substring, md5-nibble gate) computes
     * bit-identically in DuckDB, so the capped pipeline stays
     * exact-oracle-verifiable. */
   def d10Blocked(recs: DataFrame): DataFrame = {
@@ -502,7 +502,7 @@ object DedupQueries {
       // from the entity-resolution literature: near-dups overwhelmingly
       // share their opening, so recall loss is confined to docs that
       // diverge in the first 32 chars (and exact dups always share a
-      // sub-block). The sub-bucket hash is md5-prefix → ascii arithmetic,
+      // sub-block). The sub-bucket hash is md5-prefix → nibble arithmetic,
       // chosen because Spark and DuckDB compute it bit-identically, so
       // the whole salted pipeline is oracle-verifiable end-to-end.
       val salted = d04Blocked(Tables.documents(s, d))
@@ -565,15 +565,8 @@ object DedupQueries {
         |  SELECT c_custkey AS id, c_mktsegment AS seg, c_name AS name,
         |    substring(regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g'),
         |              1, 12) AS fp,
-        |    ascii(substring(md5(
-        |        regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
-        |        ), 1, 1)) * 65536
-        |      + ascii(substring(md5(
-        |          regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
-        |          ), 2, 1)) * 256
-        |      + ascii(substring(md5(
-        |          regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')
-        |          ), 3, 1)) AS pint
+        |    ${graft.operators.Sampling.portableGateSql(
+             "regexp_replace(lower(c_name), '[^a-z0-9]', '', 'g')")} AS pint
         |  FROM customer WHERE c_custkey <= 500),
         | sz AS (SELECT seg, fp, count(*) AS bn FROM c GROUP BY seg, fp),
         | s AS (
@@ -611,9 +604,8 @@ object DedupQueries {
         |      THEN list_transform(range(1, length(text) - 3),
         |                          i -> substring(text, i, 5))
         |      ELSE [text] END) AS g,
-        |    ascii(substring(md5(substring(text, 1, 32)), 1, 1)) * 65536
-        |      + ascii(substring(md5(substring(text, 1, 32)), 2, 1)) * 256
-        |      + ascii(substring(md5(substring(text, 1, 32)), 3, 1)) AS pint
+        |    ${graft.operators.Sampling.portableGateSql(
+             "substring(text, 1, 32)")} AS pint
         |  FROM documents),
         | sz AS (
         |  SELECT lang, lbucket, count(*) AS bn FROM g GROUP BY lang, lbucket),

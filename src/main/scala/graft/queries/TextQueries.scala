@@ -435,9 +435,13 @@ object TextQueries {
       * reproducibility argument as t15), and membership is a pure
       * function of doc_id — a re-run, a retry, or an incremental
       * extension of the corpus keeps every prior decision. The gate is
-      * pseudo-uniform over the 4096 md5-ascii values (production would
-      * use xxhash64's full 64 bits; md5-ascii is the engine-portable
-      * choice, so the achieved rates themselves are oracle-checked). */
+      * uniform over 0..4095: [[graft.operators.Sampling.portableGate]]
+      * builds a 24-bit value from md5 hex-NIBBLE values, so a
+      * power-of-two modulus is unbiased and achieved rates track
+      * nominal (production would use xxhash64's full 64 bits;
+      * md5-nibble is the engine-portable choice, so the achieved rates
+      * themselves are oracle-checked; SamplingSpec pins achieved ≈
+      * nominal). */
     "t16_stratified_sample" -> ((s, d) => {
       val rates = Seq("en" -> 0.3, "de" -> 0.5, "es" -> 1.0,
         "fr" -> 1.0, "zh" -> 1.0)
@@ -499,8 +503,17 @@ object TextQueries {
             array_sort(collect_list(struct(col("j"), col("chunk_toks")))),
             r => r.getField("chunk_toks")))).as("new_text"),
           sum(size(col("chunk_toks"))).as("tok_after"))
-      val before = planted.select(col("doc_id"), size(tokens).as("tok_before"))
-      rebuilt.join(before, "doc_id")
+      // Anchor accounting on `before` (every planted doc), not on the
+      // rebuilt side: a doc whose EVERY chunk is boilerplate vanishes
+      // from `rebuilt` entirely, and an inner join would silently drop
+      // the most-aggressively-pruned docs from n_docs/n_docs_pruned and
+      // the token sums. Left join from `before` + coalesce counts them
+      // as fully pruned (tok_after 0, empty rebuilt text) instead.
+      val before = planted.select(col("doc_id"), col("lang"),
+        size(tokens).as("tok_before"))
+      before.join(rebuilt.drop("lang"), Seq("doc_id"), "left")
+        .withColumn("tok_after", coalesce(col("tok_after"), lit(0L)))
+        .withColumn("new_text", coalesce(col("new_text"), lit("")))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("tok_after") < col("tok_before"), 1L).otherwise(0L))
@@ -562,15 +575,14 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // t15: the md5-ascii order key and shard assignment replicate
+    // t15: the md5-nibble order key and shard assignment replicate
     // verbatim, so the ORDER itself (head_ids) is oracle-verified —
     // determinism is the contract, not just balance.
     "t15_corpus_shuffle" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT doc_id,
-        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':graftshuffle42'), 1, 1)) * 65536
-        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':graftshuffle42'), 2, 1)) * 256
-        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':graftshuffle42'), 3, 1))) AS skey
+        |    ${graft.operators.Sampling.portableGateSql(
+             "CAST(doc_id AS VARCHAR) || ':graftshuffle42'")} AS skey
         |  FROM documents),
         | s AS (SELECT doc_id, skey, skey % 16 AS shard FROM g),
         | b AS (SELECT shard, count(*) AS n FROM s GROUP BY shard),
@@ -585,11 +597,10 @@ object TextQueries {
     // t16: gate arithmetic and per-stratum cuts replicate verbatim —
     // the achieved per-lang keep counts are the check, not nominal rates.
     "t16_stratified_sample" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT lang,
-        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 1)) * 65536
-        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 2, 1)) * 256
-        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 3, 1))) % 4096 AS gate
+        |    ${graft.operators.Sampling.portableGateSql(
+             "CAST(doc_id AS VARCHAR) || ':strat'")} % 4096 AS gate
         |  FROM documents),
         | k AS (SELECT lang,
         |   CASE WHEN gate < CASE lang WHEN 'en' THEN 0.3 * 4096
@@ -640,19 +651,23 @@ object TextQueries {
         |      AS new_text,
         |    sum(len(chunk_toks)) AS tok_after
         |  FROM kept GROUP BY lang, doc_id),
-        | bef AS (SELECT doc_id,
+        | bef AS (SELECT doc_id, lang,
         |           len(list_filter(string_split(text, ' '), x -> x <> ''))
         |             AS tok_before
-        |         FROM pl)
-        |SELECT r.lang, count(*) AS n_docs,
+        |         FROM pl),
+        | acc AS (
+        |  SELECT b.lang, b.tok_before,
+        |    coalesce(r.tok_after, 0) AS tok_after,
+        |    coalesce(r.new_text, '') AS new_text
+        |  FROM bef b LEFT JOIN reb r USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
         | CAST(sum(CASE WHEN tok_after < tok_before THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_docs_pruned,
         | CAST(sum(tok_before) AS BIGINT) AS sum_tok_before,
         | CAST(sum(tok_after) AS BIGINT) AS sum_tok_after,
         | min(md5(new_text)) AS min_rebuilt_md5,
         | max(md5(new_text)) AS max_rebuilt_md5
-        |FROM reb r JOIN bef b USING (doc_id)
-        |GROUP BY r.lang ORDER BY r.lang""".stripMargin,
+        |FROM acc GROUP BY lang ORDER BY lang""".stripMargin,
 
     // t18: per-source √-temperature rate, integer char sums, and the
     // md5 gate replicate verbatim; every double op in the gate chain
@@ -668,9 +683,8 @@ object TextQueries {
         | st2 AS (SELECT source, rate, floor(rate * 4096) AS cut FROM stats),
         | g AS (
         |  SELECT d.source, d.n_chars, s.rate, s.cut,
-        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':tmix'), 1, 1)) * 65536
-        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':tmix'), 2, 1)) * 256
-        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR) || ':tmix'), 3, 1))) % 4096
+        |    ${graft.operators.Sampling.portableGateSql(
+             "CAST(doc_id AS VARCHAR) || ':tmix'")} % 4096
         |      AS gate
         |  FROM documents d JOIN st2 s USING (source)),
         | k AS (SELECT source, n_chars, rate,
@@ -910,11 +924,10 @@ object TextQueries {
     // md5'd word 8-grams — the contamination counts are ground truth
     // recomputed from scratch, not a replay of the Spark plan.
     "t11_contamination" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT doc_id, lang, text,
-        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
-        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
-        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 10 AS gate
+        |    ${graft.operators.Sampling.portableGateSql(
+             "CAST(doc_id AS VARCHAR)")} % 10 AS gate
         |  FROM documents),
         | ev AS (SELECT doc_id, lang, text FROM g WHERE gate < 2),
         | tr AS (
@@ -949,14 +962,13 @@ object TextQueries {
         |   *10000+0.5)/10000 AS contamination_rate
         |FROM e LEFT JOIN c ON e.lang = c.lang ORDER BY e.lang""".stripMargin,
 
-    // Recomputes Sampling.splitPortable's md5-prefix gate verbatim —
+    // Recomputes Sampling.splitPortable's md5-nibble gate verbatim —
     // every per-(split, lang) count must agree, not just the fractions.
     "t07_split_stats" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT lang, n_chars,
-        |    (ascii(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 65536
-        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 256
-        |     + ascii(substring(md5(CAST(doc_id AS VARCHAR)), 3, 1))) % 10 AS gate
+        |    ${graft.operators.Sampling.portableGateSql(
+             "CAST(doc_id AS VARCHAR)")} % 10 AS gate
         |  FROM documents),
         | s AS (
         |  SELECT CASE WHEN gate < 2 THEN 'eval' ELSE 'train' END AS split,
