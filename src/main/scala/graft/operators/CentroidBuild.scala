@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shared coarse-quantizer build for the vector-pipeline family (s03
+  * centroid stats, s04 IVF search, d13 semantic dedup): per-group
+  * centroids, broadcast nearest-centroid assignment, and the size-cap
+  * sub-split that keeps any within-cluster pair work bounded at scale.
+  *
+  * Everything here is engine-portable math — centroid elements and
+  * assignment similarities round through floor(x*10^6+0.5)/10^6 (see
+  * RelationalQueries.rnd for the IEEE argument), and the sub-split key
+  * is the SIGN pattern of the vector's leading dimensions — so every
+  * consumer keeps a strict DuckDB hash oracle.
+  *
+  * Scale shape: the centroid table is k rows (tiny) and BROADCASTS for
+  * assignment, so the corpus never shuffles to be assigned; the
+  * within-cluster pair join a consumer may run afterwards shuffles on
+  * (cl_id, sub) where [[capSplit]] bounds each sub-cluster at ~cap
+  * docs, making total pair work ~n·cap/2 instead of Σ cluster² — and
+  * the effective cluster count n/cap GROWS with the corpus, which is
+  * the SemDeDup (arXiv:2303.09540) requirement that k scale with n.
+  */
+object CentroidBuild {
+
+  private def rnd6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  /** Per-group rnd6 centroid of a `dim`-element double[] column:
+    * (cl_id, n_vecs, cvec). One aggregation, map-side combinable —
+    * the member count rides along so s03-style stats need no second
+    * shuffle. */
+  def centroids(df: DataFrame, groupCol: Column, vecCol: Column,
+      dim: Int = 64): DataFrame =
+    df.groupBy(groupCol.as("cl_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        array((0 until dim).map(i =>
+          rnd6(avg(element_at(vecCol, i + 1)))): _*).as("cvec"))
+
+  /** Rounded cosine similarity of every (row, centroid) pair:
+    * (idCol, cl_id, csim). The centroid frame broadcasts — the corpus
+    * side never shuffles. */
+  def similarities(df: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.crossJoin(broadcast(cents.select("cl_id", "cvec")))
+      .select(col(idCol), col("cl_id"),
+        rnd6(graft.functions.VectorExpressions.array_cosine(
+          col(vecCol), col("cvec"))).as("csim"))
+
+  /** Top-k nearest centroids from a [[similarities]] frame:
+    * (idCol, cl_id) for the k best, deterministic tie-break on cl_id
+    * (k=1 is assignment; k=nprobe is the IVF probe set). */
+  def nearestK(sims: DataFrame, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cl_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(idCol, "cl_id")
+  }
+
+  /** Nearest-centroid assignment: (idCol, cl_id). */
+  def nearest(sims: DataFrame, idCol: String): DataFrame =
+    nearestK(sims, idCol, 1)
+
+  /** Sign-pattern salt of a vector's first `bits` dimensions: bit i is
+    * set iff vec[i] > 0, giving an integer in [0, 2^bits). The salt is
+    * CONTENT-derived and invariant under positive scaling, so an exact
+    * duplicate or a positively-scaled copy always carries its
+    * original's salt — a hash of the row id would scatter duplicates
+    * across sub-clusters and silently destroy recall. A genuine
+    * paraphrase near-dup can differ in sign only on dimensions within
+    * ulps of zero (the d05/s05 stability argument), so near-dup pairs
+    * co-locate structurally, not by hash luck. Portable: comparing a
+    * double to zero is exact in both engines. */
+  def signSalt(vec: Column, bits: Int = 8): Column =
+    (0 until bits).map(i =>
+      when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(0L): Column)
+      .reduce(_ + _)
+
+  /** The DuckDB-SQL mirror of [[signSalt]] for oracle queries. */
+  def signSaltSql(vecSql: String, bits: Int = 8): String =
+    (0 until bits).map(i =>
+      s"(CASE WHEN $vecSql[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Cap-split: given an assignment frame carrying (cl_id, salt),
+    * append `sub` = salt % ceil(cluster_size / cap), splitting any
+    * cluster larger than `cap` into sub-clusters of expected size ≤
+    * cap (the d04Blocked recipe, with the sign salt standing in for
+    * the text-prefix hash). The cluster census is one row per cluster
+    * and broadcasts back, so the split adds no payload shuffle. */
+  def capSplit(assigned: DataFrame, cap: Int): DataFrame = {
+    val sizes = assigned.groupBy("cl_id")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("nsub", expr(s"cast((bn + ${cap - 1}) div $cap as int)"))
+    assigned.join(broadcast(sizes.select("cl_id", "nsub")), Seq("cl_id"))
+      .withColumn("sub", pmod(col("salt"), col("nsub")))
+      .drop("nsub")
+  }
+}

@@ -182,6 +182,15 @@ object DedupQueries {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** d09's edge build over a (doc_id, text) corpus: undirected
+    * near-dup edges (u, v) with verified jaccard ≥ 0.3, generated by
+    * the banded [[minhashPairs]] candidate path — the scale-safe edge
+    * source for connected-components clustering (exposed so the plan
+    * spec can certify no cartesian ever enters the shipped query). */
+  def d09Edges(corpus: DataFrame): DataFrame =
+    minhashPairs(corpus).filter(col("jaccard") >= 0.3)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+
   /** 64-bit SimHash sketch of a (doc_id, text) corpus: per-token hash
     * votes on each bit, sign of the vote sum sets the bit. The vote
     * loop is one native codegen'd kernel per row
@@ -402,14 +411,24 @@ object DedupQueries {
     /** Duplicate-cluster resolution: near-dup PAIRS are only half a
       * dedup pipeline — transitive groups must be clustered so one
       * keeper survives per group. Edges are word-3-gram jaccard ≥ 0.3
-      * pairs over the planted corpus (portable string math, so DuckDB
-      * builds the identical graph); components come from min-label
-      * propagation run to FIXPOINT — each round one join + one
-      * min-aggregate, all shuffle-bounded, convergence probed by the
-      * O(1)-row sum(lbl) aggregate (labels are monotone non-increasing,
-      * so an unchanged sum ⟺ no label moved). The oracle recomputes
-      * components with a recursive CTE — pipeline-independent ground
-      * truth.
+      * pairs generated by the BANDED [[minhashPairs]] candidate path
+      * (the d02 pipeline: per-row codegen minhash signature, 8×4 band
+      * join, exact-jaccard verify of candidates only) — no all-pairs
+      * join at any stage, so the edge build carries to corpus scale
+      * exactly as d02 does ([[d09Edges]]; QueryPlanSpec pins the plan
+      * free of CartesianProduct/BroadcastNestedLoopJoin). The oracle
+      * builds its edge set INDEPENDENTLY by brute-forcing every pair's
+      * string-shingle jaccard and resolves components with a recursive
+      * CTE — so the compare also certifies the LSH recalled every
+      * ≥ 0.3 edge. That equality is deterministic-empirical (the d06
+      * argument): the minimum edge similarity in these corpora is
+      * ~0.87, where the 8-band × 4-row miss probability is ~1e-3 per
+      * pair, and the fixed hash family recalls all of them (verified
+      * at all three SFs); components come from min-label propagation
+      * run to FIXPOINT — each round one join + one min-aggregate, all
+      * shuffle-bounded, convergence probed by the O(1)-row sum(lbl)
+      * aggregate (labels are monotone non-increasing, so an unchanged
+      * sum ⟺ no label moved).
       *
       * Rounds use the pointer-doubling (shortcutting) form: each round
       * takes the min over edge-neighbors' labels AND over the label of
@@ -431,14 +450,7 @@ object DedupQueries {
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" graftdup graftdup2")).as("text"))
       val corpus = base.unionByName(planted1).unionByName(planted2)
-        .withColumn("toks", toks).withColumn("sh", shingles)
-        .select("doc_id", "sh")
-      val a = corpus.select(col("doc_id").as("u"), col("sh").as("sh_a"))
-      val b = corpus.select(col("doc_id").as("v"), col("sh").as("sh_b"))
-      val pairs = a.join(b, col("u") < col("v"))
-        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.3)
-        .select("u", "v")
+      val pairs = d09Edges(corpus)
       // Iterative algorithms MUST truncate lineage each round: labels
       // feeds both branches of the next round, so an unmaterialized
       // loop doubles the plan per iteration (2^8 copies of the edge

@@ -51,6 +51,15 @@ object SimilarityQueries {
   private val LshBits = 8
   private lazy val lshPlanes = planes(LshTables * LshBits, 64)
 
+  /** Max vectors per d13 cluster before [[graft.operators.CentroidBuild
+    * .capSplit]] sub-splits it on the sign-pattern salt. 16 exercises
+    * the split on the verify corpus (~22 vecs per label cluster, so
+    * nsub = 2 and the salted path is oracle-covered, not dormant);
+    * production sizes this to the pair-work budget — e.g. 4096 caps
+    * each sub-cluster at ≤ 8M comparisons while keeping near-dup
+    * recall (the salt is content-derived, see signSalt). */
+  val SemDedupCap = 16
+
   /** Sign-pattern bucket id of `vec` in hash table `table`. */
   private def lshSignature(vec: Column, table: Int): Column =
     aggregate(
@@ -221,20 +230,32 @@ object SimilarityQueries {
       * quantizer, and inside each cluster drop all but one of any
       * near-identical group — the corpus-pruning step that catches
       * paraphrases and re-encodes which exact/n-gram dedup miss.
-      * Clustering reuses the s03/s04 build (per-label centroids, rnd6
-      * elements; nearest-centroid assignment over a BROADCAST centroid
-      * table — the corpus never shuffles for assignment, and the
-      * payload vector rejoins by id after the assignment window, the
-      * d05 id-only discipline). Within a cluster, pairs at exact
-      * cosine ≥ 0.999 mark the higher vec_id dropped (keep-lowest-id
-      * is the deterministic representative rule). Pair volume is
-      * Σ cluster², never n² — the SemDeDup scaling argument: k grows
-      * with n, so per-cluster cost stays bounded; the pair join
-      * shuffles on cl_id only. Planted ×1.001 copies of every
-      * vec_id % 10 == 0 give the operator ground truth to find
-      * (cos ≈ 1 vs organic ~0.5), and every stage is portable math
-      * (rnd6 centroids/assignment, IEEE cosine), so DuckDB replicates
-      * the pipeline end-to-end — a strict hash oracle, not rows-only.
+      * Clustering is the shared [[graft.operators.CentroidBuild]]
+      * (rnd6 per-label centroids; nearest-centroid assignment over a
+      * BROADCAST centroid table — the corpus never shuffles for
+      * assignment, and the payload vector rejoins by id after the
+      * assignment window, the d05 id-only discipline). Within a
+      * cluster, pairs at exact cosine ≥ 0.999 mark the higher vec_id
+      * dropped (keep-lowest-id is the deterministic representative
+      * rule).
+      *
+      * The pair join is CAPPED, not just clustered: clusters larger
+      * than [[SemDedupCap]] sub-split via
+      * [[graft.operators.CentroidBuild.capSplit]] on the sign-pattern
+      * salt, so pair volume is ~n·cap/2 with the effective cluster
+      * count n/cap growing with the corpus — the SemDeDup requirement
+      * that k scale with n, enforced structurally rather than by
+      * hoping the label count keeps up. The sign salt is invariant
+      * under positive scaling, so every planted ×1.001 copy provably
+      * shares its original's sub-cluster (a row-id hash would scatter
+      * them); the join shuffles on (cl_id, sub), whose cardinality
+      * also grows with n — no 10-value hot shuffle key. Planted
+      * copies of every vec_id % 10 == 0 give the operator ground
+      * truth to find (cos ≈ 1 vs organic ~0.5), and every stage is
+      * portable math (rnd6 centroids/assignment, sign comparisons,
+      * IEEE cosine), so DuckDB replicates the pipeline end-to-end —
+      * a strict hash oracle, not rows-only. CentroidSplitSpec pins
+      * the cap and the planted-pair co-location.
       */
     "d13_semantic_dedup" -> ((s, d) => {
       val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
@@ -243,21 +264,18 @@ object SimilarityQueries {
         .select((col("vec_id") + 100000).as("vec_id"), col("label"),
           transform(col("vec"), x => x * lit(1.001)).as("vec"))
       val corpus = base.unionByName(planted)
-      val centroids = corpus
-        .groupBy(col("label").as("cl_id"))
-        .agg(array((0 until 64).map(i =>
-          RelationalQueries.rnd(avg(element_at(col("vec"), i + 1)), 6)): _*)
-          .as("cvec"))
-      val wNearest = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cl_id"))
-      val assign = corpus.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("cl_id"),
-          RelationalQueries.rnd(cosine(col("vec"), col("cvec")), 6).as("csim"))
-        .withColumn("rn", row_number().over(wNearest))
-        .filter(col("rn") === 1).select("vec_id", "cl_id")
-      val withCl = corpus.select("vec_id", "vec").join(assign, "vec_id")
-      val dupPairs = withCl.as("a").join(withCl.as("b"),
-          col("a.cl_id") === col("b.cl_id") && col("a.vec_id") < col("b.vec_id"))
+      val centroids = graft.operators.CentroidBuild.centroids(
+        corpus, col("label"), col("vec"))
+      val sims = graft.operators.CentroidBuild.similarities(
+        corpus, centroids, "vec_id", "vec")
+      val assign = graft.operators.CentroidBuild.nearest(sims, "vec_id")
+      val withCl = corpus.select(col("vec_id"), col("vec"),
+          graft.operators.CentroidBuild.signSalt(col("vec")).as("salt"))
+        .join(assign, "vec_id")
+      val split = graft.operators.CentroidBuild.capSplit(withCl, SemDedupCap)
+      val dupPairs = split.as("a").join(split.as("b"),
+          col("a.cl_id") === col("b.cl_id") && col("a.sub") === col("b.sub") &&
+            col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", cosine(col("a.vec"), col("b.vec")))
         .filter(col("cos") >= 0.999)
       val dropped = dupPairs.select(col("b.vec_id").as("vec_id")).distinct()
@@ -288,22 +306,15 @@ object SimilarityQueries {
       val nprobe = 3
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), embD(col("embedding")).as("vec"))
-      val centroids = Tables.embeddings(s, d)
-        .select(col("label"), embD(col("embedding")).as("vec"))
-        .groupBy(col("label").as("cl_id"))
-        .agg(array((0 until 64).map(i =>
-          RelationalQueries.rnd(avg(element_at(col("vec"), i + 1)), 6)): _*)
-          .as("cvec"))
-      val wNearest = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cl_id"))
-      val sims = emb.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("cl_id"),
-          RelationalQueries.rnd(cosine(col("vec"), col("cvec")), 6).as("csim"))
-      val assign = sims.withColumn("rn", row_number().over(wNearest))
-        .filter(col("rn") === 1).select("vec_id", "cl_id")
-      val probes = sims.filter(col("vec_id") < 3)
-        .withColumn("rn", row_number().over(wNearest))
-        .filter(col("rn") <= nprobe)
+      val centroids = graft.operators.CentroidBuild.centroids(
+        Tables.embeddings(s, d)
+          .select(col("label"), embD(col("embedding")).as("vec")),
+        col("label"), col("vec"))
+      val sims = graft.operators.CentroidBuild.similarities(
+        emb, centroids, "vec_id", "vec")
+      val assign = graft.operators.CentroidBuild.nearest(sims, "vec_id")
+      val probes = graft.operators.CentroidBuild.nearestK(
+        sims.filter(col("vec_id") < 3), "vec_id", nprobe)
         .select(col("vec_id").as("q_id"), col("cl_id"))
       val cand = assign.join(broadcast(probes), "cl_id")
         .filter(col("q_id") =!= col("vec_id"))
@@ -351,19 +362,16 @@ object SimilarityQueries {
 
     "s03_centroid_stats" -> ((s, d) => {
       // per-label centroid + dispersion: the IVF coarse-quantizer build
-      // step (centroids of an existing partition), expressed as one
-      // aggregation with element-wise array sums.
+      // step (centroids of an existing partition) — the shared
+      // CentroidBuild aggregate (one shuffle, n_vecs rides along).
       val emb = Tables.embeddings(s, d)
         .select(col("label"), embD(col("embedding")).as("vec"))
-      val agged = emb.groupBy("label")
-        .agg(count(lit(1)).as("n_vecs"),
-          array((0 until 64).map(i =>
-            RelationalQueries.rnd(avg(element_at(col("vec"), i + 1)), 6)): _*)
-            .as("centroid"))
-      agged.select(col("label"), col("n_vecs"),
-          RelationalQueries.rnd(norm(col("centroid")), 4).as("centroid_norm"),
-          RelationalQueries.rnd(element_at(col("centroid"), 1), 6).as("c0"),
-          RelationalQueries.rnd(element_at(col("centroid"), 2), 6).as("c1"))
+      val agged = graft.operators.CentroidBuild.centroids(
+        emb, col("label"), col("vec"))
+      agged.select(col("cl_id").as("label"), col("n_vecs"),
+          RelationalQueries.rnd(norm(col("cvec")), 4).as("centroid_norm"),
+          RelationalQueries.rnd(element_at(col("cvec"), 1), 6).as("c0"),
+          RelationalQueries.rnd(element_at(col("cvec"), 2), 6).as("c1"))
         .orderBy("label")
     }),
   )
@@ -391,9 +399,11 @@ object SimilarityQueries {
 
     // d13: full pipeline replica — planting, rnd6 centroid build,
     // nearest-centroid assignment (same rounding + tie-break as s04's
-    // replica), within-cluster exact-cosine pairs, keep-lowest-id drop.
+    // replica), the sign-salt cap-split (census, nsub, sub — cap
+    // interpolated from SemDedupCap so tuning can't desynchronize),
+    // within-(cluster, sub) exact-cosine pairs, keep-lowest-id drop.
     "d13_semantic_dedup" ->
-      """WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec
+      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec
         |              FROM embeddings WHERE vec_id < 200),
         | sel AS (SELECT * FROM base WHERE vec_id % 10 = 0),
         | pl AS (SELECT vec_id + 100000 AS vec_id, label,
@@ -415,12 +425,19 @@ object SimilarityQueries {
         |    SELECT vec_id, cl_id, row_number()
         |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
         |    FROM sims) WHERE rn = 1),
-        | wc AS (SELECT c.vec_id, a.cl_id, c.vec
+        | wc AS (SELECT c.vec_id, a.cl_id, c.vec,
+        |          ${graft.operators.CentroidBuild.signSaltSql("c.vec")} AS salt
         |        FROM c JOIN assign a USING (vec_id)),
+        | sz AS (SELECT cl_id, count(*) AS bn FROM wc GROUP BY cl_id),
+        | wcs AS (
+        |  SELECT wc.*, salt % CAST((bn + ${SemDedupCap - 1}) // $SemDedupCap
+        |                           AS INTEGER) AS sub
+        |  FROM wc JOIN sz USING (cl_id)),
         | dup AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_cosine_similarity(a.vec, b.vec) AS cos
-        |  FROM wc a JOIN wc b ON a.cl_id = b.cl_id AND a.vec_id < b.vec_id
+        |  FROM wcs a JOIN wcs b
+        |    ON a.cl_id = b.cl_id AND a.sub = b.sub AND a.vec_id < b.vec_id
         |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.999)
         |SELECT (SELECT count(*) FROM c) AS n_vecs,
         | (SELECT count(*) FROM pl) AS n_planted,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSessionFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale proofs for the d13/s04 coarse-quantizer cap-split: sub-cluster
+  * sizes stay bounded when vectors pile into one cluster (the Σ cluster²
+  * failure mode the round-6 verdict named), and the sign-pattern salt
+  * provably co-locates scaled duplicates — the recall property a row-id
+  * hash would destroy.
+  */
+class CentroidSplitSpec extends AnyFunSuite {
+  import SparkSessionFixture._
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+  private def randVec(): Seq[Double] = Seq.fill(16)(rng.nextGaussian())
+
+  test("capSplit bounds sub-cluster size on a single oversized cluster") {
+    // 1000 vectors all assigned to ONE cluster — the unsplit pair join
+    // would do 1000*999/2 ≈ 500k comparisons
+    val cap = 64
+    val assigned = (0 until 1000).map(i => (i.toLong, 1L, randVec()))
+      .toDF("vec_id", "cl_id", "vec")
+      .withColumn("salt", CentroidBuild.signSalt(col("vec")))
+    val sizes = CentroidBuild.capSplit(assigned, cap)
+      .groupBy("cl_id", "sub").count().select("count").as[Long].collect()
+    val expectedSubs = (1000 + cap - 1) / cap
+    assert(sizes.length <= expectedSubs,
+      s"expected at most $expectedSubs sub-clusters, got ${sizes.length}")
+    assert(sizes.sum == 1000, "splitting must not drop or duplicate rows")
+    // sign-salt assignment is near-uniform on gaussian vectors: each
+    // sub-cluster stays within a small factor of cap
+    assert(sizes.max <= 2L * cap,
+      s"sub-cluster overflow: max ${sizes.max} vs cap $cap")
+    // pair work collapses from ~500k to ~nsub * (2cap)^2 / 2
+    val pairCost = sizes.map(n => n * (n - 1) / 2).sum
+    assert(pairCost <= expectedSubs * 2L * cap * cap,
+      s"pair cost $pairCost not capped")
+  }
+
+  test("signSalt is invariant under positive scaling — scaled dups " +
+      "always share their original's sub-cluster") {
+    val base = (0 until 500).map(i => (i.toLong, randVec()))
+      .toDF("vec_id", "vec")
+    val scaled = base.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("vec"), x => x * lit(1.001)).as("vec"))
+    val salts = base.unionByName(scaled)
+      .select(col("vec_id"), CentroidBuild.signSalt(col("vec")).as("salt"))
+    val diverged = salts.as("a").join(salts.as("b"),
+        col("a.vec_id") + 100000 === col("b.vec_id") &&
+          col("a.salt") =!= col("b.salt"))
+      .count()
+    assert(diverged == 0, s"$diverged scaled copies changed salt")
+    // and therefore share `sub` whatever nsub their cluster gets: same
+    // salt ⇒ same salt % nsub for every nsub
+  }
+
+  test("d13's shipped corpus actually exercises the split (cap is not " +
+      "dormant) and still finds every planted duplicate") {
+    val rows = graft.SparkEntry.queries("d13_semantic_dedup")(spark, sf0001)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    // every planted x1.001 copy must be dropped (keep-lowest-id) — the
+    // salt cannot separate a planted pair
+    assert(r.getAs[Long]("n_dropped") >= r.getAs[Long]("n_planted"),
+      s"planted dups escaped the capped dedup: $r")
+    // and the corpus is big enough that at least one cluster overflows
+    // SemDedupCap, so the split path genuinely ran
+    val perCluster = (r.getAs[Long]("n_vecs").toDouble
+      / r.getAs[Long]("n_clusters"))
+    assert(perCluster > graft.queries.SimilarityQueries.SemDedupCap,
+      s"avg cluster ${perCluster} under cap — split dormant, weaken cap")
+  }
+}

@@ -107,6 +107,34 @@ class DedupSkewSpec extends AnyFunSuite {
       s"salted pair cost $pairCost is not a meaningful cut of the 499500 unsalted pairs")
   }
 
+  test("d10Blocked recall inside an overflowing block is ~1/nsub — the " +
+      "documented price of the full-fingerprint salt, pinned not narrated") {
+    // 400 near-dup pairs (edit distance 1, fingerprints differ in the
+    // last char) all inside ONE overflowing (seg, fp) block: the two
+    // sides of each pair salt independently, so a pair survives in the
+    // same sub-block only with probability 1/nsub. This is the
+    // round-6-advice contract: the cap buys a hard O(BlockCap²) bound
+    // at the cost of in-overflow-block near-dup recall; corpora where
+    // that matters should run the d04 n-gram path (content-blocked)
+    // or a second salt rotation instead.
+    val recs = (0 until 400).flatMap { i =>
+      Seq((i.toLong, "FURNITURE", f"GraftKeyBloc$i%04dEntityAlpha"),
+        ((i + 10000).toLong, "FURNITURE", f"GraftKeyBloc$i%04dEntityAlphb"))
+    }.toDF("id", "seg", "name")
+    val blocked = DedupQueries.d10Blocked(recs)
+    val nsub = (800 + DedupQueries.BlockCap - 1) / DedupQueries.BlockCap
+    assert(nsub >= 2, "fixture no longer overflows the block — grow it")
+    val together = blocked.as("a").join(blocked.as("b"),
+        col("a.id") + 10000 === col("b.id") &&
+          col("a.sub") === col("b.sub")).count()
+    val recall = together / 400.0
+    val expected = 1.0 / nsub
+    // binomial(400, 1/nsub): ±3σ ≈ ±0.065 at nsub=4
+    assert(math.abs(recall - expected) < 0.10,
+      f"overflow-block recall $recall%.3f is not ~1/nsub=$expected%.3f " +
+        "— the salt is either collapsing (recall ~1) or broken (recall ~0)")
+  }
+
   test("d10Blocked keeps identical names in the same sub-block") {
     val recs = ((0 until 600).map { i =>
       (i.toLong, "BUILDING", f"GraftKeyBloc$i%04d-Entity")

@@ -196,6 +196,27 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t17: the boilerplate set anti-joins as a BROADCAST (the 100 TB " +
+      "argument rests on the corpus side never shuffling for the prune)") {
+    val plan = planOf("t17_boilerplate_prune")
+    val bcastAnti = plan.linesIterator
+      .exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(bcastAnti, s"boiler anti-join not broadcast:\n${plan.take(3000)}")
+  }
+
+  test("d09: the edge build is banded minhash — no cartesian at any scale") {
+    // the clustering loop materializes eagerly inside the query
+    // closure, so assert on the edge-build frame the query consumes
+    val corpus = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 200).select("doc_id", "text")
+    val edges = DedupQueries.d09Edges(corpus)
+    edges.collect()
+    val tree = edges.queryExecution.executedPlan.toString
+    assert(!tree.contains("CartesianProduct") &&
+      !tree.contains("BroadcastNestedLoopJoin"),
+      s"edge build plans a cartesian:\n${tree.take(3000)}")
+  }
+
   test("s06: quantization is per-row until the final per-label aggregate") {
     // scope to the AQE final plan (the formatted string also prints the
     // initial plan, which would double every operator count)
