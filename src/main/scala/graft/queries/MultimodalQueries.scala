@@ -130,6 +130,49 @@ object MultimodalQueries {
         .orderBy("source")
     }),
 
+    /** m02's determinism companion (the d06 pattern): the decode stub
+      * is pure in the payload bytes, so running the SAME mapPartitions
+      * pipeline on the corpus and on the corpus ∪ an exact doubled copy
+      * must (a) exactly double every integer metadata sum, and (b) add
+      * ZERO new feature fingerprints — the per-doc rnd6 feature vector
+      * md5 set is unchanged by duplicate payloads. The metadata sums
+      * are SQL-derivable (the m04 replica arithmetic), so DuckDB
+      * ground-truths them directly; the feature-set invariant is the
+      * structural claim DuckDB states as `true` (it cannot run the
+      * stub, but purity forces set equality — a nondeterministic or
+      * partition-dependent decode breaks this row loudly). Closes the
+      * rows-only gap for the m02 code path. */
+    "m06_decode_stability" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("source"), col("text").cast("binary").as("content"))
+      val doubledDocs = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 500000))
+      def decoded(df: DataFrame): DataFrame =
+        df.as[(Long, String, Array[Byte])]
+          .mapPartitions(_.map { case (id, src, bytes) =>
+            stubDecode(id, src, bytes)
+          }).toDF()
+          .withColumn("fp", md5(concat_ws(",", transform(col("features"),
+            x => (floor(x * 1e6 + 0.5) / 1e6).cast("string")))))
+      val single = decoded(docs).groupBy("source").agg(
+        count(lit(1)).as("n_single"),
+        sum("width").as("sum_w_single"),
+        countDistinct("fp").as("nfp_single"))
+      val doubled = decoded(doubledDocs).groupBy("source").agg(
+        count(lit(1)).as("n_doubled"),
+        sum("width").as("sum_w_doubled"),
+        sum("height").as("sum_h_doubled"),
+        sum("n_frames").as("sum_frames_doubled"),
+        countDistinct("fp").as("nfp_doubled"))
+      single.join(doubled, "source")
+        .select(col("source"), col("n_single"), col("n_doubled"),
+          col("sum_w_single"), col("sum_w_doubled"),
+          col("sum_h_doubled"), col("sum_frames_doubled"),
+          (col("nfp_single") === col("nfp_doubled")).as("features_stable"))
+        .orderBy("source")
+    }),
+
     /** Multimodal training-record assembly: the id-equi-join that zips
       * a document's text payload (opaque binary), its embedding vector,
       * and typed metadata into one record — the last step before a
@@ -205,6 +248,27 @@ object MultimodalQueries {
         | CAST(sum(new_h) AS BIGINT) AS sum_new_h,
         | CAST(max(new_h) AS INTEGER) AS max_new_h
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // m06: the metadata sums replicate the stub's arithmetic (strlen =
+    // BYTE length like content.length; ascii = first code point, the
+    // m04 convention); the doubled-corpus columns are structurally 2×;
+    // features_stable is the purity claim DuckDB states as ground
+    // truth (see the query scaladoc).
+    "m06_decode_stability" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    16 + (strlen(text) % 64) AS w,
+        |    16 + (ascii(text) % 64) AS h,
+        |    1 + (strlen(text) % 8) AS fr
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT source, count(*) AS n_single,
+        | CAST(2 * count(*) AS BIGINT) AS n_doubled,
+        | CAST(sum(w) AS BIGINT) AS sum_w_single,
+        | CAST(2 * sum(w) AS BIGINT) AS sum_w_doubled,
+        | CAST(2 * sum(h) AS BIGINT) AS sum_h_doubled,
+        | CAST(2 * sum(fr) AS BIGINT) AS sum_frames_doubled,
+        | true AS features_stable
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // m05: byte length via octet_length(encode(...)) — the UTF-8 byte
     // count, matching Spark's octet_length on the binary cast with no
