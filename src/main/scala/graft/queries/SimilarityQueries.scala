@@ -360,6 +360,72 @@ object SimilarityQueries {
         .orderBy("label")
     }),
 
+    /** True k-means coarse-quantizer build — the piece the round-6
+      * verdict asked for beside the label quantizer: k is DERIVED FROM
+      * CORPUS SIZE (k = ⌈√n⌉, the classic IVF sizing that balances
+      * centroid-scan and list-scan cost at √n each), seeded
+      * deterministically (k smallest md5(vec_id) — a TakeOrdered top-k,
+      * no global sort), then refined with two Lloyd rounds of the
+      * shared [[graft.operators.CentroidBuild]] machinery: broadcast
+      * nearest-centroid assignment (corpus never shuffles to be
+      * assigned) and one map-side-combinable recenter aggregate per
+      * round. Fixed rounds, not convergence-looped, so the whole build
+      * unrolls into portable SQL and the DuckDB replica hash-matches
+      * the ACTUAL pipeline: seeding order, both assignments, both rnd6
+      * recenters, and the final cluster census. The n-read is a single
+      * bounded scalar (the q47 bloom discipline).
+      *
+      * At 100 TB: per-round cost is n·k rounded-cosine evaluations
+      * under whole-stage codegen with a k-row broadcast (k = √n keeps
+      * the broadcast at megabytes up to ~10^8 vectors; beyond that the
+      * standard move is this same operator run hierarchically — coarse
+      * √k outer cells, then per-cell inner k-means — which composes
+      * from these building blocks without new shuffle shapes). Empty
+      * clusters drop out of the census naturally (both engines
+      * group-by the surviving assignments). sum_csim_e6 is the
+      * assignment objective as an EXACT integer (rnd6 similarities ×
+      * 10^6), so the compare is bit-exact rather than
+      * summation-order-dependent. */
+    "s07_kmeans_build" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val n = emb.count()
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      val seeds = emb
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h").limit(k)
+      val wSeed = Window.orderBy("h")
+      var cents = seeds
+        .select(row_number().over(wSeed).cast("long").as("cl_id"),
+          col("vec").as("cvec"))
+      for (_ <- 1 to 2) {
+        val assign = graft.operators.CentroidBuild.nearest(
+          graft.operators.CentroidBuild.similarities(emb, cents,
+            "vec_id", "vec"), "vec_id")
+        cents = graft.operators.CentroidBuild.centroids(
+          emb.join(assign, "vec_id"), col("cl_id"), col("vec"))
+          .select("cl_id", "cvec")
+      }
+      val finalSims = graft.operators.CentroidBuild.similarities(
+        emb, cents, "vec_id", "vec")
+      val wNearest = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cl_id"))
+      val finalAssign = finalSims
+        .withColumn("rn", row_number().over(wNearest))
+        .filter(col("rn") === 1)
+      val census = finalAssign.groupBy("cl_id").agg(count(lit(1)).as("sz"))
+      census.agg(
+          count(lit(1)).as("n_clusters"),
+          sum("sz").as("n_vecs"),
+          min("sz").as("min_cluster_sz"),
+          max("sz").as("max_cluster_sz"))
+        .crossJoin(finalAssign.agg(
+          sum(floor(col("csim") * 1e6 + 0.5).cast("long")).as("sum_csim_e6")))
+        .withColumn("k", lit(k.toLong))
+        .select("k", "n_vecs", "n_clusters", "min_cluster_sz",
+          "max_cluster_sz", "sum_csim_e6")
+    }),
+
     "s03_centroid_stats" -> ((s, d) => {
       // per-label centroid + dispersion: the IVF coarse-quantizer build
       // step (centroids of an existing partition) — the shared
@@ -559,6 +625,64 @@ object SimilarityQueries {
         | floor((max(err))*1000000+0.5)/1000000 AS max_err,
         | CAST(max(qmax) AS BIGINT) AS max_q
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
+    // s07: the ENTIRE k-means build unrolls into SQL — √n sizing, md5
+    // seeding order, two (assign, rnd6-recenter) rounds, final census —
+    // so the approximate quantizer itself is hash-verified, not just
+    // its output shape. sum_csim_e6 keeps the objective integer-exact.
+    "s07_kmeans_build" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM e),
+        | sd AS (SELECT vec,
+        |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+        |            AS rn
+        |        FROM e),
+        | c0 AS (SELECT rn AS cl_id, vec AS cvec FROM sd
+        |        WHERE rn <= (SELECT k FROM kk)),
+        | s1 AS (SELECT e.vec_id, c.cl_id, e.vec,
+        |          floor(list_cosine_similarity(e.vec, c.cvec)*1000000+0.5)
+        |            /1000000 AS csim
+        |        FROM e CROSS JOIN c0 c),
+        | a1 AS (SELECT vec_id, cl_id, vec FROM (
+        |          SELECT vec_id, cl_id, vec, row_number()
+        |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |          FROM s1) WHERE rn = 1),
+        | x1 AS (SELECT cl_id, unnest(vec) AS v,
+        |               generate_subscripts(vec, 1) AS i FROM a1),
+        | m1 AS (SELECT cl_id, i, floor(avg(v)*1000000+0.5)/1000000 AS m
+        |        FROM x1 GROUP BY cl_id, i),
+        | c1 AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM m1
+        |        GROUP BY cl_id),
+        | s2 AS (SELECT e.vec_id, c.cl_id, e.vec,
+        |          floor(list_cosine_similarity(e.vec, c.cvec)*1000000+0.5)
+        |            /1000000 AS csim
+        |        FROM e CROSS JOIN c1 c),
+        | a2 AS (SELECT vec_id, cl_id, vec FROM (
+        |          SELECT vec_id, cl_id, vec, row_number()
+        |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |          FROM s2) WHERE rn = 1),
+        | x2 AS (SELECT cl_id, unnest(vec) AS v,
+        |               generate_subscripts(vec, 1) AS i FROM a2),
+        | m2 AS (SELECT cl_id, i, floor(avg(v)*1000000+0.5)/1000000 AS m
+        |        FROM x2 GROUP BY cl_id, i),
+        | c2 AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM m2
+        |        GROUP BY cl_id),
+        | s3 AS (SELECT e.vec_id, c.cl_id,
+        |          floor(list_cosine_similarity(e.vec, c.cvec)*1000000+0.5)
+        |            /1000000 AS csim
+        |        FROM e CROSS JOIN c2 c),
+        | a3 AS (SELECT vec_id, cl_id, csim FROM (
+        |          SELECT vec_id, cl_id, csim, row_number()
+        |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |          FROM s3) WHERE rn = 1),
+        | cz AS (SELECT cl_id, count(*) AS sz FROM a3 GROUP BY cl_id)
+        |SELECT (SELECT k FROM kk) AS k,
+        | (SELECT CAST(sum(sz) AS BIGINT) FROM cz) AS n_vecs,
+        | (SELECT count(*) FROM cz) AS n_clusters,
+        | (SELECT CAST(min(sz) AS BIGINT) FROM cz) AS min_cluster_sz,
+        | (SELECT CAST(max(sz) AS BIGINT) FROM cz) AS max_cluster_sz,
+        | (SELECT CAST(sum(CAST(floor(csim*1000000+0.5) AS BIGINT)) AS BIGINT)
+        |  FROM a3) AS sum_csim_e6""".stripMargin,
 
     "s03_centroid_stats" ->
       """WITH e AS (
