@@ -547,6 +547,63 @@ object DedupQueries {
       * key, blocks do not grow with the corpus. The distance is integer, both engines implement
       * the same DP metric, and the blocking replicates bit-identically
       * in DuckDB, so the whole capped pipeline is exact-oracle-verified. */
+    /** Cross-document verbatim-span masking — the ExactSubstr dedup of
+      * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+      * Models Better"): a word 8-gram appearing verbatim in ≥ 2
+      * DISTINCT documents marks all its token positions as repeated
+      * content, and the per-doc masked-token fraction is what a
+      * training pipeline strips. Differs from d04 (fuzzy whole-doc
+      * similarity) and t17 (chunk-ALIGNED boilerplate): spans are
+      * detected at ARBITRARY alignment — the planted banner is
+      * prepended, shifting every underlying gram, exactly the case
+      * aligned chunking misses.
+      *
+      * Shape at 100 TB: positioned 8-gram explode → gram doc-frequency
+      * aggregate (map-side combinable) → repeated-gram set joins back
+      * on the gram hash (a plain equi-join: unlike t17's tiny boiler
+      * set, the repeated-gram set of a duplicate-heavy crawl is
+      * corpus-scaled, so the join must be allowed to shuffle — AQE
+      * broadcasts it when it happens to be small) → per-position
+      * coverage union (8-offset explode + distinct, map-side
+      * combinable) → per-doc counts. Suffix automata do this with
+      * less duplication server-side; the gram-hash formulation is the
+      * shuffle-native equivalent with the same output. Every stage is
+      * portable (md5 grams, integer positions), so DuckDB replicates
+      * the pipeline end-to-end including the planted-banner ground
+      * truth. */
+    "d14_verbatim_spans" -> ((s, d) => {
+      val W = 8
+      val planted = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(lit(TextQueries.BoilerHeader + " "), col("text")))
+          .otherwise(col("text")))
+      val toked = planted.select(col("doc_id"), col("lang"), toks.as("tk"))
+        .withColumn("n", size(col("tk")))
+      val grams = toked.filter(col("n") >= W)
+        .withColumn("i", explode(expr(s"sequence(0, n - $W)")))
+        .select(col("doc_id"), col("lang"), col("i"),
+          md5(concat_ws(" ", expr(s"slice(tk, i + 1, $W)"))).as("gm"))
+      val rep = grams.groupBy("gm")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2).select("gm")
+      val masked = grams.join(rep, "gm")
+        .select(col("doc_id"), col("lang"),
+          explode(expr(s"sequence(i, i + ${W - 1})")).as("idx"))
+        .distinct()
+        .groupBy("doc_id", "lang").agg(count(lit(1)).as("masked"))
+      val per = toked.select(col("doc_id"), col("lang"), col("n"))
+        .join(masked, Seq("doc_id", "lang"), "left")
+        .withColumn("masked", coalesce(col("masked"), lit(0L)))
+      per.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("masked") > 0, 1L).otherwise(0L)).as("n_docs_with_repeats"),
+          sum("n").as("sum_tokens"),
+          sum("masked").as("sum_masked_tokens"),
+          RelationalQueries.rnd(
+            sum("masked").cast("double") / sum("n"), 4).as("masked_frac"))
+        .orderBy("lang")
+    }),
+
     "d10_edit_distance" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_custkey") <= 500)
         .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
@@ -594,6 +651,44 @@ object DedupQueries {
         | floor(avg(dist)*10000+0.5)/10000 AS avg_dist
         |FROM p WHERE dist <= 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d14: full replica — banner planting, positioned md5 8-grams,
+    // cross-doc df >= 2 cut, 8-offset coverage union, per-doc left
+    // join so fully-unrepeated docs stay in the denominator.
+    "d14_verbatim_spans" ->
+      s"""WITH pl AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '${TextQueries.BoilerHeader} ' || text ELSE text END AS text
+        |  FROM documents),
+        | tk AS (SELECT doc_id, lang,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM pl),
+        | m AS (SELECT doc_id, lang, tk, len(tk) AS n FROM tk),
+        | g AS (SELECT doc_id, lang, tk,
+        |         unnest(range(0, n - 7)) AS i
+        |       FROM m WHERE n >= 8),
+        | g2 AS (SELECT doc_id, lang, i,
+        |          md5(array_to_string(list_slice(tk, i + 1, i + 8), ' ')) AS gm
+        |        FROM g),
+        | rep AS (SELECT gm FROM (
+        |           SELECT gm, count(DISTINCT doc_id) AS df
+        |           FROM g2 GROUP BY gm) WHERE df >= 2),
+        | pos AS (SELECT DISTINCT doc_id, lang, idx FROM (
+        |           SELECT doc_id, lang, unnest(range(i, i + 8)) AS idx
+        |           FROM g2 WHERE gm IN (SELECT gm FROM rep))),
+        | mk AS (SELECT doc_id, lang, count(*) AS masked
+        |        FROM pos GROUP BY doc_id, lang),
+        | per AS (SELECT m.lang, m.n, coalesce(mk.masked, 0) AS masked
+        |         FROM m LEFT JOIN mk USING (doc_id, lang))
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN masked > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_docs_with_repeats,
+        | CAST(sum(n) AS BIGINT) AS sum_tokens,
+        | CAST(sum(masked) AS BIGINT) AS sum_masked_tokens,
+        | floor((CAST(sum(masked) AS DOUBLE) / CAST(sum(n) AS DOUBLE))
+        |       * 10000 + 0.5) / 10000 AS masked_frac
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
 
     "d01_exact_dedup" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
