@@ -217,6 +217,20 @@ class QueryPlanSpec extends AnyFunSuite {
       s"edge build plans a cartesian:\n${tree.take(3000)}")
   }
 
+  test("d14: gram doc-frequency combines map-side; no cartesian anywhere") {
+    val plan = planOf("d14_verbatim_spans")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("s07: every centroid table broadcasts across both Lloyd rounds — " +
+      "the corpus never cartesian-products or shuffles for assignment") {
+    val plan = planOf("s07_kmeans_build")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("s06: quantization is per-row until the final per-label aggregate") {
     // scope to the AQE final plan (the formatted string also prints the
     // initial plan, which would double every operator count)
