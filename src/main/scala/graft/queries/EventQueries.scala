@@ -258,6 +258,64 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    /** Streaming ingestion dedup against a STANDING corpus — d12's
+      * two-phase bloom probe moved to where it actually runs in
+      * production: in front of the document firehose. The corpus hash
+      * set collapses to ONE bounded bloom binary before the stream
+      * starts (the q47/d12 `.head()` sketch discipline); each
+      * micro-batch splits on `might_contain` — bloom-NEGATIVE rows are
+      * DEFINITELY new and ship straight to the sink without touching
+      * any join, and only the bloom-positive sliver (true dups + ~1%
+      * fp) anti-joins the corpus to confirm. At 100 TB standing
+      * corpus, per-batch join traffic is dup-rate-bounded, not
+      * batch-sized, and the corpus set itself never re-shuffles per
+      * batch. The sink is the idempotent batch-id-partitioned layout
+      * (at-least-once replay converges). Oracle: kept rows ≡ stream
+      * rows whose text hash is absent from the corpus — the plain
+      * NOT IN in DuckDB; batch-internal duplicates are deliberately
+      * both kept (ingestion dedups against the CORPUS; intra-delivery
+      * dups are e05's watermarked job upstream). */
+    "e11_stream_ingest_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graft.ColumnBridge
+      val all = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
+      val corpus = all.filter(col("doc_id") % 5 < 3).select("h").distinct()
+      val bloomBin = corpus.agg(ColumnBridge.column(
+        new BloomFilterAggregate(ColumnBridge.expression(xxhash64(col("h"))),
+          Literal(100000L), Literal(100000L * 16L)).toAggregateExpression())
+        .as("bf")).head().getAs[Array[Byte]]("bf")
+      // staging scaffolding as in e05: one file ⇒ one micro-batch
+      val src = tempDir("graft_e11_src_")
+      all.filter(col("doc_id") % 5 >= 3).repartition(1)
+        .write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema).parquet(src)
+      val outDir = tempDir("graft_e11_out_")
+      val ckpt = tempDir("graft_e11_ckpt_")
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val mc = ColumnBridge.column(new BloomFilterMightContain(
+            Literal(bloomBin), ColumnBridge.expression(xxhash64(col("h")))))
+          val definitelyNew = batch.filter(!mc)
+          val confirmedNew = batch.filter(mc)
+            .join(corpus, Seq("h"), "left_anti")
+          graft.streaming.IdempotentSink.writeBatch(
+            definitelyNew.unionByName(confirmedNew), batchId, outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e11: streaming sink produced zero rows") // see e04
+      out.groupBy("lang")
+        .agg(count(lit(1)).as("n_new_docs"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     /** Ordered conversion funnel view → click → purchase. Each stage is
       * a per-user min-timestamp aggregate joined to the previous stage
       * and filtered to strictly-later events — every join and groupBy
@@ -426,6 +484,18 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // e11: the bloom is physically load-bearing, semantically invisible
+    // — the oracle is the plain NOT IN against the corpus hash set.
+    "e11_stream_ingest_dedup" ->
+      """WITH a AS (SELECT doc_id, lang, n_chars, md5(text) AS h FROM documents),
+        | c AS (SELECT DISTINCT h FROM a WHERE doc_id % 5 < 3),
+        | b AS (SELECT * FROM a WHERE doc_id % 5 >= 3),
+        | k AS (SELECT lang, n_chars FROM b
+        |       WHERE h NOT IN (SELECT h FROM c))
+        |SELECT lang, count(*) AS n_new_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
     "e01_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch(ts) AS sec,
