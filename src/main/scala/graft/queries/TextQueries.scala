@@ -572,9 +572,92 @@ object TextQueries {
             .as("share_after"))
         .orderBy("source")
     }),
+
+    /** Corpus-derived length winsorization — outlier gating where the
+      * thresholds come from the DATA (p01/p99), not a config constant:
+      * the cleanup pass that drops truncated fragments and
+      * concatenation blowups before training. Exact percentiles need a
+      * global sort and approx sketches aren't cross-engine-stable, so
+      * the quantiles come from a fixed-width HISTOGRAM (the q46
+      * machinery): one tiny min/max aggregate broadcast back, one
+      * 64-bin histogram aggregate (map-side combinable), a 64-row
+      * cumulative window (over the aggregate, never data), then the
+      * gate re-derives each doc's bucket with the same IEEE formula
+      * and compares against the broadcast cut buckets — three scans
+      * total, no sort, no shuffle of raw values anywhere, bucket
+      * resolution (hi−lo)/64 which a production run widens at will.
+      * Every step is portable arithmetic, so thresholds AND per-lang
+      * clip counts hash-match the DuckDB replica. */
+    "t19_length_winsorize" -> ((s, d) => {
+      val B = 64
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("double").as("v"))
+      val mm = docs.agg(min("v").as("lo"), max("v").as("hi"))
+      def bucketOf(v: Column): Column =
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(floor((v - col("lo")) / (col("hi") - col("lo")) * B),
+            lit((B - 1).toDouble)).cast("long"))
+      val hist = docs.crossJoin(broadcast(mm))
+        .withColumn("bucket", bucketOf(col("v")))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val wcum = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = hist.withColumn("cum", sum("n").over(wcum))
+        .crossJoin(broadcast(hist.agg(sum("n").as("ntot"))))
+      val cuts = cum.agg(
+        min(when(col("cum") >= ceil(col("ntot") * 0.01), col("bucket"))).as("b_lo"),
+        min(when(col("cum") >= ceil(col("ntot") * 0.99), col("bucket"))).as("b_hi"))
+      docs.crossJoin(broadcast(mm)).crossJoin(broadcast(cuts))
+        .withColumn("bucket", bucketOf(col("v")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("bucket") < col("b_lo"), 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when(col("bucket") > col("b_hi"), 1L).otherwise(0L)).as("n_clip_high"),
+          sum(when(col("bucket").between(col("b_lo"), col("b_hi")), 1L)
+            .otherwise(0L)).as("n_kept"),
+          rnd(max(col("lo") + col("b_lo") * (col("hi") - col("lo")) / B), 2)
+            .as("t_lo"),
+          rnd(max(col("lo") + (col("b_hi") + 1) * (col("hi") - col("lo")) / B), 2)
+            .as("t_hi"))
+        .orderBy("lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // t19: min/max, 64-bin histogram, cumulative cut buckets, and the
+    // per-doc re-bucketing gate all replicate in portable arithmetic.
+    "t19_length_winsorize" ->
+      """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents),
+        | mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+        | bk AS (SELECT lang, v,
+        |          CASE WHEN hi = lo THEN 0
+        |               ELSE CAST(least(floor((v - lo) / (hi - lo) * 64), 63)
+        |                         AS BIGINT) END AS bucket
+        |        FROM v CROSS JOIN mm),
+        | h AS (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket),
+        | c AS (SELECT bucket, sum(n) OVER (ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         (SELECT sum(n) FROM h) AS ntot
+        |       FROM h),
+        | cuts AS (SELECT
+        |   min(CASE WHEN cum >= CAST(ceil(ntot * 0.01) AS BIGINT)
+        |       THEN bucket END) AS b_lo,
+        |   min(CASE WHEN cum >= CAST(ceil(ntot * 0.99) AS BIGINT)
+        |       THEN bucket END) AS b_hi
+        |  FROM c)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN bucket < b_lo THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clip_low,
+        | CAST(sum(CASE WHEN bucket > b_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_clip_high,
+        | CAST(sum(CASE WHEN bucket BETWEEN b_lo AND b_hi THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_kept,
+        | floor((max(lo + b_lo * (hi - lo) / 64))*100+0.5)/100 AS t_lo,
+        | floor((max(lo + (b_hi + 1) * (hi - lo) / 64))*100+0.5)/100 AS t_hi
+        |FROM bk CROSS JOIN mm CROSS JOIN cuts
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // t15: the md5-nibble order key and shard assignment replicate
     // verbatim, so the ORDER itself (head_ids) is oracle-verified —
     // determinism is the contract, not just balance.
