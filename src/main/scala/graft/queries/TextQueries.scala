@@ -622,9 +622,119 @@ object TextQueries {
             .as("t_hi"))
         .orderBy("lang")
     }),
+
+    /** Dataset snapshot diff — the versioning primitive behind "what
+      * changed between corpus v1 and v2": one full outer join on
+      * doc_id comparing content hashes, classifying every doc as
+      * added / removed / changed / unchanged. Snapshots are simulated
+      * deterministically (v2 drops doc_id % 7 == 0, adds the % 5 == 3
+      * slice, and edits the text of % 11 == 0). At scale this is ONE
+      * shuffle on doc_id of (id, 32-byte hash) pairs — never the
+      * payloads — and the downstream count aggregate is map-side
+      * combinable; a real pipeline runs it per release to gate
+      * training-set drift. Pure hash math ⇒ DuckDB replica. */
+    "t20_dataset_diff" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val v1 = base.filter(col("doc_id") % 5 < 3)
+        .select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2kept = base.filter(col("doc_id") % 5 < 3 && col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, md5(concat(col("text"), lit("!"))))
+            .otherwise(md5(col("text"))).as("h2"))
+      val v2added = base.filter(col("doc_id") % 5 === 3)
+        .select(col("doc_id"), md5(col("text")).as("h2"))
+      val v2 = v2kept.unionByName(v2added)
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .agg(
+          sum(when(col("h1").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("h2").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("h1").isNotNull && col("h2").isNotNull &&
+            col("h1") =!= col("h2"), 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("h1") === col("h2"), 1L).otherwise(0L)).as("n_unchanged"),
+          count(lit(1)).as("n_union"))
+    }),
+
+    /** Takedown cascade (right-to-be-forgotten / copyright-claim
+      * propagation): a takedown list of doc_ids must remove not only
+      * those documents but every EXACT COPY of their content under
+      * other ids, and cascade to the derived embedding table. The
+      * takedown id set and its content-hash set are both tiny and
+      * BROADCAST; the corpus sides only anti/semi-join against them —
+      * no corpus-sized shuffle anywhere, which is what makes the
+      * compliance sweep runnable daily at 100 TB. Counts are split by
+      * removal cause (id match vs content match) because the content
+      * sweep is the part naive implementations miss. Pure hash/id
+      * math ⇒ DuckDB replica. */
+    "t21_takedown_cascade" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val tdIds = docs.filter(col("doc_id") % 97 === 0).select("doc_id")
+      val tdHashes = docs.join(broadcast(tdIds), "doc_id")
+        .select("h").distinct()
+      val byId = docs.join(broadcast(tdIds), Seq("doc_id"), "left_semi")
+      val byContent = docs
+        .join(broadcast(tdIds), Seq("doc_id"), "left_anti")
+        .join(broadcast(tdHashes), Seq("h"), "left_semi")
+      val cleanDocs = docs
+        .join(broadcast(tdIds), Seq("doc_id"), "left_anti")
+        .join(broadcast(tdHashes), Seq("h"), "left_anti")
+      val emb = Tables.embeddings(s, d).select(col("vec_id"))
+      val cleanEmb = emb.join(broadcast(tdIds.select(
+        col("doc_id").as("vec_id"))), Seq("vec_id"), "left_anti")
+      tdIds.agg(count(lit(1)).as("n_takedown_ids"))
+        .crossJoin(byId.agg(count(lit(1)).as("n_removed_by_id")))
+        .crossJoin(byContent.agg(count(lit(1)).as("n_removed_by_content")))
+        .crossJoin(cleanDocs.agg(count(lit(1)).as("n_docs_left")))
+        .crossJoin(cleanEmb.agg(count(lit(1)).as("n_vecs_left")))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // t20: plain hash-diff replica.
+    "t20_dataset_diff" ->
+      """WITH b AS (SELECT doc_id, text FROM documents),
+        | v1 AS (SELECT doc_id, md5(text) AS h1 FROM b WHERE doc_id % 5 < 3),
+        | v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN md5(text || '!')
+        |         ELSE md5(text) END AS h2
+        |  FROM b WHERE doc_id % 5 < 3 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, md5(text) AS h2 FROM b WHERE doc_id % 5 = 3),
+        | j AS (SELECT v1.h1, v2.h2
+        |       FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+        |SELECT
+        | CAST(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        | CAST(sum(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | CAST(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        | CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        | count(*) AS n_union
+        |FROM j""".stripMargin,
+
+    // t21: id + content-hash cascade replica.
+    "t21_takedown_cascade" ->
+      """WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+        | td AS (SELECT doc_id FROM docs WHERE doc_id % 97 = 0),
+        | th AS (SELECT DISTINCT h FROM docs WHERE doc_id IN (SELECT doc_id FROM td)),
+        | byid AS (SELECT * FROM docs WHERE doc_id IN (SELECT doc_id FROM td)),
+        | bycontent AS (
+        |  SELECT * FROM docs
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM td)
+        |    AND h IN (SELECT h FROM th)),
+        | clean AS (
+        |  SELECT * FROM docs
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM td)
+        |    AND h NOT IN (SELECT h FROM th)),
+        | cleanemb AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE vec_id NOT IN (SELECT doc_id FROM td))
+        |SELECT (SELECT count(*) FROM td) AS n_takedown_ids,
+        | (SELECT count(*) FROM byid) AS n_removed_by_id,
+        | (SELECT count(*) FROM bycontent) AS n_removed_by_content,
+        | (SELECT count(*) FROM clean) AS n_docs_left,
+        | (SELECT count(*) FROM cleanemb) AS n_vecs_left""".stripMargin,
+
     // t19: min/max, 64-bin histogram, cumulative cut buckets, and the
     // per-doc re-bucketing gate all replicate in portable arithmetic.
     "t19_length_winsorize" ->
