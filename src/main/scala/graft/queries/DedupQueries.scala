@@ -151,35 +151,69 @@ object DedupQueries {
     * ~50 longs, and the per-row form needs no shuffle at all until
     * the (tiny) band join.
     */
-  def minhashPairs(docsIn: DataFrame): DataFrame = {
-    val K = 32; val B = 8; val R = 4
-    val docs = docsIn
-      .withColumn("toks", toks)
-      .withColumn("sh", shingles)
+  private val MinHashK = 32; private val MinHashB = 8; private val MinHashR = 4
+
+  /** (doc_id, sh): hashed distinct word-3-gram shingle sets. */
+  private def shingled(docsIn: DataFrame): DataFrame =
+    docsIn.withColumn("toks", toks).withColumn("sh", shingles)
       .select("doc_id", "sh")
-    val sig = docs.withColumn("sig",
-      graft.functions.SketchExpressions.minhash_sig(col("sh"), K))
-    val bands = sig.select(col("doc_id"),
-        explode(array((0 until B).map(b =>
+
+  /** (doc_id, band, bucket): the 8×4 LSH banding of the per-row
+    * codegen minhash signature. */
+  private def bandsOf(sh: DataFrame): DataFrame = {
+    val (b0, r) = (MinHashB, MinHashR)
+    sh.withColumn("sig",
+        graft.functions.SketchExpressions.minhash_sig(col("sh"), MinHashK))
+      .select(col("doc_id"),
+        explode(array((0 until b0).map(b =>
           struct(lit(b).as("band"),
-            hash((b * R until (b + 1) * R).map(k =>
+            hash((b * r until (b + 1) * r).map(k =>
               element_at(col("sig"), k + 1)): _*).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Exact jaccard of a candidate id-pair frame against two shingle
+    * frames — candidates only; signatures never carry the payload
+    * through the band shuffle. */
+  private def verifyJaccard(cand: DataFrame, shA: DataFrame,
+      shB: DataFrame): DataFrame =
+    cand
+      .join(shA.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shB.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select("doc_a", "doc_b", "jaccard")
+
+  def minhashPairs(docsIn: DataFrame): DataFrame = {
+    val docs = shingled(docsIn)
+    val bands = bandsOf(docs)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates only: join the (tiny) pair set back to the
-    // shingle arrays — signatures never carry the payload through the
-    // band shuffle
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .select("doc_a", "doc_b", "jaccard")
+    verifyJaccard(cand, docs, docs)
+  }
+
+  /** Cross-corpus variant of [[minhashPairs]]: candidates are band
+    * collisions BETWEEN a standing corpus and a new batch (never
+    * corpus×corpus — the standing corpus is already deduped, so its
+    * internal pairs are dead weight the self-join form would pay for
+    * every delivery). At scale the batch band table is delivery-sized
+    * and the join shuffles only band buckets; the corpus bands are the
+    * reusable artifact a real pipeline PERSISTS between deliveries
+    * (computing them is one linear codegen pass, and nothing else in
+    * the corpus is touched). Returns (doc_a = corpus, doc_b = batch,
+    * jaccard). */
+  def minhashCrossPairs(corpusIn: DataFrame, batchIn: DataFrame): DataFrame = {
+    val corpus = shingled(corpusIn)
+    val batch = shingled(batchIn)
+    val cand = bandsOf(corpus).as("a").join(bandsOf(batch).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, corpus, batch)
   }
 
   /** d09's edge build over a (doc_id, text) corpus: undirected
@@ -406,6 +440,40 @@ object DedupQueries {
           (col("n_batch") - col("n_dup_vs_corpus")
             - (col("n_batch_hashes") - col("n_dup_hashes"))).as("n_batch_dups"),
           (col("n_batch_hashes") - col("n_dup_hashes")).as("n_unique_new"))
+    }),
+
+    /** Cross-corpus NEAR-dup ingestion check — d12's daily shape for
+      * content that was edited between deliveries, not just re-sent:
+      * the new batch's minhash bands join the STANDING corpus's bands
+      * ([[minhashCrossPairs]] — never corpus×corpus; the corpus band
+      * table is the persisted artifact), band collisions verify with
+      * exact jaccard, and a batch doc matching any corpus doc at
+      * ≥ 0.9 is flagged as a near-replay. The batch mixes genuinely
+      * fresh docs (ids 200–260) with doctored replays of corpus docs
+      * (one appended token ⇒ j ≥ 0.947). DuckDB brute-forces ALL
+      * corpus×batch string-shingle jaccards as pipeline-independent
+      * ground truth — the compare certifies LSH recall of every ≥ 0.9
+      * cross pair (deterministic-empirical, the d06 argument: per-pair
+      * miss probability ~2e-4 at j = 0.9 under 8×4 banding, verified
+      * at all three SFs). */
+    "d16_crosscorpus_neardup" -> ((s, d) => {
+      val doc = Tables.documents(s, d).select("doc_id", "text")
+      val base = doc.filter(col("doc_id") < 200)
+      val fresh = doc.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+      val replays = base.filter(col("doc_id") < 40 && size(toks) >= 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      val batch = fresh.unionByName(replays)
+      val matches = minhashCrossPairs(base, batch)
+        .filter(col("jaccard") >= 0.9)
+      batch.agg(count(lit(1)).as("n_batch"))
+        .crossJoin(replays.agg(count(lit(1)).as("n_replayed")))
+        .crossJoin(matches.agg(
+          countDistinct("doc_b").as("n_batch_matched"),
+          count(lit(1)).as("n_pairs_09"),
+          RelationalQueries.rnd(coalesce(max("jaccard"), lit(0.0)), 4)
+            .as("max_jaccard")))
+        .withColumn("n_batch_new", col("n_batch") - col("n_batch_matched"))
     }),
 
     /** Duplicate-cluster resolution: near-dup PAIRS are only half a
@@ -651,6 +719,46 @@ object DedupQueries {
         | floor(avg(dist)*10000+0.5)/10000 AS avg_dist
         |FROM p WHERE dist <= 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d16: brute-force corpus×batch ground truth (string shingles, no
+    // LSH) — the cross-corpus mirror of the d06 oracle.
+    "d16_crosscorpus_neardup" ->
+      """WITH doc AS (SELECT doc_id, text FROM documents),
+        | base AS (SELECT * FROM doc WHERE doc_id < 200),
+        | fresh AS (SELECT * FROM doc WHERE doc_id >= 200 AND doc_id < 260),
+        | rp AS (SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
+        |        FROM base WHERE doc_id < 40
+        |          AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
+        | batch AS (SELECT * FROM fresh UNION ALL SELECT * FROM rp),
+        | shc AS (SELECT doc_id,
+        |   list_distinct(CASE WHEN len(tk) >= 3
+        |     THEN list_transform(range(1, len(tk) - 1),
+        |            i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |     ELSE [array_to_string(tk, ' ')] END) AS g
+        |   FROM (SELECT doc_id,
+        |           list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM base)),
+        | shb AS (SELECT doc_id,
+        |   list_distinct(CASE WHEN len(tk) >= 3
+        |     THEN list_transform(range(1, len(tk) - 1),
+        |            i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |     ELSE [array_to_string(tk, ' ')] END) AS g
+        |   FROM (SELECT doc_id,
+        |           list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM batch)),
+        | p AS (SELECT b.doc_id AS doc_b,
+        |         len(list_intersect(a.g, b.g)) * 1.0
+        |           / len(list_distinct(list_concat(a.g, b.g))) AS j
+        |       FROM shc a CROSS JOIN shb b),
+        | f AS (SELECT * FROM p WHERE j >= 0.9)
+        |SELECT (SELECT count(*) FROM batch) AS n_batch,
+        | (SELECT count(*) FROM rp) AS n_replayed,
+        | (SELECT count(DISTINCT doc_b) FROM f) AS n_batch_matched,
+        | (SELECT count(*) FROM f) AS n_pairs_09,
+        | (SELECT coalesce(floor(max(j)*10000+0.5)/10000, 0.0) FROM f)
+        |   AS max_jaccard,
+        | (SELECT count(*) FROM batch) - (SELECT count(DISTINCT doc_b) FROM f)
+        |   AS n_batch_new""".stripMargin,
 
     // d14: full replica — banner planting, positioned md5 8-grams,
     // cross-doc df >= 2 cut, 8-offset coverage union, per-doc left
