@@ -231,6 +231,18 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("d16: the cross-corpus candidate join is banded — no cartesian") {
+    val doc = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    val pairs = DedupQueries.minhashCrossPairs(
+      doc.filter(col("doc_id") < 200),
+      doc.filter(col("doc_id") >= 200 && col("doc_id") < 260))
+    pairs.collect()
+    val tree = pairs.queryExecution.executedPlan.toString
+    assert(!tree.contains("CartesianProduct") &&
+      !tree.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus candidates plan a cartesian:\n${tree.take(3000)}")
+  }
+
   test("s06: quantization is per-row until the final per-label aggregate") {
     // scope to the AQE final plan (the formatted string also prints the
     // initial plan, which would double every operator count)
