@@ -225,6 +225,61 @@ object DedupQueries {
     minhashPairs(corpus).filter(col("jaccard") >= 0.3)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
 
+  /** Connected components by min-label propagation to FIXPOINT over an
+    * undirected (u, v) pair list: returns (node, lbl) where lbl is the
+    * smallest doc_id of the node's component. Shared by d09 (cluster
+    * census) and d17 (keeper resolution).
+    *
+    * Iterative algorithms MUST truncate lineage each round: labels
+    * feeds both branches of the next round, so an unmaterialized loop
+    * doubles the plan per iteration (2^8 copies of the edge build —
+    * measured 100s at sf0.1; materialized: ~2s). Eager localCheckpoint
+    * materializes and cuts the DAG; a fault-tolerant cluster run would
+    * use checkpoint() to reliable storage instead.
+    *
+    * Rounds use the pointer-doubling (shortcutting) form: each round
+    * takes the min over edge-neighbors' labels AND over the label of
+    * the node's own label, so reach grows ~2× per round instead of +1
+    * — O(log d) rounds to any diameter d, capped at 16 doublings =
+    * diameter 2¹⁶ (a loud bound rather than silent mislabeling).
+    * Convergence is probed by the O(1)-row sum(lbl) aggregate: labels
+    * are monotone non-increasing under min-propagation, so an
+    * unchanged sum ⟺ no label moved; the driver reads one Long per
+    * probe — bounded, not a data collect — and probing only starts at
+    * round 2 (nothing can converge before one propagate + one
+    * shortcut). */
+  def labelPropagate(pairs: DataFrame): DataFrame = {
+    val edges = pairs.unionByName(
+      pairs.select(col("v").as("u"), col("u").as("v"))).localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    var prevSum = Long.MinValue
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 16) {
+      val fromNeighbors = labels
+        .join(edges, labels("node") === edges("u"))
+        .select(col("v").as("node"), col("lbl"))
+      // shortcut: node → lbl → (that label-node's own, possibly
+      // smaller, label); every lbl is itself a node in the same
+      // component, so the mapping join always resolves
+      val lblMap = labels.select(col("node").as("l_node"), col("lbl").as("l_lbl"))
+      val viaLabel = labels.as("x")
+        .join(lblMap, col("x.lbl") === col("l_node"))
+        .select(col("x.node").as("node"), col("l_lbl").as("lbl"))
+      labels = labels.unionByName(fromNeighbors).unionByName(viaLabel)
+        .groupBy("node").agg(min("lbl").as("lbl")).localCheckpoint(true)
+      rounds += 1
+      if (rounds >= 2) {
+        val s = Option(labels.agg(sum("lbl")).head().getAs[java.lang.Long](0))
+          .fold(0L)(_.longValue)
+        converged = s == prevSum
+        prevSum = s
+      }
+    }
+    labels
+  }
+
   /** 64-bit SimHash sketch of a (doc_id, text) corpus: per-token hash
     * votes on each bit, sign of the vote sum sets the bit. The vote
     * loop is one native codegen'd kernel per row
@@ -518,59 +573,50 @@ object DedupQueries {
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" graftdup graftdup2")).as("text"))
       val corpus = base.unionByName(planted1).unionByName(planted2)
-      val pairs = d09Edges(corpus)
-      // Iterative algorithms MUST truncate lineage each round: labels
-      // feeds both branches of the next round, so an unmaterialized
-      // loop doubles the plan per iteration (2^8 copies of the edge
-      // build — measured 100s at sf0.1; materialized: ~2s). Eager
-      // localCheckpoint materializes and cuts the DAG; a fault-tolerant
-      // cluster run would use checkpoint() to reliable storage instead.
-      val edges = pairs.unionByName(
-        pairs.select(col("v").as("u"), col("u").as("v"))).localCheckpoint(true)
-      var labels = edges.select(col("u").as("node")).distinct()
-        .withColumn("lbl", col("node")).localCheckpoint(true)
-      // Fixpoint loop, not a fixed round count: labels are monotone
-      // non-increasing under min-propagation, so sum(lbl) is strictly
-      // decreasing until converged — an O(1)-row aggregate over the
-      // just-checkpointed frame is a far cheaper convergence probe than
-      // a changed-rows join, and it both EARLY-EXITS (the planted
-      // cliques converge in ~2 doubling rounds, not a fixed 4) and
-      // makes the operator exact for ANY component diameter (2^16 via
-      // doubling), instead of silently mislabeling a graph deeper than
-      // a fixed round budget. The driver reads one Long per probe —
-      // bounded, not a data collect — and probing only starts at round
-      // 2 (nothing can converge before one propagate + one shortcut,
-      // so earlier probes would be pure job overhead).
-      var prevSum = Long.MinValue
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 16) {
-        val fromNeighbors = labels
-          .join(edges, labels("node") === edges("u"))
-          .select(col("v").as("node"), col("lbl"))
-        // shortcut: node → lbl → (that label-node's own, possibly
-        // smaller, label); every lbl is itself a node in the same
-        // component, so the mapping join always resolves
-        val lblMap = labels.select(col("node").as("l_node"), col("lbl").as("l_lbl"))
-        val viaLabel = labels.as("x")
-          .join(lblMap, col("x.lbl") === col("l_node"))
-          .select(col("x.node").as("node"), col("l_lbl").as("lbl"))
-        labels = labels.unionByName(fromNeighbors).unionByName(viaLabel)
-          .groupBy("node").agg(min("lbl").as("lbl")).localCheckpoint(true)
-        rounds += 1
-        if (rounds >= 2) {
-          val s = Option(labels.agg(sum("lbl")).head().getAs[java.lang.Long](0))
-            .fold(0L)(_.longValue)
-          converged = s == prevSum
-          prevSum = s
-        }
-      }
+      val labels = labelPropagate(d09Edges(corpus))
       val clusters = labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
       clusters.agg(
         count(lit(1)).as("n_clusters"),
         sum("sz").as("n_clustered_docs"),
         max("sz").as("largest_cluster"),
         sum(col("sz") - 1).as("n_dups_to_drop"))
+    }),
+
+    /** Keeper resolution — the step that turns d09's clusters into a
+      * PRUNED CORPUS: min-label propagation converges every node's
+      * label to the smallest doc_id of its component, so the keeper of
+      * each duplicate group is exactly the node whose label equals
+      * itself; everything else in a cluster is dropped, and the
+      * survivors are the corpus anti-joined against the dropped set.
+      * Emits the accounting a pipeline reports after a dedup pass
+      * (docs and tokens dropped vs kept). Same banded edge build and
+      * fixpoint clustering as d09 ([[d09Edges]]/[[labelPropagate]]);
+      * the oracle extends the recursive-CTE replica with the identical
+      * keeper rule and token sums — pipeline-independent ground truth
+      * for the END-TO-END prune, not just the cluster census. */
+    "d17_keeper_resolution" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val planted1 = base.filter(col("doc_id") < 40 && size(toks) >= 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      val planted2 = base.filter(col("doc_id") < 20 && size(toks) >= 20)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" graftdup graftdup2")).as("text"))
+      val corpus = base.unionByName(planted1).unionByName(planted2)
+      val labels = labelPropagate(d09Edges(corpus))
+      val dropped = labels.filter(col("node") =!= col("lbl"))
+        .select(col("node").as("doc_id"))
+      val stats = corpus.withColumn("ntok", size(toks))
+      val droppedStats = stats.join(dropped, Seq("doc_id"), "left_semi")
+      val survivors = stats.join(dropped, Seq("doc_id"), "left_anti")
+      corpus.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(labels.agg(count(lit(1)).as("n_clustered"),
+          countDistinct("lbl").as("n_keepers")))
+        .crossJoin(droppedStats.agg(count(lit(1)).as("n_dropped"),
+          coalesce(sum("ntok"), lit(0L)).as("tokens_dropped")))
+        .crossJoin(survivors.agg(count(lit(1)).as("n_survivors"),
+          sum("ntok").as("tokens_kept")))
     }),
 
     "d04_ngram_jaccard" -> ((s, d) => {
@@ -888,6 +934,58 @@ object DedupQueries {
         | CAST(max(sz) AS BIGINT) AS largest_cluster,
         | CAST(sum(sz - 1) AS BIGINT) AS n_dups_to_drop
         |FROM cl""".stripMargin,
+
+    // d17: the d09 recursive-CTE replica extended with the keeper rule
+    // (node = lbl) and token accounting — ground truth for the
+    // end-to-end prune, independent of the label-propagation code.
+    "d17_keeper_resolution" ->
+      """WITH RECURSIVE
+        | base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        | pl1 AS (
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
+        |  FROM base WHERE doc_id < 40
+        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
+        | pl2 AS (
+        |  SELECT doc_id + 200000 AS doc_id, text || ' graftdup graftdup2' AS text
+        |  FROM base WHERE doc_id < 20
+        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
+        | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl1
+        |       UNION ALL SELECT * FROM pl2),
+        | t AS (SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |       FROM c),
+        | sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk) - 1),
+        |                        i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM t),
+        | p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+        |        >= 0.3),
+        | e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+        | n AS (SELECT DISTINCT u AS node FROM e),
+        | reach AS (
+        |  SELECT node, node AS lbl FROM n
+        |  UNION
+        |  SELECT e.v AS node, r.lbl FROM reach r JOIN e ON e.u = r.node),
+        | lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+        | st AS (SELECT doc_id, len(tk) AS ntok FROM t),
+        | drp AS (SELECT node AS doc_id FROM lab WHERE node <> lbl),
+        | ds AS (SELECT st.ntok FROM st JOIN drp USING (doc_id)),
+        | sv AS (SELECT st.ntok FROM st
+        |        WHERE doc_id NOT IN (SELECT doc_id FROM drp))
+        |SELECT (SELECT count(*) FROM c) AS n_corpus,
+        | (SELECT count(*) FROM lab) AS n_clustered,
+        | (SELECT count(DISTINCT lbl) FROM lab) AS n_keepers,
+        | (SELECT count(*) FROM ds) AS n_dropped,
+        | (SELECT CAST(coalesce(sum(ntok), 0) AS BIGINT) FROM ds)
+        |   AS tokens_dropped,
+        | (SELECT count(*) FROM sv) AS n_survivors,
+        | (SELECT CAST(sum(ntok) AS BIGINT) FROM sv) AS tokens_kept""".stripMargin,
 
     // d08: recall on exact-copy plants is structural (identical text ⇒
     // identical simhash ⇒ band collision), so ground truth is simply
