@@ -203,6 +203,41 @@ object MultimodalQueries {
         .orderBy("label")
     }),
 
+    /** Frame-level cross-document dedup — the multimodal counterpart of
+      * d01: hash every frame (m03's deterministic chunking standing in
+      * for decoded video frames) and find frames shared across
+      * DISTINCT documents; planted exact-copy docs (doc_id < 40
+      * re-ingested under new ids) make every one of their frames a
+      * cross-doc duplicate, the re-uploaded-video case a media corpus
+      * dedups at frame granularity rather than whole-file hash. One
+      * explode + one map-side-combinable hash aggregate — the same
+      * linear shape as d01, so it scales with total frame count.
+      * Ground truth is pure substring/md5 math ⇒ DuckDB oracle. */
+    "m07_frame_dedup" -> ((s, d) => {
+      val chunk = 64
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val frames = base.unionByName(planted)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .select(col("doc_id"),
+          explode(expr(
+            s"transform(sequence(0, greatest(CAST(floor((octet_length(content)-1)/$chunk) AS INT), 0)), i -> substring(content, i*$chunk+1, $chunk))"))
+            .as("frame"))
+        .select(col("doc_id"), md5(col("frame")).as("fmd5"))
+      val byHash = frames.groupBy("fmd5")
+        .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("n"))
+      byHash.agg(
+        count(lit(1)).as("n_distinct_frames"),
+        sum("n").as("n_frames"),
+        sum(when(col("df") >= 2, col("n")).otherwise(0L))
+          .as("n_frames_in_crossdoc_dups"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L))
+          .as("n_crossdoc_frame_hashes"),
+        max("df").as("max_doc_spread"))
+    }),
+
     /** Frame sampling: every k-th chunk of the payload as a "frame" row
       * — the explode/posexplode pattern used to fan a video column out
       * to frame rows, with deterministic chunking (oracle-able). */
@@ -284,6 +319,35 @@ object MultimodalQueries {
         | count(DISTINCT d.lang) AS n_langs
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY e.label ORDER BY e.label""".stripMargin,
+
+    // m07: same chunk-replica convention as m03 — DuckDB substr is
+    // character-based while Spark chunks the binary cast, equal
+    // because the synthetic corpus is ASCII (the m03 oracle has relied
+    // on this since round 3, green at all SFs; a multi-byte corpus
+    // would need blob slicing on the DuckDB side).
+    "m07_frame_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        | pl AS (SELECT doc_id + 100000 AS doc_id, text FROM base
+        |        WHERE doc_id < 40),
+        | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+        | f AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(CAST(floor((strlen(text)-1)/64) AS BIGINT) + 1, 1))) AS i,
+        |    text
+        |  FROM c),
+        | h AS (SELECT doc_id,
+        |         md5(substr(text, CAST(i*64+1 AS BIGINT), 64)) AS fmd5
+        |       FROM f),
+        | g AS (SELECT fmd5, count(DISTINCT doc_id) AS df, count(*) AS n
+        |       FROM h GROUP BY fmd5)
+        |SELECT count(*) AS n_distinct_frames,
+        | CAST(sum(n) AS BIGINT) AS n_frames,
+        | CAST(sum(CASE WHEN df >= 2 THEN n ELSE 0 END) AS BIGINT)
+        |   AS n_frames_in_crossdoc_dups,
+        | CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_crossdoc_frame_hashes,
+        | CAST(max(df) AS BIGINT) AS max_doc_spread
+        |FROM g""".stripMargin,
 
     "m03_frame_sample" ->
       """WITH f AS (
