@@ -623,6 +623,54 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    /** Corpus-preparation FUNNEL — the operators composed the way a
+      * real pretraining-prep job chains them, with stage-by-stage
+      * survival accounting (the "where did my tokens go" report every
+      * data team maintains): quality gates (the t13 battery) → exact
+      * dedup keeping the lowest doc_id per content hash (the d01 rule)
+      * → deterministic stratified downsample (the t16 gates). Each
+      * stage is one scan / one map-side-combinable aggregate; the
+      * dedup keeper join shuffles (doc_id, hash) pairs only. Stages
+      * are emitted as rows (stage 0..3) so the funnel reads top-down;
+      * every stage's formula replicates in DuckDB, making the WHOLE
+      * composed pipeline hash-verified, not just its parts. */
+    "t22_prep_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .withColumn("toks", tokens)
+        .withColumn("n", size(col("toks")))
+        .withColumn("awl",
+          length(regexp_replace(col("text"), " ", "")).cast("double") / col("n"))
+        .withColumn("nstop", size(array_intersect(array_distinct(col("toks")),
+          array(StopWords.map(lit): _*))))
+        .withColumn("digit_frac",
+          size(filter(col("toks"), t => t.rlike("[0-9]"))).cast("double") / col("n"))
+      val s1 = docs.filter(col("n").between(20, 1000) &&
+        col("awl").between(3.0, 10.0) && col("nstop") >= 2 &&
+        col("digit_frac") <= 0.2)
+      val keepers = s1.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val s2 = s1.join(keepers, Seq("doc_id"), "left_semi")
+      val rates = Seq("en" -> 0.3, "de" -> 0.5, "es" -> 1.0,
+        "fr" -> 1.0, "zh" -> 1.0)
+      val gate = pmod(graft.operators.Sampling.portableGate(
+        concat(col("doc_id").cast("string"), lit(":strat"))), lit(4096))
+      val cut = rates.foldLeft(lit(0.0)) { case (acc, (l, f)) =>
+        when(col("lang") === l, lit(f * 4096)).otherwise(acc)
+      }
+      val s3 = s2.filter(gate < cut)
+      def stage(df: DataFrame, id: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"))
+          .select(lit(id).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("sum_tokens"))
+      stage(docs, 0, "raw")
+        .unionByName(stage(s1, 1, "quality_gates"))
+        .unionByName(stage(s2, 2, "exact_dedup"))
+        .unionByName(stage(s3, 3, "stratified_sample"))
+        .orderBy("stage")
+    }),
+
     /** Dataset snapshot diff — the versioning primitive behind "what
       * changed between corpus v1 and v2": one full outer join on
       * doc_id comparing content hashes, classifying every doc as
@@ -690,6 +738,42 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // t22: the composed funnel replicates stage by stage — t13 gate
+    // formulas, d01 keeper rule, t16 uniform-gate downsample — so the
+    // chained pipeline is verified end-to-end.
+    "t22_prep_funnel" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, lang, text, len(toks) AS n,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) AS awl,
+        |    len(list_intersect(list_distinct(toks),
+        |        ['the','a','of','and','to','in'])) AS nstop,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[0-9]'))) AS DOUBLE)
+        |      / len(toks) AS digit_frac
+        |  FROM (SELECT doc_id, lang, text,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM documents)),
+        | s1 AS (SELECT * FROM m
+        |        WHERE n BETWEEN 20 AND 1000 AND awl BETWEEN 3 AND 10
+        |          AND nstop >= 2 AND digit_frac <= 0.2),
+        | kp AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+        | s2 AS (SELECT * FROM s1 WHERE doc_id IN (SELECT doc_id FROM kp)),
+        | s3 AS (SELECT * FROM s2
+        |        WHERE ${graft.operators.Sampling.portableGateSql(
+                   "CAST(doc_id AS VARCHAR) || ':strat'")} % 4096
+        |          < CASE lang WHEN 'en' THEN 0.3 * 4096
+        |            WHEN 'de' THEN 0.5 * 4096 WHEN 'es' THEN 1.0 * 4096
+        |            WHEN 'fr' THEN 1.0 * 4096 WHEN 'zh' THEN 1.0 * 4096
+        |            ELSE 0 END)
+        |SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS sum_tokens FROM m
+        |UNION ALL
+        |SELECT 1, 'quality_gates', count(*), CAST(sum(n) AS BIGINT) FROM s1
+        |UNION ALL
+        |SELECT 2, 'exact_dedup', count(*), CAST(sum(n) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT 3, 'stratified_sample', count(*), CAST(sum(n) AS BIGINT) FROM s3
+        |ORDER BY stage""".stripMargin,
+
     // t20: plain hash-diff replica.
     "t20_dataset_diff" ->
       """WITH b AS (SELECT doc_id, text FROM documents),
