@@ -426,6 +426,56 @@ object SimilarityQueries {
           "max_cluster_sz", "sum_csim_e6")
     }),
 
+    /** Product quantization (PQ) — the vector-compression step an ANN
+      * index applies beyond s06's scalar int8: the 64-dim space splits
+      * into 8 subspaces of 8 dims, each with its own 16-entry codebook,
+      * and every vector encodes as 8 code bytes (64× smaller than the
+      * double working form). Codebooks here are SAMPLED (the 16
+      * sub-vectors of the s07 md5-seeding rule — the standard
+      * no-refinement PQ baseline; a production build runs s07's Lloyd
+      * loop per subspace on the same machinery). Encoding is the
+      * canonical n·k·d shape: sub-vectors explode (8 rows per vector),
+      * the 128-row codebook BROADCASTS, argmin per (vector, subspace)
+      * with rnd6 distances so the assignment is cross-engine stable.
+      * Reconstruction error is accounted in exact integer micro-units
+      * (floor(dist²·10⁶+0.5) summed as longs) — immune to summation
+      * order, so the whole encode pipeline hash-matches DuckDB. */
+    "s08_product_quantize" -> ((s, d) => {
+      val S = 8; val Dsub = 8; val K = 16
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val seeds = emb.withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h").limit(K)
+      val wSeed = Window.orderBy("h")
+      val seeded = seeds.select(row_number().over(wSeed).as("code"), col("vec"))
+      def subSlices(vecCol: String, outName: String) =
+        explode(array((0 until S).map(sp => struct(lit(sp).as("sp"),
+          expr(s"slice($vecCol, ${sp * Dsub} + 1, $Dsub)").as(outName))): _*))
+      val codebook = seeded
+        .select(col("code"), subSlices("vec", "cvec").as("e"))
+        .select(col("e.sp"), col("code"), col("e.cvec"))
+      val subs = emb
+        .select(col("vec_id"), subSlices("vec", "sub").as("e"))
+        .select(col("vec_id"), col("e.sp"), col("e.sub"))
+      val scored = subs.join(broadcast(codebook), "sp")
+        .withColumn("diff", expr("zip_with(sub, cvec, (a, b) -> a - b)"))
+        .withColumn("dist2", RelationalQueries.rnd(
+          graft.functions.VectorExpressions.array_dot(col("diff"), col("diff")), 6))
+      val wMin = Window.partitionBy("vec_id", "sp")
+        .orderBy(col("dist2").asc, col("code"))
+      val enc = scored.withColumn("rn", row_number().over(wMin))
+        .filter(col("rn") === 1)
+      enc.agg(
+          countDistinct("vec_id").as("n_vecs"),
+          sum(floor(col("dist2") * 1e6 + 0.5).cast("long")).as("sum_dist2_e6"),
+          countDistinct(concat_ws(":", col("sp"), col("code")))
+            .as("n_codes_used"),
+          max("dist2").as("max_dist2"))
+        .select(col("n_vecs"), lit(S).as("n_subspaces"),
+          lit(K).as("codebook_k"), col("sum_dist2_e6"),
+          col("n_codes_used"), col("max_dist2"))
+    }),
+
     "s03_centroid_stats" -> ((s, d) => {
       // per-label centroid + dispersion: the IVF coarse-quantizer build
       // step (centroids of an existing partition) — the shared
@@ -625,6 +675,39 @@ object SimilarityQueries {
         | floor((max(err))*1000000+0.5)/1000000 AS max_err,
         | CAST(max(qmax) AS BIGINT) AS max_q
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
+    // s08: full encode replica — md5-seeded sampled codebooks, rnd6
+    // subspace distances, argmin with the same tie-break, and the
+    // integer micro-unit error sum (order-immune by construction).
+    "s08_product_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | sd AS (SELECT vec, row_number()
+        |          OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS code
+        |        FROM e),
+        | sp AS (SELECT unnest(range(0, 8)) AS sp),
+        | cb AS (SELECT sp.sp, code,
+        |          list_slice(vec, sp.sp * 8 + 1, sp.sp * 8 + 8) AS cvec
+        |        FROM sd CROSS JOIN sp WHERE code <= 16),
+        | sb AS (SELECT vec_id, sp.sp,
+        |          list_slice(vec, sp.sp * 8 + 1, sp.sp * 8 + 8) AS sub
+        |        FROM e CROSS JOIN sp),
+        | sc AS (SELECT vec_id, sb.sp, code,
+        |          floor(list_inner_product(
+        |            list_transform(range(1, 9), i -> sub[i] - cvec[i]),
+        |            list_transform(range(1, 9), i -> sub[i] - cvec[i]))
+        |            *1000000+0.5)/1000000 AS dist2
+        |        FROM sb JOIN cb ON sb.sp = cb.sp),
+        | enc AS (SELECT vec_id, sp, code, dist2 FROM (
+        |          SELECT *, row_number()
+        |            OVER (PARTITION BY vec_id, sp ORDER BY dist2, code) AS rn
+        |          FROM sc) WHERE rn = 1)
+        |SELECT count(DISTINCT vec_id) AS n_vecs,
+        | 8 AS n_subspaces, 16 AS codebook_k,
+        | CAST(sum(CAST(floor(dist2*1000000+0.5) AS BIGINT)) AS BIGINT)
+        |   AS sum_dist2_e6,
+        | count(DISTINCT sp || ':' || code) AS n_codes_used,
+        | floor(max(dist2)*1000000+0.5)/1000000 AS max_dist2
+        |FROM enc""".stripMargin,
 
     // s07: the ENTIRE k-means build unrolls into SQL — √n sizing, md5
     // seeding order, two (assign, rnd6-recenter) rounds, final census —
