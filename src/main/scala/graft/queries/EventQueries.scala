@@ -258,6 +258,64 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    /** Native session-window streaming sessionization — the built-in
+      * `session_window` aggregation beside e04's hand-rolled
+      * flatMapGroupsWithState: same 1-hour-gap semantics, but state
+      * merging, gap extension, and eviction are the engine's own
+      * (dynamic-gap and merging micro-sessions come free, and state is
+      * watermark-bounded like every stateful op here). Session-window
+      * aggregations reject update mode (Spark constraint), so the sink
+      * runs COMPLETE mode + the idempotent batch-id sink; the bounded
+      * replay arrives as ONE micro-batch (events.parquet is a single
+      * file), loudly asserted, so the single complete emission IS the
+      * final sessionization (a production stream would run append mode
+      * and let the watermark finalize sessions incrementally). The
+      * oracle sessionizes independently in SQL with the window's
+      * end-exclusive gap rule (an event exactly at last+gap opens a
+      * NEW session — note the >= where e01's lag-based rule uses >).
+      * Per-user rollup compares session counts, event totals, and the
+      * integer sum of session start-seconds — boundary placement is
+      * verified, not just counts. */
+    "e12_stream_session_window" -> ((s, d) => {
+      val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream
+        .schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withWatermark("ts", "1 day")
+      val sess = raw
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min("event_id").as("first_event"),
+          max("event_id").as("last_event"))
+        .select(col("user_id"), col("sw.start").as("w_start"),
+          col("n_events"), col("first_event"), col("last_event"))
+      val outDir = tempDir("graft_e12_out_")
+      val ckpt = tempDir("graft_e12_ckpt_")
+      val q = sess.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e12: streaming sink produced zero rows") // see e04
+      require(out.select("batch_id").distinct().count() == 1,
+        "e12: bounded replay must arrive as one micro-batch (the single " +
+          "complete-mode emission is then the final sessionization)")
+      out.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events"),
+          sum(unix_timestamp(col("w_start"))).as("sum_start_sec"),
+          min("first_event").as("min_first_event"),
+          max("last_event").as("max_last_event"))
+        .orderBy("user_id")
+    }),
+
     /** Streaming ingestion dedup against a STANDING corpus — d12's
       * two-phase bloom probe moved to where it actually runs in
       * production: in front of the document firehose. The corpus hash
@@ -484,6 +542,39 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // e12: independent SQL sessionization with session_window's
+    // END-EXCLUSIVE gap rule (diff >= 3600 opens a session, vs e01's
+    // lag rule using >); start-seconds floor to integers so boundary
+    // placement compares exactly.
+    "e12_stream_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch(ts) AS sec,
+        |    lag(epoch(ts)) OVER w AS prev_sec
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | m AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 3600.0
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM g),
+        | sess AS (
+        |  SELECT user_id, event_id, sec,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_idx
+        |  FROM m),
+        | per AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |    CAST(floor(min(sec)) AS BIGINT) AS start_sec,
+        |    min(event_id) AS first_event, max(event_id) AS last_event
+        |  FROM sess GROUP BY user_id, session_idx)
+        |SELECT user_id, count(*) AS n_sessions,
+        | CAST(sum(n_events) AS BIGINT) AS n_events,
+        | CAST(sum(start_sec) AS BIGINT) AS sum_start_sec,
+        | min(first_event) AS min_first_event,
+        | max(last_event) AS max_last_event
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // e11: the bloom is physically load-bearing, semantically invisible
     // — the oracle is the plain NOT IN against the corpus hash set.
     "e11_stream_ingest_dedup" ->
