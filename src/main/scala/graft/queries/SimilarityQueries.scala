@@ -426,6 +426,41 @@ object SimilarityQueries {
           "max_cluster_sz", "sum_csim_e6")
     }),
 
+    /** Maximum-inner-product search (MIPS) — recommendation-retrieval
+      * scoring, where the right metric is ⟨q, x⟩, not cosine — via the
+      * classic norm-augmentation reduction (Bachrach et al. 2014 /
+      * Shrivastava-Li): append sqrt(M² − ‖x‖²) to every corpus vector
+      * (M = max corpus norm, one broadcast scalar) and 0 to queries;
+      * every augmented corpus vector then has norm exactly M, so
+      * cosine order on the augmented space IS inner-product order on
+      * the original — any cosine-ANN index (s02's LSH, s04's IVF)
+      * becomes a MIPS index with zero new machinery. The shipped query
+      * runs the augmented-cosine path end to end; the ORACLE ranks by
+      * raw inner product with no augmentation anywhere — rank-for-rank
+      * hash equality is a proof of the reduction, not a replica of the
+      * implementation. Reported scores are the raw inner products
+      * (ascending-index kernel on both engines ⇒ bit-identical). */
+    "s09_mips_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val m2 = emb.agg(max(dot(col("vec"), col("vec"))).as("m2"))
+      val aug = emb.crossJoin(broadcast(m2))
+        .select(col("vec_id"), col("vec"),
+          concat(col("vec"),
+            array(sqrt(col("m2") - dot(col("vec"), col("vec"))))).as("avec"))
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+          concat(col("vec"), array(lit(0.0))).as("q_avec"))
+      val scored = aug.join(broadcast(queriesDf), col("q_id") =!= col("vec_id"))
+        .withColumn("c", cosine(col("q_avec"), col("avec")))
+      val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+          RelationalQueries.rnd(dot(col("q_vec"), col("vec")), 4).as("ip"))
+        .orderBy("q_id", "rank")
+    }),
+
     /** Product quantization (PQ) — the vector-compression step an ANN
       * index applies beyond s06's scalar int8: the 64-dim space splits
       * into 8 subspaces of 8 dims, each with its own 16-entry codebook,
@@ -675,6 +710,24 @@ object SimilarityQueries {
         | floor((max(err))*1000000+0.5)/1000000 AS max_err,
         | CAST(max(qmax) AS BIGINT) AS max_q
         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
+    // s09: NO augmentation on the oracle side — rank directly by raw
+    // inner product; rank-for-rank equality with the augmented-cosine
+    // pipeline is the proof of the MIPS reduction.
+    "s09_mips_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3),
+        | scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    list_inner_product(q.q_vec, e.vec) AS ip
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        | ranked AS (
+        |  SELECT q_id, n_id, ip, row_number()
+        |    OVER (PARTITION BY q_id ORDER BY ip DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
+        | floor((ip)*10000+0.5)/10000 AS ip
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // s08: full encode replica — md5-seeded sampled codebooks, rnd6
     // subspace distances, argmin with the same tie-break, and the
