@@ -718,6 +718,48 @@ object DedupQueries {
         .orderBy("lang")
     }),
 
+    /** Cross-catalog entity linkage — d10's machinery pointed ACROSS
+      * two relations (the merge-two-vendor-feeds problem): match
+      * customer and supplier records that denote the same entity under
+      * typos. Blocking is by the EXTRACTED numeric key (digits-only
+      * fingerprint — the "match key" move of record-linkage practice:
+      * near-unique, typo-robust in the word part, so blocks stay O(1)
+      * without salting; a corpus whose extracted keys skew would route
+      * through the d10Blocked salting recipe instead). 50 planted
+      * cross-catalog matches (supplier names rewritten to a 1-char
+      * edit of the same-key customer name) give ground truth; the
+      * block join is digit-key equi (never name×name), levenshtein
+      * runs on candidates only, and the whole pipeline — planting,
+      * extraction, blocking, the integer metric — replicates in
+      * DuckDB. max_block_pairs is emitted so the no-salting-needed
+      * claim is itself verified, not asserted. */
+    "d19_crosscatalog_linkage" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_custkey") <= 500)
+        .select(col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val suppRaw = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("id_b"), col("s_name"))
+      val plantedNames = cust.filter(col("id_a") <= 50)
+        .select(col("id_a").as("id_b"),
+          concat(lit("K"), expr("substring(name_a, 2, 1000)")).as("pname"))
+      val supp = suppRaw.join(plantedNames, Seq("id_b"), "left")
+        .select(col("id_b"), coalesce(col("pname"), col("s_name")).as("name_b"))
+      def digits(c: Column): Column = regexp_replace(c, "[^0-9]", "")
+      val a = cust.select(col("id_a"), col("name_a"), digits(col("name_a")).as("k"))
+      val b = supp.select(col("id_b"), col("name_b"), digits(col("name_b")).as("k"))
+      val cand = a.join(b, "k")
+      val matches = cand
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+      val blockCensus = cand.groupBy("k").agg(count(lit(1)).as("np"))
+      matches.agg(count(lit(1)).as("n_matches"),
+          sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L))
+            .as("n_planted_found"),
+          RelationalQueries.rnd(coalesce(avg("dist"), lit(-1.0)), 4)
+            .as("avg_dist"))
+        .crossJoin(blockCensus.agg(count(lit(1)).as("n_blocks"),
+          max("np").as("max_block_pairs")))
+    }),
+
     "d10_edit_distance" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_custkey") <= 500)
         .select(col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
@@ -765,6 +807,37 @@ object DedupQueries {
         | floor(avg(dist)*10000+0.5)/10000 AS avg_dist
         |FROM p WHERE dist <= 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d19: full replica — planting, digit-key extraction, block join,
+    // integer levenshtein — all portable.
+    "d19_crosscatalog_linkage" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS id_a, c_name AS name_a FROM customer
+        |  WHERE c_custkey <= 500),
+        | supp AS (
+        |  SELECT s.s_suppkey AS id_b,
+        |    CASE WHEN s.s_suppkey <= 50 AND c.name_a IS NOT NULL
+        |         THEN 'K' || substring(c.name_a, 2, 1000)
+        |         ELSE s.s_name END AS name_b
+        |  FROM supplier s
+        |  LEFT JOIN (SELECT id_a, name_a FROM cust WHERE id_a <= 50) c
+        |    ON s.s_suppkey = c.id_a),
+        | a AS (SELECT id_a, name_a,
+        |         regexp_replace(name_a, '[^0-9]', '', 'g') AS k FROM cust),
+        | b AS (SELECT id_b, name_b,
+        |         regexp_replace(name_b, '[^0-9]', '', 'g') AS k FROM supp),
+        | cand AS (SELECT a.id_a, a.name_a, b.id_b, b.name_b, a.k
+        |          FROM a JOIN b USING (k)),
+        | m AS (SELECT *, levenshtein(name_a, name_b) AS dist FROM cand
+        |       WHERE levenshtein(name_a, name_b) <= 2),
+        | bc AS (SELECT k, count(*) AS np FROM cand GROUP BY k)
+        |SELECT (SELECT count(*) FROM m) AS n_matches,
+        | (SELECT CAST(coalesce(sum(CASE WHEN id_a = id_b THEN 1 ELSE 0 END), 0)
+        |         AS BIGINT) FROM m) AS n_planted_found,
+        | (SELECT floor((coalesce(avg(dist), -1.0))*10000+0.5)/10000 FROM m)
+        |   AS avg_dist,
+        | (SELECT count(*) FROM bc) AS n_blocks,
+        | (SELECT CAST(max(np) AS BIGINT) FROM bc) AS max_block_pairs""".stripMargin,
 
     // d16: brute-force corpus×batch ground truth (string shingles, no
     // LSH) — the cross-corpus mirror of the d06 oracle.
