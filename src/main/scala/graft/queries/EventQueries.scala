@@ -258,6 +258,41 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    /** Distribution-drift monitor — the pipeline-health check that
+      * catches a broken instrumentation deploy or a source-mix shift:
+      * per-day event-type distributions compared day-over-day by L1
+      * distance, flagged above a threshold. The L1 numerator is
+      * computed in CROSS-MULTIPLIED INTEGER space
+      * (Σ |c_t·A_prev − p_t·A| over the fixed type set) so the only
+      * floating-point op is one final division — no order-dependent
+      * double summation, which is what makes a 5-term distance
+      * hash-comparable cross-engine. One scan → 30-row daily aggregate
+      * → lag window over the aggregate (never data); at 100 TB the
+      * scan is the only corpus-sized stage. */
+    "e13_drift_monitor" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = Tables.events(s, d)
+        .select(col("ts").cast("date").as("day"), col("event_type"))
+      val typeCols = types.map(t =>
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as("c_" + t))
+      val daily = ev.groupBy("day")
+        .agg(count(lit(1)).as("tot"), typeCols: _*)
+      val w = Window.orderBy("day")
+      val withPrev = types.foldLeft(
+        daily.withColumn("prev_tot", lag("tot", 1).over(w))) { (df, t) =>
+        df.withColumn("prev_c_" + t, lag("c_" + t, 1).over(w))
+      }
+      val l1num = types.map(t =>
+        abs(col("c_" + t) * col("prev_tot") - col("prev_c_" + t) * col("tot")))
+        .reduce(_ + _)
+      withPrev.filter(col("prev_tot").isNotNull)
+        .withColumn("l1", RelationalQueries.rnd(
+          l1num.cast("double") / (col("tot") * col("prev_tot")), 6))
+        .select(col("day"), col("tot").as("n_events"), col("l1"),
+          (col("l1") > 0.1).as("drifted"))
+        .orderBy("day")
+    }),
+
     /** Native session-window streaming sessionization — the built-in
       * `session_window` aggregation beside e04's hand-rolled
       * flatMapGroupsWithState: same 1-hour-gap semantics, but state
@@ -542,6 +577,41 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // e13: same cross-multiplied integer L1 — the only double op is
+    // the final division, so the distance compares exactly.
+    "e13_drift_monitor" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+        | daily AS (
+        |  SELECT day, count(*) AS tot,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c_click,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c_error,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c_signup,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c_view
+        |  FROM ev GROUP BY day),
+        | lg AS (
+        |  SELECT day, tot, c_click, c_error, c_purchase, c_signup, c_view,
+        |    lag(tot) OVER w AS prev_tot,
+        |    lag(c_click) OVER w AS p_click, lag(c_error) OVER w AS p_error,
+        |    lag(c_purchase) OVER w AS p_purchase,
+        |    lag(c_signup) OVER w AS p_signup, lag(c_view) OVER w AS p_view
+        |  FROM daily WINDOW w AS (ORDER BY day)),
+        | m AS (
+        |  SELECT day, tot,
+        |    (abs(c_click * prev_tot - p_click * tot)
+        |     + abs(c_error * prev_tot - p_error * tot)
+        |     + abs(c_purchase * prev_tot - p_purchase * tot)
+        |     + abs(c_signup * prev_tot - p_signup * tot)
+        |     + abs(c_view * prev_tot - p_view * tot)) AS l1num,
+        |    tot * prev_tot AS denom
+        |  FROM lg WHERE prev_tot IS NOT NULL)
+        |SELECT day, tot AS n_events,
+        | floor((CAST(l1num AS DOUBLE) / CAST(denom AS DOUBLE))*1000000+0.5)
+        |   /1000000 AS l1,
+        | (floor((CAST(l1num AS DOUBLE) / CAST(denom AS DOUBLE))*1000000+0.5)
+        |   /1000000) > 0.1 AS drifted
+        |FROM m ORDER BY day""".stripMargin,
+
     // e12: independent SQL sessionization with session_window's
     // END-EXCLUSIVE gap rule (diff >= 3600 opens a session, vs e01's
     // lag rule using >); start-seconds floor to integers so boundary
