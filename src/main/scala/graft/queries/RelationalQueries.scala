@@ -645,6 +645,54 @@ object RelationalQueries {
       * (The slice bound keeps this a FUNCTION-parity query; scale
       * patterns for ranking are q19's TakeOrdered top-k and q36's
       * cutoff bucketing, not a wide window.) */
+    /** Table profiler — the ANALYZE/data-card shape every catalog
+      * service computes per ingest: one scan of the table producing
+      * per-column null counts, exact distinct cardinalities, and
+      * min/max, emitted long-form (one row per column). The multiple
+      * exact COUNT(DISTINCT)s compile to a single Expand-based
+      * aggregate (one pass over the data, not one scan per column); at
+      * 100 TB the high-cardinality columns would switch to
+      * approx_count_distinct (q12's HLL path) and the long text column
+      * is profiled by LENGTH rather than value order, which is already
+      * the convention here. Plain portable math ⇒ DuckDB oracle. */
+    "q51_table_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val wide = docs.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("nn_doc_id"),
+        countDistinct("doc_id").as("nd_doc_id"),
+        min("doc_id").cast("string").as("mn_doc_id"),
+        max("doc_id").cast("string").as("mx_doc_id"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("nn_lang"),
+        countDistinct("lang").as("nd_lang"),
+        min("lang").as("mn_lang"), max("lang").as("mx_lang"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("nn_source"),
+        countDistinct("source").as("nd_source"),
+        min("source").as("mn_source"), max("source").as("mx_source"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("nn_n_chars"),
+        countDistinct("n_chars").as("nd_n_chars"),
+        min("n_chars").cast("string").as("mn_n_chars"),
+        max("n_chars").cast("string").as("mx_n_chars"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("nn_text"),
+        countDistinct(length(col("text"))).as("nd_text_len"),
+        min(length(col("text"))).cast("string").as("mn_text_len"),
+        max(length(col("text"))).cast("string").as("mx_text_len"))
+      def row(name: String, nn: String, nd: String, mn: String,
+          mx: String): DataFrame =
+        wide.select(lit(name).as("column_name"), col("n_rows"),
+          col(nn).as("n_nulls"), col(nd).as("n_distinct"),
+          col(mn).as("min_val"), col(mx).as("max_val"))
+      row("doc_id", "nn_doc_id", "nd_doc_id", "mn_doc_id", "mx_doc_id")
+        .unionByName(row("lang", "nn_lang", "nd_lang", "mn_lang", "mx_lang"))
+        .unionByName(row("n_chars", "nn_n_chars", "nd_n_chars",
+          "mn_n_chars", "mx_n_chars"))
+        .unionByName(row("source", "nn_source", "nd_source",
+          "mn_source", "mx_source"))
+        .unionByName(row("text_len", "nn_text", "nd_text_len",
+          "mn_text_len", "mx_text_len"))
+        .orderBy("column_name")
+    }),
+
     "q50_rank_battery" -> ((s, d) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -768,6 +816,44 @@ object RelationalQueries {
         |UNION ALL
         |SELECT l_returnflag, 'disc_pct', disc_pct FROM w
         |ORDER BY l_returnflag, measure""".stripMargin,
+
+    // q51: one wide profile aggregate, emitted long-form per column.
+    "q51_table_profile" ->
+      """WITH w AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_doc_id,
+        |    count(DISTINCT doc_id) AS nd_doc_id,
+        |    CAST(min(doc_id) AS VARCHAR) AS mn_doc_id,
+        |    CAST(max(doc_id) AS VARCHAR) AS mx_doc_id,
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_lang,
+        |    count(DISTINCT lang) AS nd_lang,
+        |    min(lang) AS mn_lang, max(lang) AS mx_lang,
+        |    CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_source,
+        |    count(DISTINCT source) AS nd_source,
+        |    min(source) AS mn_source, max(source) AS mx_source,
+        |    CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_n_chars,
+        |    count(DISTINCT n_chars) AS nd_n_chars,
+        |    CAST(min(n_chars) AS VARCHAR) AS mn_n_chars,
+        |    CAST(max(n_chars) AS VARCHAR) AS mx_n_chars,
+        |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_text,
+        |    count(DISTINCT length(text)) AS nd_text_len,
+        |    CAST(min(length(text)) AS VARCHAR) AS mn_text_len,
+        |    CAST(max(length(text)) AS VARCHAR) AS mx_text_len
+        |  FROM documents)
+        |SELECT 'doc_id' AS column_name, n_rows, nn_doc_id AS n_nulls,
+        |  nd_doc_id AS n_distinct, mn_doc_id AS min_val, mx_doc_id AS max_val
+        |FROM w
+        |UNION ALL
+        |SELECT 'lang', n_rows, nn_lang, nd_lang, mn_lang, mx_lang FROM w
+        |UNION ALL
+        |SELECT 'n_chars', n_rows, nn_n_chars, nd_n_chars, mn_n_chars,
+        |  mx_n_chars FROM w
+        |UNION ALL
+        |SELECT 'source', n_rows, nn_source, nd_source, mn_source, mx_source FROM w
+        |UNION ALL
+        |SELECT 'text_len', n_rows, nn_text, nd_text_len, mn_text_len,
+        |  mx_text_len FROM w
+        |ORDER BY column_name""".stripMargin,
 
     "q50_rank_battery" ->
       """WITH t AS (
