@@ -718,6 +718,41 @@ object DedupQueries {
         .orderBy("lang")
     }),
 
+    /** Near-dup HUB detection — degree analysis over the similarity
+      * graph: a document with many near-duplicates is template noise
+      * (mirror pages, boilerplate-stuffed listings), and dedup
+      * pipelines route high-degree nodes to removal rather than
+      * keeper-selection. Ten planted variants of one source doc (each
+      * appending a distinct token) form an 11-clique — degree 10 hubs
+      * against an organic background of degree ≤ ~1 — and the census
+      * (max degree, hubs ≥ 5, docs with any dup) reads off the
+      * [[d09Edges]] banded edge stream with one symmetric-union
+      * degree aggregate; no clustering pass needed. The oracle
+      * brute-forces every pair's string-shingle jaccard on the same
+      * corpus (the d09 equality argument: all edges here sit at
+      * j ≥ ~0.87 where 8×4 banding recall is ~1−1e-3 per pair,
+      * verified at all three SFs). */
+    "d20_neardup_hubs" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val hubSrc = base.filter(size(toks) >= 20).orderBy("doc_id").limit(1)
+      val copies = hubSrc
+        .select(explode(expr("sequence(1, 10)")).as("k"), col("text"))
+        .select((col("k") + 300000).cast("long").as("doc_id"),
+          concat(col("text"), lit(" graftvar"), col("k")).as("text"))
+      val corpus = base.unionByName(copies)
+      val pairs = d09Edges(corpus)
+      val degrees = pairs.select(col("u").as("node"))
+        .unionByName(pairs.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      corpus.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(degrees.agg(
+          count(lit(1)).as("n_docs_with_dups"),
+          max("deg").as("max_degree"),
+          sum(when(col("deg") >= 5, 1L).otherwise(0L)).as("n_hubs_deg5")))
+    }),
+
     /** Cross-catalog entity linkage — d10's machinery pointed ACROSS
       * two relations (the merge-two-vendor-feeds problem): match
       * customer and supplier records that denote the same entity under
@@ -807,6 +842,42 @@ object DedupQueries {
         | floor(avg(dist)*10000+0.5)/10000 AS avg_dist
         |FROM p WHERE dist <= 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // d20: brute-force pair graph + degree census — the d09 oracle
+    // shape without the recursive clustering.
+    "d20_neardup_hubs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        | hub AS (SELECT doc_id, text FROM base
+        |         WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
+        |         ORDER BY doc_id LIMIT 1),
+        | cp AS (SELECT CAST(k + 300000 AS BIGINT) AS doc_id,
+        |          text || ' graftvar' || CAST(k AS VARCHAR) AS text
+        |        FROM hub, (SELECT unnest(range(1, 11)) AS k)),
+        | c AS (SELECT * FROM base UNION ALL SELECT * FROM cp),
+        | t AS (SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |       FROM c),
+        | sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk) - 1),
+        |                        i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM t),
+        | p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+        |        >= 0.3),
+        | dg AS (SELECT node, count(*) AS deg FROM (
+        |          SELECT u AS node FROM p UNION ALL SELECT v AS node FROM p)
+        |        GROUP BY node)
+        |SELECT (SELECT count(*) FROM c) AS n_docs,
+        | (SELECT count(*) FROM p) AS n_pairs,
+        | (SELECT count(*) FROM dg) AS n_docs_with_dups,
+        | (SELECT CAST(max(deg) AS BIGINT) FROM dg) AS max_degree,
+        | (SELECT CAST(sum(CASE WHEN deg >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM dg) AS n_hubs_deg5""".stripMargin,
 
     // d19: full replica — planting, digit-key extraction, block join,
     // integer levenshtein — all portable.

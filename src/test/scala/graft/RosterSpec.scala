@@ -18,6 +18,20 @@ class RosterSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("rows-only queries are exactly the documented allowlist") {
+    // every query must carry a DuckDB oracle unless it is one of the
+    // five whose sketches/stubs are not SQL-expressible — each of which
+    // has a hash-verified planted companion (d02→d06, d03→d08/d11,
+    // d05→d07, s02→s05, m02→m04/m06). A query accidentally losing its
+    // oracle entry must fail here, not silently degrade to rows-only.
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val allowed = Set("d02_minhash_lsh", "d03_simhash", "d05_embed_neardup",
+      "s02_ann_lsh", "m02_decode_features")
+    assert(rowsOnly == allowed,
+      s"unexpected rows-only queries: ${rowsOnly -- allowed}; " +
+        s"missing allowlisted: ${allowed -- rowsOnly}")
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and is non-empty at sf0.001") {
       val df = fn(spark, sf0001)
