@@ -629,14 +629,28 @@ object TextQueries {
       * data team maintains): quality gates (the t13 battery) → exact
       * dedup keeping the lowest doc_id per content hash (the d01 rule)
       * → deterministic stratified downsample (the t16 gates). Each
-      * stage is one scan / one map-side-combinable aggregate; the
-      * dedup keeper join shuffles (doc_id, hash) pairs only. Stages
-      * are emitted as rows (stage 0..3) so the funnel reads top-down;
-      * every stage's formula replicates in DuckDB, making the WHOLE
-      * composed pipeline hash-verified, not just its parts. */
+      * stage is a per-doc FLAG, not a materialized sub-corpus: the
+      * funnel computes in one conditional aggregate over the flagged
+      * frame (stage membership is monotone, so stage k's sums are
+      * sum(when(flag_1 ∧ … ∧ flag_k))), and the 4-row long form
+      * explodes off the single wide row — a union of per-stage
+      * aggregates would re-scan the corpus once per stage (Catalyst
+      * does not CSE across Union children; QueryPlanSpec counts the
+      * scans). Total cost: two scans (the keeper-hash aggregate
+      * branch and the flagged aggregate) + the keeper join's
+      * (doc_id, hash) shuffle. Every stage's formula replicates in
+      * DuckDB, making the WHOLE composed pipeline hash-verified, not
+      * just its parts. */
     "t22_prep_funnel" -> ((s, d) => {
+      val rates = Seq("en" -> 0.3, "de" -> 0.5, "es" -> 1.0,
+        "fr" -> 1.0, "zh" -> 1.0)
+      val gateCol = pmod(graft.operators.Sampling.portableGate(
+        concat(col("doc_id").cast("string"), lit(":strat"))), lit(4096))
+      val cut = rates.foldLeft(lit(0.0)) { case (acc, (l, f)) =>
+        when(col("lang") === l, lit(f * 4096)).otherwise(acc)
+      }
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .select(col("doc_id"), col("lang"), col("text"))
         .withColumn("toks", tokens)
         .withColumn("n", size(col("toks")))
         .withColumn("awl",
@@ -645,29 +659,33 @@ object TextQueries {
           array(StopWords.map(lit): _*))))
         .withColumn("digit_frac",
           size(filter(col("toks"), t => t.rlike("[0-9]"))).cast("double") / col("n"))
-      val s1 = docs.filter(col("n").between(20, 1000) &&
-        col("awl").between(3.0, 10.0) && col("nstop") >= 2 &&
-        col("digit_frac") <= 0.2)
-      val keepers = s1.groupBy(md5(col("text")).as("h"))
-        .agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
-      val s2 = s1.join(keepers, Seq("doc_id"), "left_semi")
-      val rates = Seq("en" -> 0.3, "de" -> 0.5, "es" -> 1.0,
-        "fr" -> 1.0, "zh" -> 1.0)
-      val gate = pmod(graft.operators.Sampling.portableGate(
-        concat(col("doc_id").cast("string"), lit(":strat"))), lit(4096))
-      val cut = rates.foldLeft(lit(0.0)) { case (acc, (l, f)) =>
-        when(col("lang") === l, lit(f * 4096)).otherwise(acc)
-      }
-      val s3 = s2.filter(gate < cut)
-      def stage(df: DataFrame, id: Int, name: String): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"))
-          .select(lit(id).as("stage"), lit(name).as("stage_name"),
-            col("n_docs"), col("sum_tokens"))
-      stage(docs, 0, "raw")
-        .unionByName(stage(s1, 1, "quality_gates"))
-        .unionByName(stage(s2, 2, "exact_dedup"))
-        .unionByName(stage(s3, 3, "stratified_sample"))
+        .withColumn("q", col("n").between(20, 1000) &&
+          col("awl").between(3.0, 10.0) && col("nstop") >= 2 &&
+          col("digit_frac") <= 0.2)
+        .withColumn("g", gateCol < cut)
+        .withColumn("h", md5(col("text")))
+        .select("doc_id", "n", "q", "g", "h")
+      val keepers = docs.filter(col("q")).groupBy("h")
+        .agg(min("doc_id").as("kid"))
+      val flagged = docs.join(keepers, Seq("h"), "left")
+        .withColumn("k", col("q") && col("doc_id") === col("kid"))
+      val wide = flagged.agg(
+        count(lit(1)).as("d0"), sum("n").as("t0"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("q"), col("n")).otherwise(0L)).as("t1"),
+        sum(when(col("k"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("k"), col("n")).otherwise(0L)).as("t2"),
+        sum(when(col("k") && col("g"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("k") && col("g"), col("n")).otherwise(0L)).as("t3"))
+      def entry(id: Int, name: String, dc: String, tc: String): Column =
+        struct(lit(id).as("stage"), lit(name).as("stage_name"),
+          col(dc).as("n_docs"), col(tc).as("sum_tokens"))
+      wide.select(explode(array(
+          entry(0, "raw", "d0", "t0"),
+          entry(1, "quality_gates", "d1", "t1"),
+          entry(2, "exact_dedup", "d2", "t2"),
+          entry(3, "stratified_sample", "d3", "t3"))).as("r"))
+        .select("r.stage", "r.stage_name", "r.n_docs", "r.sum_tokens")
         .orderBy("stage")
     }),
 

@@ -272,6 +272,13 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(scans == 1, s"profile plans $scans scans:\n${plan.take(3000)}")
   }
 
+  test("t22: the funnel is flag-based — two scans (keeper branch + " +
+      "final aggregate), never one scan per stage") {
+    val plan = planOf("t22_prep_funnel").split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"funnel plans $scans scans:\n${plan.take(3000)}")
+  }
+
   test("s06: quantization is per-row until the final per-label aggregate") {
     // scope to the AQE final plan (the formatted string also prints the
     // initial plan, which would double every operator count)
