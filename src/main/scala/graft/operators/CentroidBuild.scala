@@ -61,6 +61,44 @@ object CentroidBuild {
   def nearest(sims: DataFrame, idCol: String): DataFrame =
     nearestK(sims, idCol, 1)
 
+  /** The size-derived k-means build (the s07 pipeline as a reusable
+    * operator): seed with the k smallest md5(idCol) rows (a
+    * TakeOrdered top-k, no global sort), then run `rounds` Lloyd
+    * iterations of broadcast [[similarities]]+[[nearest]] assignment
+    * and one map-side-combinable [[centroids]] recenter each —
+    * returning the final (cl_id, cvec) centroid table. Fixed rounds,
+    * not convergence-looped, so every consumer's pipeline unrolls
+    * into portable SQL and keeps a strict DuckDB hash oracle (see
+    * the s07/d13 replicas). Callers derive k from corpus size
+    * (k = ⌈√n⌉ balances centroid-scan and list-scan at √n each — the
+    * SemDeDup/IVF requirement that k GROW with n) and take one more
+    * [[similarities]]+[[nearest]] pass over the returned table for
+    * the final assignment.
+    *
+    * At 100 TB: per-round cost is n·k rounded-cosine evaluations
+    * under whole-stage codegen with a k-row broadcast (k = √n keeps
+    * the broadcast at megabytes up to ~10^8 vectors); beyond that,
+    * run this same build hierarchically — lloyd(√k) for coarse outer
+    * cells, then lloyd per cell — which composes from these blocks
+    * with no new shuffle shapes (CentroidSplitSpec exercises the
+    * composition). */
+  def lloyd(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int, dim: Int = 64): DataFrame = {
+    val seeds = df
+      .withColumn("h", md5(col(idCol).cast("string")))
+      .orderBy("h").limit(k)
+    val wSeed = Window.orderBy("h")
+    var cents = seeds
+      .select(row_number().over(wSeed).cast("long").as("cl_id"),
+        col(vecCol).as("cvec"))
+    for (_ <- 1 to rounds) {
+      val assign = nearest(similarities(df, cents, idCol, vecCol), idCol)
+      cents = centroids(df.join(assign, idCol), col("cl_id"), col(vecCol),
+        dim).select("cl_id", "cvec")
+    }
+    cents
+  }
+
   /** Sign-pattern salt of a vector's first `bits` dimensions: bit i is
     * set iff vec[i] > 0, giving an integer in [0, 2^bits). The salt is
     * CONTENT-derived and invariant under positive scaling, so an exact

@@ -52,13 +52,16 @@ object SimilarityQueries {
   private lazy val lshPlanes = planes(LshTables * LshBits, 64)
 
   /** Max vectors per d13 cluster before [[graft.operators.CentroidBuild
-    * .capSplit]] sub-splits it on the sign-pattern salt. 16 exercises
-    * the split on the verify corpus (~22 vecs per label cluster, so
-    * nsub = 2 and the salted path is oracle-covered, not dormant);
-    * production sizes this to the pair-work budget — e.g. 4096 caps
-    * each sub-cluster at ≤ 8M comparisons while keeping near-dup
-    * recall (the salt is content-derived, see signSalt). */
-  val SemDedupCap = 16
+    * .capSplit]] sub-splits it on the sign-pattern salt. 8 exercises
+    * the split on the verify corpus (k = ⌈√220⌉ = 15 k-means clusters
+    * average ~15 vecs, so typical nsub = 2 and the salted path is
+    * oracle-covered, not dormant); production sizes this to the
+    * pair-work budget — e.g. 4096 caps each sub-cluster at ≤ 8M
+    * comparisons while keeping near-dup recall (the salt is
+    * content-derived, see signSalt). (Was 16 against the retired
+    * per-label quantizer's ~22-vec clusters; the k = ⌈√n⌉ build makes
+    * the average cluster √n, so the cap moved below it.) */
+  val SemDedupCap = 8
 
   /** Sign-pattern bucket id of `vec` in hash table `table`. */
   private def lshSignature(vec: Column, table: Int): Column =
@@ -230,22 +233,24 @@ object SimilarityQueries {
       * quantizer, and inside each cluster drop all but one of any
       * near-identical group — the corpus-pruning step that catches
       * paraphrases and re-encodes which exact/n-gram dedup miss.
-      * Clustering is the shared [[graft.operators.CentroidBuild]]
-      * (rnd6 per-label centroids; nearest-centroid assignment over a
-      * BROADCAST centroid table — the corpus never shuffles for
-      * assignment, and the payload vector rejoins by id after the
-      * assignment window, the d05 id-only discipline). Within a
-      * cluster, pairs at exact cosine ≥ 0.999 mark the higher vec_id
-      * dropped (keep-lowest-id is the deterministic representative
-      * rule).
+      * Clustering is the FAITHFUL SemDeDup composition: the s07
+      * size-derived k-means build ([[graft.operators.CentroidBuild
+      * .lloyd]], k = ⌈√n⌉ from one bounded scalar n-read, md5-seeded,
+      * two Lloyd rounds) — k grows with the corpus by construction,
+      * retiring the earlier per-label quantizer whose cluster count
+      * was fixed by the label domain. Assignment is over a BROADCAST
+      * centroid table — the corpus never shuffles for assignment, and
+      * the payload vector rejoins by id after the assignment window,
+      * the d05 id-only discipline. Within a cluster, pairs at exact
+      * cosine ≥ 0.999 mark the higher vec_id dropped (keep-lowest-id
+      * is the deterministic representative rule).
       *
       * The pair join is CAPPED, not just clustered: clusters larger
       * than [[SemDedupCap]] sub-split via
       * [[graft.operators.CentroidBuild.capSplit]] on the sign-pattern
-      * salt, so pair volume is ~n·cap/2 with the effective cluster
-      * count n/cap growing with the corpus — the SemDeDup requirement
-      * that k scale with n, enforced structurally rather than by
-      * hoping the label count keeps up. The sign salt is invariant
+      * salt, so pair volume is ~n·cap/2 even when Lloyd leaves some
+      * clusters far above the √n average — the hard bound backstopping
+      * the k ∝ √n growth. The sign salt is invariant
       * under positive scaling, so every planted ×1.001 copy provably
       * shares its original's sub-cluster (a row-id hash would scatter
       * them); the join shuffles on (cl_id, sub), whose cardinality
@@ -259,16 +264,18 @@ object SimilarityQueries {
       */
     "d13_semantic_dedup" -> ((s, d) => {
       val base = Tables.embeddings(s, d).filter(col("vec_id") < 200)
-        .select(col("vec_id"), col("label"), embD(col("embedding")).as("vec"))
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
       val planted = base.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("vec"), x => x * lit(1.001)).as("vec"))
       val corpus = base.unionByName(planted)
-      val centroids = graft.operators.CentroidBuild.centroids(
-        corpus, col("label"), col("vec"))
-      val sims = graft.operators.CentroidBuild.similarities(
-        corpus, centroids, "vec_id", "vec")
-      val assign = graft.operators.CentroidBuild.nearest(sims, "vec_id")
+      val n = corpus.count() // bounded scalar read — the s07/q47 discipline
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      val cents = graft.operators.CentroidBuild.lloyd(
+        corpus, "vec_id", "vec", k, rounds = 2)
+      val assign = graft.operators.CentroidBuild.nearest(
+        graft.operators.CentroidBuild.similarities(
+          corpus, cents, "vec_id", "vec"), "vec_id")
       val withCl = corpus.select(col("vec_id"), col("vec"),
           graft.operators.CentroidBuild.signSalt(col("vec")).as("salt"))
         .join(assign, "vec_id")
@@ -391,21 +398,8 @@ object SimilarityQueries {
         .select(col("vec_id"), embD(col("embedding")).as("vec"))
       val n = emb.count()
       val k = math.ceil(math.sqrt(n.toDouble)).toInt
-      val seeds = emb
-        .withColumn("h", md5(col("vec_id").cast("string")))
-        .orderBy("h").limit(k)
-      val wSeed = Window.orderBy("h")
-      var cents = seeds
-        .select(row_number().over(wSeed).cast("long").as("cl_id"),
-          col("vec").as("cvec"))
-      for (_ <- 1 to 2) {
-        val assign = graft.operators.CentroidBuild.nearest(
-          graft.operators.CentroidBuild.similarities(emb, cents,
-            "vec_id", "vec"), "vec_id")
-        cents = graft.operators.CentroidBuild.centroids(
-          emb.join(assign, "vec_id"), col("cl_id"), col("vec"))
-          .select("cl_id", "cvec")
-      }
+      val cents = graft.operators.CentroidBuild.lloyd(
+        emb, "vec_id", "vec", k, rounds = 2)
       val finalSims = graft.operators.CentroidBuild.similarities(
         emb, cents, "vec_id", "vec")
       val wNearest = Window.partitionBy("vec_id")
@@ -548,34 +542,65 @@ object SimilarityQueries {
         | floor((max(cos))*10000+0.5)/10000 AS max_cos
         |FROM p""".stripMargin,
 
-    // d13: full pipeline replica — planting, rnd6 centroid build,
-    // nearest-centroid assignment (same rounding + tie-break as s04's
-    // replica), the sign-salt cap-split (census, nsub, sub — cap
-    // interpolated from SemDedupCap so tuning can't desynchronize),
-    // within-(cluster, sub) exact-cosine pairs, keep-lowest-id drop.
+    // d13: full pipeline replica of the faithful SemDeDup composition —
+    // planting, k = ⌈√n⌉ sizing, md5 seeding order, BOTH Lloyd rounds
+    // (assign + rnd6 recenter, the s07 unroll), final nearest-centroid
+    // assignment (same rounding + tie-break as s04's replica), the
+    // sign-salt cap-split (census, nsub, sub — cap interpolated from
+    // SemDedupCap so tuning can't desynchronize), within-(cluster, sub)
+    // exact-cosine pairs, keep-lowest-id drop.
     "d13_semantic_dedup" ->
-      s"""WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec
         |              FROM embeddings WHERE vec_id < 200),
         | sel AS (SELECT * FROM base WHERE vec_id % 10 = 0),
-        | pl AS (SELECT vec_id + 100000 AS vec_id, label,
+        | pl AS (SELECT vec_id + 100000 AS vec_id,
         |          list_transform(vec, x -> x * 1.001) AS vec
         |        FROM sel),
         | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
-        | cex AS (SELECT label AS cl_id, unnest(vec) AS v,
-        |                generate_subscripts(vec, 1) AS i FROM c),
-        | cel AS (SELECT cl_id, i, floor((avg(v))*1000000+0.5)/1000000 AS m
-        |         FROM cex GROUP BY cl_id, i),
-        | cen AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM cel GROUP BY cl_id),
-        | sims AS (
-        |  SELECT c.vec_id, cen.cl_id,
-        |    floor((list_cosine_similarity(c.vec, cen.cvec))*1000000+0.5)/1000000
-        |      AS csim
-        |  FROM c CROSS JOIN cen),
+        | kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM c),
+        | sd AS (SELECT vec,
+        |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+        |            AS rn
+        |        FROM c),
+        | c0 AS (SELECT rn AS cl_id, vec AS cvec FROM sd
+        |        WHERE rn <= (SELECT k FROM kk)),
+        | s1 AS (SELECT c.vec_id, q.cl_id, c.vec,
+        |          floor(list_cosine_similarity(c.vec, q.cvec)*1000000+0.5)
+        |            /1000000 AS csim
+        |        FROM c CROSS JOIN c0 q),
+        | a1 AS (SELECT vec_id, cl_id, vec FROM (
+        |          SELECT vec_id, cl_id, vec, row_number()
+        |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |          FROM s1) WHERE rn = 1),
+        | x1 AS (SELECT cl_id, unnest(vec) AS v,
+        |               generate_subscripts(vec, 1) AS i FROM a1),
+        | m1 AS (SELECT cl_id, i, floor(avg(v)*1000000+0.5)/1000000 AS m
+        |        FROM x1 GROUP BY cl_id, i),
+        | c1 AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM m1
+        |        GROUP BY cl_id),
+        | s2 AS (SELECT c.vec_id, q.cl_id, c.vec,
+        |          floor(list_cosine_similarity(c.vec, q.cvec)*1000000+0.5)
+        |            /1000000 AS csim
+        |        FROM c CROSS JOIN c1 q),
+        | a2 AS (SELECT vec_id, cl_id, vec FROM (
+        |          SELECT vec_id, cl_id, vec, row_number()
+        |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |          FROM s2) WHERE rn = 1),
+        | x2 AS (SELECT cl_id, unnest(vec) AS v,
+        |               generate_subscripts(vec, 1) AS i FROM a2),
+        | m2 AS (SELECT cl_id, i, floor(avg(v)*1000000+0.5)/1000000 AS m
+        |        FROM x2 GROUP BY cl_id, i),
+        | c2 AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM m2
+        |        GROUP BY cl_id),
+        | s3 AS (SELECT c.vec_id, q.cl_id,
+        |          floor(list_cosine_similarity(c.vec, q.cvec)*1000000+0.5)
+        |            /1000000 AS csim
+        |        FROM c CROSS JOIN c2 q),
         | assign AS (
         |  SELECT vec_id, cl_id FROM (
         |    SELECT vec_id, cl_id, row_number()
         |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
-        |    FROM sims) WHERE rn = 1),
+        |    FROM s3) WHERE rn = 1),
         | wc AS (SELECT c.vec_id, a.cl_id, c.vec,
         |          ${graft.operators.CentroidBuild.signSaltSql("c.vec")} AS salt
         |        FROM c JOIN assign a USING (vec_id)),

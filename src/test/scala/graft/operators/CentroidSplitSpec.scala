@@ -57,6 +57,36 @@ class CentroidSplitSpec extends AnyFunSuite {
     // salt ⇒ same salt % nsub for every nsub
   }
 
+  test("hierarchical IVF composes from lloyd: coarse outer cells, then " +
+      "the same build per cell — the documented 100 TB shape") {
+    // beyond ~10^8 vectors a single k=√n broadcast outgrows megabytes;
+    // the standard move is lloyd(√k) coarse cells then lloyd per cell,
+    // which must compose from the same blocks with no new shuffle shapes
+    val corpus = (0 until 400).map(i => (i.toLong, randVec()))
+      .toDF("vec_id", "vec")
+    val kOuter = 4
+    val coarse = CentroidBuild.lloyd(corpus, "vec_id", "vec", kOuter,
+      rounds = 1, dim = 16)
+    val assign = CentroidBuild.nearest(
+      CentroidBuild.similarities(corpus, coarse, "vec_id", "vec"), "vec_id")
+    // every vector lands in exactly one outer cell
+    assert(assign.count() == 400)
+    assert(assign.select("vec_id").distinct().count() == 400)
+    val cells = corpus.join(assign, "vec_id")
+    val biggest = cells.groupBy("cl_id").count()
+      .orderBy(col("count").desc, col("cl_id")).select("cl_id")
+      .as[Long].head()
+    val cell = cells.filter(col("cl_id") === biggest).drop("cl_id")
+    val inner = CentroidBuild.lloyd(cell, "vec_id", "vec", 3,
+      rounds = 1, dim = 16)
+    val innerAssign = CentroidBuild.nearest(
+      CentroidBuild.similarities(cell, inner, "vec_id", "vec"), "vec_id")
+    // the inner build partitions the cell the same way the outer build
+    // partitioned the corpus — same operator, one level down
+    assert(innerAssign.count() == cell.count())
+    assert(inner.count() >= 1 && inner.count() <= 3)
+  }
+
   test("d13's shipped corpus actually exercises the split (cap is not " +
       "dormant) and still finds every planted duplicate") {
     val rows = graft.SparkEntry.queries("d13_semantic_dedup")(spark, sf0001)

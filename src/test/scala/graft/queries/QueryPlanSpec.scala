@@ -217,11 +217,23 @@ class QueryPlanSpec extends AnyFunSuite {
       s"edge build plans a cartesian:\n${tree.take(3000)}")
   }
 
-  test("d14: gram doc-frequency combines map-side; no cartesian anywhere") {
+  test("d14: gram doc-frequency combines map-side; no cartesian anywhere; " +
+      "coverage is interval-merged — no position-level explode remains") {
     val plan = planOf("d14_verbatim_spans")
     assert(plan.contains("partial_count") || plan.contains("Partial"),
       plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the only explode is the positioned gram explode over
+    // sequence(0, n - 8). The 8-offset coverage explode
+    // (explode(sequence(i, i + 7)) → one row per covered token
+    // position, ~8× the token volume) must stay gone — coverage comes
+    // from the per-doc lag window instead. (The gram subtree prints
+    // more than once under AQE — it feeds both the df aggregate and
+    // the hit join — so assert on the explode's argument shape, not a
+    // Generate count.)
+    assert(!"explode\\(sequence\\(i#".r.findFirstIn(plan).isDefined,
+      "position-level coverage explode is back:\n" + plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
   }
 
   test("s07: every centroid table broadcasts across both Lloyd rounds — " +
