@@ -125,26 +125,35 @@ object Bench {
         family = name.head
       }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case scala.util.control.NonFatal(e) =>
-        // keep benching the rest, but make the failure attributable
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-        -1L
-      }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          // keep benching the rest, but make the failure attributable —
+          // a swallowed exception must never read as a fast query
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // one line per query, flushed as it completes: the driver keeps only
       // the last ~2000 bytes of output, and a single 95-query JSON line is
       // ~3.5 KB — per-query lines survive truncation AND mid-bench crashes
-      println(f"""{"query":"$name","sec":$dt%.3f}""")
+      if (ok) println(f"""{"query":"$name","sec":$dt%.3f}""")
+      else println(f"""{"query":"$name","sec":$dt%.3f,"failed":true}""")
       Console.flush()
       scrub(spark)
-      name -> dt
+      (name, dt, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // failed queries are recorded with NEGATIVE seconds (and named in the
+    // "failed" list) so no downstream total/compare can absorb a
+    // time-to-exception as a legitimate measurement
+    val qs = results.map { case (k, v, ok) =>
+      s"\"" + k + "\":" + (if (ok) v else -v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val total = results.collect { case (_, v, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // the full line never fits in a 2000-byte tail capture; persist it
     // next to the build (env-overridable, cwd by default — NOT a
     // hardcoded checkout path) so no round's per-query numbers are lost

@@ -723,17 +723,32 @@ object TextQueries {
     /** Takedown cascade (right-to-be-forgotten / copyright-claim
       * propagation): a takedown list of doc_ids must remove not only
       * those documents but every EXACT COPY of their content under
-      * other ids, and cascade to the derived embedding table. The
+      * other ids, and cascade to the derived embedding table — the
+      * embedding sweep removes vectors for the WHOLE removed set (id
+      * matches ∪ content matches), not just the claimed ids. The
       * takedown id set and its content-hash set are both tiny and
       * BROADCAST; the corpus sides only anti/semi-join against them —
       * no corpus-sized shuffle anywhere, which is what makes the
       * compliance sweep runnable daily at 100 TB. Counts are split by
       * removal cause (id match vs content match) because the content
-      * sweep is the part naive implementations miss. Pure hash/id
-      * math ⇒ DuckDB replica. */
+      * sweep is the part naive implementations miss; exact copies are
+      * PLANTED (takedown_id + 1 carries the takedown doc's content)
+      * so both the content split and the embedding cascade are
+      * exercised, not vacuous. Pure hash/id math ⇒ DuckDB replica. */
     "t21_takedown_cascade" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).as("h"))
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // Simulated copy-laundering (the t20 snapshot-simulation style —
+      // the raw testdata has no exact copies, which would leave the
+      // content sweep vacuously green): every doc at takedown_id + 1
+      // carries an exact copy of the takedown doc's content under its
+      // own id, so both the content sweep and the embedding cascade
+      // have real rows to remove. The plant is a broadcast left join
+      // on doc_id — no corpus shuffle.
+      val srcTexts = base.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1).as("doc_id"), col("text").as("copy_text"))
+      val docs = base.join(broadcast(srcTexts), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          md5(coalesce(col("copy_text"), col("text"))).as("h"))
       val tdIds = docs.filter(col("doc_id") % 97 === 0).select("doc_id")
       val tdHashes = docs.join(broadcast(tdIds), "doc_id")
         .select("h").distinct()
@@ -744,8 +759,16 @@ object TextQueries {
       val cleanDocs = docs
         .join(broadcast(tdIds), Seq("doc_id"), "left_anti")
         .join(broadcast(tdHashes), Seq("h"), "left_anti")
+      // the FULL removed id set — id matches plus every exact content
+      // copy (h ∈ tdHashes covers both: a takedown doc's own hash is in
+      // the set by construction). The embedding sweep must cascade off
+      // THIS set, not just the claimed ids: an embedding of a doc
+      // removed as a content copy is the same forgotten content.
+      val removedIds = docs
+        .join(broadcast(tdHashes), Seq("h"), "left_semi")
+        .select("doc_id")
       val emb = Tables.embeddings(s, d).select(col("vec_id"))
-      val cleanEmb = emb.join(broadcast(tdIds.select(
+      val cleanEmb = emb.join(broadcast(removedIds.select(
         col("doc_id").as("vec_id"))), Seq("vec_id"), "left_anti")
       tdIds.agg(count(lit(1)).as("n_takedown_ids"))
         .crossJoin(byId.agg(count(lit(1)).as("n_removed_by_id")))
@@ -814,9 +837,14 @@ object TextQueries {
         | count(*) AS n_union
         |FROM j""".stripMargin,
 
-    // t21: id + content-hash cascade replica.
+    // t21: id + content-hash cascade replica, with the same simulated
+    // copy plant (doc at takedown_id + 1 carries the takedown doc's
+    // content).
     "t21_takedown_cascade" ->
-      """WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+      """WITH docs AS (
+        |  SELECT b.doc_id, md5(coalesce(a.text, b.text)) AS h
+        |  FROM documents b LEFT JOIN documents a
+        |    ON b.doc_id % 97 = 1 AND a.doc_id = b.doc_id - 1),
         | td AS (SELECT doc_id FROM docs WHERE doc_id % 97 = 0),
         | th AS (SELECT DISTINCT h FROM docs WHERE doc_id IN (SELECT doc_id FROM td)),
         | byid AS (SELECT * FROM docs WHERE doc_id IN (SELECT doc_id FROM td)),
@@ -830,7 +858,8 @@ object TextQueries {
         |    AND h NOT IN (SELECT h FROM th)),
         | cleanemb AS (
         |  SELECT vec_id FROM embeddings
-        |  WHERE vec_id NOT IN (SELECT doc_id FROM td))
+        |  WHERE vec_id NOT IN (SELECT doc_id FROM docs
+        |                       WHERE h IN (SELECT h FROM th)))
         |SELECT (SELECT count(*) FROM td) AS n_takedown_ids,
         | (SELECT count(*) FROM byid) AS n_removed_by_id,
         | (SELECT count(*) FROM bycontent) AS n_removed_by_content,

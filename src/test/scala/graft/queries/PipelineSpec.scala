@@ -174,4 +174,17 @@ class PipelineSpec extends AnyFunSuite {
       assert(maxErr > 0.0, "quantization of gaussian data cannot be lossless")
     }
   }
+
+  test("d09Labels survives an unpersist-all between consumers (bench scrub)") {
+    // Bench.scrub() unpersists every persistent RDD between timed queries.
+    // A memoized checkpoint-BACKED frame dies there (its truncated lineage
+    // points at evicted CHECKPOINT_RDD blocks and the next consumer throws
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND); the collected-row memo must not.
+    val first = DedupQueries
+      .queries("d17_keeper_resolution")(spark, plantedDir).collect().toSeq
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val second = DedupQueries
+      .queries("d17_keeper_resolution")(spark, plantedDir).collect().toSeq
+    assert(first == second)
+  }
 }
