@@ -93,8 +93,20 @@ object CentroidBuild {
         col(vecCol).as("cvec"))
     for (_ <- 1 to rounds) {
       val assign = nearest(similarities(df, cents, idCol, vecCol), idCol)
+      // Iterative algorithms must truncate lineage each round (the
+      // labelPropagate discipline): the centroid table is consumed by
+      // BOTH next-round branches and again by every downstream user of
+      // the returned frame, so an unmaterialized loop re-evaluates the
+      // whole prior round's n·k assignment per consumer — measured as
+      // d13 doubling (4.3 s → 8.2 s) when the round-8 rework left this
+      // out. The table is k rows of dim doubles (kilobytes), so the
+      // eager localCheckpoint is a barrier, not a memory cost; a
+      // fault-tolerant cluster run would checkpoint() to reliable
+      // storage instead. Values are unchanged (the checkpoint
+      // materializes the same rnd6 aggregates), so every consumer's
+      // DuckDB replica is unaffected.
       cents = centroids(df.join(assign, idCol), col("cl_id"), col(vecCol),
-        dim).select("cl_id", "cvec")
+        dim).select("cl_id", "cvec").localCheckpoint(true)
     }
     cents
   }

@@ -47,7 +47,21 @@ object Sampling {
     * gate uniform over 0..2^24-1, so `% 16`, `% 4096`, and (to within
     * 1 part in 1.7M) `% 10` are all uniform. The xxhash64 gates above
     * are faster (codegen'd, no hex string) — prefer them when
-    * cross-engine replay of the exact split isn't required. */
+    * cross-engine replay of the exact split isn't required.
+    *
+    * GATE VERSION NOTE: the original gate (up to commit 6f75cea)
+    * summed raw `ascii(...)` codes; commit 39723d4 cut over to the
+    * hex-nibble-value form above. The two gates assign DIFFERENT
+    * values to the same key, so any split/shard membership persisted
+    * externally under the ascii gate does not survive the cutover —
+    * the t15/t16 "every prior decision survives a corpus append"
+    * property holds within a gate version, not across versions. A
+    * deployment migrating persisted memberships either re-derives
+    * them under the nibble gate (one linear pass) or keeps reading
+    * old artifacts with the old formula; the cutover was made before
+    * any artifact of this repo was persisted, and the gate is
+    * FROZEN from 39723d4 on — any future change must ship as a NEW
+    * function beside this one, never an edit to it. */
   def portableGate(key: Column): Column = {
     val h = md5(key.cast("string"))
     def nib(i: Int): Column = {

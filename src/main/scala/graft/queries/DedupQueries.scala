@@ -534,9 +534,12 @@ object DedupQueries {
       val corpus = all.filter(col("doc_id") % 5 < 3).select("h").distinct()
       val bh = all.filter(col("doc_id") % 5 >= 3)
         .groupBy("h").agg(count(lit(1)).as("n"))
+      // sized from the actual corpus cardinality (see e11): fp rate
+      // stays ~0.04% at any corpus size, not just below a fixed literal
+      val nCorpus = math.max(corpus.count(), 4096L)
       val bloomBin = corpus.agg(ColumnBridge.column(
         new BloomFilterAggregate(ColumnBridge.expression(xxhash64(col("h"))),
-          Literal(100000L), Literal(100000L * 16L)).toAggregateExpression())
+          Literal(nCorpus), Literal(nCorpus * 16L)).toAggregateExpression())
         .as("bf")).head().getAs[Array[Byte]]("bf")
       // INNER join against the distinct corpus hash set, which is ≡ a
       // semi join here — deliberately not "left_semi": Catalyst's

@@ -375,9 +375,15 @@ object EventQueries {
       val all = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"), md5(col("text")).as("h"))
       val corpus = all.filter(col("doc_id") % 5 < 3).select("h").distinct()
+      // bloom sized from the ACTUAL corpus cardinality (one more bounded
+      // scalar read beside the bloom's own .head()): a fixed literal
+      // holds the ~1% fp rate only up to that many distinct hashes, and
+      // past it the "join traffic is dup-rate-bounded" claim erodes —
+      // 16 bits/item keeps fp ≈ 0.5^(16·ln2) ≈ 0.04% at ANY corpus size
+      val nCorpus = math.max(corpus.count(), 4096L)
       val bloomBin = corpus.agg(ColumnBridge.column(
         new BloomFilterAggregate(ColumnBridge.expression(xxhash64(col("h"))),
-          Literal(100000L), Literal(100000L * 16L)).toAggregateExpression())
+          Literal(nCorpus), Literal(nCorpus * 16L)).toAggregateExpression())
         .as("bf")).head().getAs[Array[Byte]]("bf")
       // staging scaffolding as in e05: one file ⇒ one micro-batch
       val src = tempDir("graft_e11_src_")

@@ -769,9 +769,12 @@ object RelationalQueries {
       import org.apache.spark.sql.graft.ColumnBridge
       val dim = Tables.part(s, d).filter(col("p_size") <= 10)
         .select(col("p_partkey"), col("p_brand"))
+      // sized from the actual dim cardinality (see e11): fp rate stays
+      // ~0.04% at any dim size, not just below a fixed literal
+      val nDim = math.max(dim.count(), 4096L)
       val bloomBin = dim.agg(ColumnBridge.column(
         new BloomFilterAggregate(ColumnBridge.expression(col("p_partkey")),
-          Literal(200000L), Literal(200000L * 16L)).toAggregateExpression())
+          Literal(nDim), Literal(nDim * 16L)).toAggregateExpression())
         .as("bf")).head().getAs[Array[Byte]]("bf")
       val pruned = Tables.lineitem(s, d)
         .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))

@@ -429,17 +429,25 @@ object SimilarityQueries {
       * cosine order on the augmented space IS inner-product order on
       * the original — any cosine-ANN index (s02's LSH, s04's IVF)
       * becomes a MIPS index with zero new machinery. The shipped query
-      * runs the augmented-cosine path end to end; the ORACLE ranks by
-      * raw inner product with no augmentation anywhere — rank-for-rank
-      * hash equality is a proof of the reduction, not a replica of the
-      * implementation. Reported scores are the raw inner products
+      * runs the augmented-cosine path end to end and RANKS on rnd6 of
+      * the inner product RECOVERED from it (cos(q̂, x̂)·‖q‖·M, which is
+      * exactly ⟨q, x⟩ in real arithmetic); the ORACLE ranks by rnd6 of
+      * the raw inner product with no augmentation anywhere. The rnd6
+      * collapse makes the rank deterministic, not just empirically
+      * stable: float noise between the two computations is ~1e-12
+      * relative while the rank key is 1e-6-granular, so near-equal
+      * scores land in the same cell and fall to the vec_id tie-break
+      * identically on both engines (residual risk — a score within
+      * ulps of a cell boundary — is the same class every rnd6 oracle
+      * in this repo accepts, vs raw-float ordering where ANY near-tie
+      * could flip). Reported scores are the raw inner products
       * (ascending-index kernel on both engines ⇒ bit-identical). */
     "s09_mips_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), embD(col("embedding")).as("vec"))
       val m2 = emb.agg(max(dot(col("vec"), col("vec"))).as("m2"))
       val aug = emb.crossJoin(broadcast(m2))
-        .select(col("vec_id"), col("vec"),
+        .select(col("vec_id"), col("vec"), col("m2"),
           concat(col("vec"),
             array(sqrt(col("m2") - dot(col("vec"), col("vec"))))).as("avec"))
       val queriesDf = emb.filter(col("vec_id") < 3)
@@ -447,7 +455,9 @@ object SimilarityQueries {
           concat(col("vec"), array(lit(0.0))).as("q_avec"))
       val scored = aug.join(broadcast(queriesDf), col("q_id") =!= col("vec_id"))
         .withColumn("c", cosine(col("q_avec"), col("avec")))
-      val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+        .withColumn("ip6", RelationalQueries.rnd(
+          col("c") * sqrt(dot(col("q_vec"), col("q_vec"))) * sqrt(col("m2")), 6))
+      val w = Window.partitionBy("q_id").orderBy(col("ip6").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
@@ -748,7 +758,8 @@ object SimilarityQueries {
         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
         | ranked AS (
         |  SELECT q_id, n_id, ip, row_number()
-        |    OVER (PARTITION BY q_id ORDER BY ip DESC, n_id) AS rank
+        |    OVER (PARTITION BY q_id
+        |          ORDER BY floor(ip*1000000+0.5)/1000000 DESC, n_id) AS rank
         |  FROM scored)
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
         | floor((ip)*10000+0.5)/10000 AS ip

@@ -243,6 +243,25 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("d13: assignment is broadcast (no cartesian), and the dup-pair " +
+      "join is equi-keyed on (cl_id, sub) — the faithful-lloyd shape " +
+      "can't silently regress if the query is edited without touching " +
+      "lloyd itself") {
+    val plan = planOf("d13_semantic_dedup")
+    // the final nearest-centroid pass crossJoins a BROADCAST k-row
+    // centroid table — the corpus side never shuffles to be assigned
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the within-cluster pair join must shuffle on (cl_id, sub) — a
+    // key whose cardinality grows with n — never on anything coarser
+    val pairJoinKeyed = plan.linesIterator.exists(l =>
+      (l.contains("Left keys") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) &&
+        l.contains("cl_id") && l.contains("sub"))
+    assert(pairJoinKeyed,
+      s"dup-pair join not keyed on (cl_id, sub):\n${plan.take(3000)}")
+  }
+
   test("d16: the cross-corpus candidate join is banded — no cartesian") {
     val doc = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
     val pairs = DedupQueries.minhashCrossPairs(
