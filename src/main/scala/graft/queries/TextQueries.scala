@@ -579,26 +579,32 @@ object TextQueries {
       * concatenation blowups before training. Exact percentiles need a
       * global sort and approx sketches aren't cross-engine-stable, so
       * the quantiles come from a fixed-width HISTOGRAM (the q46
-      * machinery): one tiny min/max aggregate broadcast back, one
-      * 64-bin histogram aggregate (map-side combinable), a 64-row
-      * cumulative window (over the aggregate, never data), then the
-      * gate re-derives each doc's bucket with the same IEEE formula
-      * and compares against the broadcast cut buckets — three scans
-      * total, no sort, no shuffle of raw values anywhere, bucket
-      * resolution (hi−lo)/64 which a production run widens at will.
-      * Every step is portable arithmetic, so thresholds AND per-lang
-      * clip counts hash-match the DuckDB replica. */
+      * machinery), RECURSED ONCE for heavy tails: a single extreme
+      * outlier stretches [lo, hi] so the entire bulk lands in one
+      * first-pass bucket and p01/p99 collapse to full-bucket
+      * granularity — so a second 64-bin pass re-histograms ONLY the
+      * first-pass cut range [b_lo, b_hi], carrying the below-range
+      * mass as a cumulative offset. Effective resolution is
+      * (hi−lo)/4096 in the worst case and snaps to the bulk's actual
+      * support under an outlier (PipelineSpec plants one and proves
+      * the cut keeps sub-bucket resolution). All histogram aggregates
+      * are map-side combinable, cumulative windows run over the
+      * 64-row aggregates (never data), the per-doc gate re-derives
+      * both bucket levels with the same IEEE formulas against the
+      * broadcast cut scalars — no sort, no shuffle of raw values
+      * anywhere. Every step is portable arithmetic, so thresholds AND
+      * per-lang clip counts hash-match the DuckDB replica. */
     "t19_length_winsorize" -> ((s, d) => {
       val B = 64
       val docs = Tables.documents(s, d)
         .select(col("lang"), col("n_chars").cast("double").as("v"))
       val mm = docs.agg(min("v").as("lo"), max("v").as("hi"))
-      def bucketOf(v: Column): Column =
-        when(col("hi") === col("lo"), lit(0L))
-          .otherwise(least(floor((v - col("lo")) / (col("hi") - col("lo")) * B),
+      def bucketOf(v: Column, lo: Column, hi: Column): Column =
+        when(hi === lo, lit(0L))
+          .otherwise(least(floor((v - lo) / (hi - lo) * B),
             lit((B - 1).toDouble)).cast("long"))
       val hist = docs.crossJoin(broadcast(mm))
-        .withColumn("bucket", bucketOf(col("v")))
+        .withColumn("bucket", bucketOf(col("v"), col("lo"), col("hi")))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
       val wcum = org.apache.spark.sql.expressions.Window.orderBy("bucket")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -607,19 +613,58 @@ object TextQueries {
         .crossJoin(broadcast(hist.agg(sum("n").as("ntot"))))
       val cuts = cum.agg(
         min(when(col("cum") >= ceil(col("ntot") * 0.01), col("bucket"))).as("b_lo"),
-        min(when(col("cum") >= ceil(col("ntot") * 0.99), col("bucket"))).as("b_hi"))
-      docs.crossJoin(broadcast(mm)).crossJoin(broadcast(cuts))
-        .withColumn("bucket", bucketOf(col("v")))
+        min(when(col("cum") >= ceil(col("ntot") * 0.99), col("bucket"))).as("b_hi"),
+        max("ntot").as("ntot"))
+      // refined range = the first-pass cut buckets; both bounds are
+      // broadcast scalars derived with the identical expression shape
+      // in the DuckDB replica (lo + b*(hi-lo)/B, left-to-right)
+      val bounds = cuts.crossJoin(broadcast(mm))
+        .select(col("b_lo"), col("b_hi"), col("ntot"), col("lo"), col("hi"),
+          (col("lo") + col("b_lo") * (col("hi") - col("lo")) / B).as("lo2"),
+          (col("lo") + (col("b_hi") + 1) * (col("hi") - col("lo")) / B)
+            .as("hi2"))
+      val staged = docs.crossJoin(broadcast(bounds))
+        .withColumn("b1", bucketOf(col("v"), col("lo"), col("hi")))
+      // second-level histogram over the in-range mass only; the
+      // below-range count rides the same aggregate as zone -1 so the
+      // refinement costs ONE extra scan, not two
+      val hist2 = staged
+        .withColumn("zone", when(col("b1") < col("b_lo"), -1)
+          .when(col("b1") > col("b_hi"), 1).otherwise(0))
+        .withColumn("b2", when(col("zone") === 0,
+          bucketOf(col("v"), col("lo2"), col("hi2"))).otherwise(lit(-1L)))
+        .groupBy("zone", "b2").agg(count(lit(1)).as("n2"))
+      val nb = hist2.agg(
+        sum(when(col("zone") === -1, col("n2")).otherwise(0L)).as("n_below"))
+      val cum2 = hist2.filter(col("zone") === 0)
+        .withColumn("cum2", sum("n2").over(
+          org.apache.spark.sql.expressions.Window.orderBy("b2")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .crossJoin(broadcast(nb))
+        .crossJoin(broadcast(cuts.select(col("ntot").as("nt"))))
+      val cuts2 = cum2.agg(
+        min(when(col("n_below") + col("cum2") >= ceil(col("nt") * 0.01),
+          col("b2"))).as("b2_lo"),
+        min(when(col("n_below") + col("cum2") >= ceil(col("nt") * 0.99),
+          col("b2"))).as("b2_hi"))
+      docs.crossJoin(broadcast(bounds)).crossJoin(broadcast(cuts2))
+        .withColumn("b1", bucketOf(col("v"), col("lo"), col("hi")))
+        .withColumn("b2", bucketOf(col("v"), col("lo2"), col("hi2")))
+        .withColumn("cl", col("b1") < col("b_lo") ||
+          (col("b1") <= col("b_hi") && col("b2") < col("b2_lo")))
+        .withColumn("ch", col("b1") > col("b_hi") ||
+          (col("b1") >= col("b_lo") && col("b2") > col("b2_hi")))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("bucket") < col("b_lo"), 1L).otherwise(0L)).as("n_clip_low"),
-          sum(when(col("bucket") > col("b_hi"), 1L).otherwise(0L)).as("n_clip_high"),
-          sum(when(col("bucket").between(col("b_lo"), col("b_hi")), 1L)
-            .otherwise(0L)).as("n_kept"),
-          rnd(max(col("lo") + col("b_lo") * (col("hi") - col("lo")) / B), 2)
+          sum(when(col("cl"), 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when(col("ch"), 1L).otherwise(0L)).as("n_clip_high"),
+          sum(when(!col("cl") && !col("ch"), 1L).otherwise(0L)).as("n_kept"),
+          rnd(max(col("lo2") + col("b2_lo") * (col("hi2") - col("lo2")) / B), 2)
             .as("t_lo"),
-          rnd(max(col("lo") + (col("b_hi") + 1) * (col("hi") - col("lo")) / B), 2)
-            .as("t_hi"))
+          rnd(max(col("lo2") + (col("b2_hi") + 1) *
+            (col("hi2") - col("lo2")) / B), 2).as("t_hi"))
         .orderBy("lang")
     }),
 
@@ -866,17 +911,20 @@ object TextQueries {
         | (SELECT count(*) FROM clean) AS n_docs_left,
         | (SELECT count(*) FROM cleanemb) AS n_vecs_left""".stripMargin,
 
-    // t19: min/max, 64-bin histogram, cumulative cut buckets, and the
-    // per-doc re-bucketing gate all replicate in portable arithmetic.
+    // t19: min/max, 64-bin histogram, cumulative cut buckets, the
+    // heavy-tail refinement pass (second 64-bin histogram over the cut
+    // range with the below-range mass as a cumulative offset), and the
+    // two-level per-doc re-bucketing gate all replicate in portable
+    // arithmetic.
     "t19_length_winsorize" ->
       """WITH v AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents),
         | mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
         | bk AS (SELECT lang, v,
         |          CASE WHEN hi = lo THEN 0
         |               ELSE CAST(least(floor((v - lo) / (hi - lo) * 64), 63)
-        |                         AS BIGINT) END AS bucket
+        |                         AS BIGINT) END AS b1
         |        FROM v CROSS JOIN mm),
-        | h AS (SELECT bucket, count(*) AS n FROM bk GROUP BY bucket),
+        | h AS (SELECT b1 AS bucket, count(*) AS n FROM bk GROUP BY 1),
         | c AS (SELECT bucket, sum(n) OVER (ORDER BY bucket
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |         (SELECT sum(n) FROM h) AS ntot
@@ -885,18 +933,41 @@ object TextQueries {
         |   min(CASE WHEN cum >= CAST(ceil(ntot * 0.01) AS BIGINT)
         |       THEN bucket END) AS b_lo,
         |   min(CASE WHEN cum >= CAST(ceil(ntot * 0.99) AS BIGINT)
-        |       THEN bucket END) AS b_hi
-        |  FROM c)
+        |       THEN bucket END) AS b_hi,
+        |   CAST(max(ntot) AS BIGINT) AS ntot
+        |  FROM c),
+        | bounds AS (SELECT b_lo, b_hi, ntot, lo, hi,
+        |   lo + b_lo * (hi - lo) / 64 AS lo2,
+        |   lo + (b_hi + 1) * (hi - lo) / 64 AS hi2
+        |  FROM cuts CROSS JOIN mm),
+        | bk2 AS (SELECT lang, v, b1, b_lo, b_hi, ntot, lo2, hi2,
+        |          CASE WHEN hi2 = lo2 THEN 0
+        |               ELSE CAST(least(floor((v - lo2) / (hi2 - lo2) * 64), 63)
+        |                         AS BIGINT) END AS b2
+        |         FROM bk CROSS JOIN bounds),
+        | nb AS (SELECT count(*) AS n_below FROM bk2 WHERE b1 < b_lo),
+        | h2 AS (SELECT b2, count(*) AS n2 FROM bk2
+        |        WHERE b1 BETWEEN b_lo AND b_hi GROUP BY 1),
+        | c2 AS (SELECT b2, sum(n2) OVER (ORDER BY b2
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        |        FROM h2),
+        | cuts2 AS (SELECT
+        |   min(CASE WHEN n_below + cum2 >= CAST(ceil(ntot * 0.01) AS BIGINT)
+        |       THEN b2 END) AS b2_lo,
+        |   min(CASE WHEN n_below + cum2 >= CAST(ceil(ntot * 0.99) AS BIGINT)
+        |       THEN b2 END) AS b2_hi
+        |  FROM c2 CROSS JOIN nb CROSS JOIN cuts)
         |SELECT lang, count(*) AS n_docs,
-        | CAST(sum(CASE WHEN bucket < b_lo THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_clip_low,
-        | CAST(sum(CASE WHEN bucket > b_hi THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_clip_high,
-        | CAST(sum(CASE WHEN bucket BETWEEN b_lo AND b_hi THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_kept,
-        | floor((max(lo + b_lo * (hi - lo) / 64))*100+0.5)/100 AS t_lo,
-        | floor((max(lo + (b_hi + 1) * (hi - lo) / 64))*100+0.5)/100 AS t_hi
-        |FROM bk CROSS JOIN mm CROSS JOIN cuts
+        | CAST(sum(CASE WHEN b1 < b_lo OR (b1 <= b_hi AND b2 < b2_lo)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+        | CAST(sum(CASE WHEN b1 > b_hi OR (b1 >= b_lo AND b2 > b2_hi)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+        | CAST(sum(CASE WHEN b1 BETWEEN b_lo AND b_hi
+        |               AND b2 BETWEEN b2_lo AND b2_hi
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | floor((max(lo2 + b2_lo * (hi2 - lo2) / 64))*100+0.5)/100 AS t_lo,
+        | floor((max(lo2 + (b2_hi + 1) * (hi2 - lo2) / 64))*100+0.5)/100 AS t_hi
+        |FROM bk2 CROSS JOIN cuts2
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // t15: the md5-nibble order key and shard assignment replicate

@@ -175,6 +175,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t19: heavy-tail refinement keeps p01/p99 resolution under a " +
+      "single extreme outlier") {
+    // One 10M-char doc stretches [lo, hi] so the single-pass histogram
+    // puts ALL 200 bulk docs (0..999 chars) in first-pass bucket 0 and
+    // the p99 threshold collapses to full-bucket granularity
+    // ((hi-lo)/64 ≈ 156 k — meaningless for a 0..999 bulk). The second
+    // pass re-histograms bucket [b_lo, b_hi] at 64× finer resolution,
+    // so the cut tightens to ≲ (hi-lo)/4096 ≈ 2.4 k.
+    val dir = Files.createTempDirectory("graft-t19-outlier").toString
+    val docs = (0 until 200).map(i =>
+      (i.toLong, "x", "en", "src0", (i % 1000).toLong)) :+
+      (200L, "x", "en", "src0", 10000000L)
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1).write.parquet(s"$dir/documents.parquet")
+    val r = TextQueries.queries("t19_length_winsorize")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_clip_high") == 1L, r.toString) // only the outlier
+    assert(r.getAs[Long]("n_kept") == 200L, r.toString)
+    val tHi = r.getAs[Double]("t_hi")
+    assert(tHi < 3000.0, // single-pass granularity would put this at ~156 k
+      s"refinement failed to tighten the cut: t_hi = $tHi")
+  }
+
   test("d09Labels survives an unpersist-all between consumers (bench scrub)") {
     // Bench.scrub() unpersists every persistent RDD between timed queries.
     // A memoized checkpoint-BACKED frame dies there (its truncated lineage
