@@ -77,7 +77,14 @@ object Bench {
         .groupBy(window(col("ts"), "1 day")).agg(count(lit(1)))
         .writeStream.outputMode("update")
         .option("checkpointLocation", ckpt1)
-        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        // the batch MUST be consumed: a no-op sink never runs the
+        // stateful tasks, so batch 0 commits zero state stores and the
+        // commit validation kills the stream (Expected N commits but
+        // got 0) — which then skips the remaining warmups via the
+        // enclosing catch, leaving the state-store machinery cold
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          b.count(); ()
+        })
         .start()
       try q1.processAllAvailable() finally q1.stop()
       val ckpt2 = java.nio.file.Files.createTempDirectory("graft_warm2_").toString
@@ -91,7 +98,14 @@ object Bench {
       val q2 = graft.streaming.StatefulSessionize.sessions(mem2.toDS())
         .toDF().writeStream.outputMode("append")
         .option("checkpointLocation", ckpt2)
-        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        // the batch MUST be consumed: a no-op sink never runs the
+        // stateful tasks, so batch 0 commits zero state stores and the
+        // commit validation kills the stream (Expected N commits but
+        // got 0) — which then skips the remaining warmups via the
+        // enclosing catch, leaving the state-store machinery cold
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          b.count(); ()
+        })
         .start()
       try q2.processAllAvailable() finally q2.stop()
       // third stateful shape: the symmetric-hash stream-stream join
@@ -110,7 +124,14 @@ object Bench {
           col("r_ts") <= col("l_ts") + expr("INTERVAL 1 HOUR"))
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt3)
-        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        // the batch MUST be consumed: a no-op sink never runs the
+        // stateful tasks, so batch 0 commits zero state stores and the
+        // commit validation kills the stream (Expected N commits but
+        // got 0) — which then skips the remaining warmups via the
+        // enclosing catch, leaving the state-store machinery cold
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          b.count(); ()
+        })
         .start()
       try q3.processAllAvailable() finally q3.stop()
     } catch { case _: Throwable => () }
