@@ -17,6 +17,22 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.PlanDigest <query_name> [sfDir]
   */
 object PlanDigest {
+
+  /** Strip the per-run identifiers (expression ids, plan ids, temp and
+    * file paths) that differ between two executions of the SAME plan,
+    * leaving only the plan's structural text. */
+  def normalize(plan: String): String = plan
+    .replaceAll("#\\d+L?", "#x")
+    .replaceAll("plan_id=\\d+", "plan_id=x")
+    .replaceAll("id=#x", "id=x")
+    .replaceAll("/tmp/\\S+", "/tmp/x")
+    .replaceAll("file:\\S+", "file:x")
+
+  def digest(plan: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(normalize(plan).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -33,16 +49,7 @@ object PlanDigest {
     df.collect() // materialize so AQE's final (re-optimized) plan is digested
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    val normalized = plan
-      .replaceAll("#\\d+L?", "#x")
-      .replaceAll("plan_id=\\d+", "plan_id=x")
-      .replaceAll("id=#x", "id=x")
-      .replaceAll("/tmp/\\S+", "/tmp/x")
-      .replaceAll("file:\\S+", "file:x")
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(normalized.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    println(s"""{"query":"$name","plan_digest":"$md"}""")
+    println(s"""{"query":"$name","plan_digest":"${digest(plan)}"}""")
     spark.stop()
   }
 }

@@ -109,4 +109,15 @@ class AuxSpec extends AnyFunSuite {
         s"format $fmt mismatch")
     }
   }
+
+  // --- plan digest --------------------------------------------------------
+  test("PlanDigest.normalize strips per-run ids but keeps structure") {
+    val runA = "HashAggregate [sum#123L] plan_id=45\n" +
+      "  Scan parquet file:/tmp/graft_a1/part-0.parquet [doc_id#7]"
+    val runB = "HashAggregate [sum#991L] plan_id=2\n" +
+      "  Scan parquet file:/tmp/graft_b9/part-0.parquet [doc_id#55]"
+    assert(graft.PlanDigest.digest(runA) == graft.PlanDigest.digest(runB))
+    val different = runA.replace("HashAggregate", "SortAggregate")
+    assert(graft.PlanDigest.digest(runA) != graft.PlanDigest.digest(different))
+  }
 }
