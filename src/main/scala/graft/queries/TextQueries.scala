@@ -821,6 +821,77 @@ object TextQueries {
         .crossJoin(cleanDocs.agg(count(lit(1)).as("n_docs_left")))
         .crossJoin(cleanEmb.agg(count(lit(1)).as("n_vecs_left")))
     }),
+
+    /** Per-source frequency capping — the C4/CCNet-style guard against
+      * any one domain dominating the training mix: keep at most N docs
+      * per source, chosen by the deterministic portable-gate priority
+      * (retry-stable, plan-independent — never `rand()`). The naive
+      * form is one row_number window partitioned by source, which at
+      * corpus scale funnels EVERYTHING into #sources partitions — the
+      * low-cardinality window trap t14 avoids. The shipped form is the
+      * classic two-phase distributed top-N: a first window over
+      * (source, gate-salt) keeps N candidates per sub-partition
+      * (bounding any partition at ~n/(sources·SALT)), and the final
+      * per-source window ranks only SALT·N candidate rows. The
+      * selection is IDENTICAL to the naive form because (gate, doc_id)
+      * is a total order — and the DuckDB oracle uses the naive
+      * single-window form, so that equivalence is hash-verified, not
+      * asserted. kept_id_sum/min/max fingerprint the SELECTION (exact
+      * integers), not just its size. */
+    "t23_source_cap" -> ((s, d) => {
+      val N = 10; val SALT = 8
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.operators.Sampling.portableGate(
+            concat(col("doc_id").cast("string"), lit(":cap"))).as("g"))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), pmod(col("g"), lit(SALT)))
+        .orderBy(col("g"), col("doc_id"))
+      val cand = docs.withColumn("rn1", row_number().over(w1))
+        .filter(col("rn1") <= N)
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("g"), col("doc_id"))
+      val kept = cand.withColumn("rn2", row_number().over(w2))
+        .filter(col("rn2") <= N)
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy("source").agg(
+          count(lit(1)).as("n_kept"),
+          sum("doc_id").as("kept_id_sum"),
+          min("doc_id").as("min_kept_id"),
+          max("doc_id").as("max_kept_id")), Seq("source"))
+        .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+        .select("source", "n_docs", "n_kept", "n_dropped",
+          "kept_id_sum", "min_kept_id", "max_kept_id")
+        .orderBy("source")
+    }),
+
+    /** Dataset release manifest — the per-shard accounting a versioned
+      * corpus release publishes (the artifact consumers diff before
+      * retraining; t20's companion at shard granularity): doc counts,
+      * char totals, id ranges, and an ORDER-INDEPENDENT content
+      * checksum per deterministic shard. The checksum is the SUM of
+      * per-doc portable gates (24-bit md5-nibble values) — exact in
+      * int64 up to ~2^29 docs per shard, immune to aggregation order,
+      * and computable bit-identically by any engine, where a
+      * concatenate-then-hash fingerprint would need a per-shard sort
+      * and a gigabyte string at corpus scale. One map-side-combinable
+      * aggregate; the 16-row shuffle carries only combined partials
+      * (the q41 discipline without even needing salt). */
+    "t24_release_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          pmod(graft.operators.Sampling.portableGate(
+            concat(col("doc_id").cast("string"), lit(":shard"))), lit(16))
+            .as("shard"))
+      docs.groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc_id"),
+          max("doc_id").as("max_doc_id"),
+          sum(graft.operators.Sampling.portableGate(col("text")))
+            .as("content_chk"))
+        .orderBy("shard")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -910,6 +981,46 @@ object TextQueries {
         | (SELECT count(*) FROM bycontent) AS n_removed_by_content,
         | (SELECT count(*) FROM clean) AS n_docs_left,
         | (SELECT count(*) FROM cleanemb) AS n_vecs_left""".stripMargin,
+
+    // t23: the oracle deliberately uses the NAIVE single-window top-N —
+    // hash equality proves the shipped two-phase salted form selects
+    // the identical rows.
+    "t23_source_cap" ->
+      s"""WITH g AS (
+        |  SELECT doc_id, source,
+        |    ${graft.operators.Sampling.portableGateSql(
+               "CAST(doc_id AS VARCHAR) || ':cap'")} AS g
+        |  FROM documents),
+        | kept AS (SELECT doc_id, source FROM (
+        |    SELECT doc_id, source,
+        |      row_number() OVER (PARTITION BY source ORDER BY g, doc_id) AS rn
+        |    FROM g) WHERE rn <= 10),
+        | tot AS (SELECT source, count(*) AS n_docs FROM g GROUP BY 1),
+        | ks AS (SELECT source, count(*) AS n_kept,
+        |          CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+        |          min(doc_id) AS min_kept_id,
+        |          max(doc_id) AS max_kept_id
+        |        FROM kept GROUP BY 1)
+        |SELECT tot.source, n_docs, n_kept,
+        |       n_docs - n_kept AS n_dropped,
+        |       kept_id_sum, min_kept_id, max_kept_id
+        |FROM tot JOIN ks USING (source) ORDER BY tot.source""".stripMargin,
+
+    // t24: shard assignment and the order-independent gate-sum checksum
+    // replicate exactly.
+    "t24_release_manifest" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, text, n_chars,
+        |    ${graft.operators.Sampling.portableGateSql(
+               "CAST(doc_id AS VARCHAR) || ':shard'")} % 16 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_doc_id,
+        |       max(doc_id) AS max_doc_id,
+        |       CAST(sum(${graft.operators.Sampling.portableGateSql("text")})
+        |            AS BIGINT) AS content_chk
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
 
     // t19: min/max, 64-bin histogram, cumulative cut buckets, the
     // heavy-tail refinement pass (second 64-bin histogram over the cut

@@ -262,6 +262,18 @@ class QueryPlanSpec extends AnyFunSuite {
       s"dup-pair join not keyed on (cl_id, sub):\n${plan.take(3000)}")
   }
 
+  test("t23: the source cap is two-phase — the first window partitions " +
+      "by (source, salt), never source alone over the full corpus") {
+    val plan = planOf("t23_source_cap")
+    // two Window operators: salted candidate phase + final per-source
+    // rank over SALT*N candidate rows only
+    assert("Window".r.findAllIn(plan).size >= 2, plan.take(3000))
+    // the candidate phase's partition key carries the gate salt — the
+    // guard against funneling the corpus into #sources partitions
+    assert(plan.contains("pmod"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("d16: the cross-corpus candidate join is banded — no cartesian") {
     val doc = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
     val pairs = DedupQueries.minhashCrossPairs(
