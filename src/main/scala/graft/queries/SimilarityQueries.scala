@@ -338,6 +338,63 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    /** ANN index-quality evaluation — recall@k of the s04 IVF index
+      * against brute-force ground truth, the measurement a vector
+      * pipeline publishes before trusting an approximate index at
+      * scale. Both sides rank on rnd6 cosine with the vec_id
+      * tie-break (the s09 determinism discipline), truth is the s01
+      * brute-force top-k (broadcast queries — one corpus scan), the
+      * approximate side is the s04 probe pipeline (nprobe=3 over the
+      * shared CentroidBuild quantizer), and the overlap is an id-only
+      * semi join of two k-row-per-query sets — evaluation cost is the
+      * brute-force pass, which a production run does on a SAMPLE of
+      * queries (here: the 3 fixed probes). Every stage is portable
+      * math, so the recall numbers themselves hash-match the DuckDB
+      * replica of the full composed evaluation. */
+    "s10_ann_recall" -> ((s, d) => {
+      val K = 10; val nprobe = 3
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      val truthScored = emb
+        .join(broadcast(queriesDf), col("q_id") =!= col("vec_id"))
+        .withColumn("c6",
+          RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+      val wT = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+      val truth = truthScored.withColumn("rn", row_number().over(wT))
+        .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
+      val centroids = graft.operators.CentroidBuild.centroids(
+        Tables.embeddings(s, d)
+          .select(col("label"), embD(col("embedding")).as("vec")),
+        col("label"), col("vec"))
+      val sims = graft.operators.CentroidBuild.similarities(
+        emb, centroids, "vec_id", "vec")
+      val assign = graft.operators.CentroidBuild.nearest(sims, "vec_id")
+      val probes = graft.operators.CentroidBuild.nearestK(
+        sims.filter(col("vec_id") < 3), "vec_id", nprobe)
+        .select(col("vec_id").as("q_id"), col("cl_id"))
+      val cand = assign.join(broadcast(probes), "cl_id")
+        .filter(col("q_id") =!= col("vec_id"))
+      val approxScored = cand
+        .join(broadcast(queriesDf), "q_id")
+        .join(emb, "vec_id")
+        .withColumn("c6",
+          RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+      val wA = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+      val approx = approxScored.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
+      val hits = truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+        .join(hits, Seq("q_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_at_k", RelationalQueries.rnd(
+          col("n_hit").cast("double") / col("n_truth"), 4))
+        .select("q_id", "n_truth", "n_hit", "recall_at_k")
+        .orderBy("q_id")
+    }),
+
     /** Symmetric int8 quantization of the embedding column — the
       * compression step a vector store applies before indexing (4×
       * smaller than float32, 8× smaller than the double working form).
@@ -715,6 +772,64 @@ object SimilarityQueries {
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
         | floor((cos)*10000+0.5)/10000 AS cos_sim
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // s10: the full composed evaluation replicates — brute-force truth
+    // (rnd6 rank key) + the s04 IVF pipeline + the recall join.
+    "s10_ann_recall" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3),
+        | tscored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    floor((list_cosine_similarity(q.q_vec, e.vec))*1000000+0.5)/1000000
+        |      AS c6
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        | truth AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, row_number()
+        |      OVER (PARTITION BY q_id ORDER BY c6 DESC, n_id) AS rn
+        |    FROM tscored) WHERE rn <= 10),
+        | cex AS (SELECT label AS cl_id, unnest(vec) AS v,
+        |                generate_subscripts(vec, 1) AS i FROM e),
+        | cel AS (SELECT cl_id, i, floor((avg(v))*1000000+0.5)/1000000 AS m
+        |         FROM cex GROUP BY cl_id, i),
+        | cen AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM cel GROUP BY cl_id),
+        | sims AS (
+        |  SELECT e.vec_id, cen.cl_id,
+        |    floor((list_cosine_similarity(e.vec, cen.cvec))*1000000+0.5)/1000000
+        |      AS csim
+        |  FROM e CROSS JOIN cen),
+        | assign AS (
+        |  SELECT vec_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims) WHERE rn = 1),
+        | probes AS (
+        |  SELECT vec_id AS q_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims WHERE vec_id < 3) WHERE rn <= 3),
+        | cand AS (
+        |  SELECT p.q_id, a.vec_id FROM assign a JOIN probes p USING (cl_id)
+        |  WHERE a.vec_id <> p.q_id),
+        | ascored AS (
+        |  SELECT c.q_id, c.vec_id AS n_id,
+        |    floor((list_cosine_similarity(qe.vec, ne.vec))*1000000+0.5)/1000000
+        |      AS c6
+        |  FROM cand c
+        |  JOIN e qe ON qe.vec_id = c.q_id
+        |  JOIN e ne ON ne.vec_id = c.vec_id),
+        | approx AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, row_number()
+        |      OVER (PARTITION BY q_id ORDER BY c6 DESC, n_id) AS rn
+        |    FROM ascored) WHERE rn <= 10),
+        | hits AS (SELECT t.q_id, count(*) AS n_hit FROM truth t
+        |          JOIN approx a ON a.q_id = t.q_id AND a.n_id = t.n_id
+        |          GROUP BY 1)
+        |SELECT t.q_id, count(*) AS n_truth,
+        |  CAST(coalesce(max(h.n_hit), 0) AS BIGINT) AS n_hit,
+        |  floor((CAST(coalesce(max(h.n_hit), 0) AS DOUBLE) / count(*))
+        |        *10000+0.5)/10000 AS recall_at_k
+        |FROM truth t LEFT JOIN hits h ON h.q_id = t.q_id
+        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
 
     // s06: same absmax scale, floor-round quantizer, and ascending-index
     // error dot (list_inner_product matches ArrayDot's accumulation
