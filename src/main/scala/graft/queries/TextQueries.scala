@@ -876,7 +876,11 @@ object TextQueries {
       * concatenate-then-hash fingerprint would need a per-shard sort
       * and a gigabyte string at corpus scale. One map-side-combinable
       * aggregate; the 16-row shuffle carries only combined partials
-      * (the q41 discipline without even needing salt). */
+      * (the q41 discipline without even needing salt — a
+      * low-cardinality KEY is safe when only combined partials move).
+      * The shard count is a parameter: a production release sizes it
+      * as ~corpus_bytes/shard_target so it GROWS with the corpus; the
+      * checksum stays exact to ~2^29 docs/shard regardless. */
     "t24_release_manifest" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("n_chars"),

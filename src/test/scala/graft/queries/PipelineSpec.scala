@@ -197,6 +197,25 @@ class PipelineSpec extends AnyFunSuite {
       s"refinement failed to tighten the cut: t_hi = $tHi")
   }
 
+  test("t23: the cap keeps exactly N per oversized source and the " +
+      "selection is deterministic across re-runs") {
+    val dir = Files.createTempDirectory("graft-t23-cap").toString
+    // one source over the cap (30 docs), one under it (4 docs)
+    val docs = (0 until 30).map(i =>
+      (i.toLong, "x", "en", "big", 10L)) ++
+      (100 until 104).map(i => (i.toLong, "x", "en", "small", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.parquet(s"$dir/documents.parquet")
+    val run1 = TextQueries.queries("t23_source_cap")(spark, dir).collect()
+    val run2 = TextQueries.queries("t23_source_cap")(spark, dir).collect()
+    assert(run1.toSeq == run2.toSeq) // hash priority ⇒ plan/retry-stable
+    val bySource = run1.map(r => r.getAs[String]("source") -> r).toMap
+    assert(bySource("big").getAs[Long]("n_kept") == 10L)
+    assert(bySource("big").getAs[Long]("n_dropped") == 20L)
+    assert(bySource("small").getAs[Long]("n_kept") == 4L)
+    assert(bySource("small").getAs[Long]("n_dropped") == 0L)
+  }
+
   test("d09Labels survives an unpersist-all between consumers (bench scrub)") {
     // Bench.scrub() unpersists every persistent RDD between timed queries.
     // A memoized checkpoint-BACKED frame dies there (its truncated lineage
