@@ -272,6 +272,11 @@ class QueryPlanSpec extends AnyFunSuite {
     // guard against funneling the corpus into #sources partitions
     assert(plan.contains("pmod"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the scan must prune to (doc_id, source): the cap decision never
+    // needs text, so the windows shuffle ids, not documents
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("text")),
+      s"t23 scan reads text:\n${readSchemas.mkString("\n")}")
   }
 
   test("d16: the cross-corpus candidate join is banded — no cartesian") {
