@@ -844,8 +844,10 @@ object DedupQueries {
       val b = supp.select(col("id_b"), col("name_b"), digits(col("name_b")).as("k"))
       val cand = a.join(b, "k")
       val matches = cand
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 2)
+        // same prune-only length gate + thresholded DP as d10
+        .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("dist") >= 0)
       val blockCensus = cand.groupBy("k").agg(count(lit(1)).as("np"))
       matches.agg(count(lit(1)).as("n_matches"),
           sum(when(col("id_a") === col("id_b"), 1L).otherwise(0L))
@@ -866,8 +868,15 @@ object DedupQueries {
       val b = blocked.select(col("seg"), col("fp"), col("sub"),
         col("id").as("id_b"), col("name").as("name_b"))
       a.join(b, Seq("seg", "fp", "sub")).filter(col("id_a") < col("id_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 2)
+        // |len(a) − len(b)| > t ⇒ edit distance > t: the O(1) length
+        // gate runs BEFORE the DP kernel, and the THRESHOLDED
+        // levenshtein abandons a pair once its banded DP exceeds t
+        // (O(len·t) vs O(len²)). Both are prune-only — the surviving
+        // pair set is provably unchanged — so the naive full-kernel
+        // DuckDB replica still hash-matches.
+        .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("dist") >= 0)
         .groupBy("seg")
         .agg(count(lit(1)).as("n_near_pairs"),
           countDistinct("id_a").as("n_docs_with_dup"),
