@@ -17,10 +17,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * kernels as the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // Session-lifecycle hook: the check-rule builder is the one
+    // extension point handed the live SparkSession, so it doubles as
+    // per-session init — registering the application-end eviction
+    // listener that drops the d09 label cache's entries (and deletes
+    // their parquet handoff dirs) when the session's context stops.
+    // The rule itself is a no-op; registration is idempotent per appId.
+    e.injectCheckRule { session =>
+      graft.queries.DedupQueries.installEviction(session)
+      _ => ()
+    }
+  }
 }
 
 object GraftFunctions {

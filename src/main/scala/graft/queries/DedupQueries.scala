@@ -247,41 +247,136 @@ object DedupQueries {
     * consumer, so the roster composes the same way instead of paying
     * the edge build + fixpoint barriers twice.
     *
-    * The memo stores the COLLECTED (node, lbl) rows — bounded by the
-    * clustered subset (docs with at least one near-dup edge), the same
-    * size class as the q47/e11 bloom binaries — and rebuilds a local
-    * DataFrame per consumer. Memoizing the checkpoint-backed FRAME
-    * instead is a trap: localCheckpoint lineage is truncated, so any
-    * caller that unpersists RDDs between queries (a bench harness's
-    * hygiene pass, a long-lived service's memory manager) leaves the
-    * cached frame pointing at evicted CHECKPOINT_RDD blocks and the
-    * second consumer throws. The label table is exactly the artifact a
-    * production pipeline PERSISTS to storage between stages; this is
-    * the single-process stand-in for that parquet handoff. Keys hold
-    * an (appId, identity-hash) string, not the session, so no
-    * SparkSession or RDD is pinned for the JVM lifetime; [[invalidateLabels]] drops an entry
-    * if a corpus under the same path changes within one session (the
-    * test-data dirs are immutable, so the roster never needs it).
-    * Results are identical to independent builds (the propagation is
-    * deterministic), so both oracles are unaffected. */
+    * The handoff between the build and its consumers is STRUCTURAL:
+    * the propagated (node, lbl) table is written to parquet under a
+    * per-build temp dir and every consumer reads it back — the
+    * artifact a production pipeline persists to storage between
+    * stages, so the label table never has to fit on the driver no
+    * matter how duplicate-heavy the corpus is. Builds at or below
+    * [[LabelMemoMaxRows]] rows (conf `spark.graft.labels.memoMaxRows`)
+    * keep a collected-rows fast path instead: the rows live in the JVM
+    * and rebuild a local frame per consumer, skipping the parquet
+    * round-trip for the bloom-binary-sized tables the roster actually
+    * produces. Memoizing the checkpoint-backed FRAME itself is a trap
+    * either way: localCheckpoint lineage is truncated, so any caller
+    * that unpersists RDDs between queries (a bench harness's hygiene
+    * pass, a long-lived service's memory manager) leaves the cached
+    * frame pointing at evicted CHECKPOINT_RDD blocks and the second
+    * consumer throws.
+    *
+    * Keys hold an (appId, identity-hash) string, not the session, so
+    * no SparkSession or RDD is pinned; a `SparkListenerApplicationEnd`
+    * hook (installed on first use, the ProgressListener pattern —
+    * extension-built sessions also install it via
+    * [[graft.GraftExtensions]]) calls [[evictSession]] when the
+    * session's context stops, so a JVM that cycles SparkSessions
+    * (test suites, long-lived services) provably cannot accumulate
+    * dead-session entries or leak handoff dirs. [[invalidateLabels]]
+    * drops an entry if a corpus under the same path changes within one
+    * session (the test-data dirs are immutable, so the roster never
+    * needs it). Results are identical to independent builds (the
+    * propagation is deterministic), so both oracles are unaffected. */
   private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[(Long, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), LabelHandle]()
 
-  /** Drop memoized label builds for `dir` (any session) — for callers
-    * that mutate a corpus in place within one session. */
+  private sealed trait LabelHandle
+  private final case class MemoRows(rows: Array[(Long, Long)]) extends LabelHandle
+  private final case class ParquetDir(path: String) extends LabelHandle
+
+  /** Label tables above this many rows skip the driver-memory memo and
+    * persist to a parquet handoff dir (override per session with conf
+    * `spark.graft.labels.memoMaxRows`). 1M (node, lbl) pairs ≈ 16 MB —
+    * the same budget class as a broadcast side. */
+  val LabelMemoMaxRows = 1000000L
+
+  private def labelMemoMaxRows(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.labels.memoMaxRows")
+      .map(_.toLong).getOrElse(LabelMemoMaxRows)
+
+  /** appIds whose application-end eviction hook is already registered. */
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteDir(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private def dropEntry(key: (String, String)): Unit =
+    Option(labelCache.remove(key)).foreach {
+      case ParquetDir(path) => deleteDir(path)
+      case _ => ()
+    }
+
+  /** Drop memoized label builds for `dir` (any session), deleting any
+    * persisted parquet handoff — for callers that mutate a corpus in
+    * place within one session. */
   def invalidateLabels(dir: String): Unit = {
     val it = labelCache.keySet().iterator()
-    while (it.hasNext) if (it.next()._2 == dir) it.remove()
+    while (it.hasNext) { val k = it.next(); if (k._2 == dir) dropEntry(k) }
+  }
+
+  /** Drop every cache entry (and handoff dir) owned by `appId` — the
+    * application-end listener's action, exposed so the eviction spec
+    * can assert it and so services can evict eagerly. */
+  def evictSession(appId: String): Unit = {
+    evictionHooked.remove(appId)
+    val it = labelCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next(); if (k._1.startsWith(appId + "#")) dropEntry(k)
+    }
+  }
+
+  /** Register the application-end eviction hook, once per appId. */
+  private[graft] def installEviction(s: SparkSession): Unit = {
+    val appId = s.sparkContext.applicationId
+    if (evictionHooked.add(appId))
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            evictSession(appId)
+        })
+  }
+
+  /** Test/diagnostic view of the cached handle for (session, dir):
+    * Some("memo") for the collected fast path, Some(path) for a
+    * parquet handoff, None when uncached. */
+  private[graft] def labelHandleInfo(s: SparkSession, d: String): Option[String] = {
+    val sessionKey =
+      s.sparkContext.applicationId + "#" + System.identityHashCode(s)
+    Option(labelCache.get((sessionKey, d))).map {
+      case MemoRows(_) => "memo"
+      case ParquetDir(p) => p
+    }
   }
 
   def d09Labels(s: SparkSession, d: String): DataFrame = {
+    installEviction(s)
     val sessionKey =
       s.sparkContext.applicationId + "#" + System.identityHashCode(s)
-    val rows = labelCache.computeIfAbsent((sessionKey, d),
-      _ => labelPropagate(d09Edges(d09Corpus(s, d)))
-        .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val handle = labelCache.computeIfAbsent((sessionKey, d), _ => {
+      val labels = labelPropagate(d09Edges(d09Corpus(s, d)))
+      // labelPropagate returns a checkpoint-materialized frame, so the
+      // row count is an aggregate over local blocks, not a recompute
+      if (labels.count() <= labelMemoMaxRows(s))
+        MemoRows(labels.collect().map(r => (r.getLong(0), r.getLong(1))))
+      else {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-labels-").toString
+        labels.write.mode("overwrite").parquet(dir)
+        ParquetDir(dir)
+      }
+    })
     import s.implicits._
-    rows.toSeq.toDF("node", "lbl")
+    handle match {
+      case MemoRows(rows) => rows.toSeq.toDF("node", "lbl")
+      case ParquetDir(p) => s.read.parquet(p).select("node", "lbl")
+    }
   }
 
   /** Connected components by min-label propagation to FIXPOINT over an

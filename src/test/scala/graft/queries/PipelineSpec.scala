@@ -216,6 +216,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(bySource("small").getAs[Long]("n_dropped") == 0L)
   }
 
+  test("d09 label handoff: a build over the memo cap persists the label " +
+      "table to parquet, consumers read it back, answers are unchanged") {
+    val baseline = DedupQueries
+      .queries("d17_keeper_resolution")(spark, plantedDir).collect().toSeq
+    // re-build under a doctored 1-row cap: the corpus's label table
+    // (well over one row) must take the parquet-handoff path
+    DedupQueries.invalidateLabels(plantedDir)
+    spark.conf.set("spark.graft.labels.memoMaxRows", "1")
+    try {
+      val guarded = DedupQueries
+        .queries("d17_keeper_resolution")(spark, plantedDir).collect().toSeq
+      assert(guarded == baseline)
+      val info = DedupQueries.labelHandleInfo(spark, plantedDir)
+      assert(info.exists(_ != "memo"), s"expected a parquet handoff, got $info")
+      assert(new java.io.File(info.get).exists, s"handoff dir missing: $info")
+      // a second consumer reads the SAME persisted artifact (no rebuild)
+      val census = DedupQueries
+        .queries("d09_dup_clusters")(spark, plantedDir).collect()
+      assert(census.nonEmpty)
+      assert(DedupQueries.labelHandleInfo(spark, plantedDir) == info)
+      // the handoff also survives a bench-scrub unpersist-all: parquet
+      // is storage, not block-manager state
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val again = DedupQueries
+        .queries("d17_keeper_resolution")(spark, plantedDir).collect().toSeq
+      assert(again == baseline)
+      // invalidation deletes the handoff dir, not just the entry
+      val dir = info.get
+      DedupQueries.invalidateLabels(plantedDir)
+      assert(!new java.io.File(dir).exists, s"handoff dir leaked: $dir")
+    } finally {
+      spark.conf.unset("spark.graft.labels.memoMaxRows")
+      DedupQueries.invalidateLabels(plantedDir)
+    }
+  }
+
+  test("d09 label cache drops its entries (and handoff dirs) when the " +
+      "session's application ends") {
+    DedupQueries.invalidateLabels(plantedDir)
+    spark.conf.set("spark.graft.labels.memoMaxRows", "1")
+    try {
+      DedupQueries.queries("d17_keeper_resolution")(spark, plantedDir).collect()
+      val info = DedupQueries.labelHandleInfo(spark, plantedDir)
+      assert(info.exists(_ != "memo"))
+      val dir = info.get
+      // fire the exact event SparkContext.stop() emits, through the
+      // real listener bus (stopping the shared fixture context would
+      // kill every later suite) — the hook installed by d09Labels /
+      // GraftExtensions must evict this session's entries
+      org.apache.spark.graft.ListenerBridge
+        .postApplicationEnd(spark.sparkContext)
+      assert(DedupQueries.labelHandleInfo(spark, plantedDir).isEmpty,
+        "application-end hook did not evict the label cache")
+      assert(!new java.io.File(dir).exists, s"handoff dir leaked: $dir")
+    } finally {
+      spark.conf.unset("spark.graft.labels.memoMaxRows")
+      DedupQueries.invalidateLabels(plantedDir)
+    }
+  }
+
   test("d09Labels survives an unpersist-all between consumers (bench scrub)") {
     // Bench.scrub() unpersists every persistent RDD between timed queries.
     // A memoized checkpoint-BACKED frame dies there (its truncated lineage
