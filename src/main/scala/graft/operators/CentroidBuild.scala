@@ -61,6 +61,36 @@ object CentroidBuild {
   def nearest(sims: DataFrame, idCol: String): DataFrame =
     nearestK(sims, idCol, 1)
 
+  /** The IVF probe pipeline — the ONE code path behind both the s04
+    * index query and the s10 recall evaluation, so the published
+    * recall can never silently measure a different index than the one
+    * it certifies. From an (vec_id, vec) corpus and a centroid table:
+    * assign every corpus vector to its nearest centroid, pick each
+    * query's (rows matching `queryPred`) `nprobe` nearest centroid
+    * lists, and return the scored-candidate input rows
+    * (q_id, vec_id, q_vec, vec) — the corpus vectors whose home list
+    * is probed, minus the query itself. Callers apply their own
+    * scoring/rounding discipline (s04 ranks raw cosine, s10 rnd6).
+    *
+    * Scale shape: the only broadcasts are the k-row centroid table
+    * (inside [[similarities]]), the q×nprobe probe list, and the
+    * q-row query-vector table; the corpus side never shuffles to be
+    * assigned, and the candidate set per query is ~n·nprobe/k rows
+    * instead of n. */
+  def ivfCandidates(emb: DataFrame, cents: DataFrame, queryPred: Column,
+      nprobe: Int): DataFrame = {
+    val sims = similarities(emb, cents, "vec_id", "vec")
+    val assign = nearest(sims, "vec_id")
+    val probes = nearestK(sims.filter(queryPred), "vec_id", nprobe)
+      .select(col("vec_id").as("q_id"), col("cl_id"))
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    assign.join(broadcast(probes), "cl_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(queries), "q_id")
+      .join(emb, "vec_id")
+  }
+
   /** The size-derived k-means build (the s07 pipeline as a reusable
     * operator): seed with the k smallest md5(idCol) rows (a
     * TakeOrdered top-k, no global sort), then run `rounds` Lloyd

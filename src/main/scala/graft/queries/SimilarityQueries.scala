@@ -317,18 +317,8 @@ object SimilarityQueries {
         Tables.embeddings(s, d)
           .select(col("label"), embD(col("embedding")).as("vec")),
         col("label"), col("vec"))
-      val sims = graft.operators.CentroidBuild.similarities(
-        emb, centroids, "vec_id", "vec")
-      val assign = graft.operators.CentroidBuild.nearest(sims, "vec_id")
-      val probes = graft.operators.CentroidBuild.nearestK(
-        sims.filter(col("vec_id") < 3), "vec_id", nprobe)
-        .select(col("vec_id").as("q_id"), col("cl_id"))
-      val cand = assign.join(broadcast(probes), "cl_id")
-        .filter(col("q_id") =!= col("vec_id"))
-      val scored = cand
-        .join(broadcast(emb.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))), "q_id")
-        .join(emb, "vec_id")
+      val scored = graft.operators.CentroidBuild.ivfCandidates(
+          emb, centroids, col("vec_id") < 3, nprobe)
         .withColumn("cos", cosine(col("q_vec"), col("vec")))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -344,8 +334,10 @@ object SimilarityQueries {
       * scale. Both sides rank on rnd6 cosine with the vec_id
       * tie-break (the s09 determinism discipline), truth is the s01
       * brute-force top-k (broadcast queries — one corpus scan), the
-      * approximate side is the s04 probe pipeline (nprobe=3 over the
-      * shared CentroidBuild quantizer), and the overlap is an id-only
+      * approximate side is the s04 probe pipeline — literally the same
+      * code path ([[graft.operators.CentroidBuild.ivfCandidates]]), so
+      * the recall certifies the index s04 serves, structurally unable
+      * to drift from it — and the overlap is an id-only
       * semi join of two k-row-per-query sets — evaluation cost is the
       * brute-force pass, which a production run does on a SAMPLE of
       * queries (here: the 3 fixed probes). Every stage is portable
@@ -368,17 +360,8 @@ object SimilarityQueries {
         Tables.embeddings(s, d)
           .select(col("label"), embD(col("embedding")).as("vec")),
         col("label"), col("vec"))
-      val sims = graft.operators.CentroidBuild.similarities(
-        emb, centroids, "vec_id", "vec")
-      val assign = graft.operators.CentroidBuild.nearest(sims, "vec_id")
-      val probes = graft.operators.CentroidBuild.nearestK(
-        sims.filter(col("vec_id") < 3), "vec_id", nprobe)
-        .select(col("vec_id").as("q_id"), col("cl_id"))
-      val cand = assign.join(broadcast(probes), "cl_id")
-        .filter(col("q_id") =!= col("vec_id"))
-      val approxScored = cand
-        .join(broadcast(queriesDf), "q_id")
-        .join(emb, "vec_id")
+      val approxScored = graft.operators.CentroidBuild.ivfCandidates(
+          emb, centroids, col("vec_id") < 3, nprobe)
         .withColumn("c6",
           RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
       val wA = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))

@@ -74,6 +74,18 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("s10: the recall evaluation keeps the shared probe pipeline's " +
+      "shape — broadcast centroids/probes/queries, no cartesian") {
+    // s10's approximate side IS s04's pipeline (CentroidBuild
+    // .ivfCandidates); this pin keeps the shared helper's plan honest
+    // from the second consumer's side too
+    val plan = planOf("s10_ann_recall")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // probe-list and query-vector joins are broadcast equi-joins
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+  }
+
   test("t08: exploded token counts combine map-side before the shuffle") {
     val plan = planOf("t08_top_tokens")
     assert(plan.contains("Generate"), plan.take(3000))
