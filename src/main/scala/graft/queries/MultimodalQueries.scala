@@ -83,7 +83,20 @@ object MultimodalQueries {
     /** Typed per-partition decode → feature aggregation. The decode runs
       * batch-at-a-time inside mapPartitions (how a real codec would be
       * amortized); downstream is ordinary Column math over the feature
-      * array. Rows-only check (the stub is not expressible in SQL). */
+      * array.
+      *
+      * Fully oracle-verified since round 10: the stub's 16-bin byte
+      * histogram IS portable SQL — bin b counts the payload bytes with
+      * high nibble b, which DuckDB recovers from `hex(encode(text))`
+      * by keeping the first character of each hex pair
+      * (`regexp_replace(h, '(.).', '\1', 'g')`) and counting each hex
+      * digit. The feature L2 norm folds the 16 squares in ascending
+      * index order on both engines (the ArrayDot discipline), is
+      * frozen per-doc to an exact integer (×1e6, the s07 sum_csim_e6
+      * pattern), and aggregates as a BIGINT sum — so the per-source
+      * norms compare exactly, not via summation-order-risky double
+      * avgs, and the whole decode→features→aggregate pipeline
+      * hash-matches DuckDB instead of settling for rows-only. */
     "m02_decode_features" -> ((s, d) => {
       import s.implicits._
       val ds: Dataset[(Long, String, Array[Byte])] = Tables.documents(s, d)
@@ -95,22 +108,26 @@ object MultimodalQueries {
       decoded.toDF()
         .withColumn("feat_norm", sqrt(aggregate(
           col("features"), lit(0.0), (acc, x) => acc + x * x)))
+        .withColumn("fe6", floor(col("feat_norm") * 1e6 + 0.5).cast("long"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_media"),
           RelationalQueries.rnd(avg("width"), 4).as("avg_width"),
           RelationalQueries.rnd(avg("height"), 4).as("avg_height"),
           RelationalQueries.rnd(avg("n_frames"), 4).as("avg_frames"),
-          RelationalQueries.rnd(avg("feat_norm"), 4).as("avg_feat_norm"))
+          sum("fe6").as("sum_feat_e6"),
+          RelationalQueries.rnd(
+            sum("fe6") / 1e6 / count(lit(1)), 4).as("avg_feat_norm"))
         .orderBy("source")
     }),
 
     /** Typed resize stage: decode → aspect-preserving 224-box resize,
       * batch-at-a-time in the same mapPartitions shape a real resampler
-      * (JNI/ImageIO) would use. Unlike m02's histogram features, the
-      * stub's width/height derivation is pure arithmetic on the payload
-      * (length + lead byte), so the WHOLE typed pipeline — binary cast,
-      * partition batching, resize math — is verified against a DuckDB
-      * replica, not just smoke-checked. */
+      * (JNI/ImageIO) would use. The stub's width/height derivation is
+      * pure arithmetic on the payload (length + lead code point), so
+      * the WHOLE typed pipeline — binary cast, partition batching,
+      * resize math — is verified against a DuckDB replica (m04 proved
+      * the pattern in round 7; m02's histogram replica followed it in
+      * round 10). */
     "m04_resize" -> ((s, d) => {
       import s.implicits._
       val ds: Dataset[(Long, String, Array[Byte])] = Tables.documents(s, d)
@@ -257,6 +274,47 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // m02: full replica of the stub decode. High-nibble byte histogram
+    // via hex(encode(text)) with the first char of each hex pair kept;
+    // f_b = count_b / greatest(1, byte length); L2 norm folds the 16
+    // squares in ascending index order (matches the Spark aggregate's
+    // left fold, 0.0 + f0² + f1² + …); per-doc norm frozen to ×1e6
+    // BIGINT so the per-source sum compares exactly. avg_feat_norm
+    // derives from that exact sum (two correctly-rounded divisions),
+    // never from a summation-order-dependent double avg.
+    "m02_decode_features" -> {
+      val nib = raw"regexp_replace(hex(encode(text)), '(.).', '\1', 'g')"
+      val digits = "0123456789ABCDEF"
+      val fs = digits.zipWithIndex.map { case (c, i) =>
+        s"(strlen(nib) - strlen(replace(nib, '$c', ''))) / CAST(n AS DOUBLE) AS f$i"
+      }.mkString(",\n        |    ")
+      val sq = (0 until 16).map(i => s"f$i*f$i").mkString(" + ")
+      s"""WITH b AS (
+        |  SELECT source,
+        |    16 + (strlen(text) % 64) AS w,
+        |    16 + (ascii(text) % 64) AS h,
+        |    1 + (strlen(text) % 8) AS fr,
+        |    greatest(1, strlen(text)) AS n,
+        |    $nib AS nib
+        |  FROM documents),
+        | c AS (
+        |  SELECT source, w, h, fr,
+        |    $fs
+        |  FROM b),
+        | e AS (
+        |  SELECT source, w, h, fr,
+        |    CAST(floor(sqrt($sq)*1000000 + 0.5) AS BIGINT) AS fe6
+        |  FROM c)
+        |SELECT source, count(*) AS n_media,
+        | floor(avg(w)*10000+0.5)/10000 AS avg_width,
+        | floor(avg(h)*10000+0.5)/10000 AS avg_height,
+        | floor(avg(fr)*10000+0.5)/10000 AS avg_frames,
+        | CAST(sum(fe6) AS BIGINT) AS sum_feat_e6,
+        | floor((CAST(sum(fe6) AS DOUBLE)/1000000.0/count(*))*10000+0.5)/10000
+        |   AS avg_feat_norm
+        |FROM e GROUP BY source ORDER BY source""".stripMargin
+    },
+
     "m01_binary_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes, md5(text) AS content_md5,
         | ascii(text) AS first_code

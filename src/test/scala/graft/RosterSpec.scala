@@ -20,13 +20,15 @@ class RosterSpec extends AnyFunSuite {
 
   test("rows-only queries are exactly the documented allowlist") {
     // every query must carry a DuckDB oracle unless it is one of the
-    // five whose sketches/stubs are not SQL-expressible — each of which
-    // has a hash-verified planted companion (d02→d06, d03→d08/d11,
-    // d05→d07, s02→s05, m02→m04/m06). A query accidentally losing its
+    // four whose hash-family sketches are not SQL-expressible — each
+    // of which has a hash-verified planted companion (d02→d06,
+    // d03→d08/d11, d05→d07, s02→s05). A query accidentally losing its
     // oracle entry must fail here, not silently degrade to rows-only.
+    // (m02 left this list in round 10: its byte-histogram stub is
+    // portable SQL via the hex high-nibble replica.)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val allowed = Set("d02_minhash_lsh", "d03_simhash", "d05_embed_neardup",
-      "s02_ann_lsh", "m02_decode_features")
+      "s02_ann_lsh")
     assert(rowsOnly == allowed,
       s"unexpected rows-only queries: ${rowsOnly -- allowed}; " +
         s"missing allowlisted: ${allowed -- rowsOnly}")
