@@ -23,6 +23,24 @@ object EventQueries {
     * within the ns→µs truncation of the Spark-side read. */
   private def epochSec = col("ts").cast("double")
 
+  /** e12's complete-mode precondition, asserted loudly: a complete-mode
+    * sink's final batch is only THE answer when the bounded replay
+    * arrived as a single micro-batch. Multiple batch ids mean the
+    * source fed the query incrementally — complete mode then re-emitted
+    * a growing prefix of results per batch (O(total) per-batch cost,
+    * the shape that does not scale on an unbounded stream; e04's
+    * flatMapGroupsWithState operator is the scale path) and the sink
+    * holds more than one emission. Failing fast here keeps the pattern
+    * from being silently lifted onto a multi-batch source. */
+  private[graft] def boundedReplayGuard(out: DataFrame): DataFrame = {
+    require(!out.isEmpty, "e12: streaming sink produced zero rows") // see e04
+    require(out.select("batch_id").distinct().count() == 1,
+      "e12: bounded replay must arrive as one micro-batch (the single " +
+        "complete-mode emission is then the final sessionization); a " +
+        "multi-batch source must use the e04 operator instead")
+    out
+  }
+
   /** Scratch dir for a stream's sink/checkpoint, removed when the JVM
     * exits — repeated Bench/Verify runs must not accumulate state-store
     * and result files on the host. ONE static hook drains a queue of
@@ -300,11 +318,19 @@ object EventQueries {
       * (dynamic-gap and merging micro-sessions come free, and state is
       * watermark-bounded like every stateful op here). Session-window
       * aggregations reject update mode (Spark constraint), so the sink
-      * runs COMPLETE mode + the idempotent batch-id sink; the bounded
-      * replay arrives as ONE micro-batch (events.parquet is a single
-      * file), loudly asserted, so the single complete emission IS the
-      * final sessionization (a production stream would run append mode
-      * and let the watermark finalize sessions incrementally). The
+      * runs COMPLETE mode + the idempotent batch-id sink.
+      *
+      * SCALE CAVEAT — do not lift this pattern onto an unbounded
+      * stream: complete mode re-emits the ENTIRE accumulated result on
+      * every micro-batch, so over a growing source its per-batch write
+      * is O(total sessions so far) — the one streaming shape in this
+      * repo whose cost does NOT stay proportional to new data. It is
+      * correct here only because the replay is bounded: the single
+      * parquet file arrives as ONE micro-batch, loudly asserted by
+      * [[boundedReplayGuard]], so the single complete emission IS the
+      * final sessionization. For an unbounded stream use e04's
+      * flatMapGroupsWithState operator (append semantics,
+      * watermark-evicted state) — that is the scale path. The
       * oracle sessionizes independently in SQL with the window's
       * end-exclusive gap rule (an event exactly at last+gap opens a
       * NEW session — note the >= where e01's lag-based rule uses >).
@@ -337,11 +363,7 @@ object EventQueries {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      val out = s.read.parquet(outDir)
-      require(!out.isEmpty, "e12: streaming sink produced zero rows") // see e04
-      require(out.select("batch_id").distinct().count() == 1,
-        "e12: bounded replay must arrive as one micro-batch (the single " +
-          "complete-mode emission is then the final sessionization)")
+      val out = boundedReplayGuard(s.read.parquet(outDir))
       out.groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"),
           sum("n_events").as("n_events"),

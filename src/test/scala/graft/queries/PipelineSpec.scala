@@ -216,6 +216,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(bySource("small").getAs[Long]("n_dropped") == 0L)
   }
 
+  test("e12's bounded-replay guard rejects a multi-batch complete-mode " +
+      "sink (the precondition that keeps the pattern off unbounded streams)") {
+    val single = Seq((0L, 1L, 5L)).toDF("batch_id", "user_id", "n_events")
+    assert(EventQueries.boundedReplayGuard(single).count() == 1)
+    // two batch ids = the source fed the query incrementally; complete
+    // mode then re-emitted a growing prefix per batch and the sink's
+    // content is NOT a single final answer — must fail loudly
+    val multi = Seq((0L, 1L, 5L), (1L, 1L, 6L))
+      .toDF("batch_id", "user_id", "n_events")
+    val ex = intercept[IllegalArgumentException] {
+      EventQueries.boundedReplayGuard(multi)
+    }
+    assert(ex.getMessage.contains("one micro-batch"))
+    intercept[IllegalArgumentException] {
+      EventQueries.boundedReplayGuard(
+        Seq.empty[(Long, Long, Long)].toDF("batch_id", "user_id", "n_events"))
+    }
+  }
+
   test("d09 label handoff: a build over the memo cap persists the label " +
       "table to parquet, consumers read it back, answers are unchanged") {
     val baseline = DedupQueries
