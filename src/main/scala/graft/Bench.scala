@@ -166,9 +166,11 @@ object Bench {
     }
     // failed queries are recorded with NEGATIVE seconds (and named in the
     // "failed" list) so no downstream total/compare can absorb a
-    // time-to-exception as a legitimate measurement
+    // time-to-exception as a legitimate measurement; the epsilon clamp
+    // keeps a (theoretical) 0.0-second failure from serializing as -0.0,
+    // which a "v < 0" reader would misread as a 0.00 s success
     val qs = results.map { case (k, v, ok) =>
-      s"\"" + k + "\":" + (if (ok) v else -v) }
+      s"\"" + k + "\":" + (if (ok) v else -math.max(v, 0.001)) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.collect { case (_, v, true) => v }.sum
