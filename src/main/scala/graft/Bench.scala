@@ -17,7 +17,7 @@ object Bench {
     * nothing is loaded, and the next streaming query transparently
     * restarts it.
     */
-  private def scrub(spark: SparkSession): Unit = {
+  private[graft] def scrub(spark: SparkSession): Unit = {
     // NonFatal only: an OOM or linkage error (e.g. StateStore.stop()
     // shifting on a Spark upgrade) must crash loudly, not be swallowed
     try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

@@ -14,28 +14,121 @@ import org.apache.spark.sql.SparkSession
   * parallelism and AQE config) so the digested plan is the plan the
   * bench actually executes.
   *
-  * Usage: runMain graft.PlanDigest <query_name> [sfDir]
+  * Usage:
+  *   runMain graft.PlanDigest <query_name> [sfDir]        — one digest
+  *   runMain graft.PlanDigest --all [sfDir] [outPath]     — full manifest
+  *
+  * `--all` digests every roster query into PLAN_DIGESTS.md (committed
+  * at round end, like BENCH_HISTORY.md): a bench timing drift whose
+  * digest is UNCHANGED in the manifest diff is shared-JVM jitter by
+  * construction, and a real plan change shows up as a one-line diff —
+  * extending the e09 one-off proof (tools/BENCH_NOTES.md) to all 123
+  * queries, so every future drift adjudicates itself.
   */
 object PlanDigest {
 
-  /** Strip the per-run identifiers (expression ids, plan ids, temp and
-    * file paths) that differ between two executions of the SAME plan,
-    * leaving only the plan's structural text. */
-  def normalize(plan: String): String = plan
-    .replaceAll("#\\d+L?", "#x")
-    .replaceAll("plan_id=\\d+", "plan_id=x")
-    .replaceAll("id=#x", "id=x")
-    .replaceAll("/tmp/\\S+", "/tmp/x")
-    .replaceAll("file:\\S+", "file:x")
+  /** Strip the per-run identifiers that differ between two executions
+    * of the SAME plan, leaving only the plan's structural text:
+    * expression/plan ids, temp and file paths, lambda hidden-class
+    * addresses and object identity hashes (differ per JVM), and
+    * whole-stage-codegen stage numbers (independent subtrees are
+    * numbered by execution order, which AQE + subquery scheduling can
+    * legally swap run-to-run — the `codegen id` markers and
+    * WholeStageCodegen's bare-integer Arguments line). The bare-int
+    * Arguments normalization also blanks scalar operator args (e.g. a
+    * literal limit) — acceptable: a limit edit alone would still show
+    * in the surrounding plan text (TakeOrdered row counts, etc.).
+    *
+    * Attribute-list lines (Input/Output/Keys/Results/Functions/
+    * Arguments/Aggregate Attributes) additionally get their bracketed
+    * lists recursively SORTED: multi-count-distinct plans order their
+    * Expand projections (and the downstream aggregate's key lists) by
+    * expression-id-dependent hashing, which permutes run-to-run in a
+    * shared session (RewriteDistinctAggregates; seen on q11/q51/s08/
+    * t09/d03/e07 in --all runs). Sorting canonicalizes the list
+    * CONTENT while operator structure, join strategies, exchanges,
+    * scan schemas, and pushed filters all still alter the digest —
+    * the things a performance drift needs adjudicated. */
+  def normalize(plan: String): String = {
+    val replaced = plan
+      .replaceAll("#\\d+L?", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("id=#x", "id=x")
+      .replaceAll("\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$Lambda\\$x")
+      .replaceAll("@[0-9a-f]{4,16}\\b", "@x")
+      .replaceAll("codegen id : \\d+", "codegen id : x")
+      .replaceAll("(?m)^Arguments: \\d+$", "Arguments: x")
+      .replaceAll("/tmp/\\S+", "/tmp/x")
+      .replaceAll("file:\\S+", "file:x")
+    replaced.linesIterator.map { line =>
+      if (ListLinePrefix.findFirstIn(line.trim).isDefined) canonBrackets(line)
+      else line
+    }.mkString("\n")
+  }
+
+  private val ListLinePrefix =
+    "^(Input|Output|Keys|Results|Functions|Aggregate Attributes|Arguments)\\b".r
+
+  /** Recursively sort the top-level comma-separated elements of every
+    * `[...]` list in `s` — deterministic canonical form for lines
+    * whose list ordering is legally permuted run-to-run. Splitting
+    * tracks bracket/paren depth only (a comma inside a string literal
+    * would mis-split, but identically on every run — determinism is
+    * what the digest needs). */
+  private[graft] def canonBrackets(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '[') {
+        val j = matchingBracket(s, i)
+        val parts = splitTopLevel(s.substring(i + 1, j))
+          .map(p => canonBrackets(p.trim))
+        sb.append('[').append(parts.sorted.mkString(", ")).append(']')
+        i = j + 1
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def matchingBracket(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    s.length - 1
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '[' | '(' => depth += 1
+        case ']' | ')' => depth -= 1
+        case ',' if depth == 0 =>
+          parts += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    parts += s.substring(start)
+    parts.toSeq
+  }
 
   def digest(plan: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(normalize(plan).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+  private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.tune(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,11 +138,81 @@ object PlanDigest {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def digestOf(spark: SparkSession, name: String,
+      sfDir: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect() // materialize so AQE's final (re-optimized) plan is digested
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
-    println(s"""{"query":"$name","plan_digest":"${digest(plan)}"}""")
+    val normalized = normalize(df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode))
+    // diagnostic: SPARK_GRAFT_DIGEST_DUMP=<dir> keeps every normalized
+    // plan for diffing two runs when a digest is unstable
+    sys.env.get("SPARK_GRAFT_DIGEST_DUMP").foreach { dirPath =>
+      val dir = java.nio.file.Paths.get(dirPath)
+      if (java.nio.file.Files.isDirectory(dir))
+        java.nio.file.Files.write(dir.resolve(s"$name.txt"),
+          normalized.getBytes("UTF-8"))
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(normalized.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.nonEmpty && args(0) == "--all") return allMain(args.drop(1))
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = session()
+    // SPARK_GRAFT_DIGEST_DUMP=<existing dir> additionally writes the
+    // normalized plan to <dir>/<query>.txt (see digestOf) — for
+    // diffing two runs when a digest is unstable
+    println(s"""{"query":"$name","plan_digest":"${
+      digestOf(spark, name, sfDir)}"}""")
+    spark.stop()
+  }
+
+  /** Digest every roster query into a committed manifest. Bench's
+    * between-query scrub runs here too, so the digested plans are the
+    * plans the bench executes (same session tuning, same AQE, same
+    * block-manager hygiene). */
+  private def allMain(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = args.lift(1).getOrElse("PLAN_DIGESTS.md")
+    val spark = session()
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val rows = names.map { name =>
+      val d =
+        try digestOf(spark, name, sfDir)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[digest] $name FAILED: ${e.getMessage}")
+          "FAILED"
+        }
+      Bench.scrub(spark)
+      println(s"""{"query":"$name","plan_digest":"$d"}""")
+      (name, d)
+    }
+    val header =
+      s"""# Plan digests (${sfDir.split('/').last}, local[${
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}])
+         |
+         |Normalized physical-plan md5 per roster query (expression ids,
+         |plan ids, and temp/file paths stripped — see
+         |`graft.PlanDigest.normalize`), regenerated at round end by
+         |`tools/plan_digests.sh` alongside BENCH_HISTORY.md. A bench
+         |timing drift whose digest is unchanged in this file's diff is
+         |shared-JVM jitter by construction; a real plan change is a
+         |one-line diff here and adjudicates itself.
+         |
+         || query | plan_digest |
+         ||---|---|
+         |""".stripMargin
+    val body = rows.map { case (n, d) => s"| $n | $d |" }.mkString("\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (header + body + "\n").getBytes("UTF-8"))
+    println(s"[digest] wrote ${rows.size} digests to $outPath" +
+      (if (rows.exists(_._2 == "FAILED")) " (WITH FAILURES)" else ""))
     spark.stop()
   }
 }
