@@ -41,6 +41,53 @@ object EventQueries {
     out
   }
 
+  /** Session clone for a stateful stream, with shuffle/state
+    * partitioning sized to the stream's STATE volume (conf
+    * `spark.graft.stream.statePartitions`, default 8) instead of the
+    * batch roster's width.
+    *
+    * Why a stream sizes this separately — two scale facts:
+    * (1) Structured Streaming freezes the state partition count into
+    * the checkpoint at first start, so it is a deliberate per-stream
+    * choice, exactly like sizing `shuffle.partitions` to data volume.
+    * The bounded replays here hold at most a few hundred thousand
+    * state rows; 32 state partitions is pure per-store fixed overhead
+    * for that volume, while everything upstream of the stateful
+    * exchange keeps the session's full scan/shuffle parallelism. A
+    * deployment with larger state raises the conf BEFORE first start.
+    * (2) Every state store instance multiplies per-micro-batch
+    * checkpoint I/O: delta file + CRC per store per batch, plus dirs.
+    * On a local filesystem without Hadoop native IO, each create runs
+    * RawLocalFileSystem.setPermission, which FORKS a chmod process —
+    * thread dumps during e10's 32-partition micro-batch showed all 32
+    * tasks at ~60 ms CPU but ~5 s wall, blocked in
+    * ChecksumCheckpointFileManager/Shell.execCommand fork storms
+    * (~500 forks per batch for the join's 4 stores × 32 partitions);
+    * fork cost tracks the JVM's heap size, which is what made e10's
+    * bench time flip between ~2 s and ~5-6 s across rounds
+    * (tools/BENCH_NOTES.md). A cluster checkpointing to HDFS/object
+    * storage with native IO doesn't pay the fork, but still pays
+    * per-store open/commit — sizing state partitions to state volume
+    * is the correct design in both worlds.
+    *
+    * The clone shares the SparkContext but owns its session conf, so
+    * the shared session's batch queries are untouched (the Sessions
+    * rule: never `conf.set` on a shared session inside a query). The
+    * two streaming-critical confs are copied from the parent so the
+    * clone behaves identically regardless of how the parent was
+    * built. */
+  private[graft] def streamSession(s: SparkSession): SparkSession = {
+    val parts = s.conf.getOption("spark.graft.stream.statePartitions")
+      .getOrElse("8")
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", parts)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+      s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "true"))
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "false"))
+    ss
+  }
+
   /** Scratch dir for a stream's sink/checkpoint, removed when the JVM
     * exits — repeated Bench/Verify runs must not accumulate state-store
     * and result files on the host. ONE static hook drains a queue of
@@ -133,12 +180,13 @@ object EventQueries {
     // the source's real disorder bound; the batch oracle then matches
     // up to that bound, which is the contract watermarks define.
     "e03_stream_window" -> ((s, d) => {
+      val ss = streamSession(s) // state partitions sized to state volume
       // file-on-disk schema (ts as raw nanosecond long under the legacy
       // flag set at session build), reused as the stream's declared schema
       val fileSchema = s.read.parquet(s"$d/events.parquet").schema
       // the file-stream source wants a directory: stream the sf dir with
       // a glob filter selecting just the events table
-      val raw = s.readStream
+      val raw = ss.readStream
         .schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
@@ -199,15 +247,16 @@ object EventQueries {
       */
     "e04_stream_sessionize" -> ((s, d) => {
       import s.implicits._
+      val ss = streamSession(s) // state partitions sized to state volume
       val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream
+      val raw = ss.readStream
         .schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .select(col("user_id"), col("ts"), col("event_id"))
         .as[graft.streaming.StatefulSessionize.Event]
-      val sessions = graft.streaming.StatefulSessionize.sessions(raw)(s)
+      val sessions = graft.streaming.StatefulSessionize.sessions(raw)(ss)
       val outDir = tempDir("graft_e04_out_")
       val ckpt = tempDir("graft_e04_ckpt_")
       val q = sessions.toDF.writeStream
@@ -253,7 +302,8 @@ object EventQueries {
       val src = tempDir("graft_e05_src_")
       ev.unionByName(ev).repartition(1).write.mode("overwrite").parquet(src)
       val schema = s.read.parquet(src).schema
-      val deduped = s.readStream.schema(schema).parquet(src)
+      val ss = streamSession(s) // state partitions sized to state volume
+      val deduped = ss.readStream.schema(schema).parquet(src)
         .withWatermark("ts", "1 day")
         .dropDuplicatesWithinWatermark("event_id")
       val outDir = tempDir("graft_e05_out_")
@@ -338,8 +388,9 @@ object EventQueries {
       * integer sum of session start-seconds — boundary placement is
       * verified, not just counts. */
     "e12_stream_session_window" -> ((s, d) => {
+      val ss = streamSession(s) // state partitions sized to state volume
       val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream
+      val raw = ss.readStream
         .schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
@@ -412,7 +463,11 @@ object EventQueries {
       all.filter(col("doc_id") % 5 >= 3).repartition(1)
         .write.mode("overwrite").parquet(src)
       val schema = s.read.parquet(src).schema
-      val stream = s.readStream.schema(schema).parquet(src)
+      // stateless pass-through stream (the dedup split runs inside
+      // foreachBatch), but the clone still shrinks per-batch
+      // offset/commit-log churn to the stream's real needs
+      val ss = streamSession(s)
+      val stream = ss.readStream.schema(schema).parquet(src)
       val outDir = tempDir("graft_e11_out_")
       val ckpt = tempDir("graft_e11_ckpt_")
       val q = stream.writeStream
@@ -523,13 +578,14 @@ object EventQueries {
       * happens AFTER the sink (batch-side), keeping the streaming part
       * stateless end-to-end. */
     "e06_stream_enrich" -> ((s, d) => {
+      val ss = streamSession(s) // stateless join; shrinks log churn only
       val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream
+      val raw = ss.readStream
         .schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)
         .select(col("user_id"), col("value"))
-      val dim = broadcast(Tables.customer(s, d)
+      val dim = broadcast(Tables.customer(ss, d)
         .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
       val enriched = raw.join(dim, "user_id")
       val outDir = tempDir("graft_e06_out_")
@@ -561,9 +617,13 @@ object EventQueries {
       * engines and the delay sum stays integer-µs, so the oracle (the
       * equivalent batch self-join) is exact. */
     "e10_stream_stream_join" -> ((s, d) => {
+      // the join keeps 4 state stores per partition — the roster's
+      // most store-dense stream, and the one the per-store fixed
+      // costs in [[streamSession]]'s scaladoc were profiled on
+      val ss = streamSession(s)
       val fileSchema = s.read.parquet(s"$d/events.parquet").schema
       // def, not val: each side of a self-join needs its own source
-      def src = s.readStream
+      def src = ss.readStream
         .schema(fileSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(d)

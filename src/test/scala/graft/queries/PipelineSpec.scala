@@ -216,6 +216,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(bySource("small").getAs[Long]("n_dropped") == 0L)
   }
 
+  test("streamSession sizes state partitioning to state volume on a " +
+      "clone and never mutates the shared session") {
+    val parentParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val ss = EventQueries.streamSession(spark)
+    assert(ss ne spark)
+    assert(ss.sparkContext eq spark.sparkContext) // clone, not a new app
+    assert(ss.conf.get("spark.sql.shuffle.partitions") == "8")
+    // streaming-critical confs travel to the clone
+    assert(ss.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    assert(ss.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled") == "false")
+    // the shared session's batch parallelism is untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parentParts)
+    // deployments with larger state raise the knob before first start
+    spark.conf.set("spark.graft.stream.statePartitions", "64")
+    try assert(EventQueries.streamSession(spark)
+      .conf.get("spark.sql.shuffle.partitions") == "64")
+    finally spark.conf.unset("spark.graft.stream.statePartitions")
+  }
+
   test("e12's bounded-replay guard rejects a multi-batch complete-mode " +
       "sink (the precondition that keeps the pattern off unbounded streams)") {
     val single = Seq((0L, 1L, 5L)).toDF("batch_id", "user_id", "n_events")
