@@ -52,6 +52,65 @@ class PlanDigestSpec extends AnyFunSuite {
       PlanDigest.normalize("Join condition: (a#1 < b#2)"))
   }
 
+  test("normalize canonicalizes RewriteDistinctAggregates' gid numbering " +
+      "(Expand rows, FILTER clauses, hashpartitioning key order)") {
+    // real fragments from the e10 drift: two runs of the same build
+    // numbered the distinct groups (click_id, purchase_id) oppositely
+    val runA = Seq(
+      "Arguments: [[0, delay_us#3, null, null], [1, click_id#4, null, " +
+        "null], [2, null, null, purchase_id#5]], [click_id#4, " +
+        "delay_us#3, gid#9, purchase_id#5]",
+      "Arguments: hashpartitioning(click_id#4, purchase_id#5, gid#9, 32), " +
+        "ENSURE_REQUIREMENTS, [plan_id=7]",
+      "Functions [2]: [partial_count(click_id#4) FILTER (WHERE (gid#9 = 1)), " +
+        "partial_count(purchase_id#5) FILTER (WHERE (gid#9 = 2))]"
+    ).mkString("\n")
+    val runB = Seq(
+      "Arguments: [[0, delay_us#13, null, null], [1, null, null, " +
+        "purchase_id#15], [2, click_id#14, null, null]], [click_id#14, " +
+        "delay_us#13, gid#19, purchase_id#15]",
+      "Arguments: hashpartitioning(purchase_id#15, click_id#14, gid#19, 32), " +
+        "ENSURE_REQUIREMENTS, [plan_id=8]",
+      "Functions [2]: [partial_count(click_id#14) FILTER (WHERE (gid#19 = 2)), " +
+        "partial_count(purchase_id#15) FILTER (WHERE (gid#19 = 1))]"
+    ).mkString("\n")
+    assert(PlanDigest.normalize(runA) == PlanDigest.normalize(runB))
+    // the RAW explain puts the gid literal LAST in each projection row
+    // (the leading-int form above only exists post-sort); both must
+    // canonicalize identically
+    assert(PlanDigest.normalize(
+        "Arguments: [[delay_us#3, null, null, 0], [click_id#4, null, " +
+          "null, 1], [null, purchase_id#5, null, 2]], [gid#9]") ==
+      PlanDigest.normalize(
+        "Arguments: [[delay_us#13, null, null, 0], [null, " +
+          "purchase_id#15, null, 1], [click_id#14, null, null, 2]], [gid#19]"))
+    // ints that are not whole list elements survive (count(1), the
+    // partition count operand of hashpartitioning)
+    assert(PlanDigest.normalize("Functions [1]: [count(1) FILTER (WHERE " +
+        "(gid#9 = 2))]").contains("count(1)"))
+    // a DIFFERENT key set must stay different
+    assert(PlanDigest.normalize(
+        "Arguments: hashpartitioning(other#1, gid#9, 32), [plan_id=7]") !=
+      PlanDigest.normalize(
+        "Arguments: hashpartitioning(click_id#4, gid#9, 32), [plan_id=7]"))
+    // non-gid exchanges keep their written key order (repartition(a,b)
+    // vs repartition(b,a) is a real plan property)
+    assert(PlanDigest.normalize(
+        "Arguments: hashpartitioning(a#1, b#2, 32), x") !=
+      PlanDigest.normalize(
+        "Arguments: hashpartitioning(b#2, a#1, 32), x"))
+  }
+
+  test("normalize blanks NamedLambdaVariable counters (global per-JVM, " +
+      "so higher-order-function plans embed session history)") {
+    assert(PlanDigest.normalize(
+        "Output [2]: [transform(e#1, lambdafunction(cast(lambda x_1#7 as " +
+          "double), lambda x_1#7, false)) AS vec#2, vec_id#3]") ==
+      PlanDigest.normalize(
+        "Output [2]: [transform(e#1, lambdafunction(cast(lambda x_125#9 as " +
+          "double), lambda x_125#9, false)) AS vec#2, vec_id#3]"))
+  }
+
   test("digest differs when plan structure differs") {
     assert(PlanDigest.digest("BroadcastHashJoin [k#1]") !=
       PlanDigest.digest("SortMergeJoin [k#1]"))
