@@ -569,6 +569,116 @@ object SimilarityQueries {
           RelationalQueries.rnd(element_at(col("cvec"), 2), 6).as("c1"))
         .orderBy("label")
     }),
+
+    /** IVF-PQ with asymmetric distance computation (ADC) — the
+      * composition a production-scale vector index actually ships
+      * (Jégou et al., "Product Quantization for Nearest Neighbor
+      * Search", TPAMI 2011; the Faiss `IVFPQ` layout): the s04 coarse
+      * quantizer routes the search to `nprobe` inverted lists, vectors
+      * are stored only as 8 PQ code bytes of their RESIDUAL (vec −
+      * home centroid; residuals are what PQ compresses well, since the
+      * coarse step has removed the between-cluster variance), and a
+      * query scores candidates without ever reconstructing them: per
+      * probed list it builds an 8×16 lookup table of subspace distances
+      * between its own residual (query − probed centroid) and the
+      * codebook, and a candidate's approximate distance is just the sum
+      * of 8 table lookups selected by its stored code bytes.
+      *
+      * Scale shape: everything small broadcasts — the k-row centroid
+      * table, the 128-row residual codebook, the q·nprobe·8·16-row LUT
+      * (1 KB per probed list); the corpus never shuffles to be assigned
+      * or encoded (broadcast joins + a (vec_id, sp) argmin window), the
+      * scored candidate set is ~n·nprobe/k rows × 8 code rows joined to
+      * the broadcast LUT, and the per-candidate score is 8 lookups
+      * instead of a 64-dim kernel — the memory story (8 bytes/vector vs
+      * 512) is what makes 100 TB of embeddings indexable at all.
+      *
+      * Oracle discipline: rnd6 subspace distances (argmin stable
+      * cross-engine, the s08 rule), LUT entries frozen to e6 BIGINT
+      * BEFORE the 8-way ADC sum (integer-exact, immune to summation
+      * order), rank on (adc_e6 asc, vec_id) — the full composed
+      * pipeline hash-matches the DuckDB replica. */
+    "s11_ivfpq_adc" -> ((s, d) => {
+      val S = 8; val Dsub = 8; val K = 16; val nprobe = 3
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val cents = graft.operators.CentroidBuild.centroids(
+        Tables.embeddings(s, d)
+          .select(col("label"), embD(col("embedding")).as("vec")),
+        col("label"), col("vec"))
+      val sims = graft.operators.CentroidBuild.similarities(
+        emb, cents, "vec_id", "vec")
+      val assign = graft.operators.CentroidBuild.nearest(sims, "vec_id")
+      // residual = vec − home centroid (exact double subtraction of the
+      // rnd6 centroid — portable); the corpus-side join key is the
+      // broadcast assignment's cl_id
+      val resid = emb.join(assign, "vec_id")
+        .join(broadcast(cents.select("cl_id", "cvec")), "cl_id")
+        .select(col("vec_id"), col("cl_id"),
+          expr("zip_with(vec, cvec, (a, b) -> a - b)").as("rvec"))
+      // residual codebook: md5-seeded sample of 16 residuals (the s08
+      // no-refinement baseline; a production build runs s07's Lloyd
+      // loop per subspace on the same machinery)
+      val seeds = resid.withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h").limit(K)
+      val wSeed = Window.orderBy("h")
+      val seeded = seeds.select(row_number().over(wSeed).as("code"),
+        col("rvec"))
+      def subSlices(vecCol: String, outName: String) =
+        explode(array((0 until S).map(sp => struct(lit(sp).as("sp"),
+          expr(s"slice($vecCol, ${sp * Dsub} + 1, $Dsub)").as(outName))): _*))
+      val codebook = seeded
+        .select(col("code"), subSlices("rvec", "cvec").as("e"))
+        .select(col("e.sp"), col("code"), col("e.cvec"))
+      // encode every residual: argmin rnd6 subspace distance (ties →
+      // smaller code), 8 code rows per vector
+      val subs = resid
+        .select(col("vec_id"), col("cl_id"), subSlices("rvec", "sub").as("e"))
+        .select(col("vec_id"), col("cl_id"), col("e.sp"), col("e.sub"))
+      val wMin = Window.partitionBy("vec_id", "sp")
+        .orderBy(col("dist2").asc, col("code"))
+      val enc = subs.join(broadcast(codebook), "sp")
+        .withColumn("diff", expr("zip_with(sub, cvec, (a, b) -> a - b)"))
+        .withColumn("dist2", RelationalQueries.rnd(dot(col("diff"), col("diff")), 6))
+        .withColumn("rn", row_number().over(wMin))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cl_id", "sp", "code")
+      // per-(query, probed list) ADC lookup table: the query's residual
+      // AGAINST THE PROBED CENTROID (not its home one) sliced per
+      // subspace vs every codebook entry — q·nprobe·S·K tiny rows
+      val probes = graft.operators.CentroidBuild.nearestK(
+          sims.filter(col("vec_id") < 3), "vec_id", nprobe)
+        .select(col("vec_id").as("q_id"), col("cl_id"))
+      val qresid = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("vec"))
+        .join(broadcast(probes), "q_id")
+        .join(broadcast(cents.select("cl_id", "cvec")), "cl_id")
+        .select(col("q_id"), col("cl_id"),
+          expr("zip_with(vec, cvec, (a, b) -> a - b)").as("qrvec"))
+      val lut = qresid
+        .select(col("q_id"), col("cl_id"), subSlices("qrvec", "qsub").as("e"))
+        .select(col("q_id"), col("cl_id"), col("e.sp"), col("e.qsub"))
+        .join(broadcast(codebook), "sp")
+        .withColumn("qdiff", expr("zip_with(qsub, cvec, (a, b) -> a - b)"))
+        .withColumn("d_e6", floor(RelationalQueries.rnd(
+          dot(col("qdiff"), col("qdiff")), 6) * 1e6 + 0.5).cast("long"))
+        .select("q_id", "cl_id", "sp", "code", "d_e6")
+      // ADC: candidates = code rows of vectors whose HOME list is
+      // probed; score = integer sum of the 8 LUT entries their codes
+      // select
+      val scored = enc.join(broadcast(probes), "cl_id")
+        .filter(col("q_id") =!= col("vec_id"))
+        .join(broadcast(lut), Seq("q_id", "cl_id", "sp", "code"))
+        .groupBy("q_id", "vec_id")
+        .agg(sum("d_e6").as("adc_e6"))
+      val wTop = Window.partitionBy("q_id")
+        .orderBy(col("adc_e6").asc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+          col("adc_e6"))
+        .orderBy("q_id", "rank")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -969,5 +1079,86 @@ object SimilarityQueries {
         | floor((max(CASE WHEN c.i=2 THEN c.m END))*1000000+0.5)/1000000 AS c1
         |FROM n JOIN c ON n.label = c.label
         |GROUP BY n.label, n.n_vecs ORDER BY n.label""".stripMargin,
+
+    // s11: the full IVF-PQ ADC pipeline replicates — s04's coarse CTEs,
+    // residuals against the rnd6 home centroid, s08's md5-seeded
+    // codebook rule on RESIDUALS, rnd6 argmin encode, per-(query,
+    // probed-list) LUT with entries frozen to e6 BIGINT before the
+    // 8-way integer ADC sum.
+    "s11_ivfpq_adc" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+        | cex AS (SELECT label AS cl_id, unnest(vec) AS v,
+        |                generate_subscripts(vec, 1) AS i FROM e),
+        | cel AS (SELECT cl_id, i, floor((avg(v))*1000000+0.5)/1000000 AS m
+        |         FROM cex GROUP BY cl_id, i),
+        | cen AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM cel GROUP BY cl_id),
+        | sims AS (
+        |  SELECT e.vec_id, cen.cl_id,
+        |    floor((list_cosine_similarity(e.vec, cen.cvec))*1000000+0.5)/1000000
+        |      AS csim
+        |  FROM e CROSS JOIN cen),
+        | assign AS (
+        |  SELECT vec_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims) WHERE rn = 1),
+        | resid AS (
+        |  SELECT e.vec_id, a.cl_id,
+        |    list_transform(range(1, 65), i -> e.vec[i] - c.cvec[i]) AS rvec
+        |  FROM e JOIN assign a ON a.vec_id = e.vec_id
+        |         JOIN cen c ON c.cl_id = a.cl_id),
+        | sd AS (SELECT rvec, row_number()
+        |          OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS code
+        |        FROM resid),
+        | sp AS (SELECT unnest(range(0, 8)) AS sp),
+        | cb AS (SELECT sp.sp, code,
+        |          list_slice(rvec, sp.sp * 8 + 1, sp.sp * 8 + 8) AS cvec
+        |        FROM sd CROSS JOIN sp WHERE code <= 16),
+        | sb AS (SELECT vec_id, cl_id, sp.sp,
+        |          list_slice(rvec, sp.sp * 8 + 1, sp.sp * 8 + 8) AS sub
+        |        FROM resid CROSS JOIN sp),
+        | sc AS (SELECT vec_id, cl_id, sb.sp, code,
+        |          floor(list_inner_product(
+        |            list_transform(range(1, 9), i -> sub[i] - cvec[i]),
+        |            list_transform(range(1, 9), i -> sub[i] - cvec[i]))
+        |            *1000000+0.5)/1000000 AS dist2
+        |        FROM sb JOIN cb ON sb.sp = cb.sp),
+        | enc AS (SELECT vec_id, cl_id, sp, code FROM (
+        |          SELECT *, row_number()
+        |            OVER (PARTITION BY vec_id, sp ORDER BY dist2, code) AS rn
+        |          FROM sc) WHERE rn = 1),
+        | probes AS (
+        |  SELECT vec_id AS q_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims WHERE vec_id < 3) WHERE rn <= 3),
+        | qresid AS (
+        |  SELECT p.q_id, p.cl_id,
+        |    list_transform(range(1, 65), i -> e.vec[i] - c.cvec[i]) AS qrvec
+        |  FROM probes p JOIN e ON e.vec_id = p.q_id
+        |                JOIN cen c ON c.cl_id = p.cl_id),
+        | lut AS (
+        |  SELECT q.q_id, q.cl_id, sp.sp, cb.code,
+        |    CAST(floor(floor(list_inner_product(
+        |      list_transform(range(1, 9),
+        |        i -> list_slice(qrvec, sp.sp * 8 + 1, sp.sp * 8 + 8)[i] - cvec[i]),
+        |      list_transform(range(1, 9),
+        |        i -> list_slice(qrvec, sp.sp * 8 + 1, sp.sp * 8 + 8)[i] - cvec[i]))
+        |      *1000000+0.5)/1000000*1000000+0.5) AS BIGINT) AS d_e6
+        |  FROM qresid q CROSS JOIN sp JOIN cb ON cb.sp = sp.sp),
+        | scored AS (
+        |  SELECT p.q_id, en.vec_id,
+        |    CAST(sum(l.d_e6) AS BIGINT) AS adc_e6
+        |  FROM enc en
+        |  JOIN probes p ON p.cl_id = en.cl_id AND p.q_id <> en.vec_id
+        |  JOIN lut l ON l.q_id = p.q_id AND l.cl_id = en.cl_id
+        |            AND l.sp = en.sp AND l.code = en.code
+        |  GROUP BY p.q_id, en.vec_id),
+        | ranked AS (
+        |  SELECT q_id, vec_id, adc_e6, row_number()
+        |    OVER (PARTITION BY q_id ORDER BY adc_e6, vec_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS n_id, adc_e6
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
 }

@@ -86,6 +86,20 @@ class QueryPlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
   }
 
+  test("s11: IVF-PQ's small sides (centroids, codebook, probes, LUT) all " +
+      "broadcast — no cartesian, no shuffled corpus join anywhere") {
+    val plan = planOf("s11_ivfpq_adc")
+    // centroid crosses plan as broadcast nested-loop, never cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the codebook/probe/LUT equi-joins broadcast; the corpus side is
+    // never shuffled into a join (encode + ADC stay map-side up to the
+    // argmin window and final per-query aggregate)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(3000))
+  }
+
   test("t08: exploded token counts combine map-side before the shuffle") {
     val plan = planOf("t08_top_tokens")
     assert(plan.contains("Generate"), plan.take(3000))
