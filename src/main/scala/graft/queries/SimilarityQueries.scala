@@ -679,6 +679,44 @@ object SimilarityQueries {
           col("adc_e6"))
         .orderBy("q_id", "rank")
     }),
+
+    /** Symmetric int8 scalar-quantized (SQ8) brute top-k — the other
+      * half of the quantized-search story beside s11's IVF-PQ: both
+      * sides of the dot product are s06's absmax int8 codes, so the
+      * scan reads 4× less memory than float32 (the bandwidth-bound
+      * resource of a brute scan at 100 TB) and the accumulation is
+      * EXACT — every product is an integer ≤ 127²·64 < 2^53, so the
+      * int-valued double dot is bit-identical across engines with no
+      * rounding discipline needed until the final de-scale. Approximate
+      * inner product recovers as qdot·(q_scale·scale)/127²; ranking
+      * uses rnd6 of that (tie → vec_id), the s09 determinism rule.
+      * Every stage is portable, so the whole quantize→scan→rank
+      * pipeline hash-matches the DuckDB replica. */
+    "s12_sq8_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val qz = emb
+        .withColumn("scale", array_max(transform(col("vec"), x => abs(x))))
+        .withColumn("qv", // int8 codes as exact int-valued doubles (the
+          // native dot kernel is ARRAY<DOUBLE>; every value ≤ 127)
+          expr("transform(vec, x -> cast(floor(x / scale * 127.0 + 0.5)" +
+            " as double))"))
+        .select(col("vec_id"), col("scale"), col("qv"))
+      val queriesDf = qz.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("scale").as("q_scale"),
+          col("qv").as("q_qv"))
+      val scored = qz.join(broadcast(queriesDf), col("q_id") =!= col("vec_id"))
+        .withColumn("qdot", dot(col("q_qv"), col("qv")).cast("long"))
+        .withColumn("ip8", col("qdot") * col("q_scale") * col("scale")
+          / lit(127.0 * 127.0))
+      val w = Window.partitionBy("q_id")
+        .orderBy(RelationalQueries.rnd(col("ip8"), 6).desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+          col("qdot"), RelationalQueries.rnd(col("ip8"), 4).as("ip8"))
+        .orderBy("q_id", "rank")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1159,6 +1197,35 @@ object SimilarityQueries {
         |    OVER (PARTITION BY q_id ORDER BY adc_e6, vec_id) AS rank
         |  FROM scored)
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS n_id, adc_e6
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // s12: same absmax int8 quantizer as s06, integer-exact quantized
+    // dot (list_inner_product over int-valued doubles — every term
+    // < 2^53), rnd6 rank key on the de-scaled inner product.
+    "s12_sq8_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | qz AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(vec, x -> abs(x))) AS scale,
+        |    list_transform(vec,
+        |      x -> floor(x / list_max(list_transform(vec, y -> abs(y)))
+        |           * 127.0 + 0.5)) AS qv
+        |  FROM e),
+        | q AS (SELECT vec_id AS q_id, scale AS q_scale, qv AS q_qv
+        |       FROM qz WHERE vec_id < 3),
+        | scored AS (
+        |  SELECT q.q_id, z.vec_id AS n_id,
+        |    CAST(list_inner_product(q.q_qv, z.qv) AS BIGINT) AS qdot,
+        |    list_inner_product(q.q_qv, z.qv) * q.q_scale * z.scale
+        |      / (127.0 * 127.0) AS ip8
+        |  FROM qz z CROSS JOIN q WHERE z.vec_id <> q.q_id),
+        | ranked AS (
+        |  SELECT q_id, n_id, qdot, ip8, row_number()
+        |    OVER (PARTITION BY q_id
+        |          ORDER BY floor(ip8*1000000+0.5)/1000000 DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, qdot,
+        | floor((ip8)*10000+0.5)/10000 AS ip8
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
 }

@@ -100,6 +100,15 @@ class QueryPlanSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("s12: the quantized scan joins only the broadcast query set — " +
+      "one corpus pass, no cartesian, no shuffle join") {
+    val plan = planOf("s12_sq8_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(3000))
+  }
+
   test("t08: exploded token counts combine map-side before the shuffle") {
     val plan = planOf("t08_top_tokens")
     assert(plan.contains("Generate"), plan.take(3000))
