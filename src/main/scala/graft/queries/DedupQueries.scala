@@ -226,6 +226,22 @@ object DedupQueries {
     minhashPairs(corpus).filter(col("jaccard") >= 0.3)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
 
+  /** The shared d20/d21 hub-graph corpus: doc_id < 200 plus an
+    * 11-clique of planted variants of one source doc (each appending a
+    * distinct token) — a known high-degree structure against an
+    * organic background. One construction behind both the degree
+    * census and the rank query, so they always describe one graph. */
+  private def hubCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select("doc_id", "text")
+    val hubSrc = base.filter(size(toks) >= 20).orderBy("doc_id").limit(1)
+    val copies = hubSrc
+      .select(explode(expr("sequence(1, 10)")).as("k"), col("text"))
+      .select((col("k") + 300000).cast("long").as("doc_id"),
+        concat(col("text"), lit(" graftvar"), col("k")).as("text"))
+    base.unionByName(copies)
+  }
+
   /** The shared d09/d17 clustering corpus: doc_id < 200 plus two
     * planted near-dup generations (suffix-appended copies at +100000
     * and +200000) forming known multi-node components. */
@@ -889,14 +905,7 @@ object DedupQueries {
       * j ≥ ~0.87 where 8×4 banding recall is ~1−1e-3 per pair,
       * verified at all three SFs). */
     "d20_neardup_hubs" -> ((s, d) => {
-      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
-        .select("doc_id", "text")
-      val hubSrc = base.filter(size(toks) >= 20).orderBy("doc_id").limit(1)
-      val copies = hubSrc
-        .select(explode(expr("sequence(1, 10)")).as("k"), col("text"))
-        .select((col("k") + 300000).cast("long").as("doc_id"),
-          concat(col("text"), lit(" graftvar"), col("k")).as("text"))
-      val corpus = base.unionByName(copies)
+      val corpus = hubCorpus(s, d)
       val pairs = d09Edges(corpus)
       val degrees = pairs.select(col("u").as("node"))
         .unionByName(pairs.select(col("v").as("node")))
@@ -907,6 +916,62 @@ object DedupQueries {
           count(lit(1)).as("n_docs_with_dups"),
           max("deg").as("max_degree"),
           sum(when(col("deg") >= 5, 1L).otherwise(0L)).as("n_hubs_deg5")))
+    }),
+
+    /** Graph centrality over the near-dup graph — PageRank, the
+      * iterative message-passing shape beyond d09's connected
+      * components (components answer "which docs are the same";
+      * rank answers "which doc is the CENTER of a duplication
+      * neighborhood" — the template-hub / boilerplate-source signal a
+      * cleaning pipeline uses to pick removal targets, and the same
+      * loop shape as any link-authority score). Three unrolled power
+      * iterations, damping 0.85, over the [[hubCorpus]] graph's
+      * [[d09Edges]] banded edge stream (never all-pairs); the planted
+      * 11-clique surfaces as the top-ranked block. All arithmetic is
+      * INTEGER (scores frozen at e9: init = 1e9 div N, contribution =
+      * pr div deg, update = (15·base + 85·Σcontrib) div 100), so three
+      * rounds of integer floor-division are bit-identical cross-engine
+      * and the whole iterative computation keeps a strict hash oracle
+      * — the fixed-round discipline of s07/d13 applied to a graph
+      * loop. Scale shape: each iteration is ONE shuffle keyed by node
+      * id (messages groupBy dst) plus an edge⋈rank equi-join on src —
+      * both distribute over nodes; the degree table rides the edge
+      * frame (joined once, before the loop); per-round
+      * localCheckpoint is the lloyd/labelPropagate lineage
+      * discipline (a cluster run would checkpoint() to reliable
+      * storage); the final top-10 is a TakeOrdered limit, never a
+      * global-window sort (row_number runs on the 10-row frame). A
+      * production run iterates to convergence instead of 3 fixed
+      * rounds — fixed rounds are what make the oracle unrollable. */
+    "d21_graph_rank" -> ((s, d) => {
+      val pairs = d09Edges(hubCorpus(s, d))
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val edgesD = edges.join(deg, "src")
+      val nodes = deg.select(col("src").as("node"), col("deg"))
+      val n = nodes.agg(count(lit(1)).as("nn"))
+      val base = expr("cast(1000000000 as bigint) div nn")
+      var pr = nodes.crossJoin(n)
+        .select(col("node"), col("deg"), col("nn"), base.as("pr"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val msgs = edgesD
+          .join(pr.select(col("node").as("src"), col("pr").as("src_pr")), "src")
+          .select(col("dst"), expr("src_pr div deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("contrib"))
+        pr = pr.join(msgs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"), col("deg"), col("nn"),
+            expr("(15 * (cast(1000000000 as bigint) div nn)" +
+              " + 85 * coalesce(contrib, cast(0 as bigint))) div 100")
+              .as("pr"))
+          .localCheckpoint(true)
+      }
+      val top = pr.orderBy(col("pr").desc, col("node")).limit(10)
+      val w = Window.orderBy(col("pr").desc, col("node"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("node"), col("pr").as("pr_e9"), col("deg"))
+        .orderBy("rank")
     }),
 
     /** Cross-catalog entity linkage — d10's machinery pointed ACROSS
@@ -1043,6 +1108,64 @@ object DedupQueries {
         | (SELECT CAST(max(deg) AS BIGINT) FROM dg) AS max_degree,
         | (SELECT CAST(sum(CASE WHEN deg >= 5 THEN 1 ELSE 0 END) AS BIGINT)
         |  FROM dg) AS n_hubs_deg5""".stripMargin,
+
+    // d21: the d20 edge replica + three unrolled integer PageRank
+    // iterations (all BIGINT floor-division — exact cross-engine).
+    "d21_graph_rank" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        | hub AS (SELECT doc_id, text FROM base
+        |         WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20
+        |         ORDER BY doc_id LIMIT 1),
+        | cp AS (SELECT CAST(k + 300000 AS BIGINT) AS doc_id,
+        |          text || ' graftvar' || CAST(k AS VARCHAR) AS text
+        |        FROM hub, (SELECT unnest(range(1, 11)) AS k)),
+        | c AS (SELECT * FROM base UNION ALL SELECT * FROM cp),
+        | t AS (SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |       FROM c),
+        | sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk) - 1),
+        |                        i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM t),
+        | p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+        |        >= 0.3),
+        | e2 AS (SELECT u AS src, v AS dst FROM p
+        |        UNION ALL SELECT v AS src, u AS dst FROM p),
+        | dg AS (SELECT src AS node, count(*) AS deg FROM e2 GROUP BY 1),
+        | nn AS (SELECT count(*) AS n FROM dg),
+        | p0 AS (SELECT node, deg,
+        |          CAST(1000000000 AS BIGINT) // (SELECT n FROM nn) AS pr
+        |        FROM dg),
+        | m1 AS (SELECT e2.dst AS node, CAST(sum(sp.pr // sp.deg) AS BIGINT) AS c
+        |        FROM e2 JOIN p0 sp ON sp.node = e2.src GROUP BY 1),
+        | p1 AS (SELECT d.node, d.deg,
+        |          (15 * (CAST(1000000000 AS BIGINT) // (SELECT n FROM nn))
+        |           + 85 * coalesce(m1.c, 0)) // 100 AS pr
+        |        FROM p0 d LEFT JOIN m1 USING (node)),
+        | m2 AS (SELECT e2.dst AS node, CAST(sum(sp.pr // sp.deg) AS BIGINT) AS c
+        |        FROM e2 JOIN p1 sp ON sp.node = e2.src GROUP BY 1),
+        | p2 AS (SELECT d.node, d.deg,
+        |          (15 * (CAST(1000000000 AS BIGINT) // (SELECT n FROM nn))
+        |           + 85 * coalesce(m2.c, 0)) // 100 AS pr
+        |        FROM p1 d LEFT JOIN m2 USING (node)),
+        | m3 AS (SELECT e2.dst AS node, CAST(sum(sp.pr // sp.deg) AS BIGINT) AS c
+        |        FROM e2 JOIN p2 sp ON sp.node = e2.src GROUP BY 1),
+        | p3 AS (SELECT d.node, d.deg,
+        |          (15 * (CAST(1000000000 AS BIGINT) // (SELECT n FROM nn))
+        |           + 85 * coalesce(m3.c, 0)) // 100 AS pr
+        |        FROM p2 d LEFT JOIN m3 USING (node)),
+        | ranked AS (SELECT node, deg, pr,
+        |              row_number() OVER (ORDER BY pr DESC, node) AS rank
+        |            FROM p3)
+        |SELECT CAST(rank AS INTEGER) AS rank, node, pr AS pr_e9,
+        | CAST(deg AS BIGINT) AS deg
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // d19: full replica — planting, digit-key extraction, block join,
     // integer levenshtein — all portable.

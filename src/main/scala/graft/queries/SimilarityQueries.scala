@@ -717,6 +717,47 @@ object SimilarityQueries {
           col("qdot"), RelationalQueries.rnd(col("ip8"), 4).as("ip8"))
         .orderBy("q_id", "rank")
     }),
+
+    /** Filtered (metadata-constrained) ANN search — the "similar items
+      * in the same category" query every production vector store must
+      * answer (Faiss IDSelector / Qdrant payload filter): top-5 among
+      * corpus vectors sharing the QUERY'S OWN label, served from the
+      * s04 IVF index by post-filtering the probed candidates. The
+      * filter runs AFTER the probe (post-filter semantics: the index
+      * is label-agnostic, so selective predicates thin the candidate
+      * set and can short a query below k — the classic filtered-ANN
+      * failure mode), and `n_cand` publishes each query's surviving
+      * candidate count so that shortfall is measured, not silent; a
+      * production config would raise nprobe when n_cand < ~4k. Probe
+      * pipeline is the SHARED [[graft.operators.CentroidBuild
+      * .ivfCandidates]] path (the s10 discipline: a variant query
+      * cannot drift from the index it claims to serve); the label
+      * rides the corpus frame through the probe join, the q-row query
+      * label table broadcasts, and every stage is portable math ⇒ the
+      * full filtered pipeline hash-matches the DuckDB replica. */
+    "s13_filtered_ann" -> ((s, d) => {
+      val nprobe = 3
+      val embL = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), embD(col("embedding")).as("vec"))
+      val centroids = graft.operators.CentroidBuild.centroids(
+        embL.select(col("label"), col("vec")), col("label"), col("vec"))
+      val qLabels = embL.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+      val scored = graft.operators.CentroidBuild.ivfCandidates(
+          embL, centroids, col("vec_id") < 3, nprobe)
+        .join(broadcast(qLabels), "q_id")
+        .filter(col("label") === col("q_label"))
+        .withColumn("cos", cosine(col("q_vec"), col("vec")))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+      scored
+        .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("q_id")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+          col("label"), RelationalQueries.rnd(col("cos"), 4).as("cos_sim"),
+          col("n_cand"))
+        .orderBy("q_id", "rank")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1226,6 +1267,52 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, qdot,
         | floor((ip8)*10000+0.5)/10000 AS ip8
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // s13: the s04 IVF replica + same-label post-filter + per-query
+    // surviving-candidate count (shortfall accounting).
+    "s13_filtered_ann" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+        | cex AS (SELECT label AS cl_id, unnest(vec) AS v,
+        |                generate_subscripts(vec, 1) AS i FROM e),
+        | cel AS (SELECT cl_id, i, floor((avg(v))*1000000+0.5)/1000000 AS m
+        |         FROM cex GROUP BY cl_id, i),
+        | cen AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM cel GROUP BY cl_id),
+        | sims AS (
+        |  SELECT e.vec_id, cen.cl_id,
+        |    floor((list_cosine_similarity(e.vec, cen.cvec))*1000000+0.5)/1000000
+        |      AS csim
+        |  FROM e CROSS JOIN cen),
+        | assign AS (
+        |  SELECT vec_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims) WHERE rn = 1),
+        | probes AS (
+        |  SELECT vec_id AS q_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims WHERE vec_id < 3) WHERE rn <= 3),
+        | cand AS (
+        |  SELECT p.q_id, a.vec_id FROM assign a JOIN probes p USING (cl_id)
+        |  WHERE a.vec_id <> p.q_id),
+        | ql AS (SELECT vec_id AS q_id, label AS q_label FROM e WHERE vec_id < 3),
+        | scored AS (
+        |  SELECT c.q_id, c.vec_id AS n_id, n.label,
+        |    list_cosine_similarity(q.vec, n.vec) AS cos
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.q_id
+        |  JOIN e n ON n.vec_id = c.vec_id
+        |  JOIN ql ON ql.q_id = c.q_id
+        |  WHERE n.label = ql.q_label),
+        | ranked AS (
+        |  SELECT q_id, n_id, label, cos,
+        |    count(*) OVER (PARTITION BY q_id) AS n_cand,
+        |    row_number()
+        |      OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, label,
+        | floor((cos)*10000+0.5)/10000 AS cos_sim, CAST(n_cand AS BIGINT) AS n_cand
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
   )
 }

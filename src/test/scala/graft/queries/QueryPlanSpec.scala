@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{SparkEntry, SparkSessionFixture}
-import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.functions.{col, count, expr, lit, sum, when}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions: the roster's scale claims (pushdown,
@@ -107,6 +107,44 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       plan.take(3000))
+  }
+
+  test("s13: filtered search keeps the shared probe pipeline's shape — " +
+      "broadcast centroids/probes/queries/labels, no cartesian") {
+    val plan = planOf("s13_filtered_ann")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("d21: the rank query's final top-10 is a TakeOrdered limit, " +
+      "never a global sort; no cartesian") {
+    // the iteration plans are materialized (localCheckpoint) inside the
+    // closure — the edge build's no-cartesian shape is pinned by the
+    // d09Edges test; this pin covers the consumer-visible plan
+    val plan = planOf("d21_graph_rank")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("d21: one rank iteration shuffles messages on the destination " +
+      "node id and joins rank⋈edges on src — no cartesian") {
+    // rebuild one un-checkpointed iteration so the loop's plan (hidden
+    // behind per-round checkpoints in the query) is itself certified
+    val corpus = DedupQueries.d09Corpus(spark, sf0001)
+    val pairs = DedupQueries.d09Edges(corpus)
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val pr0 = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    val msgs = edges.join(deg, "src")
+      .join(pr0.select(col("node").as("src"), col("pr").as("src_pr")), "src")
+      .select(col("dst"), expr("src_pr div deg").as("c"))
+      .groupBy("dst").agg(sum("c").as("contrib"))
+    msgs.collect()
+    val tree = msgs.queryExecution.executedPlan.toString
+    assert(!tree.contains("CartesianProduct") &&
+      !tree.contains("BroadcastNestedLoopJoin"), tree.take(3000))
+    assert(tree.contains("hashpartitioning(dst"), tree.take(3000))
   }
 
   test("t08: exploded token counts combine map-side before the shuffle") {
