@@ -896,6 +896,57 @@ object TextQueries {
             .as("content_chk"))
         .orderBy("shard")
     }),
+
+    /** Count-Min-Sketch heavy hitters with measured error — the
+      * mergeable frequency sketch (Cormode & Muthukrishnan 2005) a
+      * streaming/sharded pipeline uses when the token vocabulary
+      * can't be counted exactly per shard. The sketch is a FIXED
+      * d=4 × w=64 integer table built by one map-side-combinable
+      * (hash-row, bucket) count aggregate — mergeable across shards,
+      * partitions, or stream micro-batches by elementwise addition,
+      * which is the whole point of the structure; hashes are the
+      * frozen [[graft.operators.Sampling.portableGate]] family (one
+      * salt per row) so both engines place every token identically.
+      * Estimates (min over the 4 rows' buckets) are then audited
+      * against the exact counts of the top-10 tokens — publishing
+      * sketch error on a probe set is the frequency-sketch analogue
+      * of s10's ANN recall, and the CMS one-sided guarantee
+      * (estimate ≥ truth, never below) lands in the `overcount`
+      * column, provably ≥ 0 in the oracle-matched output. The probe
+      * join broadcasts the 256-row sketch; the exact top-10 is a
+      * TakeOrdered limit over the vocabulary-sized count table; w is
+      * deliberately small (64) so collisions are REAL and the
+      * published error is a demonstration, not a zero — production
+      * sizes w ≈ e/ε for error ε·Σcounts. */
+    "t25_cms_heavy_hitters" -> ((s, d) => {
+      val W = 64
+      val hrows = 1 to 4
+      val toks = Tables.documents(s, d).select(explode(tokens).as("token"))
+      def buckets(tok: Column): Column = array(hrows.map(i =>
+        struct(lit(i).as("hrow"),
+          pmod(graft.operators.Sampling.portableGate(
+            concat(lit(s"cms$i:"), tok)), lit(W)).as("bucket"))): _*)
+      val sketch = toks
+        .select(explode(buckets(col("token"))).as("hb"))
+        .groupBy(col("hb.hrow").as("hrow"), col("hb.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token")).limit(10)
+      val probes = top
+        .select(col("token"), col("n_exact"),
+          explode(buckets(col("token"))).as("hb"))
+        .select(col("token"), col("n_exact"),
+          col("hb.hrow").as("hrow"), col("hb.bucket").as("bucket"))
+      val est = probes.join(broadcast(sketch), Seq("hrow", "bucket"))
+        .groupBy("token", "n_exact").agg(min("cnt").as("n_est"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_exact").desc, col("token"))
+      est.withColumn("rank", row_number().over(w))
+        .withColumn("overcount", col("n_est") - col("n_exact"))
+        .select(col("rank"), col("token"), col("n_exact"), col("n_est"),
+          col("overcount"))
+        .orderBy("rank")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1487,5 +1538,38 @@ object TextQueries {
         |SELECT split, lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    // t25: full CMS replica — same salted portableGate hash family,
+    // same 4×64 table, min-over-rows estimate, exact top-10 probe.
+    "t25_cms_heavy_hitters" ->
+      s"""WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS token
+        |  FROM documents),
+        | hx AS (
+        |  SELECT token, i AS hrow,
+        |    ${graft.operators.Sampling.portableGateSql(
+             "'cms' || CAST(i AS VARCHAR) || ':' || token")} % 64 AS bucket
+        |  FROM tok, (SELECT unnest(range(1, 5)) AS i)),
+        | sk AS (SELECT hrow, bucket, count(*) AS cnt FROM hx
+        |        GROUP BY hrow, bucket),
+        | ex AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY token),
+        | top AS (SELECT token, n_exact FROM ex
+        |         ORDER BY n_exact DESC, token LIMIT 10),
+        | pb AS (
+        |  SELECT t.token, t.n_exact, i AS hrow,
+        |    ${graft.operators.Sampling.portableGateSql(
+             "'cms' || CAST(i AS VARCHAR) || ':' || t.token")} % 64 AS bucket
+        |  FROM top t, (SELECT unnest(range(1, 5)) AS i)),
+        | est AS (
+        |  SELECT p.token, p.n_exact, CAST(min(s.cnt) AS BIGINT) AS n_est
+        |  FROM pb p JOIN sk s ON s.hrow = p.hrow AND s.bucket = p.bucket
+        |  GROUP BY p.token, p.n_exact),
+        | r AS (SELECT token, n_exact, n_est,
+        |         row_number() OVER (ORDER BY n_exact DESC, token) AS rank
+        |       FROM est)
+        |SELECT CAST(rank AS INTEGER) AS rank, token, n_exact, n_est,
+        | CAST(n_est - n_exact AS BIGINT) AS overcount
+        |FROM r ORDER BY rank""".stripMargin,
   )
 }

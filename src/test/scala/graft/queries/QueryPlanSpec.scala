@@ -154,6 +154,17 @@ class QueryPlanSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("t25: the CMS build combines map-side (mergeable-sketch shape); " +
+      "the probe joins the 256-row sketch by broadcast; exact top-10 " +
+      "is a TakeOrdered limit") {
+    val plan = planOf("t25_cms_heavy_hitters")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q41: salted agg runs two aggregate stages, salt never reaches output") {
     val plan = planOf("q41_salted_agg")
     // partial+final for each of the two groupBys
