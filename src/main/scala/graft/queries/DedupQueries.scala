@@ -974,6 +974,58 @@ object DedupQueries {
         .orderBy("rank")
     }),
 
+    /** MinHash estimator fidelity audit — the s10/t25 audit pattern
+      * applied to the dedup family's own estimator: per-pair MinHash
+      * signature agreement (est ≈ jaccard, the Broder invariant)
+      * versus exact shingle jaccard, with the two-sided error
+      * published per pair. The production signature
+      * ([[graft.functions.SketchExpressions.minhash_sig]]) hashes with
+      * engine-native murmur3 — fast but not replicable in DuckDB,
+      * which is exactly why d02 is a rows-only query; this audit
+      * builds a k=16 PORTABLE signature instead (per-hash salt j,
+      * min over string shingles of the frozen
+      * [[graft.operators.Sampling.portableGate]]), so the estimator's
+      * accuracy itself hash-matches the DuckDB replica: E[agree/k] =
+      * jaccard, stderr √(j(1−j)/16) ≈ 0.12 — the published abs_err
+      * column shows that spread honestly. Audited pairs are the
+      * banded candidates at jaccard ≥ 0.3 (where 8×4 banding recall
+      * ≈ 1, the d09/d20 brute-force-equality argument). Scale shape:
+      * signatures are ONE linear codegen pass per doc (k·|shingles|
+      * gate evaluations, no shuffle); pair work only on banded
+      * candidates; the audit is what a pipeline runs on a SAMPLE to
+      * pick k before committing to a signature width. */
+    "d22_minhash_fidelity" -> ((s, d) => {
+      val K = 16
+      val corpus = d09Corpus(s, d)
+      val pairs = minhashPairs(corpus).filter(col("jaccard") >= 0.3)
+      val strSh = corpus.withColumn("toks", toks)
+        .withColumn("ssh", array_distinct(expr(
+          """CASE WHEN size(toks) >= 3
+            | THEN transform(sequence(0, size(toks)-3),
+            |                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+            | ELSE array(concat_ws(' ', toks)) END""".stripMargin)))
+        .select(col("doc_id"),
+          array((1 to K).map(j =>
+            array_min(transform(col("ssh"), x =>
+              graft.operators.Sampling.portableGate(
+                concat(lit(s"mh$j:"), x))))): _*).as("pmin"))
+      val joined = pairs
+        .join(strSh.select(col("doc_id").as("doc_a"), col("pmin").as("pa")),
+          "doc_a")
+        .join(strSh.select(col("doc_id").as("doc_b"), col("pmin").as("pb")),
+          "doc_b")
+      val agree = (1 to K).map(j =>
+        when(element_at(col("pa"), j) === element_at(col("pb"), j), 1)
+          .otherwise(0)).reduce(_ + _)
+      val est = col("n_agree").cast("double") / K
+      joined.withColumn("n_agree", agree.cast("int"))
+        .select(col("doc_a"), col("doc_b"), col("n_agree"),
+          RelationalQueries.rnd(est, 4).as("est_j"),
+          RelationalQueries.rnd(col("jaccard"), 4).as("jaccard"),
+          RelationalQueries.rnd(abs(est - col("jaccard")), 4).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     /** Cross-catalog entity linkage — d10's machinery pointed ACROSS
       * two relations (the merge-two-vendor-feeds problem): match
       * customer and supplier records that denote the same entity under
@@ -1166,6 +1218,57 @@ object DedupQueries {
         |SELECT CAST(rank AS INTEGER) AS rank, node, pr AS pr_e9,
         | CAST(deg AS BIGINT) AS deg
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // d22: brute-force pair set (the d09-oracle corpus + string
+    // shingles) + the identical k=16 salted portable-gate minhash on
+    // both engines — the estimator audit replicates end to end.
+    "d22_minhash_fidelity" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        | pl1 AS (
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
+        |  FROM base WHERE doc_id < 40
+        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
+        | pl2 AS (
+        |  SELECT doc_id + 200000 AS doc_id, text || ' graftdup graftdup2' AS text
+        |  FROM base WHERE doc_id < 20
+        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
+        | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl1
+        |       UNION ALL SELECT * FROM pl2),
+        | t AS (SELECT doc_id,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |       FROM c),
+        | sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk) - 1),
+        |                        i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))
+        |    ELSE [array_to_string(tk, ' ')] END) AS s
+        |  FROM t),
+        | pm AS (
+        |  SELECT doc_id, s,
+        |    [${(1 to 16).map(j =>
+               "list_min(list_transform(s, x -> " +
+                 graft.operators.Sampling.portableGateSql(s"'mh$j:' || x") +
+                 "))").mkString(",\n     ")}] AS pmin
+        |  FROM sh),
+        | p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+        |      AS jaccard,
+        |    a.pmin AS pa, b.pmin AS pb
+        |  FROM pm a JOIN pm b ON a.doc_id < b.doc_id),
+        | ag AS (
+        |  SELECT doc_a, doc_b, jaccard,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      j -> CASE WHEN pa[j] = pb[j] THEN 1 ELSE 0 END)) AS INTEGER)
+        |      AS n_agree
+        |  FROM p WHERE jaccard >= 0.3)
+        |SELECT doc_a, doc_b, n_agree,
+        | floor((CAST(n_agree AS DOUBLE) / 16)*10000+0.5)/10000 AS est_j,
+        | floor((jaccard)*10000+0.5)/10000 AS jaccard,
+        | floor((abs(CAST(n_agree AS DOUBLE) / 16 - jaccard))*10000+0.5)/10000
+        |   AS abs_err
+        |FROM ag ORDER BY doc_a, doc_b""".stripMargin,
 
     // d19: full replica — planting, digit-key extraction, block join,
     // integer levenshtein — all portable.

@@ -147,6 +147,13 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(tree.contains("hashpartitioning(dst"), tree.take(3000))
   }
 
+  test("d22: the fidelity audit's pairs come from the banded candidate " +
+      "path — no cartesian; signature joins are equi on doc id") {
+    val plan = planOf("d22_minhash_fidelity")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("t08: exploded token counts combine map-side before the shuffle") {
     val plan = planOf("t08_top_tokens")
     assert(plan.contains("Generate"), plan.take(3000))
