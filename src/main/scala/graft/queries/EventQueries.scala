@@ -361,6 +361,80 @@ object EventQueries {
         .orderBy("day")
     }),
 
+    /** Streaming Count-Min heavy hitters — t25's mergeability claim
+      * exercised in an actual multi-batch stream: the events table is
+      * DELIBERATELY staged as 4 files replayed one-per-micro-batch
+      * (`maxFilesPerTrigger`), each batch reduces to a 4×64 partial
+      * sketch inside `foreachBatch`, partials append through the
+      * idempotent batch-id sink, and the final sketch is the
+      * elementwise SUM of partials — identical to the batch-built
+      * sketch no matter how the replay is sliced, because counter
+      * tables are associative+commutative (the contract that makes a
+      * sketch a STREAMING structure; contrast e03/e12, which need the
+      * bounded-replay single-batch precondition). The query asserts
+      * multi-batch delivery loudly, then audits the merged estimates
+      * against exact top-10 user event counts, t25's error discipline
+      * (`overcount ≥ 0`). At scale: per-batch state is the constant
+      * 256-row partial (no watermark, no state store — the sketch IS
+      * the state), sink traffic is 256 rows per batch regardless of
+      * event volume, and the probe join broadcasts the merged table.
+      * Hash family is the frozen salted portableGate on the stringed
+      * user id, so the streamed pipeline hash-matches the BATCH CMS
+      * replica in DuckDB. */
+    "e14_stream_sketch" -> ((s, d) => {
+      val W = 64
+      val hrows = 1 to 4
+      def buckets(k: org.apache.spark.sql.Column) = array(hrows.map(i =>
+        struct(lit(i).as("hrow"),
+          pmod(graft.operators.Sampling.portableGate(
+            concat(lit(s"cms$i:"), k)), lit(W)).as("bucket"))): _*)
+      val ev = Tables.events(s, d).select(col("user_id"))
+      // Harness scaffolding (see e05): stage the replay as FOUR files
+      // so maxFilesPerTrigger=1 yields four genuine micro-batches.
+      val src = tempDir("graft_e14_src_")
+      ev.repartition(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val ss = streamSession(s) // stateless; shrinks log churn only
+      val outDir = tempDir("graft_e14_out_")
+      val ckpt = tempDir("graft_e14_ckpt_")
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val partial = batch
+            .select(explode(buckets(col("user_id").cast("string"))).as("hb"))
+            .groupBy(col("hb.hrow").as("hrow"), col("hb.bucket").as("bucket"))
+            .agg(count(lit(1)).as("cnt"))
+          graft.streaming.IdempotentSink.writeBatch(partial, batchId, outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val partials = s.read.parquet(outDir)
+      require(!partials.isEmpty, "e14: streaming sink produced zero rows")
+      require(partials.agg(max(col("batch_id").cast("long"))).head()
+          .getLong(0) >= 1,
+        "e14 demonstrates MERGING across micro-batches — the replay " +
+          "arrived as a single batch, so the merge path went unexercised")
+      val sketch = partials.groupBy("hrow", "bucket").agg(sum("cnt").as("cnt"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(col("n_exact").desc, col("user_id")).limit(10)
+      val probes = top
+        .select(col("user_id"), col("n_exact"),
+          explode(buckets(col("user_id").cast("string"))).as("hb"))
+        .select(col("user_id"), col("n_exact"),
+          col("hb.hrow").as("hrow"), col("hb.bucket").as("bucket"))
+      val est = probes.join(broadcast(sketch), Seq("hrow", "bucket"))
+        .groupBy("user_id", "n_exact").agg(min("cnt").as("n_est"))
+      val w = Window.orderBy(col("n_exact").desc, col("user_id"))
+      est.withColumn("rank", row_number().over(w))
+        .withColumn("overcount", col("n_est") - col("n_exact"))
+        .select(col("rank"), col("user_id"), col("n_exact"), col("n_est"),
+          col("overcount"))
+        .orderBy("rank")
+    }),
+
     /** Native session-window streaming sessionization — the built-in
       * `session_window` aggregation beside e04's hand-rolled
       * flatMapGroupsWithState: same 1-hour-gap semantics, but state
@@ -839,6 +913,38 @@ object EventQueries {
         | count(*) AS n,
         | floor((sum(value))*100+0.5)/100 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    // e14: the BATCH CMS replica — the streamed, multi-batch-merged
+    // sketch must equal it exactly (associative counter merge).
+    "e14_stream_sketch" ->
+      s"""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+        | hx AS (
+        |  SELECT key, i AS hrow,
+        |    ${graft.operators.Sampling.portableGateSql(
+             "'cms' || CAST(i AS VARCHAR) || ':' || key")} % 64 AS bucket
+        |  FROM k, (SELECT unnest(range(1, 5)) AS i)),
+        | sk AS (SELECT hrow, bucket, count(*) AS cnt FROM hx
+        |        GROUP BY hrow, bucket),
+        | ex AS (SELECT CAST(key AS BIGINT) AS user_id, count(*) AS n_exact
+        |        FROM k GROUP BY key),
+        | top AS (SELECT user_id, n_exact FROM ex
+        |         ORDER BY n_exact DESC, user_id LIMIT 10),
+        | pb AS (
+        |  SELECT t.user_id, t.n_exact, i AS hrow,
+        |    ${graft.operators.Sampling.portableGateSql(
+             "'cms' || CAST(i AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)")}
+        |      % 64 AS bucket
+        |  FROM top t, (SELECT unnest(range(1, 5)) AS i)),
+        | est AS (
+        |  SELECT p.user_id, p.n_exact, CAST(min(s.cnt) AS BIGINT) AS n_est
+        |  FROM pb p JOIN sk s ON s.hrow = p.hrow AND s.bucket = p.bucket
+        |  GROUP BY p.user_id, p.n_exact),
+        | r AS (SELECT user_id, n_exact, n_est,
+        |         row_number() OVER (ORDER BY n_exact DESC, user_id) AS rank
+        |       FROM est)
+        |SELECT CAST(rank AS INTEGER) AS rank, user_id, n_exact, n_est,
+        | CAST(n_est - n_exact AS BIGINT) AS overcount
+        |FROM r ORDER BY rank""".stripMargin,
 
     // e05: the doubled replay must collapse back to the original table
     // — the oracle aggregates the ORIGINAL events, never the doubling.
