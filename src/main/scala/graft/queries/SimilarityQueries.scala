@@ -758,6 +758,47 @@ object SimilarityQueries {
           col("n_cand"))
         .orderBy("q_id", "rank")
     }),
+
+    /** IVF index-maintenance audit — the "does the index need a
+      * rebuild?" check a vector store runs as data arrives: the coarse
+      * quantizer is FROZEN on the indexed corpus (vec_id % 5 ≠ 0
+      * stands in for "what the index was built on"), the held-out
+      * slice plays the newly-ingested batch, both are assigned to the
+      * frozen centroids (broadcast — neither side shuffles), and the
+      * audit publishes per-list occupancy shares old-vs-new with a
+      * rebalance flag where the share drifted > 0.02 absolute. A
+      * drifted list means queries probing it scan a different fraction
+      * of the corpus than the index was tuned for — the signal that
+      * triggers re-training the quantizer (s07's build) or splitting
+      * hot lists. Cost: one centroid aggregate over the indexed slice
+      * + one broadcast-assignment scan + a k-row share join; the audit
+      * is linear in the corpus at any scale. All portable math (rnd6
+      * assignment, exact integer counts, one share division) ⇒ hash
+      * oracle at all three SFs. */
+    "s14_ivf_drift" -> ((s, d) => {
+      val embL = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), embD(col("embedding")).as("vec"))
+      val indexed = embL.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val cents = graft.operators.CentroidBuild.centroids(
+        indexed.select(col("label"), col("vec")), col("label"), col("vec"))
+      val assign = graft.operators.CentroidBuild.nearest(
+        graft.operators.CentroidBuild.similarities(embL, cents,
+          "vec_id", "vec"), "vec_id")
+      val byList = assign
+        .withColumn("is_new", pmod(col("vec_id"), lit(5)) === 0)
+        .groupBy("cl_id")
+        .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("n_old"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+      val tot = byList.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
+      val so = col("n_old").cast("double") / col("t_old")
+      val sn = col("n_new").cast("double") / col("t_new")
+      byList.crossJoin(tot)
+        .select(col("cl_id"), col("n_old"), col("n_new"),
+          RelationalQueries.rnd(so, 6).as("share_old"),
+          RelationalQueries.rnd(sn, 6).as("share_new"),
+          (abs(sn - so) > 0.02).as("rebalance"))
+        .orderBy("cl_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1314,5 +1355,43 @@ object SimilarityQueries {
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, label,
         | floor((cos)*10000+0.5)/10000 AS cos_sim, CAST(n_cand AS BIGINT) AS n_cand
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // s14: centroid build restricted to the indexed slice, assignment
+    // over everything, per-list old/new shares + drift flag.
+    "s14_ivf_drift" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+        | old AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+        | cex AS (SELECT label AS cl_id, unnest(vec) AS v,
+        |                generate_subscripts(vec, 1) AS i FROM old),
+        | cel AS (SELECT cl_id, i, floor((avg(v))*1000000+0.5)/1000000 AS m
+        |         FROM cex GROUP BY cl_id, i),
+        | cen AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM cel GROUP BY cl_id),
+        | sims AS (
+        |  SELECT e.vec_id, cen.cl_id,
+        |    floor((list_cosine_similarity(e.vec, cen.cvec))*1000000+0.5)/1000000
+        |      AS csim
+        |  FROM e CROSS JOIN cen),
+        | assign AS (
+        |  SELECT vec_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims) WHERE rn = 1),
+        | bl AS (
+        |  SELECT cl_id,
+        |    CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_old,
+        |    CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new
+        |  FROM assign GROUP BY cl_id),
+        | tt AS (SELECT cl_id, n_old, n_new,
+        |          CAST(sum(n_old) OVER () AS BIGINT) AS t_old,
+        |          CAST(sum(n_new) OVER () AS BIGINT) AS t_new
+        |        FROM bl)
+        |SELECT cl_id, n_old, n_new,
+        | floor((CAST(n_old AS DOUBLE) / t_old)*1000000+0.5)/1000000 AS share_old,
+        | floor((CAST(n_new AS DOUBLE) / t_new)*1000000+0.5)/1000000 AS share_new,
+        | abs(CAST(n_new AS DOUBLE) / t_new - CAST(n_old AS DOUBLE) / t_old)
+        |   > 0.02 AS rebalance
+        |FROM tt ORDER BY cl_id""".stripMargin,
   )
 }

@@ -154,6 +154,15 @@ class QueryPlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("s14: the drift audit broadcast-assigns both slices — no " +
+      "shuffle join of the corpus, no cartesian beyond the k-row " +
+      "centroid broadcast") {
+    val plan = planOf("s14_ivf_drift")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("t08: exploded token counts combine map-side before the shuffle") {
     val plan = planOf("t08_top_tokens")
     assert(plan.contains("Generate"), plan.take(3000))
