@@ -799,6 +799,42 @@ object SimilarityQueries {
           (abs(sn - so) > 0.02).as("rebalance"))
         .orderBy("cl_id")
     }),
+
+    /** Radius (range) search — the second vector-store query shape
+      * beside top-k (Faiss `range_search`): return EVERY neighbor with
+      * cosine ≥ τ rather than a fixed k, the primitive behind "find
+      * all near-duplicates of this document" and recall-oriented
+      * retrieval where the caller bounds similarity, not cardinality.
+      * Candidates come from the SAME shared IVF probe pipeline s04
+      * serves and s10 certifies ([[graft.operators.CentroidBuild
+      * .ivfCandidates]] — broadcast centroids, nprobe probe lists, no
+      * corpus shuffle), so a range query costs exactly one probe-pruned
+      * candidate scan; only the post-filter differs. The result size is
+      * data-dependent — the operational hazard of range search at
+      * scale — so each row publishes its query's match count
+      * (`n_range`), the number a production caller uses to cap or
+      * paginate. The threshold compares the rnd6 cosine on BOTH
+      * engines, so the boundary set is identical cross-engine and the
+      * whole approximate pipeline hash-matches the DuckDB replica. */
+    "s15_range_search" -> ((s, d) => {
+      val nprobe = 3
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val centroids = graft.operators.CentroidBuild.centroids(
+        Tables.embeddings(s, d)
+          .select(col("label"), embD(col("embedding")).as("vec")),
+        col("label"), col("vec"))
+      val scored = graft.operators.CentroidBuild.ivfCandidates(
+          emb, centroids, col("vec_id") < 3, nprobe)
+        .withColumn("c6",
+          RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+        .filter(col("c6") >= 0.25)
+      scored
+        .withColumn("n_range", count(lit(1)).over(Window.partitionBy("q_id")))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          col("c6").as("cos_sim"), col("n_range"))
+        .orderBy("q_id", "n_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1393,5 +1429,44 @@ object SimilarityQueries {
         | abs(CAST(n_new AS DOUBLE) / t_new - CAST(n_old AS DOUBLE) / t_old)
         |   > 0.02 AS rebalance
         |FROM tt ORDER BY cl_id""".stripMargin,
+
+    // s15: the s04 IVF replica with the top-k rank swapped for the
+    // rnd6-threshold radius filter + per-query match count.
+    "s15_range_search" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+        | cex AS (SELECT label AS cl_id, unnest(vec) AS v,
+        |                generate_subscripts(vec, 1) AS i FROM e),
+        | cel AS (SELECT cl_id, i, floor((avg(v))*1000000+0.5)/1000000 AS m
+        |         FROM cex GROUP BY cl_id, i),
+        | cen AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM cel GROUP BY cl_id),
+        | sims AS (
+        |  SELECT e.vec_id, cen.cl_id,
+        |    floor((list_cosine_similarity(e.vec, cen.cvec))*1000000+0.5)/1000000
+        |      AS csim
+        |  FROM e CROSS JOIN cen),
+        | assign AS (
+        |  SELECT vec_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims) WHERE rn = 1),
+        | probes AS (
+        |  SELECT vec_id AS q_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims WHERE vec_id < 3) WHERE rn <= 3),
+        | cand AS (
+        |  SELECT p.q_id, a.vec_id FROM assign a JOIN probes p USING (cl_id)
+        |  WHERE a.vec_id <> p.q_id),
+        | scored AS (
+        |  SELECT c.q_id, c.vec_id AS n_id,
+        |    floor((list_cosine_similarity(q.vec, n.vec))*1000000+0.5)/1000000
+        |      AS c6
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.q_id
+        |  JOIN e n ON n.vec_id = c.vec_id),
+        | hits AS (SELECT * FROM scored WHERE c6 >= 0.25)
+        |SELECT q_id, n_id, c6 AS cos_sim,
+        | count(*) OVER (PARTITION BY q_id) AS n_range
+        |FROM hits ORDER BY q_id, n_id""".stripMargin,
   )
 }

@@ -116,6 +116,14 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("s15: range search rides the same broadcast probe pipeline — " +
+      "no cartesian, and no global top-k sort (the radius filter " +
+      "replaces ranking)") {
+    val plan = planOf("s15_range_search")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("d21: the rank query's final top-10 is a TakeOrdered limit, " +
       "never a global sort; no cartesian") {
     // the iteration plans are materialized (localCheckpoint) inside the
