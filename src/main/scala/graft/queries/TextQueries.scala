@@ -947,6 +947,56 @@ object TextQueries {
           col("overcount"))
         .orderBy("rank")
     }),
+
+    /** DSIR-style importance selection (Xie et al., NeurIPS 2023 —
+      * "Data Selection for Language Models via Importance Resampling"):
+      * score every raw-pool document by how target-like its hashed
+      * n-gram features are, then keep the top-N. Here the target
+      * distribution is the `en` slice (the stand-in for "looks like
+      * the domain we train on") and the pool is everything else;
+      * features are whitespace unigrams hashed into 64 buckets by the
+      * frozen salted [[graft.operators.Sampling.portableGate]] (its own
+      * `dsir:` salt — a distinct hash family from t25's `cms<i>:`).
+      * Per-bucket target/pool occurrence censuses reduce map-side to a
+      * 64-row table whose log-likelihood ratio is the INTEGER bitlen
+      * surrogate `⌊log2(T+1)⌋ − ⌊log2(S+1)⌋` (`length(bin(x))` on both
+      * engines), so a document's weight — Σ c_doc[b]·lr[b] — is exact
+      * integer arithmetic end-to-end and the whole selection
+      * hash-matches DuckDB; production DSIR uses smoothed real-valued
+      * log-ratios and Gumbel-noise resampling where this surrogate
+      * ranks deterministically, but the pipeline SHAPE is the
+      * production one: one feature-hash pass, a broadcast bucket
+      * table, one per-doc aggregate, top-N by weight. At 100 TB: the
+      * censuses map-combine (64 and ≤64·n_docs rows), the lr table
+      * broadcasts, and the final selection is a TakeOrdered top-20 —
+      * no corpus-wide window, no global sort. */
+    "t26_dsir_select" -> ((s, d) => {
+      val B = 64
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(tokens).as("token"))
+        .withColumn("bucket", pmod(graft.operators.Sampling.portableGate(
+          concat(lit("dsir:"), col("token"))), lit(B)))
+      val isTarget = col("lang") === "en"
+      val lr = tok.groupBy("bucket")
+        .agg(sum(when(isTarget, 1L).otherwise(0L)).as("t_cnt"),
+          sum(when(isTarget, 0L).otherwise(1L)).as("s_cnt"))
+        .select(col("bucket"),
+          (length(bin(col("t_cnt") + 1)) - length(bin(col("s_cnt") + 1)))
+            .cast("long").as("lr"))
+      val weights = tok.filter(!isTarget)
+        .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("c"))
+        .join(broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("c") * col("lr")).as("weight"),
+          sum("c").as("n_tok"))
+      val top = weights.orderBy(col("weight").desc, col("doc_id")).limit(20)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("weight").desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("doc_id"), col("lang"), col("n_tok"),
+          col("weight"))
+        .orderBy("rank")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1571,5 +1621,39 @@ object TextQueries {
         |SELECT CAST(rank AS INTEGER) AS rank, token, n_exact, n_est,
         | CAST(n_est - n_exact AS BIGINT) AS overcount
         |FROM r ORDER BY rank""".stripMargin,
+
+    // t26: full DSIR replica — same dsir:-salted 64-bucket feature
+    // hash, same integer bitlen log-ratio, same top-20 tie-break.
+    "t26_dsir_select" ->
+      s"""WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        | tb AS (
+        |  SELECT doc_id, lang,
+        |    ${graft.operators.Sampling.portableGateSql(
+             "'dsir:' || token")} % 64 AS bucket
+        |  FROM tok),
+        | g AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS s_cnt
+        |  FROM tb GROUP BY bucket),
+        | lr AS (
+        |  SELECT bucket,
+        |    CAST(length(bin(t_cnt + 1)) - length(bin(s_cnt + 1)) AS BIGINT) AS lr
+        |  FROM g),
+        | db AS (
+        |  SELECT doc_id, lang, bucket, count(*) AS c FROM tb
+        |  WHERE lang <> 'en' GROUP BY doc_id, lang, bucket),
+        | wts AS (
+        |  SELECT doc_id, lang, CAST(sum(c * lr) AS BIGINT) AS weight,
+        |    CAST(sum(c) AS BIGINT) AS n_tok
+        |  FROM db JOIN lr USING (bucket) GROUP BY doc_id, lang),
+        | r AS (SELECT doc_id, lang, n_tok, weight,
+        |         row_number() OVER (ORDER BY weight DESC, doc_id) AS rank
+        |       FROM wts)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, lang, n_tok, weight
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
   )
 }

@@ -189,6 +189,18 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("t26: the DSIR censuses combine map-side, the 64-row log-ratio " +
+      "table joins by broadcast, and the selection is a TakeOrdered " +
+      "top-20 — never a corpus-wide sort or window") {
+    val plan = planOf("t26_dsir_select")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q41: salted agg runs two aggregate stages, salt never reaches output") {
     val plan = planOf("q41_salted_agg")
     // partial+final for each of the two groupBys
