@@ -435,6 +435,130 @@ object EventQueries {
         .orderBy("rank")
     }),
 
+    /** Watermark late-data audit — the drop CONTRACT of event-time
+      * streaming, oracle-verified instead of assumed. Every stateful
+      * query here bounds its state with a watermark (e03/e05/e10…),
+      * which means rows arriving later than the allowed disorder are
+      * DROPPED by design; this query measures that behavior against a
+      * deterministic ground truth. The replay is staged as six files
+      * whose arrival ORDER is forced (explicit mtimes; the file source
+      * processes oldest-first, `maxFilesPerTrigger=1`): (1) the first
+      * half of the month minus a gated "straggler" subset, (2) the
+      * second half up to the 29th, (3) the last day on its own —
+      * needed because the engine's late-data filter runs one batch
+      * behind its eviction watermark, so the batch BEFORE the
+      * stragglers must already have pushed the max event time to
+      * month-end, (4) the stragglers — weeks older than even the
+      * lagged watermark, every one must be dropped, (5+6) two
+      * far-future sentinel rows whose only job is to advance the
+      * watermark so append mode flushes all real windows (no-data
+      * micro-batches are disabled on the stream session; the second
+      * sentinel flushes the windows the first one closes — the
+      * sentinels' own windows never close, so they never reach the
+      * sink). The per-day admitted
+      * counts therefore EXCLUDE exactly the stragglers, which is what
+      * the DuckDB oracle computes independently from the gate formula —
+      * and the query additionally requires (a) the engine's own
+      * `numRowsDroppedByWatermark` metric to fire (it counts
+      * post-partial-aggregation state rows, one per dropped window ×
+      * upstream partition, so it proves the drop path ran but cannot
+      * equal the event count) and (b) the sink's admitted total to be
+      * row-exactly `total − stragglers`, so the audit cross-checks
+      * Spark's metric, the sink contents, and the oracle. At scale this
+      * is the nightly data-loss report a streaming ingest publishes:
+      * state is watermark-bounded (~31 windows here), sink traffic is
+      * closed-windows-only (append), and the audit costs one count per
+      * micro-batch. */
+    "e15_late_data_audit" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts_ns"), col("ts").cast("date").as("day"))
+      val isEarly = col("day") <= lit("2024-01-15").cast("date")
+      val lateGate = pmod(graft.operators.Sampling.portableGate(
+        concat(lit("late:"), col("event_id").cast("string"))), lit(5)) === 0
+      val body = ev.select(col("event_id"), col("ts_ns").as("ts"),
+        col("day"), isEarly.as("early"), lateGate.as("lg"))
+      val maxNs = ev.agg(max("ts_ns")).head().getLong(0)
+      val dayNs = 86400L * 1000000000L
+      // Harness scaffolding: force arrival order with explicit mtimes
+      // (the determinism e14's order-independent sketch did not need).
+      val src = tempDir("graft_e15_src_")
+      val base = System.currentTimeMillis() - 10 * 60000L
+      def stage(df: DataFrame, idx: Int): Unit = {
+        val tmp = tempDir("graft_e15_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"f$idx.parquet")
+        require(part.renameTo(dst) && dst.setLastModified(base + idx * 60000L),
+          s"e15: staging file $idx failed")
+      }
+      // The engine's late-DATA filter runs one batch behind the
+      // eviction/metrics watermark (batch N filters with the watermark
+      // that governed batch N-1's eviction — observed empirically, see
+      // the numRowsDroppedByWatermark note below), so the last day
+      // ships as its OWN file between the bulk and the stragglers:
+      // by the straggler batch even the lagged filter watermark is
+      // weeks past every straggler window.
+      val lastDay = col("day") > lit("2024-01-29").cast("date")
+      stage(body.filter(col("early") && !col("lg"))
+        .select("event_id", "ts"), 0)
+      stage(body.filter(!col("early") && !lastDay)
+        .select("event_id", "ts"), 1)
+      stage(body.filter(!col("early") && lastDay)
+        .select("event_id", "ts"), 2)
+      val stragglers = body.filter(col("early") && col("lg"))
+        .select("event_id", "ts")
+      val nStragglers = stragglers.count()
+      stage(stragglers, 3)
+      stage(Seq((-1L, maxNs + 30 * dayNs)).toDF("event_id", "ts"), 4)
+      stage(Seq((-2L, maxNs + 60 * dayNs)).toDF("event_id", "ts"), 5)
+      val ss = streamSession(s)
+      val schema = s.read.parquet(src).schema
+      val outDir = tempDir("graft_e15_out_")
+      val ckpt = tempDir("graft_e15_ckpt_")
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tss", "1 hour")
+        .groupBy(window(col("tss"), "1 day").as("win"))
+        .agg(count(lit(1)).as("n_admitted"))
+        .select(col("win.start").cast("date").as("day"), col("n_admitted"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val progress = q.recentProgress
+      require(progress.count(_.numInputRows > 0) >= 6,
+        "e15 needs the six staged files delivered as six micro-batches " +
+          "— the forced arrival order collapsed")
+      // numRowsDroppedByWatermark counts rows at the STATE operator,
+      // i.e. after partial aggregation — one row per (window, upstream
+      // partition), not per input event — so it proves the drop path
+      // ran but cannot equal the straggler count. The row-exact check
+      // is the sink total: every event is either admitted or a staged
+      // straggler (the sentinels' windows never close, never emit).
+      val dropped = progress
+        .map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum
+      require(dropped > 0 && nStragglers > 0,
+        "e15: the watermark drop path went unexercised — no late rows " +
+          "were discarded (did the file order collapse?)")
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e15: streaming sink produced zero rows")
+      val admitted = out.agg(sum("n_admitted")).head().getLong(0)
+      val nTotal = ev.count()
+      require(admitted == nTotal - nStragglers,
+        s"e15: sink admitted $admitted rows, expected total $nTotal " +
+          s"minus $nStragglers stragglers — the watermark dropped the " +
+          "wrong set")
+      out.select(col("day"), col("n_admitted")).orderBy("day")
+    }),
+
     /** Native session-window streaming sessionization — the built-in
       * `session_window` aggregation beside e04's hand-rolled
       * flatMapGroupsWithState: same 1-hour-gap semantics, but state
@@ -945,6 +1069,21 @@ object EventQueries {
         |SELECT CAST(rank AS INTEGER) AS rank, user_id, n_exact, n_est,
         | CAST(n_est - n_exact AS BIGINT) AS overcount
         |FROM r ORDER BY rank""".stripMargin,
+
+    // e15: per-day admitted counts = everything except the staged
+    // straggler subset, recomputed here from the gate formula alone —
+    // the oracle knows nothing about the stream, so equality proves
+    // the watermark dropped exactly the late set and nothing else.
+    "e15_late_data_audit" ->
+      s"""WITH g AS (
+        |  SELECT ts::date AS day,
+        |    CASE WHEN ts::date <= DATE '2024-01-15'
+        |      AND ${graft.operators.Sampling.portableGateSql(
+               "'late:' || CAST(event_id AS VARCHAR)")} % 5 = 0
+        |    THEN 1 ELSE 0 END AS is_late
+        |  FROM events)
+        |SELECT day, count(*) AS n_admitted FROM g
+        |WHERE is_late = 0 GROUP BY day ORDER BY day""".stripMargin,
 
     // e05: the doubled replay must collapse back to the original table
     // — the oracle aggregates the ORIGINAL events, never the doubling.
