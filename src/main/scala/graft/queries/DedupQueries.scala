@@ -1095,6 +1095,69 @@ object DedupQueries {
           RelationalQueries.rnd(avg("dist"), 4).as("avg_dist"))
         .orderBy("seg")
     }),
+
+    /** Containment (asymmetric-overlap) dedup — the doc-in-doc case
+      * symmetric Jaccard structurally misses: a document that is a
+      * truncated copy of another shares nearly ALL of its own shingles
+      * (containment |A∩B|/min(|A|,|B|) ≈ 1) while the union-normalized
+      * jaccard sits at ~|A|/|B| and slides under any fixed threshold
+      * as the copy gets shorter (Broder 1997 separates the two
+      * resemblance measures for exactly this reason; crawl pipelines
+      * meet it as pagination fragments, abstracts, and feed
+      * summaries). Ground truth is planted: every base doc ≥ 200
+      * chars gets a 1/5-length truncated copy, which at jaccard
+      * ≈ 0.2 < 0.3 is invisible to the d04/d09 threshold — the
+      * audit's `n_missed_by_jaccard` publishes exactly how many
+      * containment dups the symmetric pass loses. Blocking is by the
+      * 32-char text-prefix gate (prefix blocking IS the right key for
+      * truncation-style duplication — head-sharing is what defines
+      * it; a boilerplate-heavy corpus whose openings collide runs the
+      * t17 boilerplate prune first, and gram-banded d02 catches
+      * tail-anchored overlap prefix blocks can't), so pair work is
+      * Σ b_i² over exact-prefix groups, never corpus². Every stage —
+      * truncation arithmetic (`div`), the md5-nibble gate, 5-gram
+      * sets, the two overlap ratios — computes bit-identically in
+      * DuckDB: full hash oracle. */
+    "d23_containment" -> ((s, d) => {
+      val grams = array_distinct(expr(
+        """CASE WHEN length(text) >= 5
+          | THEN transform(sequence(1, length(text)-4), i -> substring(text, i, 5))
+          | ELSE array(text) END""".stripMargin))
+      val base = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val plants = base.filter(length(col("text")) >= 200)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          expr("substring(text, 1, length(text) div 5)").as("text"))
+      val corpus = base.unionByName(plants)
+      val blocked = corpus.select(col("doc_id"),
+        graft.operators.Sampling.portableGate(
+          substring(col("text"), 1, 32)).as("pfx"),
+        grams.as("g"))
+      val a = blocked.select(col("pfx"), col("doc_id").as("doc_a"),
+        col("g").as("g_a"))
+      val b = blocked.select(col("pfx"), col("doc_id").as("doc_b"),
+        col("g").as("g_b"))
+      val pairs = a.join(b, Seq("pfx"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("inter",
+          size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
+        .withColumn("cmax",
+          col("inter") / least(size(col("g_a")), size(col("g_b"))))
+        .withColumn("jac",
+          col("inter") / size(array_union(col("g_a"), col("g_b"))))
+      val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+      val nPlanted = plants.agg(count(lit(1)).as("n_planted"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cmax") >= 0.6, 1L).otherwise(0L)).as("n_cont_06"),
+          sum(when(col("cmax") >= 0.6 && col("jac") < 0.3, 1L)
+            .otherwise(0L)).as("n_missed_by_jaccard"),
+          RelationalQueries.rnd(coalesce(max("cmax"), lit(0.0)), 4)
+            .as("max_containment"))
+        .crossJoin(nDocs).crossJoin(nPlanted)
+        .select(col("n_docs"), col("n_planted"), col("n_pairs"),
+          col("n_cont_06"), col("n_missed_by_jaccard"),
+          col("max_containment"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1269,6 +1332,40 @@ object DedupQueries {
         | floor((abs(CAST(n_agree AS DOUBLE) / 16 - jaccard))*10000+0.5)/10000
         |   AS abs_err
         |FROM ag ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d23: full replica — truncation planting, prefix-gate blocking,
+    // 5-gram sets, both overlap ratios.
+    "d23_containment" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        | pl AS (
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    substring(text, 1, length(text) // 5) AS text
+        |  FROM base WHERE length(text) >= 200),
+        | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+        | g AS (
+        |  SELECT doc_id,
+        |    ${graft.operators.Sampling.portableGateSql(
+             "substring(text, 1, 32)")} AS pfx,
+        |    list_distinct(CASE WHEN length(text) >= 5
+        |      THEN list_transform(range(1, length(text) - 3),
+        |                          i -> substring(text, i, 5))
+        |      ELSE [text] END) AS g
+        |  FROM c),
+        | p AS (
+        |  SELECT CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+        |         least(len(a.g), len(b.g)) AS mn,
+        |         len(list_distinct(list_concat(a.g, b.g))) AS un
+        |  FROM g a JOIN g b ON a.pfx = b.pfx AND a.doc_id < b.doc_id),
+        | m AS (SELECT inter / mn AS cmax, inter / un AS jac FROM p)
+        |SELECT (SELECT count(*) FROM c) AS n_docs,
+        | (SELECT count(*) FROM pl) AS n_planted,
+        | count(*) AS n_pairs,
+        | CAST(sum(CASE WHEN cmax >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_cont_06,
+        | CAST(sum(CASE WHEN cmax >= 0.6 AND jac < 0.3 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_missed_by_jaccard,
+        | floor((coalesce(max(cmax), 0.0))*10000+0.5)/10000 AS max_containment
+        |FROM m""".stripMargin,
 
     // d19: full replica — planting, digit-key extraction, block join,
     // integer levenshtein — all portable.

@@ -162,6 +162,16 @@ class QueryPlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("d23: containment pairs come from the prefix-gate equi join — " +
+      "no cartesian (the only nested-loop joins are the two 1-row " +
+      "count broadcasts)") {
+    val plan = planOf("d23_containment")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the pair join itself must be an equi join on the gate
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("s14: the drift audit broadcast-assigns both slices — no " +
       "shuffle join of the corpus, no cartesian beyond the k-row " +
       "centroid broadcast") {
