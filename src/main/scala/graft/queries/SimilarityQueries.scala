@@ -835,6 +835,59 @@ object SimilarityQueries {
           col("c6").as("cos_sim"), col("n_range"))
         .orderBy("q_id", "n_id")
     }),
+
+    /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+      * SIGIR 2009 — the fusion rule production search stacks use to
+      * combine a lexical and a vector arm without score calibration):
+      * each arm retrieves its own top-K (lexical = distinct-token
+      * overlap with the query document, vector = rnd6 cosine, both
+      * tie-broken on doc_id), and a document's fused score is
+      * Σ 1/(60 + rank_arm) over the arms that retrieved it — ranks,
+      * not raw scores, so the arms need no common scale. Both
+      * 1/(60+r) terms and their two-term sum are the same IEEE-double
+      * ops on both engines, so even the fused ORDERING replicates and
+      * the whole fusion hash-matches DuckDB. At scale each arm is the
+      * retrieval it already is elsewhere in this file (a brute/IVF
+      * top-K — TakeOrdered, never a global sort) and fusion touches
+      * only the ≤ 2K retrieved rows: the corpus-sized work is the
+      * arms, the fusion is constant-sized — which is exactly why RRF
+      * is the production default. */
+    "s16_hybrid_rrf" -> ((s, d) => {
+      val K = 50
+      val toksD = array_distinct(filter(split(col("text"), " "),
+        t => t =!= ""))
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id"), toksD.as("tk"))
+        .join(Tables.embeddings(s, d)
+            .select(col("vec_id"), embD(col("embedding")).as("vec")),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("tk"), col("vec"))
+      val qrow = corpus.filter(col("doc_id") === 0)
+        .select(col("tk").as("q_tk"), col("vec").as("q_vec"))
+      val cand = corpus.filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(qrow))
+        .withColumn("lex", size(array_intersect(col("tk"), col("q_tk"))))
+        .withColumn("c6",
+          RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+      val wL = Window.orderBy(col("lex").desc, col("doc_id"))
+      val lexTop = cand.select("doc_id", "lex")
+        .orderBy(col("lex").desc, col("doc_id")).limit(K)
+        .withColumn("r_lex", row_number().over(wL))
+      val wV = Window.orderBy(col("c6").desc, col("doc_id"))
+      val vecTop = cand.select("doc_id", "c6")
+        .orderBy(col("c6").desc, col("doc_id")).limit(K)
+        .withColumn("r_vec", row_number().over(wV))
+      val fused = lexTop.join(vecTop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)))
+      val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
+      fused.orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(wF))
+        .select(col("rank"), col("doc_id"), col("r_lex"), col("r_vec"),
+          RelationalQueries.rnd(col("rrf"), 6).as("rrf"))
+        .orderBy("rank")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1468,5 +1521,42 @@ object SimilarityQueries {
         |SELECT q_id, n_id, c6 AS cos_sim,
         | count(*) OVER (PARTITION BY q_id) AS n_range
         |FROM hits ORDER BY q_id, n_id""".stripMargin,
+
+    // s16: full fusion replica — same per-arm top-50 tie-breaks, same
+    // two-term IEEE 1/(60+rank) sum, same top-10 fused ordering.
+    "s16_hybrid_rrf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | dd AS (SELECT doc_id,
+        |          list_distinct(list_filter(string_split(text, ' '),
+        |                                    x -> x <> '')) AS tk
+        |        FROM documents),
+        | c AS (SELECT dd.doc_id, dd.tk, e.vec FROM dd
+        |       JOIN e ON dd.doc_id = e.vec_id),
+        | q AS (SELECT tk AS q_tk, vec AS q_vec FROM c WHERE doc_id = 0),
+        | cand AS (
+        |  SELECT c.doc_id,
+        |    len(list_intersect(c.tk, q.q_tk)) AS lex,
+        |    floor((list_cosine_similarity(q.q_vec, c.vec))*1000000+0.5)/1000000
+        |      AS c6
+        |  FROM c CROSS JOIN q WHERE c.doc_id <> 0),
+        | lt AS (SELECT doc_id, r_lex FROM (
+        |   SELECT doc_id, row_number() OVER (ORDER BY lex DESC, doc_id)
+        |     AS r_lex FROM cand) WHERE r_lex <= 50),
+        | vt AS (SELECT doc_id, r_vec FROM (
+        |   SELECT doc_id, row_number() OVER (ORDER BY c6 DESC, doc_id)
+        |     AS r_vec FROM cand) WHERE r_vec <= 50),
+        | f AS (
+        |  SELECT coalesce(lt.doc_id, vt.doc_id) AS doc_id,
+        |    lt.r_lex, vt.r_vec,
+        |    coalesce(1.0/(60 + lt.r_lex), 0) + coalesce(1.0/(60 + vt.r_vec), 0)
+        |      AS rrf
+        |  FROM lt FULL OUTER JOIN vt ON lt.doc_id = vt.doc_id),
+        | r AS (SELECT doc_id, r_lex, r_vec, rrf,
+        |         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        |       FROM f)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id,
+        | CAST(r_lex AS INTEGER) AS r_lex, CAST(r_vec AS INTEGER) AS r_vec,
+        | floor((rrf)*1000000+0.5)/1000000 AS rrf
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
   )
 }

@@ -124,6 +124,14 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("s16: each retrieval arm is a TakeOrdered top-K and the query " +
+      "row broadcasts — no cartesian, no global sort") {
+    val plan = planOf("s16_hybrid_rrf")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("d21: the rank query's final top-10 is a TakeOrdered limit, " +
       "never a global sort; no cartesian") {
     // the iteration plans are materialized (localCheckpoint) inside the
