@@ -271,6 +271,53 @@ object MultimodalQueries {
           md5(col("col")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")
     }),
+
+    /** Pair-level alignment filter — the LAION-style gate a multimodal
+      * corpus applies after pairing media with text/embeddings: score
+      * every (payload, embedding) pair and keep pairs above a
+      * similarity floor, publishing per-class retention so a
+      * miscalibrated threshold (or a broken encoder) is visible as a
+      * retention cliff, exactly how production monitors its CLIP-score
+      * cut. The alignment score stands in as rnd6 cosine against the
+      * pair's own class prototype ([[graft.operators.CentroidBuild
+      * .centroids]] — a real deployment scores text-vs-image encoder
+      * outputs; the stub keeps every stage portable). Per-row scores
+      * are frozen to e6 BIGINT before the cross-row sum (the m02/s07
+      * discipline), the retention ratio is one int/int division, and
+      * the kept-bytes total rides the same aggregate — so the whole
+      * gate hash-matches DuckDB. At scale: the k-row prototype table
+      * broadcasts, pairs never shuffle to be scored, and the output is
+      * one map-side-combinable per-class aggregate. */
+    "m08_pair_filter" -> ((s, d) => {
+      val media = Tables.documents(s, d)
+        .select(col("doc_id"),
+          col("text").cast("binary").as("content"))
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("vec"))
+      val cents = graft.operators.CentroidBuild.centroids(
+        emb.select(col("label"), col("vec")), col("label"), col("vec"))
+      val scored = media.join(emb, "doc_id")
+        .join(broadcast(cents.select(col("cl_id").as("label"), col("cvec"))),
+          "label")
+        .withColumn("c6", RelationalQueries.rnd(
+          graft.functions.VectorExpressions.array_cosine(
+            col("vec"), col("cvec")), 6))
+        .withColumn("n_bytes", octet_length(col("content")))
+      val keep = col("c6") >= 0.1
+      scored.groupBy("label")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(keep, col("n_bytes").cast("long")).otherwise(0L))
+            .as("kept_bytes"),
+          sum(floor(col("c6") * 1000000 + 0.5).cast("long"))
+            .as("sum_score_e6"))
+        .withColumn("retention", RelationalQueries.rnd(
+          col("n_kept").cast("double") / col("n_pairs"), 4))
+        .select(col("label"), col("n_pairs"), col("n_kept"),
+          col("retention"), col("kept_bytes"), col("sum_score_e6"))
+        .orderBy("label")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -417,5 +464,31 @@ object MultimodalQueries {
         | CAST(strlen(substr(text, CAST(frame_idx*64+1 AS BIGINT), 64)) AS INTEGER) AS frame_bytes,
         | md5(substr(text, CAST(frame_idx*64+1 AS BIGINT), 64)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // m08: full replica — same rnd6 class prototypes (the s04 centroid
+    // recipe), same rnd6 score, same e6-frozen per-row sum.
+    "m08_pair_filter" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+        | cex AS (SELECT label AS cl_id, unnest(vec) AS v,
+        |                generate_subscripts(vec, 1) AS i FROM e),
+        | cel AS (SELECT cl_id, i, floor((avg(v))*1000000+0.5)/1000000 AS m
+        |         FROM cex GROUP BY cl_id, i),
+        | cen AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM cel GROUP BY cl_id),
+        | p AS (
+        |  SELECT e.label, octet_length(encode(d.text)) AS n_bytes,
+        |    floor((list_cosine_similarity(e.vec, cen.cvec))*1000000+0.5)/1000000
+        |      AS c6
+        |  FROM documents d
+        |  JOIN e ON d.doc_id = e.vec_id
+        |  JOIN cen ON cen.cl_id = e.label)
+        |SELECT label, count(*) AS n_pairs,
+        | CAST(sum(CASE WHEN c6 >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | floor((CAST(sum(CASE WHEN c6 >= 0.1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*))*10000+0.5)/10000 AS retention,
+        | CAST(sum(CASE WHEN c6 >= 0.1 THEN n_bytes ELSE 0 END) AS BIGINT)
+        |   AS kept_bytes,
+        | CAST(sum(CAST(floor(c6*1000000+0.5) AS BIGINT)) AS BIGINT)
+        |   AS sum_score_e6
+        |FROM p GROUP BY label ORDER BY label""".stripMargin,
   )
 }

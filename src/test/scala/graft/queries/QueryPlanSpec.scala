@@ -207,6 +207,13 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("m08: the class-prototype table joins by broadcast — pairs " +
+      "never shuffle to be scored; no cartesian") {
+    val plan = planOf("m08_pair_filter")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("t26: the DSIR censuses combine map-side, the 64-row log-ratio " +
       "table joins by broadcast, and the selection is a TakeOrdered " +
       "top-20 — never a corpus-wide sort or window") {
