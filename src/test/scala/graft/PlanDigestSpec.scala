@@ -111,6 +111,19 @@ class PlanDigestSpec extends AnyFunSuite {
           "double), lambda x_125#9, false)) AS vec#2, vec_id#3]"))
   }
 
+  test("normalize blanks RDD ids in localCheckpoint scans (the id is a " +
+      "JVM-global counter — any earlier query spawning one extra RDD " +
+      "shifts it)") {
+    assert(PlanDigest.normalize(
+        "Arguments: [node#1, pr#2], MapPartitionsRDD[1455] at " +
+          "localCheckpoint at DedupQueries.scala:968, ExistingRDD, " +
+          "UnknownPartitioning(0)") ==
+      PlanDigest.normalize(
+        "Arguments: [node#1, pr#2], MapPartitionsRDD[1456] at " +
+          "localCheckpoint at DedupQueries.scala:968, ExistingRDD, " +
+          "UnknownPartitioning(0)"))
+  }
+
   test("digest differs when plan structure differs") {
     assert(PlanDigest.digest("BroadcastHashJoin [k#1]") !=
       PlanDigest.digest("SortMergeJoin [k#1]"))
