@@ -182,7 +182,11 @@ object MultimodalQueries {
         sum("height").as("sum_h_doubled"),
         sum("n_frames").as("sum_frames_doubled"),
         countDistinct("fp").as("nfp_doubled"))
-      single.join(doubled, "source")
+      // Both sides are n_sources-row aggregates; without a hint AQE
+      // picks the build side from measured byte sizes, which jitter
+      // enough to flip BuildLeft↔BuildRight run-to-run (seen once in
+      // ~10 full plan-digest sweeps). Pin the narrower side as build.
+      broadcast(single).join(doubled, "source")
         .select(col("source"), col("n_single"), col("n_doubled"),
           col("sum_w_single"), col("sum_w_doubled"),
           col("sum_h_doubled"), col("sum_frames_doubled"),

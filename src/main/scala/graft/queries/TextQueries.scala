@@ -997,6 +997,77 @@ object TextQueries {
           col("weight"))
         .orderBy("rank")
     }),
+
+    /** CCNet-style LM-perplexity quality bucketing (Wenzek et al.,
+      * LREC 2020): score every document under a bigram language model
+      * trained on the target slice (`en` — the Wikipedia stand-in),
+      * then split the corpus into head/middle/tail fluency terciles —
+      * the bucketing CCNet feeds downstream sampling. The "model" is
+      * two hashed censuses over the en bigram stream (4096 buckets
+      * each, frozen `lm1:`/`lm2:`-salted
+      * [[graft.operators.Sampling.portableGate]] families — distinct
+      * from t25's `cms<i>:` and t26's `dsir:`): context counts
+      * C1[h(w1)] and bigram counts C2[h(w1·w2)]. A document's
+      * negative-log-likelihood surrogate is the integer bitlen form
+      * Σ_bigrams (64 + ⌊log2(C1+1)⌋ − ⌊log2(C2+1)⌋) — per-term
+      * `length(bin(x))` on both engines; the +64 offset keeps every
+      * term strictly positive so the per-doc e3 mean's integer
+      * division truncates identically cross-engine — normalized per
+      * bigram (×1000 div n_pairs). Tercile cutoffs come from the
+      * integer score HISTOGRAM (cumulative window over a
+      * value-bounded frame), not a corpus-wide ntile sort, and
+      * value-based cutoffs make ties unambiguous: equal scores always
+      * share a bucket. Production CCNet scores with a smoothed KenLM
+      * 5-gram where this uses the hashed-bigram bitlen surrogate (its
+      * exactness is what buys the cross-engine hash), but the
+      * pipeline SHAPE is CCNet's: one n-gram pass, a broadcast model,
+      * one per-doc score, fixed-threshold bucketing. At 100 TB: the
+      * censuses map-combine to ≤4096 rows each and broadcast, so the
+      * corpus-sized pair stream is scored by two broadcast left joins
+      * and never shuffles until the doc-keyed aggregate; the
+      * histogram window runs over ≤64k rows of value space regardless
+      * of corpus size; the output is n_langs×3 rows. */
+    "t27_lm_perplexity" -> ((s, d) => {
+      val B = 4096
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), tokens.as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val pairs = docs.select(col("doc_id"), col("lang"),
+          explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+        .withColumn("b1", pmod(graft.operators.Sampling.portableGate(
+          concat(lit("lm1:"), substring_index(col("bg"), " ", 1))), lit(B)))
+        .withColumn("b2", pmod(graft.operators.Sampling.portableGate(
+          concat(lit("lm2:"), col("bg"))), lit(B)))
+      val en = pairs.filter(col("lang") === "en")
+      val c1 = en.groupBy("b1").agg(count(lit(1)).as("c1"))
+      val c2 = en.groupBy("b2").agg(count(lit(1)).as("c2"))
+      val term = (lit(64) + length(bin(coalesce(col("c1"), lit(0L)) + 1))
+        - length(bin(coalesce(col("c2"), lit(0L)) + 1))).cast("long")
+      val sc = pairs
+        .join(broadcast(c1), Seq("b1"), "left")
+        .join(broadcast(c2), Seq("b2"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(sum(term).as("nll"), count(lit(1)).as("n_pairs"))
+        .select(col("doc_id"), col("lang"),
+          expr("nll * 1000 div n_pairs").as("s"))
+      val hist = sc.groupBy("s").agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum", sum("c").over(
+          org.apache.spark.sql.expressions.Window.orderBy("s")))
+        .crossJoin(broadcast(sc.agg(count(lit(1)).as("n"))))
+      val cuts = cum.agg(
+        min(when(col("cum") * 3 >= col("n"), col("s"))).as("c1v"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("s"))).as("c2v"))
+      sc.crossJoin(broadcast(cuts))
+        .withColumn("bucket", when(col("s") <= col("c1v"), "head")
+          .when(col("s") <= col("c2v"), "middle").otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(s) div count(1)").as("avg_nll_e3"))
+        .orderBy("lang", "bucket")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1655,5 +1726,48 @@ object TextQueries {
         |       FROM wts)
         |SELECT CAST(rank AS INTEGER) AS rank, doc_id, lang, n_tok, weight
         |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // t27: full CCNet replica — same lm1:/lm2:-salted 4096-bucket
+    // censuses over the en bigram stream, same 64-offset bitlen
+    // surrogate, same histogram-derived tercile cutoffs.
+    "t27_lm_perplexity" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        | p AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT)+1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        | h AS (
+        |  SELECT doc_id, lang,
+        |    ${graft.operators.Sampling.portableGateSql(
+             "'lm1:' || split_part(bg, ' ', 1)")} % 4096 AS b1,
+        |    ${graft.operators.Sampling.portableGateSql(
+             "'lm2:' || bg")} % 4096 AS b2,
+        |    lang = 'en' AS is_t
+        |  FROM p),
+        | c1 AS (SELECT b1, count(*) AS c FROM h WHERE is_t GROUP BY 1),
+        | c2 AS (SELECT b2, count(*) AS c FROM h WHERE is_t GROUP BY 1),
+        | ds AS (
+        |  SELECT h.doc_id, h.lang,
+        |    CAST(sum(64 + length(bin(coalesce(c1.c, 0) + 1))
+        |               - length(bin(coalesce(c2.c, 0) + 1))) AS BIGINT) AS nll,
+        |    count(*) AS n_pairs
+        |  FROM h LEFT JOIN c1 USING (b1) LEFT JOIN c2 USING (b2)
+        |  GROUP BY 1, 2),
+        | sc AS (SELECT doc_id, lang, (nll * 1000) // n_pairs AS s FROM ds),
+        | hist AS (SELECT s, count(*) AS c FROM sc GROUP BY 1),
+        | cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum,
+        |           (SELECT count(*) FROM sc) AS n FROM hist),
+        | cuts AS (SELECT min(CASE WHEN cum*3 >= n THEN s END) AS c1v,
+        |                 min(CASE WHEN cum*3 >= 2*n THEN s END) AS c2v FROM cum)
+        |SELECT lang,
+        |  CASE WHEN s <= c1v THEN 'head'
+        |       WHEN s <= c2v THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(s) AS BIGINT) // count(*) AS avg_nll_e3
+        |FROM sc, cuts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

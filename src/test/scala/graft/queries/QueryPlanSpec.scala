@@ -226,6 +226,26 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("t27: the bigram censuses combine map-side and join the pair " +
+      "stream by broadcast (the corpus is scored without shuffling); " +
+      "cutoffs ride 1-row broadcast frames — no cartesian, no " +
+      "corpus-wide sort-merge join") {
+    val plan = planOf("t27_lm_perplexity")
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("m06: the single-vs-doubled comparison joins two n_sources-row " +
+      "aggregates — the build side is pinned by hint so AQE's " +
+      "byte-size jitter cannot flip BuildLeft/BuildRight between runs") {
+    val plan = planOf("m06_decode_stability")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q41: salted agg runs two aggregate stages, salt never reaches output") {
     val plan = planOf("q41_salted_agg")
     // partial+final for each of the two groupBys
