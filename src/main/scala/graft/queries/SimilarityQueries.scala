@@ -888,6 +888,67 @@ object SimilarityQueries {
           RelationalQueries.rnd(col("rrf"), 6).as("rrf"))
         .orderBy("rank")
     }),
+
+    /** The nprobe tuning sweep — the recall-vs-cost CURVE an operator
+      * reads before fixing an IVF index's probe width, extending s10's
+      * single-point recall@k to nprobe ∈ {1, 2, 4}. For each setting
+      * the approximate side is the SAME shared
+      * [[graft.operators.CentroidBuild.ivfCandidates]] pipeline s04
+      * serves and s10 certifies (drift-proof by construction), and the
+      * published row carries both axes of the trade: `n_cand` (corpus
+      * vectors actually scored — the cost, growing ~linearly with
+      * nprobe) and `recall_at_k` against the once-computed brute-force
+      * truth (non-decreasing in nprobe: more probed lists only ever
+      * ADD candidates). Truth costs one brute pass over the fixed
+      * 3-query sample (the s10 evaluation economics); each sweep point
+      * re-probes with broadcast centroids and scores only its
+      * candidate lists. Every stage is portable rnd6 math, so the
+      * whole 9-row curve hash-matches the DuckDB replica. At 100 TB:
+      * sweep cost = Σ nprobe/K of one corpus scan — the evaluation
+      * stays a sampled-query audit, never an all-pairs pass. */
+    "s17_nprobe_sweep" -> ((s, d) => {
+      val K = 10
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      val truthScored = emb
+        .join(broadcast(queriesDf), col("q_id") =!= col("vec_id"))
+        .withColumn("c6",
+          RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+      val wT = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+      val truth = truthScored.withColumn("rn", row_number().over(wT))
+        .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
+      val centroids = graft.operators.CentroidBuild.centroids(
+        Tables.embeddings(s, d)
+          .select(col("label"), embD(col("embedding")).as("vec")),
+        col("label"), col("vec"))
+      val perProbe = Seq(1, 2, 4).map { np =>
+        val cand = graft.operators.CentroidBuild.ivfCandidates(
+          emb, centroids, col("vec_id") < 3, np)
+        val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+        val scored = cand.withColumn("c6",
+          RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+        val wA = Window.partitionBy("q_id")
+          .orderBy(col("c6").desc, col("vec_id"))
+        val approx = scored.withColumn("rn", row_number().over(wA))
+          .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
+        val hits = truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+        truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+          .join(broadcast(nCand), Seq("q_id"), "left")
+          .join(broadcast(hits), Seq("q_id"), "left")
+          .withColumn("nprobe", lit(np))
+      }
+      perProbe.reduce(_ unionByName _)
+        .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_at_k", RelationalQueries.rnd(
+          col("n_hit").cast("double") / col("n_truth"), 4))
+        .select("nprobe", "q_id", "n_cand", "n_truth", "n_hit",
+          "recall_at_k")
+        .orderBy("nprobe", "q_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1132,6 +1193,82 @@ object SimilarityQueries {
         |        *10000+0.5)/10000 AS recall_at_k
         |FROM truth t LEFT JOIN hits h ON h.q_id = t.q_id
         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
+
+    // s17: the s10 replica swept over nprobe ∈ {1,2,4} — shared truth/
+    // assignment CTEs, one candidate/approx/hits branch per setting,
+    // UNION ALL of the three curve segments.
+    "s17_nprobe_sweep" -> {
+      def branch(np: Int): String =
+        s"""cand$np AS (
+          |  SELECT p.q_id, a.vec_id FROM assign a
+          |  JOIN (SELECT q_id, cl_id FROM pr WHERE rn <= $np) p USING (cl_id)
+          |  WHERE a.vec_id <> p.q_id),
+          | ncand$np AS (SELECT q_id, count(*) AS n_cand FROM cand$np GROUP BY 1),
+          | ascored$np AS (
+          |  SELECT c.q_id, c.vec_id AS n_id,
+          |    floor((list_cosine_similarity(qe.vec, ne.vec))*1000000+0.5)/1000000
+          |      AS c6
+          |  FROM cand$np c
+          |  JOIN e qe ON qe.vec_id = c.q_id
+          |  JOIN e ne ON ne.vec_id = c.vec_id),
+          | approx$np AS (SELECT q_id, n_id FROM (
+          |    SELECT q_id, n_id, row_number()
+          |      OVER (PARTITION BY q_id ORDER BY c6 DESC, n_id) AS rn
+          |    FROM ascored$np) WHERE rn <= 10),
+          | hits$np AS (SELECT t.q_id, count(*) AS n_hit FROM truth t
+          |          JOIN approx$np a ON a.q_id = t.q_id AND a.n_id = t.vec_id
+          |          GROUP BY 1)""".stripMargin
+      def seg(np: Int): String =
+        s"""SELECT $np AS nprobe, t.q_id,
+          |  CAST(coalesce(max(n.n_cand), 0) AS BIGINT) AS n_cand,
+          |  count(*) AS n_truth,
+          |  CAST(coalesce(max(h.n_hit), 0) AS BIGINT) AS n_hit,
+          |  floor((CAST(coalesce(max(h.n_hit), 0) AS DOUBLE) / count(*))
+          |        *10000+0.5)/10000 AS recall_at_k
+          |FROM truth t
+          |LEFT JOIN ncand$np n ON n.q_id = t.q_id
+          |LEFT JOIN hits$np h ON h.q_id = t.q_id
+          |GROUP BY t.q_id""".stripMargin
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3),
+        | tscored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id,
+        |    floor((list_cosine_similarity(q.q_vec, e.vec))*1000000+0.5)/1000000
+        |      AS c6
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        | truth AS (SELECT q_id, n_id AS vec_id FROM (
+        |    SELECT q_id, n_id, row_number()
+        |      OVER (PARTITION BY q_id ORDER BY c6 DESC, n_id) AS rn
+        |    FROM tscored) WHERE rn <= 10),
+        | cex AS (SELECT label AS cl_id, unnest(vec) AS v,
+        |                generate_subscripts(vec, 1) AS i FROM e),
+        | cel AS (SELECT cl_id, i, floor((avg(v))*1000000+0.5)/1000000 AS m
+        |         FROM cex GROUP BY cl_id, i),
+        | cen AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM cel GROUP BY cl_id),
+        | sims AS (
+        |  SELECT e.vec_id, cen.cl_id,
+        |    floor((list_cosine_similarity(e.vec, cen.cvec))*1000000+0.5)/1000000
+        |      AS csim
+        |  FROM e CROSS JOIN cen),
+        | assign AS (
+        |  SELECT vec_id, cl_id FROM (
+        |    SELECT vec_id, cl_id, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |    FROM sims) WHERE rn = 1),
+        | pr AS (
+        |  SELECT vec_id AS q_id, cl_id, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |  FROM sims WHERE vec_id < 3),
+        | ${branch(1)},
+        | ${branch(2)},
+        | ${branch(4)}
+        |${seg(1)}
+        |UNION ALL
+        |${seg(2)}
+        |UNION ALL
+        |${seg(4)}
+        |ORDER BY nprobe, q_id""".stripMargin
+    },
 
     // s06: same absmax scale, floor-round quantizer, and ascending-index
     // error dot (list_inner_product matches ArrayDot's accumulation

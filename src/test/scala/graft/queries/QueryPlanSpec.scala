@@ -86,6 +86,16 @@ class QueryPlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
   }
 
+  test("s17: each sweep point keeps the shared probe pipeline's shape " +
+      "(broadcast centroids/probes/queries, no cartesian) — three " +
+      "consumers of ivfCandidates in one plan") {
+    val plan = planOf("s17_nprobe_sweep")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // 3 sweep points × (probe-list + query-vector) broadcast equi-joins
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 6, plan.take(3000))
+  }
+
   test("s11: IVF-PQ's small sides (centroids, codebook, probes, LUT) all " +
       "broadcast — no cartesian, no shuffled corpus join anywhere") {
     val plan = planOf("s11_ivfpq_adc")
