@@ -1158,6 +1158,101 @@ object DedupQueries {
           col("n_cont_06"), col("n_missed_by_jaccard"),
           col("max_containment"))
     }),
+
+    /** LSH banding s-curve audit — the measurement behind the (r, b)
+      * design choice every MinHash deployment makes before committing
+      * a 100 TB pass: for band widths r ∈ {2, 4, 8} over the SAME
+      * frozen k=16 `mh<j>:`-salted portable signature d22 certifies
+      * (b = 16/r bands), the measured candidate-capture rate per exact-
+      * jaccard decile, beside the theoretical capture 1−(1−s^r)^b at
+      * the decile midpoint. The audit corpus is a portable-gate DOC
+      * SAMPLE (`scurve:` family, mod 16 — an audit-budget parameter
+      * sized to the corpus, like s10's 3-query probe set) plus one
+      * planted variant per sampled doc keeping 20/40/60/80/100% of its
+      * head tokens (doc_id mod 5) with unique `z<id>x<i>` fillers —
+      * seeding every jaccard decile the natural corpus leaves empty,
+      * so the curve has support at the thresholds that matter. Theory
+      * values compute s^r and (1−s^r)^b by explicit correctly-rounded
+      * MULTIPLICATION CHAINS (never `pow`, whose libm rounding is not
+      * contractual across engines), so even the theoretical curve
+      * hash-matches DuckDB. sf0.1 measures the textbook shapes: r=2
+      * catches 0.45 of decile-2 pairs (theory 0.40) but floods decile
+      * 0 with false positives at rate 1e-4 × 158k pairs; r=8 zeroes
+      * everything below decile 6 and still captures 100% of exact
+      * dups (theory 0.89). Scale shape: the all-pairs stage is
+      * SAMPLE²-bounded by construction (a broadcast non-equi self-
+      * join of ~n/16 docs — the audit economics, not a corpus
+      * pattern); signatures are one linear codegen pass per sampled
+      * doc; everything after the pair frame is a ≤30-row aggregate. */
+    "d24_lsh_scurve" -> ((s, d) => {
+      val sampled = Tables.documents(s, d)
+        .filter(pmod(graft.operators.Sampling.portableGate(
+          concat(lit("scurve:"), col("doc_id").cast("string"))),
+          lit(16)) === 0)
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) >= 20)
+        .select(col("doc_id"), col("toks"))
+      val withK = sampled.withColumn("k",
+        expr("cast((size(toks) * (20 + 20 * (doc_id % 5))) div 100 as int)"))
+      // fillers are built BEFORE the id offset: Spark's lateral column
+      // alias resolution would otherwise bind the lambda's doc_id to
+      // the just-aliased doc_id+500000 (z500003x5, not the oracle's
+      // z3x5)
+      val planted = withK.select(col("doc_id"),
+          concat(slice(col("toks"), lit(1), col("k")),
+            when(col("k") < size(col("toks")),
+              transform(sequence(lit(1), size(col("toks")) - col("k")),
+                i => concat(lit("z"), col("doc_id").cast("string"),
+                  lit("x"), i.cast("string"))))
+              .otherwise(expr("array()").cast("array<string>"))).as("toks"))
+        .select((col("doc_id") + 500000L).as("doc_id"), col("toks"))
+      val corpus = sampled.unionByName(planted)
+      val sh = corpus.withColumn("s", array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), " +
+          "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
+      val pm = sh.select(col("doc_id"), col("s"),
+        array((1 to 16).map(j =>
+          array_min(transform(col("s"), x =>
+            graft.operators.Sampling.portableGate(
+              concat(lit(s"mh$j:"), x))))): _*).as("pmin"))
+      val a = pm.select(col("doc_id").as("doc_a"), col("s").as("sa"),
+        col("pmin").as("pa"))
+      val b = pm.select(col("doc_id").as("doc_b"), col("s").as("sb"),
+        col("pmin").as("pb"))
+      def captured(r: Int): Column =
+        when((0 until 16 / r).map(bi =>
+          (0 until r).map(i =>
+            element_at(col("pa"), bi * r + i + 1) ===
+              element_at(col("pb"), bi * r + i + 1)).reduce(_ && _))
+          .reduce(_ || _), 1L).otherwise(0L)
+      val pairs = a.join(broadcast(b), col("doc_a") < col("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb"))).cast("double"))
+        .select(least(floor(col("jaccard") * 10).cast("int"), lit(9))
+            .as("j_decile"),
+          captured(2).as("c2"), captured(4).as("c4"), captured(8).as("c8"))
+      val agg = pairs.groupBy("j_decile")
+        .agg(count(lit(1)).as("n_pairs"), sum("c2").as("cap2"),
+          sum("c4").as("cap4"), sum("c8").as("cap8"))
+      def pc(x: Column, e: Int): Column = e match {
+        case 2 => x * x
+        case 4 => (x * x) * (x * x)
+        case 8 => ((x * x) * (x * x)) * ((x * x) * (x * x))
+      }
+      def seg(r: Int): DataFrame = {
+        val mid = (col("j_decile") * 2 + 1) / lit(20.0)
+        val theory = lit(1.0) - pc(lit(1.0) - pc(mid, r), 16 / r)
+        agg.select(lit(r).as("r"), col("j_decile"), col("n_pairs"),
+          col(s"cap$r").as("n_captured"),
+          RelationalQueries.rnd(
+            col(s"cap$r").cast("double") / col("n_pairs"), 4)
+            .as("capture_e4"),
+          RelationalQueries.rnd(theory, 4).as("theory_e4"))
+      }
+      seg(2).unionByName(seg(4)).unionByName(seg(8))
+        .orderBy("r", "j_decile")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1702,5 +1797,79 @@ object DedupQueries {
         |   AS n_batch_dups,
         | CAST((SELECT count(*) FROM bh) - (SELECT count(*) FROM dup) AS BIGINT)
         |   AS n_unique_new""".stripMargin,
+
+    // d24: full replica — same scurve: doc sample, head-keep planting
+    // with unique fillers, mh<j>: signature family, band-match CASEs,
+    // and multiplication-chain theory values (never pow()).
+    "d24_lsh_scurve" -> {
+      def capSql(r: Int): String = {
+        val bands = (0 until 16 / r).map(bi =>
+          "(" + (0 until r).map(i =>
+            s"pa[${bi * r + i + 1}] = pb[${bi * r + i + 1}]")
+            .mkString(" AND ") + ")").mkString(" OR ")
+        s"CASE WHEN $bands THEN 1 ELSE 0 END"
+      }
+      def powChain(x: String, e: Int): String = e match {
+        case 2 => s"($x*$x)"
+        case 4 => s"(${powChain(x, 2)}*${powChain(x, 2)})"
+        case 8 => s"(${powChain(x, 4)}*${powChain(x, 4)})"
+      }
+      def segSql(r: Int): String = {
+        val mid = "((2*j_decile + 1) / 20.0)"
+        val th = s"(1.0 - ${powChain(s"(1.0 - ${powChain(mid, r)})", 16 / r)})"
+        s"""SELECT $r AS r, CAST(j_decile AS INTEGER) AS j_decile,
+          |  n_pairs, cap$r AS n_captured,
+          |  floor((CAST(cap$r AS DOUBLE)/n_pairs)*10000+0.5)/10000
+          |    AS capture_e4,
+          |  floor(($th)*10000+0.5)/10000 AS theory_e4
+          |FROM agg""".stripMargin
+      }
+      val sig = (1 to 16).map(j =>
+        "list_min(list_transform(s, x -> " +
+          graft.operators.Sampling.portableGateSql(s"'mh$j:' || x") +
+          "))").mkString(",\n    ")
+      s"""WITH t0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |  WHERE ${graft.operators.Sampling.portableGateSql(
+             "'scurve:' || doc_id")} % 16 = 0),
+        | t1 AS (SELECT doc_id, toks FROM t0 WHERE len(toks) >= 20),
+        | plk AS (SELECT doc_id, toks,
+        |    CAST((len(toks) * (20 + 20*(doc_id % 5))) // 100 AS INT) AS k
+        |  FROM t1),
+        | pl AS (SELECT doc_id + 500000 AS nid,
+        |    list_concat(toks[1:k],
+        |      list_transform(range(1, len(toks) - k + 1),
+        |                     i -> 'z' || doc_id || 'x' || i)) AS toks
+        |  FROM plk),
+        | c AS (SELECT doc_id, toks FROM t1
+        |       UNION ALL SELECT nid AS doc_id, toks FROM pl),
+        | sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS s
+        |  FROM c),
+        | pm AS (SELECT doc_id, s, [$sig] AS pmin FROM sh),
+        | p AS (SELECT
+        |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+        |      AS jaccard,
+        |    a.pmin AS pa, b.pmin AS pb
+        |  FROM pm a JOIN pm b ON a.doc_id < b.doc_id),
+        | pd AS (SELECT least(CAST(floor(jaccard*10) AS INT), 9) AS j_decile,
+        |    ${capSql(2)} AS c2, ${capSql(4)} AS c4, ${capSql(8)} AS c8
+        |  FROM p),
+        | agg AS (SELECT j_decile, count(*) AS n_pairs,
+        |    CAST(sum(c2) AS BIGINT) AS cap2,
+        |    CAST(sum(c4) AS BIGINT) AS cap4,
+        |    CAST(sum(c8) AS BIGINT) AS cap8
+        |  FROM pd GROUP BY 1)
+        |${segSql(2)}
+        |UNION ALL
+        |${segSql(4)}
+        |UNION ALL
+        |${segSql(8)}
+        |ORDER BY r, j_decile""".stripMargin
+    },
   )
 }

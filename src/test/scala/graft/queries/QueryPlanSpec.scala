@@ -256,6 +256,15 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("d24: the s-curve audit's all-pairs stage is a broadcast " +
+      "non-equi self-join of the bounded doc SAMPLE — never a " +
+      "cartesian shuffle, never a corpus-sized join") {
+    val plan = planOf("d24_lsh_scurve")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("q41: salted agg runs two aggregate stages, salt never reaches output") {
     val plan = planOf("q41_salted_agg")
     // partial+final for each of the two groupBys
