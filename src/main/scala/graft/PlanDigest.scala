@@ -73,7 +73,11 @@ object PlanDigest {
       .replaceAll("(?m)^Arguments: \\d+$", "Arguments: x")
       .replaceAll("/tmp/\\S+", "/tmp/x")
       .replaceAll("file:\\S+", "file:x")
-      .replaceAll("\\bx_\\d+#x", "x_n#x")
+      // lambda variables are named by their source-side parameter (x,
+      // y, z for Column-API lambdas; whatever letter an expr() SQL
+      // lambda used), all drawing the same global counter — blank the
+      // counter for ANY single-letter lambda name, not just x
+      .replaceAll("\\b([a-z])_\\d+#x", "$1_n#x")
       .replaceAll("\\(gid#x = \\d+\\)", "(gid#x = x)")
       // localCheckpoint scans print the JVM-GLOBAL RDD id
       // (`MapPartitionsRDD[1455] at localCheckpoint at ...`); any

@@ -111,6 +111,24 @@ class PlanDigestSpec extends AnyFunSuite {
           "double), lambda x_125#9, false)) AS vec#2, vec_id#3]"))
   }
 
+  test("normalize blanks lambda counters for EVERY single-letter name — " +
+      "zip_with's second variable is y_N, expr() lambdas use whatever " +
+      "letter the source wrote (i, q, ...), all on the same global " +
+      "counter (seen flipping s02/s05/m02 when d24 joined the roster)") {
+    assert(PlanDigest.normalize(
+        "Arguments: zip_with(a#1, b#2, lambdafunction((lambda x_41#7 * " +
+          "lambda y_41#8), lambda x_41#7, lambda y_41#8, false))") ==
+      PlanDigest.normalize(
+        "Arguments: zip_with(a#1, b#2, lambdafunction((lambda x_9#3 * " +
+          "lambda y_9#4), lambda x_9#3, lambda y_9#4, false))"))
+    assert(PlanDigest.normalize("transform(t#1, lambda i_77#5)") ==
+      PlanDigest.normalize("transform(t#1, lambda i_3#9)"))
+    // real column names keep their identity: only single-letter
+    // prefixes are lambda variables
+    assert(PlanDigest.normalize("sum_w_single#3") ==
+      "sum_w_single#x")
+  }
+
   test("normalize blanks RDD ids in localCheckpoint scans (the id is a " +
       "JVM-global counter — any earlier query spawning one extra RDD " +
       "shifts it)") {
