@@ -559,6 +559,51 @@ object EventQueries {
       out.select(col("day"), col("n_admitted")).orderBy("day")
     }),
 
+    /** Last-touch attribution — the event-analytics join that credits
+      * each conversion (`purchase`) to the user's most recent prior
+      * `click`, bucketed by attribution latency. The classic
+      * formulation is a per-conversion point-in-time lookup (an as-of
+      * self-join); the scalable formulation used here is the e01/e02
+      * shape: ONE shuffle on user_id, then a linear running
+      * `max(click_ts)` window pass over each user's timeline with a
+      * strictly-preceding ROWS frame — no self-join, no range
+      * explosion, no per-key driver state, so the pass costs the same
+      * as sessionization at any event volume. Determinism: the
+      * timeline orders by (ts_ns, event_id) — the ns timestamps are
+      * integers and the frame is rows-based, so a click and a purchase
+      * in the same nanosecond resolve by event id identically in both
+      * engines. Latencies are exact integer ns diffs floored to ms
+      * before any double math; bucket edges are integer compares.
+      * Unattributed purchases (no prior click, or the last click is
+      * older than the 2 h window) surface as their own buckets rather
+      * than silently vanishing — the accounting a marketing pipeline
+      * publishes must sum to the conversion total. */
+    "e16_attribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withClick = Tables.events(s, d)
+        .withColumn("click_ns",
+          max(when(col("event_type") === "click", col("ts_ns"))).over(w))
+      val minute = 60L * 1000000000L
+      val purch = withClick.filter(col("event_type") === "purchase")
+        .withColumn("lat_ns", col("ts_ns") - col("click_ns"))
+        .withColumn("lat_ms", expr("(ts_ns - click_ns) div 1000000"))
+        .withColumn("bucket",
+          when(col("click_ns").isNull, "no_prior_click")
+            .when(col("lat_ns") <= minute, "a_within_1m")
+            .when(col("lat_ns") <= 60L * minute, "b_within_1h")
+            .when(col("lat_ns") <= 120L * minute, "c_within_2h")
+            .otherwise("expired"))
+      purch.groupBy("bucket")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct("user_id").as("n_users"),
+          RelationalQueries.rnd(sum("value"), 4).as("revenue"),
+          coalesce(RelationalQueries.rnd(avg("lat_ms") / 1000.0, 4),
+            lit(-1.0)).as("avg_lat_sec"))
+        .orderBy("bucket")
+    }),
+
     /** Native session-window streaming sessionization — the built-in
       * `session_window` aggregation beside e04's hand-rolled
       * flatMapGroupsWithState: same 1-hour-gap semantics, but state
@@ -1084,6 +1129,32 @@ object EventQueries {
         |  FROM events)
         |SELECT day, count(*) AS n_admitted FROM g
         |WHERE is_late = 0 GROUP BY day ORDER BY day""".stripMargin,
+
+    // e16: identical strictly-preceding ROWS frame and (ns, event_id)
+    // ordering; latency is integer-ns, floored to ms before any double.
+    "e16_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value, epoch_ns(ts) AS tns
+        |  FROM events),
+        | wc AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click' THEN tns END)
+        |    OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ns
+        |  FROM e),
+        | p AS (
+        |  SELECT user_id, value, (tns - click_ns) // 1000000 AS lat_ms,
+        |    CASE WHEN click_ns IS NULL THEN 'no_prior_click'
+        |         WHEN tns - click_ns <= 60000000000 THEN 'a_within_1m'
+        |         WHEN tns - click_ns <= 3600000000000 THEN 'b_within_1h'
+        |         WHEN tns - click_ns <= 7200000000000 THEN 'c_within_2h'
+        |         ELSE 'expired' END AS bucket
+        |  FROM wc WHERE event_type = 'purchase')
+        |SELECT bucket, count(*) AS n_purchases,
+        | count(DISTINCT user_id) AS n_users,
+        | floor((sum(value))*10000+0.5)/10000 AS revenue,
+        | coalesce(floor((avg(lat_ms) / 1000.0)*10000+0.5)/10000, -1.0)
+        |   AS avg_lat_sec
+        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // e05: the doubled replay must collapse back to the original table
     // — the oracle aggregates the ORIGINAL events, never the doubling.
