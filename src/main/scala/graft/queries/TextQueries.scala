@@ -35,6 +35,9 @@ object TextQueries {
     * data-dependent Σ (see the t18 scaladoc for the IEEE argument). */
   val TempMixC = 50.0
 
+  /** t28 dedup chunk width (tokens, non-overlapping). */
+  val ChunkDedupW = 16
+
   /** Whitespace tokens, Go-/DuckDB-compatible splitting (consecutive
     * separators produce empty tokens in both engines; filtered out). */
   private def tokens: Column =
@@ -1068,6 +1071,61 @@ object TextQueries {
           expr("sum(s) div count(1)").as("avg_nll_e3"))
         .orderBy("lang", "bucket")
     }),
+
+    /** Global chunk-level dedup with the KEEP-ONE policy of Lee et al.
+      * 2022 (ExactSubstr removes every duplicated span but leaves one
+      * occurrence in the corpus) at fixed [[ChunkDedupW]]-token
+      * granularity — the third chunk-dedup policy in the roster, and a
+      * different operator from both: t17 drops EVERY copy of
+      * high-doc-frequency chunks (boilerplate has no keeper), d14
+      * MASKS every occurrence of cross-doc grams (span accounting, no
+      * keeper either). Here each distinct chunk keeps exactly its
+      * first occurrence in canonical (doc_id, position) order and
+      * sheds the rest, which preserves one copy of rare duplicated
+      * content instead of deleting it from the dataset.
+      *
+      * Scale shape: one explode → a keep-first row_number window
+      * PARTITIONED BY THE CHUNK HASH — cardinality ≈ corpus chunks,
+      * uniformly distributed, partitions the size of each chunk's
+      * multiplicity, so there is no low-cardinality window funnel to
+      * salt (contrast t23, where the window key was 20 sources) —
+      * then one source-keyed aggregate that map-side-combines the
+      * exploded volume. The keep rule is a pure function of
+      * (hash, doc_id, position): no driver state, stable under
+      * re-partitioning, and a corpus APPEND can only demote new
+      * chunks (earlier occurrences keep winning) — the incremental
+      * property a standing-corpus dedup needs. Retained fraction is
+      * int/int division; the kept-set checksum is the t24
+      * order-independent gate-sum, so the SELECTION (not just its
+      * counts) is hash-verified. */
+    "t28_chunk_dedup" -> ((s, d) => {
+      val W = ChunkDedupW
+      val docs = Tables.documents(s, d)
+        .withColumn("tk", tokens)
+        .withColumn("n", size(col("tk")))
+        .filter(col("n") > 0)
+      val chunks = docs
+        .withColumn("j", explode(sequence(lit(0),
+          ceil(col("n").cast("double") / W).cast("int") - 1)))
+        .select(col("source"), col("doc_id"), col("j"),
+          least(lit(W), col("n") - col("j") * W).as("chunk_len"),
+          md5(concat_ws(" ", expr(s"slice(tk, j * $W + 1, $W)"))).as("h"))
+      val wKeep = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id", "j")
+      val flagged = chunks.withColumn("rn", row_number().over(wKeep))
+      val keptTok = sum(when(col("rn") === 1, col("chunk_len")).otherwise(0L))
+      flagged.groupBy("source").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum("chunk_len").as("tokens_total"),
+          keptTok.as("tokens_kept"),
+          rnd(keptTok.cast("double") / sum("chunk_len"), 4)
+            .as("retained_frac"),
+          sum(when(col("rn") === 1,
+            graft.operators.Sampling.portableGate(col("h"))).otherwise(0L))
+            .as("kept_chk"))
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1577,6 +1635,46 @@ object TextQueries {
         | count(DISTINCT chunk_md5) AS n_distinct_chunks,
         | floor((avg(chunk_len))*10000+0.5)/10000 AS avg_chunk_len
         |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t28: identical non-overlapping chunking, md5 fingerprints, and
+    // keep-first (doc_id, j) window; checksum = portable gate sum over
+    // the kept set (order-independent, like t24).
+    "t28_chunk_dedup" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | m AS (SELECT doc_id, source, tk, len(tk) AS n FROM t
+        |       WHERE len(tk) > 0),
+        | st AS (
+        |  SELECT doc_id, source, tk, n,
+        |    unnest(range(0, CAST(ceil(n / ${ChunkDedupW.toDouble}) AS BIGINT)))
+        |      AS j
+        |  FROM m),
+        | ch AS (
+        |  SELECT source, doc_id, j,
+        |    least($ChunkDedupW, n - j * $ChunkDedupW) AS chunk_len,
+        |    md5(array_to_string(list_slice(tk, j * $ChunkDedupW + 1,
+        |                                   j * $ChunkDedupW + $ChunkDedupW),
+        |                        ' ')) AS h
+        |  FROM st),
+        | k AS (
+        |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, j)
+        |    AS rn
+        |  FROM ch)
+        |SELECT source, count(*) AS n_chunks,
+        | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_chunks,
+        | CAST(sum(chunk_len) AS BIGINT) AS tokens_total,
+        | CAST(sum(CASE WHEN rn = 1 THEN chunk_len ELSE 0 END) AS BIGINT)
+        |   AS tokens_kept,
+        | floor((CAST(sum(CASE WHEN rn = 1 THEN chunk_len ELSE 0 END)
+        |             AS DOUBLE) / sum(chunk_len))*10000+0.5)/10000
+        |   AS retained_frac,
+        | CAST(sum(CASE WHEN rn = 1
+        |   THEN ${graft.operators.Sampling.portableGateSql("h")}
+        |   ELSE 0 END) AS BIGINT) AS kept_chk
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     // t10: BM25-form idf — rational arithmetic only, so scores are
     // bit-identical across engines (ln() is libm-dependent and is
