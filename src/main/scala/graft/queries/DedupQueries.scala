@@ -779,6 +779,45 @@ object DedupQueries {
           sum("ntok").as("tokens_kept")))
     }),
 
+    /** Soft dedup — duplicate DOWNWEIGHTING instead of removal (the
+      * SoftDeDup reweighting of Xue et al., ACL 2024: hard removal
+      * throws away the signal that popular content is popular; keeping
+      * every copy at sampling weight 1/cluster_size preserves the
+      * corpus while flattening the duplication bias). Third consumer
+      * of the shared [[d09Labels]] component build beside d09 (census)
+      * and d17 (hard prune): cluster sizes come from one aggregate
+      * over the label table, each doc's weight is 1/size (singletons
+      * 1), and the published accounting is the EFFECTIVE dataset size
+      * — Σ weights over docs and Σ weight·tokens — the number a
+      * sampling-based trainer actually draws from. Weights are frozen
+      * to ⌊1e6/size⌋ micro-units before any sum, so every aggregate
+      * is exact int64 (order-independent, < 2^53 headroom up to 10¹²
+      * docs) — no double summation anywhere. Scale shape: one
+      * aggregate over labels + one doc_id-keyed equi join of the
+      * (clustered-subset-sized) weight table against the corpus; the
+      * corpus never self-joins. The oracle extends the shared
+      * [[DupGraphCteSql]] ground-truth graph with the same integer
+      * weight rule — effective sizes certified against an
+      * independently-built component structure. */
+    "d25_soft_dedup" -> ((s, d) => {
+      val corpus = d09Corpus(s, d).withColumn("ntok", size(toks))
+      val labels = d09Labels(s, d)
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+      val docSz = labels.join(sizes, "lbl")
+        .select(col("node").as("doc_id"), col("sz"))
+      val weighted = corpus.join(docSz, Seq("doc_id"), "left")
+        .withColumn("sz", coalesce(col("sz"), lit(1L)))
+        .withColumn("w_e6",
+          floor(lit(1000000.0) / col("sz")).cast("long"))
+      weighted.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_in_clusters"),
+        sum("ntok").as("raw_tokens"),
+        sum("w_e6").as("effective_docs_e6"),
+        sum(col("ntok") * col("w_e6")).as("effective_tokens_e6"),
+        max("sz").as("largest_cluster"))
+    }),
+
     "d04_ngram_jaccard" -> ((s, d) => {
       // char 5-gram Jaccard inside (lang, length-bucket) blocks, with
       // SIZE-CAPPED blocks: a web-scale corpus puts millions of docs in
@@ -1255,6 +1294,48 @@ object DedupQueries {
     }),
   )
 
+  /** Shared DuckDB ground-truth prefix for the d09 component family:
+    * the planted corpus (`c`, `t`), the brute-force jaccard edge set
+    * (`sh`, `p`, `e`, `n`), and recursive-CTE connected components
+    * (`reach`, `lab`). Interpolated (already margin-free) into the
+    * d09/d17/d25 oracles so the three consumers certify against the
+    * SAME independently-built graph by construction — the oracle-side
+    * mirror of the shared [[d09Labels]] build. */
+  private val DupGraphCteSql =
+    """ base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      | pl1 AS (
+      |  SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
+      |  FROM base WHERE doc_id < 40
+      |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
+      | pl2 AS (
+      |  SELECT doc_id + 200000 AS doc_id, text || ' graftdup graftdup2' AS text
+      |  FROM base WHERE doc_id < 20
+      |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
+      | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl1
+      |       UNION ALL SELECT * FROM pl2),
+      | t AS (SELECT doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |       FROM c),
+      | sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(range(1, len(tk) - 1),
+      |                        i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))
+      |    ELSE [array_to_string(tk, ' ')] END) AS s
+      |  FROM t),
+      | p AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+      |        >= 0.3),
+      | e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
+      | n AS (SELECT DISTINCT u AS node FROM e),
+      | reach AS (
+      |  SELECT node, node AS lbl FROM n
+      |  UNION
+      |  SELECT e.v AS node, r.lbl FROM reach r JOIN e ON e.u = r.node),
+      | lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // d10 replicates the whole capped blocking in DuckDB (fingerprint,
     // 12-char block key, portable md5 gate on the FULL fingerprint,
@@ -1626,42 +1707,13 @@ object DedupQueries {
     // d09: DuckDB rebuilds the identical jaccard edge set (portable
     // string shingles, double division on both engines) and resolves
     // components with a recursive CTE instead of label propagation —
-    // same graph, independent algorithm.
+    // same graph, independent algorithm. The corpus + edge + component
+    // CTE prefix is [[DupGraphCteSql]], shared with d17/d25 so the
+    // three consumers can never drift onto different ground-truth
+    // graphs.
     "d09_dup_clusters" ->
-      """WITH RECURSIVE
-        | base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-        | pl1 AS (
-        |  SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
-        |  FROM base WHERE doc_id < 40
-        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
-        | pl2 AS (
-        |  SELECT doc_id + 200000 AS doc_id, text || ' graftdup graftdup2' AS text
-        |  FROM base WHERE doc_id < 20
-        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
-        | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl1
-        |       UNION ALL SELECT * FROM pl2),
-        | t AS (SELECT doc_id,
-        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
-        |       FROM c),
-        | sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
-        |    THEN list_transform(range(1, len(tk) - 1),
-        |                        i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))
-        |    ELSE [array_to_string(tk, ' ')] END) AS s
-        |  FROM t),
-        | p AS (
-        |  SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
-        |        >= 0.3),
-        | e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
-        | n AS (SELECT DISTINCT u AS node FROM e),
-        | reach AS (
-        |  SELECT node, node AS lbl FROM n
-        |  UNION
-        |  SELECT e.v AS node, r.lbl FROM reach r JOIN e ON e.u = r.node),
-        | lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+      s"""WITH RECURSIVE
+        |$DupGraphCteSql,
         | cl AS (SELECT lbl, count(*) AS sz FROM lab GROUP BY lbl)
         |SELECT count(*) AS n_clusters,
         | CAST(sum(sz) AS BIGINT) AS n_clustered_docs,
@@ -1669,44 +1721,37 @@ object DedupQueries {
         | CAST(sum(sz - 1) AS BIGINT) AS n_dups_to_drop
         |FROM cl""".stripMargin,
 
-    // d17: the d09 recursive-CTE replica extended with the keeper rule
-    // (node = lbl) and token accounting — ground truth for the
-    // end-to-end prune, independent of the label-propagation code.
+    // d25: the shared ground-truth graph extended with the 1/size
+    // micro-unit weight rule — exact int64 effective-size accounting.
+    "d25_soft_dedup" ->
+      s"""WITH RECURSIVE
+        |$DupGraphCteSql,
+        | sz AS (SELECT lbl, count(*) AS sz FROM lab GROUP BY lbl),
+        | dsz AS (SELECT lab.node AS doc_id, sz.sz FROM lab
+        |         JOIN sz USING (lbl)),
+        | wt AS (
+        |  SELECT c.doc_id,
+        |    len(list_filter(string_split(c.text, ' '), x -> x <> ''))
+        |      AS ntok,
+        |    coalesce(dsz.sz, 1) AS sz,
+        |    CAST(floor(1000000.0 / coalesce(dsz.sz, 1)) AS BIGINT) AS w_e6
+        |  FROM c LEFT JOIN dsz USING (doc_id))
+        |SELECT count(*) AS n_docs,
+        | CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_in_clusters,
+        | CAST(sum(ntok) AS BIGINT) AS raw_tokens,
+        | CAST(sum(w_e6) AS BIGINT) AS effective_docs_e6,
+        | CAST(sum(ntok * w_e6) AS BIGINT) AS effective_tokens_e6,
+        | CAST(max(sz) AS BIGINT) AS largest_cluster
+        |FROM wt""".stripMargin,
+
+    // d17: the d09 recursive-CTE replica ([[DupGraphCteSql]]) extended
+    // with the keeper rule (node = lbl) and token accounting — ground
+    // truth for the end-to-end prune, independent of the
+    // label-propagation code.
     "d17_keeper_resolution" ->
-      """WITH RECURSIVE
-        | base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-        | pl1 AS (
-        |  SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
-        |  FROM base WHERE doc_id < 40
-        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
-        | pl2 AS (
-        |  SELECT doc_id + 200000 AS doc_id, text || ' graftdup graftdup2' AS text
-        |  FROM base WHERE doc_id < 20
-        |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
-        | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl1
-        |       UNION ALL SELECT * FROM pl2),
-        | t AS (SELECT doc_id,
-        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
-        |       FROM c),
-        | sh AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
-        |    THEN list_transform(range(1, len(tk) - 1),
-        |                        i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))
-        |    ELSE [array_to_string(tk, ' ')] END) AS s
-        |  FROM t),
-        | p AS (
-        |  SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
-        |        >= 0.3),
-        | e AS (SELECT u, v FROM p UNION ALL SELECT v AS u, u AS v FROM p),
-        | n AS (SELECT DISTINCT u AS node FROM e),
-        | reach AS (
-        |  SELECT node, node AS lbl FROM n
-        |  UNION
-        |  SELECT e.v AS node, r.lbl FROM reach r JOIN e ON e.u = r.node),
-        | lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+      s"""WITH RECURSIVE
+        |$DupGraphCteSql,
         | st AS (SELECT doc_id, len(tk) AS ntok FROM t),
         | drp AS (SELECT node AS doc_id FROM lab WHERE node <> lbl),
         | ds AS (SELECT st.ntok FROM st JOIN drp USING (doc_id)),
