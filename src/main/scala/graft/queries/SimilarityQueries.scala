@@ -133,6 +133,89 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Shared IVF-PQ ADC scoring pipeline — s11's index AND s18's recall
+    * audit consume this one code path (the s10/s04 sharing discipline:
+    * an evaluation that re-inlines its index can silently measure a
+    * different index). Returns (q_id, vec_id, adc_e6): every candidate
+    * whose home list is probed, scored by the integer 8-way ADC sum.
+    * See s11's scaladoc for the full design + scale story (everything
+    * small broadcasts; the corpus never shuffles to be assigned or
+    * encoded). */
+  private def pqAdcScored(s: SparkSession, d: String): DataFrame = {
+    val S = 8; val Dsub = 8; val K = 16; val nprobe = 3
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), embD(col("embedding")).as("vec"))
+    val cents = graft.operators.CentroidBuild.centroids(
+      Tables.embeddings(s, d)
+        .select(col("label"), embD(col("embedding")).as("vec")),
+      col("label"), col("vec"))
+    val sims = graft.operators.CentroidBuild.similarities(
+      emb, cents, "vec_id", "vec")
+    val assign = graft.operators.CentroidBuild.nearest(sims, "vec_id")
+    // residual = vec − home centroid (exact double subtraction of the
+    // rnd6 centroid — portable); the corpus-side join key is the
+    // broadcast assignment's cl_id
+    val resid = emb.join(assign, "vec_id")
+      .join(broadcast(cents.select("cl_id", "cvec")), "cl_id")
+      .select(col("vec_id"), col("cl_id"),
+        expr("zip_with(vec, cvec, (a, b) -> a - b)").as("rvec"))
+    // residual codebook: md5-seeded sample of 16 residuals (the s08
+    // no-refinement baseline; a production build runs s07's Lloyd
+    // loop per subspace on the same machinery)
+    val seeds = resid.withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h").limit(K)
+    val wSeed = Window.orderBy("h")
+    val seeded = seeds.select(row_number().over(wSeed).as("code"),
+      col("rvec"))
+    def subSlices(vecCol: String, outName: String) =
+      explode(array((0 until S).map(sp => struct(lit(sp).as("sp"),
+        expr(s"slice($vecCol, ${sp * Dsub} + 1, $Dsub)").as(outName))): _*))
+    val codebook = seeded
+      .select(col("code"), subSlices("rvec", "cvec").as("e"))
+      .select(col("e.sp"), col("code"), col("e.cvec"))
+    // encode every residual: argmin rnd6 subspace distance (ties →
+    // smaller code), 8 code rows per vector
+    val subs = resid
+      .select(col("vec_id"), col("cl_id"), subSlices("rvec", "sub").as("e"))
+      .select(col("vec_id"), col("cl_id"), col("e.sp"), col("e.sub"))
+    val wMin = Window.partitionBy("vec_id", "sp")
+      .orderBy(col("dist2").asc, col("code"))
+    val enc = subs.join(broadcast(codebook), "sp")
+      .withColumn("diff", expr("zip_with(sub, cvec, (a, b) -> a - b)"))
+      .withColumn("dist2", RelationalQueries.rnd(dot(col("diff"), col("diff")), 6))
+      .withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cl_id", "sp", "code")
+    // per-(query, probed list) ADC lookup table: the query's residual
+    // AGAINST THE PROBED CENTROID (not its home one) sliced per
+    // subspace vs every codebook entry — q·nprobe·S·K tiny rows
+    val probes = graft.operators.CentroidBuild.nearestK(
+        sims.filter(col("vec_id") < 3), "vec_id", nprobe)
+      .select(col("vec_id").as("q_id"), col("cl_id"))
+    val qresid = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("vec"))
+      .join(broadcast(probes), "q_id")
+      .join(broadcast(cents.select("cl_id", "cvec")), "cl_id")
+      .select(col("q_id"), col("cl_id"),
+        expr("zip_with(vec, cvec, (a, b) -> a - b)").as("qrvec"))
+    val lut = qresid
+      .select(col("q_id"), col("cl_id"), subSlices("qrvec", "qsub").as("e"))
+      .select(col("q_id"), col("cl_id"), col("e.sp"), col("e.qsub"))
+      .join(broadcast(codebook), "sp")
+      .withColumn("qdiff", expr("zip_with(qsub, cvec, (a, b) -> a - b)"))
+      .withColumn("d_e6", floor(RelationalQueries.rnd(
+        dot(col("qdiff"), col("qdiff")), 6) * 1e6 + 0.5).cast("long"))
+      .select("q_id", "cl_id", "sp", "code", "d_e6")
+    // ADC: candidates = code rows of vectors whose HOME list is
+    // probed; score = integer sum of the 8 LUT entries their codes
+    // select
+    enc.join(broadcast(probes), "cl_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "cl_id", "sp", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("d_e6").as("adc_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "s01_knn_brute" -> ((s, d) => {
@@ -599,85 +682,72 @@ object SimilarityQueries {
       * order), rank on (adc_e6 asc, vec_id) — the full composed
       * pipeline hash-matches the DuckDB replica. */
     "s11_ivfpq_adc" -> ((s, d) => {
-      val S = 8; val Dsub = 8; val K = 16; val nprobe = 3
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), embD(col("embedding")).as("vec"))
-      val cents = graft.operators.CentroidBuild.centroids(
-        Tables.embeddings(s, d)
-          .select(col("label"), embD(col("embedding")).as("vec")),
-        col("label"), col("vec"))
-      val sims = graft.operators.CentroidBuild.similarities(
-        emb, cents, "vec_id", "vec")
-      val assign = graft.operators.CentroidBuild.nearest(sims, "vec_id")
-      // residual = vec − home centroid (exact double subtraction of the
-      // rnd6 centroid — portable); the corpus-side join key is the
-      // broadcast assignment's cl_id
-      val resid = emb.join(assign, "vec_id")
-        .join(broadcast(cents.select("cl_id", "cvec")), "cl_id")
-        .select(col("vec_id"), col("cl_id"),
-          expr("zip_with(vec, cvec, (a, b) -> a - b)").as("rvec"))
-      // residual codebook: md5-seeded sample of 16 residuals (the s08
-      // no-refinement baseline; a production build runs s07's Lloyd
-      // loop per subspace on the same machinery)
-      val seeds = resid.withColumn("h", md5(col("vec_id").cast("string")))
-        .orderBy("h").limit(K)
-      val wSeed = Window.orderBy("h")
-      val seeded = seeds.select(row_number().over(wSeed).as("code"),
-        col("rvec"))
-      def subSlices(vecCol: String, outName: String) =
-        explode(array((0 until S).map(sp => struct(lit(sp).as("sp"),
-          expr(s"slice($vecCol, ${sp * Dsub} + 1, $Dsub)").as(outName))): _*))
-      val codebook = seeded
-        .select(col("code"), subSlices("rvec", "cvec").as("e"))
-        .select(col("e.sp"), col("code"), col("e.cvec"))
-      // encode every residual: argmin rnd6 subspace distance (ties →
-      // smaller code), 8 code rows per vector
-      val subs = resid
-        .select(col("vec_id"), col("cl_id"), subSlices("rvec", "sub").as("e"))
-        .select(col("vec_id"), col("cl_id"), col("e.sp"), col("e.sub"))
-      val wMin = Window.partitionBy("vec_id", "sp")
-        .orderBy(col("dist2").asc, col("code"))
-      val enc = subs.join(broadcast(codebook), "sp")
-        .withColumn("diff", expr("zip_with(sub, cvec, (a, b) -> a - b)"))
-        .withColumn("dist2", RelationalQueries.rnd(dot(col("diff"), col("diff")), 6))
-        .withColumn("rn", row_number().over(wMin))
-        .filter(col("rn") === 1)
-        .select("vec_id", "cl_id", "sp", "code")
-      // per-(query, probed list) ADC lookup table: the query's residual
-      // AGAINST THE PROBED CENTROID (not its home one) sliced per
-      // subspace vs every codebook entry — q·nprobe·S·K tiny rows
-      val probes = graft.operators.CentroidBuild.nearestK(
-          sims.filter(col("vec_id") < 3), "vec_id", nprobe)
-        .select(col("vec_id").as("q_id"), col("cl_id"))
-      val qresid = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("vec"))
-        .join(broadcast(probes), "q_id")
-        .join(broadcast(cents.select("cl_id", "cvec")), "cl_id")
-        .select(col("q_id"), col("cl_id"),
-          expr("zip_with(vec, cvec, (a, b) -> a - b)").as("qrvec"))
-      val lut = qresid
-        .select(col("q_id"), col("cl_id"), subSlices("qrvec", "qsub").as("e"))
-        .select(col("q_id"), col("cl_id"), col("e.sp"), col("e.qsub"))
-        .join(broadcast(codebook), "sp")
-        .withColumn("qdiff", expr("zip_with(qsub, cvec, (a, b) -> a - b)"))
-        .withColumn("d_e6", floor(RelationalQueries.rnd(
-          dot(col("qdiff"), col("qdiff")), 6) * 1e6 + 0.5).cast("long"))
-        .select("q_id", "cl_id", "sp", "code", "d_e6")
-      // ADC: candidates = code rows of vectors whose HOME list is
-      // probed; score = integer sum of the 8 LUT entries their codes
-      // select
-      val scored = enc.join(broadcast(probes), "cl_id")
-        .filter(col("q_id") =!= col("vec_id"))
-        .join(broadcast(lut), Seq("q_id", "cl_id", "sp", "code"))
-        .groupBy("q_id", "vec_id")
-        .agg(sum("d_e6").as("adc_e6"))
       val wTop = Window.partitionBy("q_id")
         .orderBy(col("adc_e6").asc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(wTop))
+      pqAdcScored(s, d).withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
           col("adc_e6"))
         .orderBy("q_id", "rank")
+    }),
+
+    /** PQ index-quality evaluation — recall@k of the s11 IVF-PQ ADC
+      * ranking against brute-force rnd6-cosine ground truth, closing
+      * the quality-measurement triad: s10 certifies the coarse IVF
+      * routing, s17 sweeps its nprobe knob, and this query measures
+      * what the PQ CODE COMPRESSION itself costs in recall — the
+      * number a deployment weighs against the 64× memory saving
+      * before shipping 8-byte codes. The approximate side IS s11's
+      * code path ([[pqAdcScored]], shared by construction — the s10
+      * discipline: an evaluation that re-inlines its index can
+      * silently measure a different index), so the published recall
+      * certifies exactly the index s11 serves. `n_cand` rides along
+      * (the probe-bounded candidate count, the cost axis): recall
+      * here is bounded by BOTH the coarse routing (a true neighbor
+      * outside every probed list is unreachable — s10's loss) and ADC
+      * rank inversions inside the candidate set (PQ's own loss), and
+      * the measurement shows the latter dominates: at sf0.01 ADC
+      * recall is 0.0–0.2 where s10's exact scoring of the SAME probe
+      * lists holds 0.4–0.6 — the md5-sampled 16-entry codebook with
+      * no Lloyd refinement (s08's baseline rule) quantizes too
+      * coarsely to preserve top-10 order, which is precisely the
+      * go/no-go signal this audit exists to surface (a production
+      * build would refine per-subspace codebooks and re-measure).
+      * Truth is one brute pass over the 3-probe
+      * sample (how production measures an index); the overlap is an
+      * id-only semi join of two k-row sets. Fully portable ⇒ the
+      * recall numbers hash-match the DuckDB replica (shared
+      * [[PqAdcCteSql]] prefix + independent truth) at all three SFs. */
+    "s18_pq_recall" -> ((s, d) => {
+      val K = 10
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      val truthScored = emb
+        .join(broadcast(queriesDf), col("q_id") =!= col("vec_id"))
+        .withColumn("c6",
+          RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+      val wT = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+      val truth = truthScored.withColumn("rn", row_number().over(wT))
+        .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
+      val scored = pqAdcScored(s, d)
+      val wA = Window.partitionBy("q_id")
+        .orderBy(col("adc_e6").asc, col("vec_id"))
+      val approx = scored.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
+      val nCand = scored.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+      val hits = truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+        .join(nCand, Seq("q_id"), "left")
+        .join(hits, Seq("q_id"), "left")
+        .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_at_k", RelationalQueries.rnd(
+          col("n_hit").cast("double") / col("n_truth"), 4))
+        .select("q_id", "n_truth", "n_cand", "n_hit", "recall_at_k")
+        .orderBy("q_id")
     }),
 
     /** Symmetric int8 scalar-quantized (SQ8) brute top-k — the other
@@ -950,6 +1020,83 @@ object SimilarityQueries {
         .orderBy("nprobe", "q_id")
     }),
   )
+
+  /** Shared DuckDB replica of the IVF-PQ ADC pipeline (corpus,
+    * rnd6 centroids, assignment, residuals, md5-seeded codebook,
+    * subspace encode, probes, integer LUT, ADC `scored`) —
+    * interpolated (already margin-free) into the s11 and s18 oracles
+    * so the index replica and the recall audit's replica are the same
+    * SQL by construction, mirroring the Spark-side [[pqAdcScored]]
+    * sharing. */
+  private val PqAdcCteSql =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+      | cex AS (SELECT label AS cl_id, unnest(vec) AS v,
+      |                generate_subscripts(vec, 1) AS i FROM e),
+      | cel AS (SELECT cl_id, i, floor((avg(v))*1000000+0.5)/1000000 AS m
+      |         FROM cex GROUP BY cl_id, i),
+      | cen AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM cel GROUP BY cl_id),
+      | sims AS (
+      |  SELECT e.vec_id, cen.cl_id,
+      |    floor((list_cosine_similarity(e.vec, cen.cvec))*1000000+0.5)/1000000
+      |      AS csim
+      |  FROM e CROSS JOIN cen),
+      | assign AS (
+      |  SELECT vec_id, cl_id FROM (
+      |    SELECT vec_id, cl_id, row_number()
+      |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+      |    FROM sims) WHERE rn = 1),
+      | resid AS (
+      |  SELECT e.vec_id, a.cl_id,
+      |    list_transform(range(1, 65), i -> e.vec[i] - c.cvec[i]) AS rvec
+      |  FROM e JOIN assign a ON a.vec_id = e.vec_id
+      |         JOIN cen c ON c.cl_id = a.cl_id),
+      | sd AS (SELECT rvec, row_number()
+      |          OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS code
+      |        FROM resid),
+      | sp AS (SELECT unnest(range(0, 8)) AS sp),
+      | cb AS (SELECT sp.sp, code,
+      |          list_slice(rvec, sp.sp * 8 + 1, sp.sp * 8 + 8) AS cvec
+      |        FROM sd CROSS JOIN sp WHERE code <= 16),
+      | sb AS (SELECT vec_id, cl_id, sp.sp,
+      |          list_slice(rvec, sp.sp * 8 + 1, sp.sp * 8 + 8) AS sub
+      |        FROM resid CROSS JOIN sp),
+      | sc AS (SELECT vec_id, cl_id, sb.sp, code,
+      |          floor(list_inner_product(
+      |            list_transform(range(1, 9), i -> sub[i] - cvec[i]),
+      |            list_transform(range(1, 9), i -> sub[i] - cvec[i]))
+      |            *1000000+0.5)/1000000 AS dist2
+      |        FROM sb JOIN cb ON sb.sp = cb.sp),
+      | enc AS (SELECT vec_id, cl_id, sp, code FROM (
+      |          SELECT *, row_number()
+      |            OVER (PARTITION BY vec_id, sp ORDER BY dist2, code) AS rn
+      |          FROM sc) WHERE rn = 1),
+      | probes AS (
+      |  SELECT vec_id AS q_id, cl_id FROM (
+      |    SELECT vec_id, cl_id, row_number()
+      |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+      |    FROM sims WHERE vec_id < 3) WHERE rn <= 3),
+      | qresid AS (
+      |  SELECT p.q_id, p.cl_id,
+      |    list_transform(range(1, 65), i -> e.vec[i] - c.cvec[i]) AS qrvec
+      |  FROM probes p JOIN e ON e.vec_id = p.q_id
+      |                JOIN cen c ON c.cl_id = p.cl_id),
+      | lut AS (
+      |  SELECT q.q_id, q.cl_id, sp.sp, cb.code,
+      |    CAST(floor(floor(list_inner_product(
+      |      list_transform(range(1, 9),
+      |        i -> list_slice(qrvec, sp.sp * 8 + 1, sp.sp * 8 + 8)[i] - cvec[i]),
+      |      list_transform(range(1, 9),
+      |        i -> list_slice(qrvec, sp.sp * 8 + 1, sp.sp * 8 + 8)[i] - cvec[i]))
+      |      *1000000+0.5)/1000000*1000000+0.5) AS BIGINT) AS d_e6
+      |  FROM qresid q CROSS JOIN sp JOIN cb ON cb.sp = sp.sp),
+      | scored AS (
+      |  SELECT p.q_id, en.vec_id,
+      |    CAST(sum(l.d_e6) AS BIGINT) AS adc_e6
+      |  FROM enc en
+      |  JOIN probes p ON p.cl_id = en.cl_id AND p.q_id <> en.vec_id
+      |  JOIN lut l ON l.q_id = p.q_id AND l.cl_id = en.cl_id
+      |            AND l.sp = en.sp AND l.code = en.code
+      |  GROUP BY p.q_id, en.vec_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // d05/s02's hyperplane constants aren't portable to SQL → rows-only.
@@ -1432,80 +1579,46 @@ object SimilarityQueries {
     // probed-list) LUT with entries frozen to e6 BIGINT before the
     // 8-way integer ADC sum.
     "s11_ivfpq_adc" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
-        | cex AS (SELECT label AS cl_id, unnest(vec) AS v,
-        |                generate_subscripts(vec, 1) AS i FROM e),
-        | cel AS (SELECT cl_id, i, floor((avg(v))*1000000+0.5)/1000000 AS m
-        |         FROM cex GROUP BY cl_id, i),
-        | cen AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM cel GROUP BY cl_id),
-        | sims AS (
-        |  SELECT e.vec_id, cen.cl_id,
-        |    floor((list_cosine_similarity(e.vec, cen.cvec))*1000000+0.5)/1000000
-        |      AS csim
-        |  FROM e CROSS JOIN cen),
-        | assign AS (
-        |  SELECT vec_id, cl_id FROM (
-        |    SELECT vec_id, cl_id, row_number()
-        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
-        |    FROM sims) WHERE rn = 1),
-        | resid AS (
-        |  SELECT e.vec_id, a.cl_id,
-        |    list_transform(range(1, 65), i -> e.vec[i] - c.cvec[i]) AS rvec
-        |  FROM e JOIN assign a ON a.vec_id = e.vec_id
-        |         JOIN cen c ON c.cl_id = a.cl_id),
-        | sd AS (SELECT rvec, row_number()
-        |          OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS code
-        |        FROM resid),
-        | sp AS (SELECT unnest(range(0, 8)) AS sp),
-        | cb AS (SELECT sp.sp, code,
-        |          list_slice(rvec, sp.sp * 8 + 1, sp.sp * 8 + 8) AS cvec
-        |        FROM sd CROSS JOIN sp WHERE code <= 16),
-        | sb AS (SELECT vec_id, cl_id, sp.sp,
-        |          list_slice(rvec, sp.sp * 8 + 1, sp.sp * 8 + 8) AS sub
-        |        FROM resid CROSS JOIN sp),
-        | sc AS (SELECT vec_id, cl_id, sb.sp, code,
-        |          floor(list_inner_product(
-        |            list_transform(range(1, 9), i -> sub[i] - cvec[i]),
-        |            list_transform(range(1, 9), i -> sub[i] - cvec[i]))
-        |            *1000000+0.5)/1000000 AS dist2
-        |        FROM sb JOIN cb ON sb.sp = cb.sp),
-        | enc AS (SELECT vec_id, cl_id, sp, code FROM (
-        |          SELECT *, row_number()
-        |            OVER (PARTITION BY vec_id, sp ORDER BY dist2, code) AS rn
-        |          FROM sc) WHERE rn = 1),
-        | probes AS (
-        |  SELECT vec_id AS q_id, cl_id FROM (
-        |    SELECT vec_id, cl_id, row_number()
-        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
-        |    FROM sims WHERE vec_id < 3) WHERE rn <= 3),
-        | qresid AS (
-        |  SELECT p.q_id, p.cl_id,
-        |    list_transform(range(1, 65), i -> e.vec[i] - c.cvec[i]) AS qrvec
-        |  FROM probes p JOIN e ON e.vec_id = p.q_id
-        |                JOIN cen c ON c.cl_id = p.cl_id),
-        | lut AS (
-        |  SELECT q.q_id, q.cl_id, sp.sp, cb.code,
-        |    CAST(floor(floor(list_inner_product(
-        |      list_transform(range(1, 9),
-        |        i -> list_slice(qrvec, sp.sp * 8 + 1, sp.sp * 8 + 8)[i] - cvec[i]),
-        |      list_transform(range(1, 9),
-        |        i -> list_slice(qrvec, sp.sp * 8 + 1, sp.sp * 8 + 8)[i] - cvec[i]))
-        |      *1000000+0.5)/1000000*1000000+0.5) AS BIGINT) AS d_e6
-        |  FROM qresid q CROSS JOIN sp JOIN cb ON cb.sp = sp.sp),
-        | scored AS (
-        |  SELECT p.q_id, en.vec_id,
-        |    CAST(sum(l.d_e6) AS BIGINT) AS adc_e6
-        |  FROM enc en
-        |  JOIN probes p ON p.cl_id = en.cl_id AND p.q_id <> en.vec_id
-        |  JOIN lut l ON l.q_id = p.q_id AND l.cl_id = en.cl_id
-        |            AND l.sp = en.sp AND l.code = en.code
-        |  GROUP BY p.q_id, en.vec_id),
+      s"""WITH $PqAdcCteSql,
         | ranked AS (
         |  SELECT q_id, vec_id, adc_e6, row_number()
         |    OVER (PARTITION BY q_id ORDER BY adc_e6, vec_id) AS rank
         |  FROM scored)
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS n_id, adc_e6
         |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // s18: the shared ADC replica ([[PqAdcCteSql]] — the same CTEs
+    // s11 ranks from) joined against an independently-computed brute
+    // rnd6-cosine truth; recall certified per query.
+    "s18_pq_recall" ->
+      s"""WITH $PqAdcCteSql,
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3),
+        | tscored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    floor((list_cosine_similarity(q.q_vec, e.vec))*1000000+0.5)/1000000
+        |      AS c6
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        | truth AS (SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number()
+        |      OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id) AS rn
+        |    FROM tscored) WHERE rn <= 10),
+        | approx AS (SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number()
+        |      OVER (PARTITION BY q_id ORDER BY adc_e6, vec_id) AS rn
+        |    FROM scored) WHERE rn <= 10),
+        | nc AS (SELECT q_id, count(*) AS n_cand FROM scored GROUP BY q_id),
+        | h AS (SELECT t.q_id, count(*) AS n_hit FROM truth t
+        |       JOIN approx a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+        |       GROUP BY t.q_id),
+        | nt AS (SELECT q_id, count(*) AS n_truth FROM truth GROUP BY q_id)
+        |SELECT nt.q_id, nt.n_truth,
+        | CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+        | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        | floor((CAST(coalesce(h.n_hit, 0) AS DOUBLE) / nt.n_truth)
+        |       *10000+0.5)/10000 AS recall_at_k
+        |FROM nt LEFT JOIN nc ON nc.q_id = nt.q_id
+        |        LEFT JOIN h ON h.q_id = nt.q_id
+        |ORDER BY nt.q_id""".stripMargin,
 
     // s12: same absmax int8 quantizer as s06, integer-exact quantized
     // dot (list_inner_product over int-valued doubles — every term
