@@ -528,4 +528,52 @@ class QueryPlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size <= 2, plan.take(3000))
     assert(!plan.contains("Join"), plan.take(3000))
   }
+
+  test("e16: attribution is ONE user-keyed window pass — no self-join, " +
+      "no range explosion") {
+    val plan = planOf("e16_attribution").split("== Initial Plan ==")(0)
+    // the as-of reformulation: a single Window (running max of click
+    // ts) feeding the bucket aggregate; a regression back to the naive
+    // purchase×click self-join would surface as a Join here
+    assert("Window".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("t28: the keep-first window partitions by the CHUNK HASH — " +
+      "cardinality grows with the corpus, never a coarse key") {
+    // formatted mode prints operator DETAIL sections (where
+    // windowspecdefinition lives) after BOTH plan trees, so the
+    // window-key assert reads the full text; shape asserts read only
+    // the final-plan tree
+    val full = planOf("t28_chunk_dedup")
+    val tree = full.split("== Initial Plan ==")(0)
+    // the dedup decision must key on h (the md5 chunk fingerprint);
+    // a window keyed on source/lang would funnel the corpus into a
+    // handful of partitions (the t23 hazard this query avoids by
+    // construction)
+    assert(full.contains("windowspecdefinition(h#"), full.take(3000))
+    assert(!tree.contains("Join"), tree.take(3000))
+    // one scan feeds chunk explode, window, and accounting alike
+    assert("Scan parquet".r.findAllIn(tree).size == 1, tree.take(3000))
+  }
+
+  test("d25: the weight join is doc_id-equi — the corpus never " +
+      "self-joins or cartesians to be weighted") {
+    val plan = planOf("d25_soft_dedup")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // cluster sizes arrive as an equi join against the label table;
+    // the 1-row aggregate is the only other shuffle consumer
+    assert(plan.contains("doc_id"), plan.take(3000))
+  }
+
+  test("s18: the PQ recall audit keeps the shared ADC pipeline's " +
+      "shape — broadcast small sides, no cartesian") {
+    // s18's approximate side IS s11's pipeline (pqAdcScored); this pin
+    // keeps the shared helper honest from the second consumer's side,
+    // exactly as s10 does for s04's ivfCandidates
+    val plan = planOf("s18_pq_recall")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
