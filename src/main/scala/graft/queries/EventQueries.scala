@@ -403,10 +403,18 @@ object EventQueries {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // census-first (the t25 discipline): reduce the batch to its
+          // (user, count) census, then hash-explode only |users| rows —
+          // the weighted per-bucket SUM is bit-identical to counting
+          // raw occurrences, and the partial stays just as mergeable
           val partial = batch
-            .select(explode(buckets(col("user_id").cast("string"))).as("hb"))
+            .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+            .select(col("c"),
+              explode(buckets(col("user_id").cast("string"))).as("hb"))
             .groupBy(col("hb.hrow").as("hrow"), col("hb.bucket").as("bucket"))
-            .agg(count(lit(1)).as("cnt"))
+            .agg(sum("c").as("cnt"))
+            // ≤256 rows: one file per batch, not one per shuffle task
+            .coalesce(1)
           graft.streaming.IdempotentSink.writeBatch(partial, batchId, outDir)
         }
         .start()

@@ -910,30 +910,38 @@ object TextQueries {
       * which is the whole point of the structure; hashes are the
       * frozen [[graft.operators.Sampling.portableGate]] family (one
       * salt per row) so both engines place every token identically.
-      * Estimates (min over the 4 rows' buckets) are then audited
-      * against the exact counts of the top-10 tokens — publishing
-      * sketch error on a probe set is the frequency-sketch analogue
-      * of s10's ANN recall, and the CMS one-sided guarantee
-      * (estimate ≥ truth, never below) lands in the `overcount`
-      * column, provably ≥ 0 in the oracle-matched output. The probe
-      * join broadcasts the 256-row sketch; the exact top-10 is a
-      * TakeOrdered limit over the vocabulary-sized count table; w is
-      * deliberately small (64) so collisions are REAL and the
-      * published error is a demonstration, not a zero — production
-      * sizes w ≈ e/ε for error ε·Σcounts. */
+      * The corpus is tokenized ONCE into a (token, n_exact)
+      * vocabulary census — the only corpus-scale pass — and both the
+      * sketch (per-bucket SUM of census counts ≡ per-bucket count of
+      * occurrences, so the table is bit-identical and just as
+      * mergeable) and the exact top-10 read that census, which is
+      * vocabulary-sized, not corpus-sized; the hash explode therefore
+      * costs 4×|vocab| rows instead of 4×|tokens|. Estimates (min
+      * over the 4 rows' buckets) are then audited against the exact
+      * counts of the top-10 tokens — publishing sketch error on a
+      * probe set is the frequency-sketch analogue of s10's ANN
+      * recall, and the CMS one-sided guarantee (estimate ≥ truth,
+      * never below) lands in the `overcount` column, provably ≥ 0 in
+      * the oracle-matched output. The probe join broadcasts the
+      * 256-row sketch; the exact top-10 is a TakeOrdered limit over
+      * the census; w is deliberately small (64) so collisions are
+      * REAL and the published error is a demonstration, not a zero —
+      * production sizes w ≈ e/ε for error ε·Σcounts. */
     "t25_cms_heavy_hitters" -> ((s, d) => {
       val W = 64
       val hrows = 1 to 4
-      val toks = Tables.documents(s, d).select(explode(tokens).as("token"))
+      val vocab = Tables.documents(s, d)
+        .select(explode(tokens).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_exact"))
       def buckets(tok: Column): Column = array(hrows.map(i =>
         struct(lit(i).as("hrow"),
           pmod(graft.operators.Sampling.portableGate(
             concat(lit(s"cms$i:"), tok)), lit(W)).as("bucket"))): _*)
-      val sketch = toks
-        .select(explode(buckets(col("token"))).as("hb"))
+      val sketch = vocab
+        .select(col("n_exact"), explode(buckets(col("token"))).as("hb"))
         .groupBy(col("hb.hrow").as("hrow"), col("hb.bucket").as("bucket"))
-        .agg(count(lit(1)).as("cnt"))
-      val top = toks.groupBy("token").agg(count(lit(1)).as("n_exact"))
+        .agg(sum("n_exact").as("cnt"))
+      val top = vocab
         .orderBy(col("n_exact").desc, col("token")).limit(10)
       val probes = top
         .select(col("token"), col("n_exact"),
