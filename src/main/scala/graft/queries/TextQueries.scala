@@ -988,6 +988,13 @@ object TextQueries {
         .withColumn("bucket", pmod(graft.operators.Sampling.portableGate(
           concat(lit("dsir:"), col("token"))), lit(B)))
       val isTarget = col("lang") === "en"
+      // two corpus passes by design: lr combines map-side straight to
+      // 64 rows (no shuffle worth sharing), and the weights branch
+      // reduces to its per-(doc, bucket) census before the broadcast
+      // join — a shared census subtree was measured SLOWER here
+      // because lang-filter pushdown specializes the branches and
+      // defeats exchange reuse, leaving the extra census shuffle
+      // uncompensated
       val lr = tok.groupBy("bucket")
         .agg(sum(when(isTarget, 1L).otherwise(0L)).as("t_cnt"),
           sum(when(isTarget, 0L).otherwise(1L)).as("s_cnt"))
@@ -1052,16 +1059,24 @@ object TextQueries {
           concat(lit("lm1:"), substring_index(col("bg"), " ", 1))), lit(B)))
         .withColumn("b2", pmod(graft.operators.Sampling.portableGate(
           concat(lit("lm2:"), col("bg"))), lit(B)))
-      val en = pairs.filter(col("lang") === "en")
-      val c1 = en.groupBy("b1").agg(count(lit(1)).as("c1"))
-      val c2 = en.groupBy("b2").agg(count(lit(1)).as("c2"))
+      // the per-(doc, b1, b2) census: c1 and c2 re-aggregate from the
+      // SAME en-filtered census exchange (ReusedExchange — plan shows
+      // one reuse), so the bigram explode and its two hash gates run
+      // twice total (en slice + full corpus) instead of three times;
+      // weighting every downstream count/sum by `c` is exactly
+      // equivalent to counting raw bigram occurrences
+      val census = pairs.groupBy("doc_id", "lang", "b1", "b2")
+        .agg(count(lit(1)).as("c"))
+      val en = census.filter(col("lang") === "en")
+      val c1 = en.groupBy("b1").agg(sum("c").as("c1"))
+      val c2 = en.groupBy("b2").agg(sum("c").as("c2"))
       val term = (lit(64) + length(bin(coalesce(col("c1"), lit(0L)) + 1))
         - length(bin(coalesce(col("c2"), lit(0L)) + 1))).cast("long")
-      val sc = pairs
+      val sc = census
         .join(broadcast(c1), Seq("b1"), "left")
         .join(broadcast(c2), Seq("b2"), "left")
         .groupBy("doc_id", "lang")
-        .agg(sum(term).as("nll"), count(lit(1)).as("n_pairs"))
+        .agg(sum(term * col("c")).as("nll"), sum("c").as("n_pairs"))
         .select(col("doc_id"), col("lang"),
           expr("nll * 1000 div n_pairs").as("s"))
       val hist = sc.groupBy("s").agg(count(lit(1)).as("c"))
