@@ -750,6 +750,57 @@ object SimilarityQueries {
         .orderBy("q_id")
     }),
 
+    /** Two-stage quantized retrieval: ADC shortlist → exact re-rank —
+      * the composition a PQ index actually SERVES with (the Faiss
+      * `IndexRefineFlat` pattern, §VII of Jégou et al. 2011): stage 1
+      * ranks the probe-bounded candidates by s11's 8-byte ADC codes
+      * and keeps a top-C shortlist; stage 2 fetches ONLY those C
+      * full vectors per query and re-ranks them by exact rnd6 cosine.
+      * This is the answer to the go/no-go signal s18 publishes — ADC
+      * recall collapses to 0.0–0.2 under the unrefined 16-entry
+      * codebook while exact scoring of the same probe lists holds
+      * 0.4–0.6 — and the refine stage buys that recall back for
+      * C exact kernels per query instead of a corpus scan: rank
+      * inversions INSIDE the shortlist are corrected by
+      * construction, so the output order equals exact scoring
+      * wherever the true neighbor survived the ADC cut. `adc_rank`
+      * rides along so the published result shows the inversions the
+      * refine stage repaired (sf0.01: the exact top-1 sits at ADC
+      * rank 8 and 6 for two of three probes — i.e. OUTSIDE the ADC
+      * top-5 that s11 serves unrefined). Scale shape: the
+      * shortlist is q·C ids (broadcast); the vector fetch is a
+      * broadcast join against the store — the corpus is read, never
+      * shuffled, and the exact kernel runs q·C times total, which is
+      * the entire point of shortlist-then-refine at 100 TB. Fully
+      * portable (shared [[PqAdcCteSql]] prefix + the s18 cosine
+      * rule) ⇒ hash-matches the DuckDB replica at all three SFs. */
+    "s19_adc_rerank" -> ((s, d) => {
+      val C = 20; val K = 5
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      val wA = Window.partitionBy("q_id")
+        .orderBy(col("adc_e6").asc, col("vec_id"))
+      val shortlist = pqAdcScored(s, d)
+        .withColumn("adc_rank", row_number().over(wA))
+        .filter(col("adc_rank") <= C)
+        .select("q_id", "vec_id", "adc_rank")
+      // fetch = broadcast the q·C-id shortlist AGAINST the store; the
+      // corpus-sized side is scanned, never shuffled
+      val fetched = emb.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(queriesDf), "q_id")
+        .withColumn("c6",
+          RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+      val wE = Window.partitionBy("q_id")
+        .orderBy(col("c6").desc, col("vec_id"))
+      fetched.withColumn("rank", row_number().over(wE))
+        .filter(col("rank") <= K)
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+          col("c6"), col("adc_rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     /** Symmetric int8 scalar-quantized (SQ8) brute top-k — the other
       * half of the quantized-search story beside s11's IVF-PQ: both
       * sides of the dot product are s06's absmax int8 codes, so the
@@ -1619,6 +1670,29 @@ object SimilarityQueries {
         |FROM nt LEFT JOIN nc ON nc.q_id = nt.q_id
         |        LEFT JOIN h ON h.q_id = nt.q_id
         |ORDER BY nt.q_id""".stripMargin,
+
+    // s19: the shared ADC replica ranked to a top-20 shortlist, then
+    // re-ranked by the exact rnd6 cosine of only those rows — the
+    // refine stage's rank key and tie-break mirror s18's truth rule.
+    "s19_adc_rerank" ->
+      s"""WITH $PqAdcCteSql,
+        | sl AS (SELECT q_id, vec_id, adc_rank FROM (
+        |    SELECT q_id, vec_id, row_number()
+        |      OVER (PARTITION BY q_id ORDER BY adc_e6, vec_id) AS adc_rank
+        |    FROM scored) WHERE adc_rank <= 20),
+        | rr AS (
+        |  SELECT sl.q_id, sl.vec_id, sl.adc_rank,
+        |    floor((list_cosine_similarity(eq.vec, ev.vec))*1000000+0.5)/1000000
+        |      AS c6
+        |  FROM sl JOIN e ev ON ev.vec_id = sl.vec_id
+        |          JOIN e eq ON eq.vec_id = sl.q_id)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS n_id, c6,
+        | CAST(adc_rank AS INTEGER) AS adc_rank
+        |FROM (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id) AS rank
+        |  FROM rr)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // s12: same absmax int8 quantizer as s06, integer-exact quantized
     // dot (list_inner_product over int-valued doubles — every term

@@ -567,6 +567,17 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(plan.contains("doc_id"), plan.take(3000))
   }
 
+  test("s19: the refine stage fetches by BROADCASTING the q·C-id " +
+      "shortlist against the store — the corpus is scanned, never " +
+      "shuffled, to be re-ranked") {
+    val plan = planOf("s19_adc_rerank")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // no SortMergeJoin anywhere: every join in shortlist+refine is
+    // broadcast (centroids, codebook, LUT, probes, shortlist, queries)
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("s18: the PQ recall audit keeps the shared ADC pipeline's " +
       "shape — broadcast small sides, no cartesian") {
     // s18's approximate side IS s11's pipeline (pqAdcScored); this pin
