@@ -612,6 +612,91 @@ object EventQueries {
         .orderBy("bucket")
     }),
 
+    /** Stream restart-recovery audit — the at-least-once → exactly-once
+      * convergence contract of the checkpoint + idempotent-sink pair
+      * ([[graft.streaming.IdempotentSink]]), EXERCISED rather than
+      * assumed: every other streaming query here uses the batch-id
+      * sink, but none restarts a stream, so the re-delivery path the
+      * sink exists for would otherwise ship untested. The replay runs
+      * once to completion; then the audit manufactures the exact crash
+      * window foreachBatch's docs warn about — the sink write of the
+      * final batch completed but the checkpoint commit never landed —
+      * by deleting that batch's `commits/N` marker AND poisoning its
+      * sink partition with a sentinel row (day 1970-01-01) that a
+      * correct recovery MUST erase. A second start from the same
+      * checkpoint re-delivers exactly that batch from the offset WAL;
+      * dynamic partition overwrite replaces the poisoned partition
+      * wholesale. The query then requires, loudly: the sentinel is
+      * gone, no batch beyond the re-delivered one appeared, and the
+      * summed per-day admitted counts equal the batch ground truth
+      * row-exactly (the DuckDB oracle computes them independently).
+      * At scale this is the ONLY restart semantics that works: replay
+      * is bounded by one micro-batch regardless of corpus size, the
+      * sink converges under any number of re-deliveries, and no
+      * dedup-on-read is ever needed downstream. */
+    "e17_restart_recovery" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts").cast("date").as("day"))
+      val src = tempDir("graft_e17_src_")
+      ev.repartition(3).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val outDir = tempDir("graft_e17_out_")
+      val ckpt = tempDir("graft_e17_ckpt_")
+      val ss = streamSession(s) // one session: both starts share it, so
+      // the restart registers against a fully-deregistered predecessor
+      def runStream(): Unit = {
+        val q = ss.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val partial = batch.groupBy("day")
+              .agg(count(lit(1)).as("cnt"))
+              .coalesce(1)
+            graft.streaming.IdempotentSink.writeBatch(partial, batchId, outDir)
+          }
+          .start()
+        try q.processAllAvailable() finally {
+          q.stop()
+          q.awaitTermination() // full deregistration before any restart
+        }
+      }
+      runStream()
+      val lastBatch = s.read.parquet(outDir)
+        .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+      require(lastBatch >= 2,
+        "e17 needs >=3 micro-batches so a non-trivial prefix survives " +
+          "the simulated crash")
+      // the at-least-once crash window: sink write landed, checkpoint
+      // commit did not
+      val commitFile = new java.io.File(s"$ckpt/commits/$lastBatch")
+      require(commitFile.isFile, s"e17: no commit marker at $commitFile")
+      require(commitFile.delete(), "e17: could not remove commit marker")
+      // the local checksum filesystem writes a hidden .N.crc sibling
+      // per log file; it must go too, or the re-commit's atomic rename
+      // collides on the stale CRC (the same forked-chmod checksum
+      // manager noted in tools/BENCH_NOTES.md)
+      val crcFile = new java.io.File(s"$ckpt/commits/.$lastBatch.crc")
+      if (crcFile.isFile) require(crcFile.delete(),
+        "e17: could not remove commit CRC sibling")
+      Seq((java.sql.Date.valueOf("1970-01-01"), -1L)).toDF("day", "cnt")
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$lastBatch")
+      runStream() // second start: re-delivers exactly batch `lastBatch`
+      val partials = s.read.parquet(outDir)
+      require(partials
+          .filter(col("day") === lit("1970-01-01").cast("date")).isEmpty,
+        "e17: the poisoned partition survived recovery — the batch-id " +
+          "sink did not overwrite on re-delivery")
+      val maxAfter = partials
+        .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+      require(maxAfter == lastBatch,
+        s"e17: recovery appended batch $maxAfter beyond the re-delivered " +
+          s"$lastBatch — re-delivery must replace, never extend")
+      partials.groupBy("day").agg(sum("cnt").as("n_events")).orderBy("day")
+    }),
+
     /** Native session-window streaming sessionization — the built-in
       * `session_window` aggregation beside e04's hand-rolled
       * flatMapGroupsWithState: same 1-hour-gap semantics, but state
@@ -1137,6 +1222,14 @@ object EventQueries {
         |  FROM events)
         |SELECT day, count(*) AS n_admitted FROM g
         |WHERE is_late = 0 GROUP BY day ORDER BY day""".stripMargin,
+
+    // e17: the recovered sink's per-day totals must equal the plain
+    // batch census — if the re-delivered batch double-counted (append
+    // instead of overwrite) or lost rows (commit-less batch dropped),
+    // the per-day counts diverge row-exactly.
+    "e17_restart_recovery" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     // e16: identical strictly-preceding ROWS frame and (ns, event_id)
     // ordering; latency is integer-ns, floored to ms before any double.
