@@ -801,6 +801,56 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    /** Sharded scatter-gather top-k — the DISTRIBUTED serving shape of
+      * every production vector index (each shard answers its local
+      * top-K, a gather node merges P·K candidates — Faiss
+      * `IndexShards`, Lucene/Elasticsearch query-then-fetch): the
+      * corpus is sharded by id, each (query, shard) window keeps its
+      * local top-K, and the merge re-ranks only the P·K·q pooled rows.
+      * The scatter-gather theorem — with EXACT scoring, every global
+      * top-K member is necessarily in its home shard's local top-K, so
+      * the merged result equals the unsharded ranking — is certified,
+      * not assumed: `global_rank` is computed from the FULL candidate
+      * set (an audit-only pass at bench scale; the serving path is the
+      * shard windows + the P·K merge) and published beside the merged
+      * rank, equal row-by-row in the hash-verified output. The `shard`
+      * column shows winners spread across shards (the merge is real
+      * work, not a copy). Scale shape: shard windows partition by
+      * (q_id, shard) — cardinality grows with shards — the gather
+      * traffic is P·K rows per query regardless of corpus size, and
+      * for approximate scoring the same merge serves s11's ADC or
+      * s04's IVF lists per shard. */
+    "s20_scatter_gather" -> ((s, d) => {
+      val P = 4; val K = 5
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      val scored = emb.withColumn("shard", pmod(col("vec_id"), lit(P)))
+        .join(broadcast(queriesDf), col("q_id") =!= col("vec_id"))
+        .withColumn("c6",
+          RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+      val wShard = Window.partitionBy("q_id", "shard")
+        .orderBy(col("c6").desc, col("vec_id"))
+      val local = scored.withColumn("srn", row_number().over(wShard))
+        .filter(col("srn") <= K)
+      val wMerge = Window.partitionBy("q_id")
+        .orderBy(col("c6").desc, col("vec_id"))
+      val merged = local.withColumn("rank", row_number().over(wMerge))
+        .filter(col("rank") <= K)
+        .select("q_id", "rank", "vec_id", "shard", "c6")
+      // audit-only: the unsharded ranking over the full candidate set,
+      // joined back so the published rows certify rank == global_rank
+      val globalTop = scored
+        .withColumn("global_rank", row_number().over(wMerge))
+        .filter(col("global_rank") <= K)
+        .select("q_id", "vec_id", "global_rank")
+      merged.join(globalTop, Seq("q_id", "vec_id"), "left")
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+          col("shard"), col("c6"), col("global_rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     /** Symmetric int8 scalar-quantized (SQ8) brute top-k — the other
       * half of the quantized-search story beside s11's IVF-PQ: both
       * sides of the dot product are s06's absmax int8 codes, so the
@@ -1693,6 +1743,36 @@ object SimilarityQueries {
         |    OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id) AS rank
         |  FROM rr)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // s20: same shard rule (vec_id % 4), local top-K per (query,
+    // shard), merge of the pooled rows, and the full-set global rank
+    // joined back — the s18 cosine rule on every score.
+    "s20_scatter_gather" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3),
+        | sc AS (
+        |  SELECT q.q_id, e.vec_id, e.vec_id % 4 AS shard,
+        |    floor((list_cosine_similarity(q.q_vec, e.vec))*1000000+0.5)/1000000
+        |      AS c6
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        | loc AS (SELECT q_id, vec_id, shard, c6 FROM (
+        |    SELECT *, row_number()
+        |      OVER (PARTITION BY q_id, shard ORDER BY c6 DESC, vec_id) AS srn
+        |    FROM sc) WHERE srn <= 5),
+        | mrg AS (SELECT q_id, vec_id, shard, c6, rank FROM (
+        |    SELECT *, row_number()
+        |      OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id) AS rank
+        |    FROM loc) WHERE rank <= 5),
+        | gtop AS (SELECT q_id, vec_id, global_rank FROM (
+        |    SELECT q_id, vec_id, row_number()
+        |      OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id) AS global_rank
+        |    FROM sc) WHERE global_rank <= 5)
+        |SELECT m.q_id, CAST(m.rank AS INTEGER) AS rank, m.vec_id AS n_id,
+        | CAST(m.shard AS BIGINT) AS shard, m.c6,
+        | CAST(g.global_rank AS INTEGER) AS global_rank
+        |FROM mrg m LEFT JOIN gtop g
+        |  ON g.q_id = m.q_id AND g.vec_id = m.vec_id
+        |ORDER BY m.q_id, m.rank""".stripMargin,
 
     // s12: same absmax int8 quantizer as s06, integer-exact quantized
     // dot (list_inner_product over int-valued doubles — every term

@@ -578,6 +578,19 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("s20: the shard windows partition by (q_id, shard) — " +
+      "cardinality grows with shards — and queries broadcast; " +
+      "no cartesian, no sort-merge join") {
+    val full = planOf("s20_scatter_gather")
+    val tree = full.split("== Initial Plan ==")(0)
+    // detail sections print after both trees (the t28 lesson)
+    assert(full.contains("windowspecdefinition(q_id#") &&
+      full.contains(", shard#"), full.take(3000))
+    assert(tree.contains("BroadcastNestedLoopJoin"), tree.take(3000))
+    assert(!tree.contains("CartesianProduct"), tree.take(3000))
+    assert(!tree.contains("SortMergeJoin"), tree.take(3000))
+  }
+
   test("s18: the PQ recall audit keeps the shared ADC pipeline's " +
       "shape — broadcast small sides, no cartesian") {
     // s18's approximate side IS s11's pipeline (pqAdcScored); this pin
