@@ -1095,6 +1095,75 @@ object TextQueries {
         .orderBy("lang", "bucket")
     }),
 
+    /** Benchmark decontamination at corpus scale — the ASYMMETRIC
+      * sibling of t11's symmetric train/eval rate audit, in the shape
+      * a 100 TB pass actually runs: the benchmark suite is TINY and
+      * the corpus is not, so the benchmark's 8-gram set rides to every
+      * corpus partition as a driver-built Bloom literal (the q47/e11
+      * operator form of Spark's InjectRuntimeFilter, sized from the
+      * measured gram cardinality) and the corpus is SCANNED, never
+      * shuffled, to be prefiltered — only the bloom survivors
+      * (true matches + the ~0.04% fp) shuffle into the exact semi
+      * join that removes false positives, so the result is provably
+      * equal to the plain semi join the DuckDB oracle computes (the
+      * q47 discipline: a prefilter must be indistinguishable from no
+      * prefilter). Contamination is REAL by construction: half the
+      * benchmark docs are planted verbatim into the pool under new
+      * ids (`source` 'planted'), so the flagged set is non-empty and
+      * its per-source accounting (plus a t24-style order-independent
+      * gate-sum checksum of the flagged ids — the SELECTION is
+      * hash-verified, not just its counts) shows natural template
+      * overlap beside the planted copies. At 100 TB: the benchmark
+      * gram set is KBs, the bloom build is one tiny aggregate, the
+      * corpus-side cost is one linear gram pass, and downstream
+      * shuffle volume is bounded by actual contamination, not corpus
+      * size. */
+    "t29_benchmark_decontam" -> ((s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graft.ColumnBridge
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") < 50).select("doc_id", "text")
+      val plants = bench.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          lit("planted").as("source"), col("text"))
+      val pool = docs.filter(col("doc_id") >= 50)
+        .select(col("doc_id"), col("source"), col("text"))
+        .unionByName(plants)
+      def grams(df: DataFrame): DataFrame = df
+        .withColumn("tk", tokens)
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(tk) >= 8
+            | THEN transform(sequence(1, size(tk) - 7),
+            |                i -> md5(concat_ws(' ', slice(tk, i, 8))))
+            | ELSE array(md5(concat_ws(' ', tk))) END""".stripMargin)).as("g"))
+      val bg = grams(bench).select("g").distinct()
+      val nBg = math.max(bg.count(), 4096L)
+      // the bloom's domain is LONG: grams enter as xxhash64 on both
+      // sides (engine-local is fine — every bloom survivor, hash
+      // collisions included, still faces the exact semi join)
+      val bloomBin = bg.agg(ColumnBridge.column(
+        new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col("g"))),
+          Literal(nBg), Literal(nBg * 16L)).toAggregateExpression())
+        .as("bf")).head().getAs[Array[Byte]]("bf")
+      val flaggedIds = grams(pool)
+        .filter(ColumnBridge.column(new BloomFilterMightContain(
+          Literal(bloomBin), ColumnBridge.expression(xxhash64(col("g"))))))
+        .join(bg, Seq("g"), "left_semi") // exact: fp rows die here
+        .select("doc_id").distinct()
+      pool.join(flaggedIds.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("hit").isNotNull,
+            graft.operators.Sampling.portableGate(
+              concat(col("doc_id").cast("string"), lit(":decon"))))
+            .otherwise(0L)).as("flagged_chk"))
+        .orderBy("source")
+    }),
+
     /** Global chunk-level dedup with the KEEP-ONE policy of Lee et al.
       * 2022 (ExactSubstr removes every duplicated span but leaves one
       * occurrence in the corpus) at fixed [[ChunkDedupW]]-token
@@ -1658,6 +1727,52 @@ object TextQueries {
         | count(DISTINCT chunk_md5) AS n_distinct_chunks,
         | floor((avg(chunk_len))*10000+0.5)/10000 AS avg_chunk_len
         |FROM ch GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t29: the PLAIN exact semi join — the bloom prefilter is a
+    // physical optimization that must be indistinguishable from no
+    // prefilter (the q47 discipline); same 8-gram md5 construction as
+    // t11, same planted verbatim copies, gate-sum checksum over the
+    // flagged ids.
+    "t29_benchmark_decontam" ->
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        | pool AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id >= 50
+        |  UNION ALL
+        |  SELECT doc_id + 700000 AS doc_id, 'planted' AS source, text
+        |  FROM bench WHERE doc_id % 2 = 0),
+        | btk AS (SELECT doc_id,
+        |           list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM bench),
+        | ptk AS (SELECT doc_id,
+        |           list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |         FROM pool),
+        | bg AS (
+        |  SELECT DISTINCT gr FROM (
+        |    SELECT unnest(CASE WHEN len(tk) >= 8
+        |      THEN list_transform(range(1, len(tk) - 6),
+        |             i -> md5(array_to_string(list_slice(tk, i, i + 7), ' ')))
+        |      ELSE [md5(array_to_string(tk, ' '))] END) AS gr
+        |    FROM btk)),
+        | pg AS (
+        |  SELECT DISTINCT doc_id, gr FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+        |      THEN list_transform(range(1, len(tk) - 6),
+        |             i -> md5(array_to_string(list_slice(tk, i, i + 7), ' ')))
+        |      ELSE [md5(array_to_string(tk, ' '))] END) AS gr
+        |    FROM ptk)),
+        | fl AS (SELECT DISTINCT doc_id FROM pg
+        |        WHERE gr IN (SELECT gr FROM bg))
+        |SELECT p.source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_flagged,
+        | CAST(sum(CASE WHEN fl.doc_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_kept,
+        | CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN
+        |   ${graft.operators.Sampling.portableGateSql(
+             "CAST(p.doc_id AS VARCHAR) || ':decon'")}
+        |   ELSE 0 END) AS BIGINT) AS flagged_chk
+        |FROM pool p LEFT JOIN fl ON fl.doc_id = p.doc_id
+        |GROUP BY p.source ORDER BY p.source""".stripMargin,
 
     // t28: identical non-overlapping chunking, md5 fingerprints, and
     // keep-first (doc_id, j) window; checksum = portable gate sum over

@@ -471,6 +471,16 @@ class QueryPlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t29: the corpus is PREFILTERED by the bloom literal before any " +
+      "join — might_contain sits in a Filter, the exact verify is a " +
+      "broadcast semi join, and the corpus never sort-merge shuffles") {
+    val full = planOf("t29_benchmark_decontam")
+    assert(full.contains("might_contain"), full.take(3000))
+    assert(full.contains("BroadcastHashJoin"), full.take(3000))
+    assert(!full.contains("SortMergeJoin"), full.take(3000))
+    assert(!full.contains("CartesianProduct"), full.take(3000))
+  }
+
   test("d16: the cross-corpus candidate join is banded — no cartesian") {
     val doc = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
     val pairs = DedupQueries.minhashCrossPairs(
