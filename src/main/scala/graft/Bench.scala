@@ -182,8 +182,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
     val total = results.collect { case (_, v, true) => v }.sum
+    // n_passed/n_failed travel WITH the total: "value" sums only passing
+    // queries, so a headline like 127s-over-129 must be impossible to
+    // misread as 127s-over-the-full-roster when queries failed
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""n_passed":${results.count(_._3)},"n_failed":${failed.size},""" +
+        s""""queries":$qs,""" +
         s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // the full line never fits in a 2000-byte tail capture; persist it
     // next to the build (env-overridable, cwd by default — NOT a

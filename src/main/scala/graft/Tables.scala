@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros, unix_micros}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Access to the driver-generated TPC-H-ish parquet tables (TESTDATA.md).
   *
@@ -25,21 +27,54 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) cannot hold; Spark 4 refuses the file outright. Read `ts` as a
-    * raw nanosecond long (requires `spark.sql.legacy.parquet.nanosAsLong`
-    * set at session build — see [[Sessions.tune]]), keep it as `ts_ns`
-    * for exact ordering, and expose `ts` as a µs-truncated TimestampType
-    * for date/window arithmetic. Oracle queries must never emit raw `ts`
-    * (DuckDB keeps full ns precision). ns→µs uses integral `div` — a
-    * double division of an ~1.8e18 long loses 10 bits of mantissa and
-    * can land 1µs off, flipping session-gap/day-window boundaries. */
+  /** The physical file schema of events.parquet — the stream readers
+    * declare it verbatim so the source sees exactly what a batch scan
+    * sees, then normalize with [[normalizeEventTs]] like everyone else. */
+  def eventsRawSchema(s: SparkSession, d: String): StructType =
+    t(s, d, "events").schema
+
+  /** Adapt whatever physical representation `ts` was written with into
+    * the canonical pair the roster reasons in: `ts` as a µs
+    * TimestampType (date/window arithmetic, watermarks) and `ts_ns` as
+    * an epoch-nanosecond Long (exact ordering and integer gap math).
+    * The testdata generator has shipped two vintages — TIMESTAMP(NANOS)
+    * (surfaces as a raw Long under `spark.sql.legacy.parquet.nanosAsLong`,
+    * set in [[Sessions.tune]]) and TIMESTAMP(MICROS, isAdjustedToUTC=0)
+    * (surfaces as TimestampNTZType) — so the branch is decided by the
+    * SCANNED dataType, never assumed. This mirrors the reference
+    * loader's type-from-target discipline
+    * (/root/reference/common/schema.go:66-83): read what the store
+    * declares. The NTZ→instant cast uses the session timezone, which
+    * every graft entrypoint pins to UTC — the same naive-is-UTC rule
+    * DuckDB's `epoch_ns` applies to the identical file, so oracle
+    * parity is exact. ns→µs uses integral `div` (a double division of
+    * an ~1.8e18 long loses 10 bits of mantissa and can land 1µs off,
+    * flipping session-gap boundaries); µs→ns is an exact ×1000.
+    * Idempotent: a frame that already carries `ts_ns` (a re-read of
+    * parquet this library staged itself) passes through untouched.
+    * Works on batch and streaming frames alike — it is pure column
+    * arithmetic. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    if (df.columns.contains("ts_ns")) df
+    else df.schema("ts").dataType match {
+      case LongType => // ns vintage: exact ns kept, µs timestamp derived
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType => // µs vintage: instant at UTC, ns derived
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case TimestampType => // already an instant
+        df.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other => sys.error(
+        s"events.ts has unsupported physical type $other — " +
+          "normalizeEventTs knows Long(ns), TimestampNTZ(µs), Timestamp(µs)")
+    }
+  }
+
+  /** events with `ts` (µs TimestampType) + `ts_ns` (epoch-ns Long),
+    * whatever vintage the parquet on disk is — see [[normalizeEventTs]]. */
   def events(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    normalizeEventTs(t(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }
@@ -50,6 +85,9 @@ object Tables {
   * behavior for whatever else runs on it concurrently. */
 object Sessions {
   def tune(b: SparkSession.Builder): SparkSession.Builder =
+    // Lets the TIMESTAMP(NANOS) testdata vintage scan as a raw Long
+    // (Spark 4 otherwise refuses the file); a no-op on the MICROS
+    // vintage. normalizeEventTs branches on whichever type results.
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Bounded replays emit all output on the data batch itself; the
       // extra no-data micro-batch Spark schedules to advance the

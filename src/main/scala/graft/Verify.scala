@@ -36,11 +36,17 @@ object Verify {
       case None => outDir
     }
     new java.io.File(effOut).mkdirs()
+    // Failures are an ARTIFACT, not just stderr noise: a systemic break
+    // (e.g. a testdata schema drift failing 19 queries with one root
+    // cause) must surface as one obvious committed file, not as an
+    // absence of rows in the downstream compare. Empty array == green.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$effOut/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -58,6 +64,13 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$effOut/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$effOut/VERIFY_FAILURES.json"), failJson)
+    // Loud but not fatal: exiting non-zero could make the driver treat a
+    // 129/148 run as a 0/148 run. The artifact is the signal.
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED — see VERIFY_FAILURES.json")
     spark.stop()
   }
 }

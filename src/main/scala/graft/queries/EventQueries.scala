@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
-  /** Epoch seconds with fractional µs — matches DuckDB `epoch(ts)` to
-    * within the ns→µs truncation of the Spark-side read. */
+  /** Epoch seconds with fractional µs — `ts` is the canonical µs
+    * TimestampType from [[Tables.normalizeEventTs]], so this matches
+    * DuckDB `epoch(ts)` of the same file exactly. */
   private def epochSec = col("ts").cast("double")
 
   /** e12's complete-mode precondition, asserted loudly: a complete-mode
@@ -88,6 +89,22 @@ object EventQueries {
     ss
   }
 
+  /** Bounded streaming replay of the raw events table: declare the
+    * file's own physical schema (so the source sees exactly what a
+    * batch scan sees), glob-select events.parquet from the sf dir, and
+    * derive the canonical (`ts` µs-Timestamp, `ts_ns` epoch-ns Long)
+    * pair through [[Tables.normalizeEventTs]] — the ONE place the
+    * physical ts representation is decided. Every raw-events stream in
+    * the roster reads through here; a future testdata regen that
+    * changes the ts encoding breaks one helper (and one named spec),
+    * not nineteen queries. */
+  private def eventsStream(s: SparkSession, ss: SparkSession, d: String): DataFrame =
+    Tables.normalizeEventTs(
+      ss.readStream
+        .schema(Tables.eventsRawSchema(s, d))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
+
   /** Scratch dir for a stream's sink/checkpoint, removed when the JVM
     * exits — repeated Bench/Verify runs must not accumulate state-store
     * and result files on the host. ONE static hook drains a queue of
@@ -112,8 +129,8 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "e01_sessionize" -> ((s, d) => {
-      // ns-exact ordering (see q18) — epoch values stay µs-derived,
-      // which only shifts gap boundaries by <2µs
+      // canonical integer event-time ordering (see q18) — ts_ns is
+      // identical on both engines whatever precision the file carries
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_ns"), col("event_id"))
       val gapped = Tables.events(s, d)
@@ -181,16 +198,7 @@ object EventQueries {
     // up to that bound, which is the contract watermarks define.
     "e03_stream_window" -> ((s, d) => {
       val ss = streamSession(s) // state partitions sized to state volume
-      // file-on-disk schema (ts as raw nanosecond long under the legacy
-      // flag set at session build), reused as the stream's declared schema
-      val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-      // the file-stream source wants a directory: stream the sf dir with
-      // a glob filter selecting just the events table
-      val raw = ss.readStream
-        .schema(fileSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = eventsStream(s, ss, d)
       val agg = raw
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
@@ -248,12 +256,7 @@ object EventQueries {
     "e04_stream_sessionize" -> ((s, d) => {
       import s.implicits._
       val ss = streamSession(s) // state partitions sized to state volume
-      val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = ss.readStream
-        .schema(fileSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = eventsStream(s, ss, d)
         .select(col("user_id"), col("ts"), col("event_id"))
         .as[graft.streaming.StatefulSessionize.Event]
       val sessions = graft.streaming.StatefulSessionize.sessions(raw)(ss)
@@ -577,10 +580,10 @@ object EventQueries {
       * strictly-preceding ROWS frame — no self-join, no range
       * explosion, no per-key driver state, so the pass costs the same
       * as sessionization at any event volume. Determinism: the
-      * timeline orders by (ts_ns, event_id) — the ns timestamps are
-      * integers and the frame is rows-based, so a click and a purchase
-      * in the same nanosecond resolve by event id identically in both
-      * engines. Latencies are exact integer ns diffs floored to ms
+      * timeline orders by (ts_ns, event_id) — ts_ns is the canonical
+      * integer event-time and the frame is rows-based, so a click and
+      * a purchase at the same instant resolve by event id identically
+      * in both engines. Latencies are exact integer ns diffs floored to ms
       * before any double math; bucket edges are integer compares.
       * Unattributed purchases (no prior click, or the last click is
       * older than the 2 h window) surface as their own buckets rather
@@ -725,12 +728,7 @@ object EventQueries {
       * verified, not just counts. */
     "e12_stream_session_window" -> ((s, d) => {
       val ss = streamSession(s) // state partitions sized to state volume
-      val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = ss.readStream
-        .schema(fileSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = eventsStream(s, ss, d)
         .select(col("user_id"), col("ts"), col("event_id"))
         .withWatermark("ts", "1 day")
       val sess = raw
@@ -915,11 +913,7 @@ object EventQueries {
       * stateless end-to-end. */
     "e06_stream_enrich" -> ((s, d) => {
       val ss = streamSession(s) // stateless join; shrinks log churn only
-      val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = ss.readStream
-        .schema(fileSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
+      val raw = eventsStream(s, ss, d)
         .select(col("user_id"), col("value"))
       val dim = broadcast(Tables.customer(ss, d)
         .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
@@ -957,13 +951,8 @@ object EventQueries {
       // most store-dense stream, and the one the per-store fixed
       // costs in [[streamSession]]'s scaladoc were profiled on
       val ss = streamSession(s)
-      val fileSchema = s.read.parquet(s"$d/events.parquet").schema
       // def, not val: each side of a self-join needs its own source
-      def src = ss.readStream
-        .schema(fileSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = eventsStream(s, ss, d)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("c_ts"),
           col("event_id").as("click_id"))

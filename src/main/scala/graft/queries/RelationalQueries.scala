@@ -243,8 +243,11 @@ object RelationalQueries {
     }),
 
     "q18_window_lag_lead" -> ((s, d) => {
-      // order by the exact ns value: the µs-truncated `ts` could order
-      // two sub-µs-apart events differently than DuckDB's ns ordering
+      // order by ts_ns, the canonical integer event-time: identical on
+      // both engines whatever precision the file was written with
+      // (DuckDB's epoch_ns of a µs file carries the same trailing
+      // zeros Tables.normalizeEventTs derives), so ties — and their
+      // event_id tiebreak — agree exactly
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
       Tables.events(s, d)
         .withColumn("prev_value", rnd(lag("value", 1).over(w), 4))

@@ -13,6 +13,23 @@ class RosterSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("events.ts physical type is one normalizeEventTs handles (schema-drift guard)") {
+    // Reads the REAL testdata schema, not a fixture: when the driver
+    // regenerates /root/testdata with a new ts encoding (it has shipped
+    // TIMESTAMP(NANOS) and TIMESTAMP(MICROS) vintages already), this one
+    // named test fails with the observed type — instead of nineteen
+    // events-reading roster queries failing with the same analysis error.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val physical = Tables.eventsRawSchema(spark, sf0001)("ts").dataType
+    assert(Set[org.apache.spark.sql.types.DataType](
+      LongType, TimestampNTZType, TimestampType).contains(physical),
+      s"events.ts is $physical — teach Tables.normalizeEventTs this vintage")
+    // and the normalized contract holds: ts is a µs instant, ts_ns a Long
+    val norm = Tables.events(spark, sf0001).schema
+    assert(norm("ts").dataType == TimestampType)
+    assert(norm("ts_ns").dataType == LongType)
+  }
+
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

@@ -550,6 +550,47 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("e14: merged-sketch probe join BROADCASTS the 256-row sketch — " +
+      "the top-k audit never shuffles on sketch buckets") {
+    // planOf drives the full streaming replay, then explains the
+    // batch-side audit it returns: the probe side (10 users × 4 rows)
+    // joins the merged CMS table, which must ship as a broadcast —
+    // a SortMergeJoin here would mean the ≤256-row sketch got
+    // exchange-partitioned, the shape that breaks the "sketch is the
+    // state" scale claim
+    val plan = planOf("e14_stream_sketch").split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    // exactly one Window: the global rank over ten rows
+    assert("Window".r.findAllIn(plan).size == 1, plan.take(3000))
+  }
+
+  test("e15: sink readback is scan+sort ONLY — the stream already " +
+      "aggregated; admitted counts need no batch-side re-aggregation") {
+    // the late-data audit's scale claim is that sink traffic is
+    // closed-windows-only (append mode): the returned per-day frame
+    // must therefore be a plain read of the sink, not a dedup or
+    // re-aggregation pass over raw events
+    val plan = planOf("e15_late_data_audit").split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("e17: recovered sink sums partials with ONE aggregate pair — " +
+      "no dedup-on-read, no join, after the restart") {
+    // the restart contract: the idempotent batch-id sink converges
+    // under re-delivery, so the readback needs zero distinct/window
+    // machinery — a Window or distinct appearing here would mean the
+    // sink stopped converging and the query papered over it downstream
+    val plan = planOf("e17_restart_recovery").split("== Initial Plan ==")(0)
+    assert("HashAggregate".r.findAllIn(plan).size <= 2, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Distinct") && !plan.contains("distinct"),
+      plan.take(3000))
+  }
+
   test("t28: the keep-first window partitions by the CHUNK HASH — " +
       "cardinality grows with the corpus, never a coarse key") {
     // formatted mode prints operator DETAIL sections (where
