@@ -700,6 +700,81 @@ object EventQueries {
       partials.groupBy("day").agg(sum("cnt").as("n_events")).orderBy("day")
     }),
 
+    /** Standing per-source ingest quota enforced across micro-batches —
+      * [[graft.streaming.QuotaAdmission]] as a roster query: each of
+      * the 20 document sources may contribute at most 10 docs to the
+      * corpus EVER (a licensing cap / tenant budget), with the running
+      * count held in flatMapGroupsWithState (one long per key, the
+      * smallest stateful footprint there is). The replay is staged as
+      * three ascending doc_id ranges with forced arrival order (the
+      * e15 mtime discipline), so "first 10 observed per source" has a
+      * deterministic meaning the DuckDB oracle replicates as a plain
+      * row_number() cap — and at this corpus's 20×25-doc layout the
+      * quota boundary genuinely crosses a micro-batch boundary (batch
+      * 1 delivers ~8 docs/source), so the state's cross-batch
+      * persistence is what the id checksum verifies, not just the
+      * counts. The readback joins the admitted sink against per-source
+      * totals batch-side; rejection must actually occur (asserted),
+      * and sink traffic per batch is remaining-quota-bounded — the
+      * scale contract of a cap. */
+    "e18_stream_quota" -> ((s, d) => {
+      import s.implicits._
+      val Quota = 10L
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val src = tempDir("graft_e18_src_")
+      val base = System.currentTimeMillis() - 10 * 60000L
+      def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
+        val tmp = tempDir("graft_e18_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"f$idx.parquet")
+        require(part.renameTo(dst) && dst.setLastModified(base + idx * 60000L),
+          s"e18: staging file $idx failed")
+      }
+      val cut1 = maxId / 3
+      val cut2 = 2 * maxId / 3
+      stage(docs.filter(col("doc_id") <= cut1), 0)
+      stage(docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2), 1)
+      stage(docs.filter(col("doc_id") > cut2), 2)
+      val ss = streamSession(s)
+      val schema = s.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .as[graft.streaming.QuotaAdmission.Doc]
+      val admitted = graft.streaming.QuotaAdmission.admit(stream, Quota)(ss)
+      val outDir = tempDir("graft_e18_out_")
+      val ckpt = tempDir("graft_e18_ckpt_")
+      val q = admitted.toDF.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "e18 needs the three staged ranges as three micro-batches — " +
+          "the forced arrival order collapsed")
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e18: streaming sink produced zero rows") // see e04
+      val adm = out.groupBy("source")
+        .agg(count(lit(1)).as("n_admitted"),
+          sum("doc_id").as("sum_admitted_ids"))
+      val res = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(adm), Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          (col("n_docs") - coalesce(col("n_admitted"), lit(0L))).as("n_rejected"),
+          coalesce(col("sum_admitted_ids"), lit(0L)).as("sum_admitted_ids"))
+        .orderBy("source")
+      require(res.agg(sum("n_rejected")).head().getLong(0) > 0,
+        "e18: the quota never rejected anything — the cap went unexercised")
+      res
+    }),
+
     /** Native session-window streaming sessionization — the built-in
       * `session_window` aggregation beside e04's hand-rolled
       * flatMapGroupsWithState: same 1-hour-gap semantics, but state
@@ -990,6 +1065,23 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // e18: the staged ranges arrive in ascending doc_id order and the
+    // operator admits in ascending doc_id within each batch, so "first
+    // `quota` observed per source" collapses to a plain row_number cap
+    // over the batch table — the id checksum pins WHICH docs were
+    // admitted (i.e. the cross-batch counter state), not just counts.
+    "e18_stream_quota" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        | CAST(sum(CASE WHEN rn > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+        | CAST(sum(CASE WHEN rn <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
+        |   AS sum_admitted_ids
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     // e13: same cross-multiplied integer L1 — the only double op is
     // the final division, so the distance compares exactly.
     "e13_drift_monitor" ->

@@ -57,6 +57,43 @@ object MultimodalQueries {
     MediaRecord(docId, source, content.length, w, h, frames, hist.map(_ / n))
   }
 
+  /** STUB perceptual hash — the aHash shape (Krawetz's average hash:
+    * downscale to 8×8 luminance, threshold each cell against the
+    * mean) over the opaque payload: the "decode+downscale" is faked as
+    * 64 equal byte segments whose mean byte value stands in for cell
+    * luminance. A real implementation decodes pixels and feeds the
+    * same 64 cells; everything downstream of this function (banding,
+    * candidate join, hamming verify) is the production pipeline and
+    * does not change. Returned as FOUR 16-bit band values rather than
+    * one 64-bit word: bands are the LSH bucket keys downstream, and
+    * 2^63 would overflow a signed long on bit 63 in both engines.
+    * Bit s of the hash is set iff segment s's mean exceeds the global
+    * mean — compared as the integer cross-product segSum·n > tot·segLen
+    * so no engine ever divides (exact on both sides). Caller filters
+    * to n ≥ 64 bytes so every segment is nonempty. */
+  def stubPHashBands(content: Array[Byte]): Array[Int] = {
+    val n = content.length
+    val segSum = new Array[Long](64)
+    val segLen = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val v = content(i) & 0xff
+      val seg = (i.toLong * 64 / n).toInt
+      segSum(seg) += v
+      segLen(seg) += 1
+      tot += v
+      i += 1
+    }
+    val bands = new Array[Int](4)
+    var s = 0
+    while (s < 64) {
+      if (segSum(s) * n > tot * segLen(s)) bands(s / 16) |= 1 << (s % 16)
+      s += 1
+    }
+    bands
+  }
+
   /** Aspect-preserving fit of (w, h) into a `box`×`box` target —
     * integer arithmetic only, so engines agree bit-for-bit. The short
     * side floors (standard image-resize convention) with a 1px minimum. */
@@ -322,9 +359,137 @@ object MultimodalQueries {
           col("retention"), col("kept_bytes"), col("sum_score_e6"))
         .orderBy("label")
     }),
+
+    /** Perceptual-hash near-duplicate detection over binary payloads —
+      * the image-dedup stage of a multimodal ingest, in the d02/d03
+      * banded-LSH shape but keyed on a perceptual (content-derived)
+      * hash instead of a text sketch, so visually-identical re-encodes
+      * land in the same buckets. [[stubPHashBands]] fakes the
+      * decode+downscale; the pipeline is real: the 64-bit aHash ships
+      * as 4×16-bit bands, candidates are pairs sharing ANY band
+      * (pigeonhole: every pair within hamming 3 is guaranteed caught;
+      * the hamming ≤ 6 verify then bounds fp exactly), and the
+      * id-only distinct runs BEFORE signatures rejoin, so payloads
+      * never shuffle with the candidate fan-out (the neardupPairs
+      * discipline). Scale: signature is one scan-side map over the
+      * payload bytes, candidate volume is Σ bucket² per band — the
+      * banding keeps it pair-bounded, never all-pairs — and the
+      * output is a 7-row hamming histogram with an id checksum, so
+      * the verify stage is the only shuffle. */
+    "m09_phash_neardup" -> ((s, d) => {
+      import s.implicits._
+      // planted "re-encodes" (the d06/d07 ground-truth discipline): the
+      // corpus has no natural payload near-dups, so every 50th doc gets
+      // a copy with its first character replaced — a perturbation that
+      // moves at most one segment mean, measured hamming 0-1 — under
+      // doc_id + 1e6. The pipeline must surface exactly these pairs
+      // (plus any organic collisions), and the oracle checks WHICH
+      // pairs via the id checksum, not just how many.
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .filter(octet_length(col("text").cast("binary")) >= 64)
+      val planted = base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("~"), expr("substr(text, 2)")).as("text"))
+      val ds = base.unionByName(planted)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      val sigs = ds.mapPartitions(_.map { case (id, bytes) =>
+        val b = stubPHashBands(bytes)
+        (id, b(0), b(1), b(2), b(3))
+      }).toDF("doc_id", "b0", "b1", "b2", "b3")
+      val tabled = sigs.select(col("doc_id"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), col(s"b$j").as("bv"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.j"), col("e.bv"))
+      val candIds = tabled.as("a").join(tabled.as("b"),
+          col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      def bxor(c: String) = bit_count(expr(s"int(a_$c) ^ int(b_$c)"))
+      val scored = candIds
+        .join(sigs.select(col("doc_id").as("id_a"), col("b0").as("a_b0"),
+          col("b1").as("a_b1"), col("b2").as("a_b2"), col("b3").as("a_b3")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("b0").as("b_b0"),
+          col("b1").as("b_b1"), col("b2").as("b_b2"), col("b3").as("b_b3")), "id_b")
+        .withColumn("ham", bxor("b0") + bxor("b1") + bxor("b2") + bxor("b3"))
+      val hist = scored.filter(col("ham") <= 6)
+        .groupBy("ham")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a") * 100003L + col("id_b")).as("pair_chk"))
+      // fixed 0..6 hamming axis: the report always has 7 rows (a small
+      // corpus with zero near-dups is a VALID result, not an empty one)
+      s.range(0, 7).select(col("id").cast("int").as("ham"))
+        .join(broadcast(hist), Seq("ham"), "left")
+        .select(col("ham"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("pair_chk"), lit(0L)).as("pair_chk"))
+        .orderBy("ham")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // m09: full replica of the stub pHash + banding. Byte values come
+    // from hex(encode(text)) pairs via strpos on a zero-less hex
+    // alphabet (strpos returns 0 for '0', 1-15 for the rest — exactly
+    // the nibble value); segment = i*64//n mirrors the stub's integer
+    // boundary; the bit threshold is the same integer cross-product
+    // (segSum*n > tot*segLen, no division on either engine); bands
+    // re-pack with 1 << (seg % 16).
+    "m09_phash_neardup" ->
+      """WITH raw0 AS (
+        |  SELECT doc_id, text FROM documents WHERE strlen(text) >= 64),
+        | raw AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n FROM raw0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, hex(encode('~' || substr(text, 2))) AS hx,
+        |         strlen('~' || substr(text, 2)) AS n
+        |  FROM raw0 WHERE doc_id % 50 = 0),
+        | bytes AS (
+        |  SELECT doc_id, n, i,
+        |    strpos('123456789ABCDEF', substr(hx, 2*i+1, 1))*16 +
+        |    strpos('123456789ABCDEF', substr(hx, 2*i+2, 1)) AS v,
+        |    (i*64)//n AS seg
+        |  FROM (SELECT doc_id, hx, n, unnest(range(0, n)) AS i FROM raw)),
+        | tot AS (SELECT doc_id, n, sum(v) AS tv FROM bytes GROUP BY doc_id, n),
+        | segs AS (SELECT doc_id, seg, sum(v) AS sv, count(*) AS sl
+        |          FROM bytes GROUP BY doc_id, seg),
+        | bits AS (
+        |  SELECT t.doc_id, s.seg,
+        |    CASE WHEN s.sv * t.n > t.tv * s.sl THEN 1 ELSE 0 END AS bit
+        |  FROM segs s JOIN tot t USING (doc_id)),
+        | bands AS (
+        |  SELECT doc_id, seg//16 AS j,
+        |    CAST(sum(bit * (1 << (seg % 16))) AS BIGINT) AS bv
+        |  FROM bits GROUP BY doc_id, seg//16),
+        | pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id),
+        | wide AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN j = 0 THEN bv END) AS b0,
+        |    max(CASE WHEN j = 1 THEN bv END) AS b1,
+        |    max(CASE WHEN j = 2 THEN bv END) AS b2,
+        |    max(CASE WHEN j = 3 THEN bv END) AS b3
+        |  FROM bands GROUP BY doc_id),
+        | scored AS (
+        |  SELECT p.id_a, p.id_b,
+        |    bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1)) +
+        |    bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS ham
+        |  FROM pairs p JOIN wide wa ON wa.doc_id = p.id_a
+        |               JOIN wide wb ON wb.doc_id = p.id_b),
+        | hist AS (
+        |  SELECT ham, count(*) AS n_pairs,
+        |    CAST(sum(id_a*100003+id_b) AS BIGINT) AS pair_chk
+        |  FROM scored WHERE ham <= 6 GROUP BY ham)
+        |SELECT CAST(hx.h AS INTEGER) AS ham,
+        |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(pair_chk, 0) AS BIGINT) AS pair_chk
+        |FROM (SELECT unnest(range(0, 7)) AS h) hx
+        |LEFT JOIN hist ON hist.ham = hx.h ORDER BY 1""".stripMargin,
+
     // m02: full replica of the stub decode. High-nibble byte histogram
     // via hex(encode(text)) with the first char of each hex pair kept;
     // f_b = count_b / greatest(1, byte length); L2 norm folds the 16

@@ -1120,6 +1120,56 @@ object SimilarityQueries {
           "recall_at_k")
         .orderBy("nprobe", "q_id")
     }),
+
+    /** Matryoshka (prefix-dimension) retrieval recall curve — the MRL
+      * serving trade (Kusupati et al. 2022, "Matryoshka Representation
+      * Learning"): embeddings trained so every PREFIX of the vector is
+      * itself a valid lower-dim embedding let a deployment rank with
+      * the first 8/16/32 of 64 dims, cutting score FLOPs and — the part
+      * that matters at 100 TB — memory bandwidth per candidate by 8/4/2×
+      * (the same lever as s12's SQ8, on the dimension axis instead of
+      * the precision axis). This op publishes recall@10 of each prefix
+      * length against full-dim truth, per query — the curve a serving
+      * team reads to pick its truncation. Scale: the query×prefix frame
+      * is 12 rows and BROADCAST; the corpus is scanned once, each row
+      * scored at 4 prefix lengths inside the same codegen stage (the
+      * fan-out multiplies rows AFTER the scan, never re-reads), and the
+      * only shuffle is the per-(prefix, query) top-k heaps. Prefix
+      * slicing reuses the s11 subspace discipline: `slice` on the
+      * scan-side array, the cosine kernel runs on whatever length it
+      * gets. The p=64 row doubles as a self-check (recall 1 by
+      * construction, and the oracle verifies that rather than assuming
+      * it). */
+    "s21_matryoshka_recall" -> ((s, d) => {
+      val K = 10
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+          explode(typedLit(Seq(8, 16, 32, 64))).as("p"))
+      val scored = emb.join(broadcast(queriesDf), col("q_id") =!= col("vec_id"))
+        .withColumn("c6", RelationalQueries.rnd(
+          cosine(slice(col("vec"), lit(1), col("p")),
+            slice(col("q_vec"), lit(1), col("p"))), 6))
+      val w = Window.partitionBy("p", "q_id")
+        .orderBy(col("c6").desc, col("vec_id"))
+      val topk = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("p"), col("q_id"), col("vec_id"))
+      // truth is q×K rows — broadcast, or the semi join against the
+      // (equally tiny) topk frame plans as a sort-merge exchange
+      val truth = broadcast(topk.filter(col("p") === 64)
+        .select(col("q_id"), col("vec_id")))
+      val hits = topk.join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("p", "q_id").agg(count(lit(1)).as("n_hit"))
+      topk.groupBy("p", "q_id").agg(count(lit(1)).as("n_ret"))
+        .join(broadcast(hits), Seq("p", "q_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_at_k", RelationalQueries.rnd(
+          col("n_hit").cast("double") / K, 4))
+        .select("p", "q_id", "n_ret", "n_hit", "recall_at_k")
+        .orderBy("p", "q_id")
+    }),
   )
 
   /** Shared DuckDB replica of the IVF-PQ ADC pipeline (corpus,
@@ -1517,6 +1567,39 @@ object SimilarityQueries {
         |${seg(4)}
         |ORDER BY nprobe, q_id""".stripMargin
     },
+
+    // s21: full replica of the prefix-slice scoring — list_slice +
+    // list_cosine_similarity accumulate in the same ascending-index
+    // order as the Spark-side slice + ArrayCosine kernel, and the rnd6
+    // rank key freezes ties before the rank tiebreak on vec_id.
+    "s21_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | ps AS (SELECT unnest([8, 16, 32, 64]) AS p),
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3),
+        | scored AS (
+        |  SELECT ps.p, q.q_id, e.vec_id,
+        |    floor((list_cosine_similarity(list_slice(e.vec, 1, ps.p),
+        |                                  list_slice(q.q_vec, 1, ps.p)))
+        |          *1000000+0.5)/1000000 AS c6
+        |  FROM e CROSS JOIN q CROSS JOIN ps WHERE e.vec_id <> q.q_id),
+        | topk AS (
+        |  SELECT p, q_id, vec_id FROM (
+        |    SELECT p, q_id, vec_id, row_number()
+        |      OVER (PARTITION BY p, q_id ORDER BY c6 DESC, vec_id) AS rn
+        |    FROM scored) WHERE rn <= 10),
+        | truth AS (SELECT q_id, vec_id FROM topk WHERE p = 64),
+        | hits AS (
+        |  SELECT t.p, t.q_id, count(*) AS n_hit
+        |  FROM topk t JOIN truth u ON u.q_id = t.q_id AND u.vec_id = t.vec_id
+        |  GROUP BY t.p, t.q_id)
+        |SELECT k.p, k.q_id, count(*) AS n_ret,
+        |  CAST(coalesce(max(h.n_hit), 0) AS BIGINT) AS n_hit,
+        |  floor((CAST(coalesce(max(h.n_hit), 0) AS DOUBLE) / 10)
+        |        *10000+0.5)/10000 AS recall_at_k
+        |FROM topk k
+        |LEFT JOIN hits h ON h.p = k.p AND h.q_id = k.q_id
+        |GROUP BY k.p, k.q_id
+        |ORDER BY k.p, k.q_id""".stripMargin,
 
     // s06: same absmax scale, floor-round quantizer, and ascending-index
     // error dot (list_inner_product matches ArrayDot's accumulation

@@ -1218,6 +1218,41 @@ object TextQueries {
             .as("kept_chk"))
         .orderBy("source")
     }),
+
+    /** Tokenizer fertility report — tokens-per-word and bytes-per-token
+      * per (lang, source) cell, the table a tokenizer owner publishes
+      * to find languages the vocabulary underserves (fertility ≫ 1
+      * means each word fragments into many pieces, so the same text
+      * costs proportionally more sequence length — and at 100 TB,
+      * proportionally more training FLOPs). Tokens are t05's BPE-ish
+      * pre-tokenization, words are the whitespace tokens, bytes are
+      * octet_length of the raw text (UTF-8), so all three denominators
+      * are scan-side column math — ONE pass, one partial+final
+      * aggregate on the (lang, source) grid, nothing shuffles but the
+      * ≤|langs×sources| partial rows. The over_fertile flag applies the
+      * published threshold (1.8 pieces/word) to the CELL average, the
+      * integer-exact ratio of two sums — not an average of per-doc
+      * ratios, which would weight a 3-word doc like a 3000-word one. */
+    "t30_tokenizer_fertility" -> ((s, d) => {
+      val pieces = regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+|[^a-z0-9 ]+"), lit(0))
+      val perDoc = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          size(pieces).cast("long").as("n_pieces"),
+          size(tokens).cast("long").as("n_words"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .filter(col("n_words") > 0 && col("n_pieces") > 0)
+      val fertility = sum("n_pieces").cast("double") / sum("n_words")
+      perDoc.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_pieces").as("sum_pieces"),
+          sum("n_words").as("sum_words"),
+          rnd(fertility, 4).as("fertility"),
+          rnd(sum("n_bytes").cast("double") / sum("n_pieces"), 4)
+            .as("bytes_per_token"),
+          (fertility > 1.8).as("over_fertile"))
+        .orderBy("lang", "source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1664,6 +1699,25 @@ object TextQueries {
         | floor((avg(n_pieces))*10000+0.5)/10000 AS avg_pieces,
         | floor((avg(CAST(n_distinct AS DOUBLE)/n_pieces))*10000+0.5)/10000 AS avg_distinct_ratio
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t30: same t05 pre-tokenization; fertility is the ratio of SUMS
+    // (integer-exact before the one double divide), strlen = UTF-8
+    // bytes = Spark octet_length.
+    "t30_tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]+')) AS n_pieces,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+        |    strlen(text) AS n_bytes
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        | CAST(sum(n_pieces) AS BIGINT) AS sum_pieces,
+        | CAST(sum(n_words) AS BIGINT) AS sum_words,
+        | floor((CAST(sum(n_pieces) AS DOUBLE)/sum(n_words))*10000+0.5)/10000 AS fertility,
+        | floor((CAST(sum(n_bytes) AS DOUBLE)/sum(n_pieces))*10000+0.5)/10000 AS bytes_per_token,
+        | (CAST(sum(n_pieces) AS DOUBLE)/sum(n_words)) > 1.8 AS over_fertile
+        |FROM t WHERE n_words > 0 AND n_pieces > 0
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "t04_fingerprint" ->
       """WITH fp AS (

@@ -591,6 +591,42 @@ class QueryPlanSpec extends AnyFunSuite {
       plan.take(3000))
   }
 
+  test("s21: prefix-dim scoring broadcasts the query×prefix frame; " +
+      "corpus never cartesian-products") {
+    // 12 broadcast rows against one corpus scan — all four prefix
+    // lengths score inside the same stage; a CartesianProduct or a
+    // SortMergeJoin here would mean the corpus shuffled to be scored
+    val plan = planOf("s21_matryoshka_recall")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("t30: fertility report is ONE scan + one aggregate pair — " +
+      "no join, no window, nothing shuffles but the (lang,source) grid") {
+    val plan = planOf("t30_tokenizer_fertility").split("== Initial Plan ==")(0)
+    assert("HashAggregate".r.findAllIn(plan).size <= 2, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("m09: candidate pairs dedup on ids BEFORE signatures rejoin; " +
+      "band join never cartesian-products") {
+    // the neardupPairs discipline: the ×4 band explode carries only
+    // (doc_id, j, bv); payload-derived signature columns rejoin by id
+    // after the distinct, and every join is an equi join
+    val plan = planOf("m09_phash_neardup")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("e18: quota readback joins per-source totals via BROADCAST — " +
+      "the 20-row admitted table never drives a shuffle join") {
+    val plan = planOf("e18_stream_quota").split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("t28: the keep-first window partitions by the CHUNK HASH — " +
       "cardinality grows with the corpus, never a coarse key") {
     // formatted mode prints operator DETAIL sections (where
