@@ -1219,6 +1219,58 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    /** Domain reweighting, DoReMi-flavored (Xie et al. 2023, "DoReMi:
+      * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+      * upweight domains where a proxy model underperforms, publish the
+      * resampled mixture. The proxy "excess loss" here is the excess
+      * RARE-TOKEN RATE — the fraction of a domain's tokens outside the
+      * corpus top-16 head vocabulary (the synthetic corpus holds only
+      * 31 distinct tokens, so a 16-token head leaves a real tail;
+      * production uses the tokenizer's actual head), minus the
+      * corpus-wide rate, floored at 0 — a deterministic stand-in with the right monotonicity
+      * (rare tokens are where a small reference model loses); swapping
+      * in measured per-domain eval losses changes one column, not the
+      * operator. Weights are integer to the end: rates freeze to e6 by
+      * integral division, w_raw = tokens·(1e6 + 10·excess_e6), and the
+      * only doubles are the final normalized shares (single IEEE
+      * divisions, identical on both engines). Scale: the token census
+      * is one explode with map-side combine, the vocabulary is a
+      * 16-row broadcast, the per-source grid is |sources| rows, and
+      * the two corpus totals ride as 1-row broadcasts — no collect, no
+      * second corpus pass. (At 100 TB the e6 products stay inside
+      * int64 up to ~9·10¹² tokens per domain; past that the freeze
+      * moves to decimal(38) with the same semantics.) The output reads
+      * as a mixture card: sampling share vs token share, and effective
+      * epochs (>1 = domain oversampled). */
+    "t31_domain_reweight" -> ((s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("source"), explode(tokens).as("tok"))
+      val vocab = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(16)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      val perSrc = tk.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("rare"))
+      val tot = perSrc.agg(sum("tokens").as("t_tok"), sum("rare").as("t_rare"))
+      val w = perSrc.crossJoin(broadcast(tot))
+        .withColumn("rate_e6", expr("rare * 1000000L div tokens"))
+        .withColumn("excess_e6", greatest(lit(0L),
+          col("rate_e6") - expr("t_rare * 1000000L div t_tok")))
+        .withColumn("w_raw",
+          col("tokens") * (lit(1000000L) + lit(10L) * col("excess_e6")))
+      val wTot = w.agg(sum("w_raw").as("w_tot"))
+      w.crossJoin(broadcast(wTot))
+        .withColumn("p_sample", rnd(
+          col("w_raw").cast("double") / col("w_tot"), 4))
+        .withColumn("eff_epochs", rnd(
+          (col("w_raw").cast("double") / col("w_tot")) *
+            (col("t_tok").cast("double") / col("tokens")), 4))
+        .select("source", "tokens", "rare", "rate_e6", "excess_e6",
+          "w_raw", "p_sample", "eff_epochs")
+        .orderBy("source")
+    }),
+
     /** Tokenizer fertility report — tokens-per-word and bytes-per-token
       * per (lang, source) cell, the table a tokenizer owner publishes
       * to find languages the vocabulary underserves (fertility ≫ 1
@@ -1699,6 +1751,41 @@ object TextQueries {
         | floor((avg(n_pieces))*10000+0.5)/10000 AS avg_pieces,
         | floor((avg(CAST(n_distinct AS DOUBLE)/n_pieces))*10000+0.5)/10000 AS avg_distinct_ratio
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t31: same census/vocab/freeze chain — top-16 vocab by
+    // (count DESC, token), rates by integral e6 division, integer
+    // weights, one final IEEE division per double column.
+    "t31_domain_reweight" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        | vocab AS (SELECT tok FROM (
+        |    SELECT tok, count(*) AS c FROM tk GROUP BY tok
+        |    ORDER BY c DESC, tok LIMIT 16)),
+        | ps AS (
+        |  SELECT source, count(*) AS tokens,
+        |    CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS rare
+        |  FROM tk GROUP BY source),
+        | tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t_tok,
+        |                CAST(sum(rare) AS BIGINT) AS t_rare FROM ps),
+        | w AS (
+        |  SELECT source, CAST(tokens AS BIGINT) AS tokens, rare,
+        |    CAST((rare * 1000000) // tokens AS BIGINT) AS rate_e6,
+        |    CAST(greatest(0, (rare * 1000000) // tokens
+        |                     - (t_rare * 1000000) // t_tok) AS BIGINT) AS excess_e6,
+        |    CAST(tokens * (1000000 + 10 * greatest(0,
+        |      (rare * 1000000) // tokens - (t_rare * 1000000) // t_tok))
+        |      AS BIGINT) AS w_raw,
+        |    t_tok
+        |  FROM ps CROSS JOIN tot),
+        | wt AS (SELECT CAST(sum(w_raw) AS BIGINT) AS w_tot FROM w)
+        |SELECT source, tokens, rare, rate_e6, excess_e6, w_raw,
+        | floor((CAST(w_raw AS DOUBLE) / w_tot)*10000+0.5)/10000 AS p_sample,
+        | floor(((CAST(w_raw AS DOUBLE) / w_tot) *
+        |        (CAST(t_tok AS DOUBLE) / tokens))*10000+0.5)/10000 AS eff_epochs
+        |FROM w CROSS JOIN wt ORDER BY source""".stripMargin,
 
     // t30: same t05 pre-tokenization; fertility is the ratio of SUMS
     // (integer-exact before the one double divide), strlen = UTF-8

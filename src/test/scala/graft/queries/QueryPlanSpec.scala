@@ -610,6 +610,17 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(3000))
   }
 
+  test("t31: vocab and corpus totals ride as BROADCASTS — one census " +
+      "pass, no sort-merge join, no second corpus scan") {
+    // the 16-row vocabulary joins the token census as a broadcast hash
+    // join; the two 1-row totals attach as broadcast nested loops —
+    // nothing about the reweight math shuffles the corpus again
+    val plan = planOf("t31_domain_reweight").split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("m09: candidate pairs dedup on ids BEFORE signatures rejoin; " +
       "band join never cartesian-products") {
     // the neardupPairs discipline: the ×4 band explode carries only

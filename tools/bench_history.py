@@ -19,6 +19,18 @@ import sys
 REGRESSION_RATIO = 1.3       # soft: ** marker in the table
 HARD_REGRESSION_RATIO = 2.0  # hard: WARNINGS block + exit 2
 
+# Rounds at which the driver REGENERATED /root/testdata. Content-dependent
+# work (LSH candidate volumes, distinct cardinalities, parquet layout)
+# legitimately changes across vintages even when every plan digest is
+# unchanged — r11 measured a reproducible ~1.4x shift on untouched queries
+# after the r10→r11 regen, on an idle machine, with identical digests.
+# The hard-regression gate therefore only compares rounds within the same
+# data epoch (and the same run class).
+DATA_EPOCH_STARTS = [1, 11]
+
+def data_epoch(r):
+    return max(e for e in DATA_EPOCH_STARTS if e <= r)
+
 def extract(path):
     with open(path) as f:
         doc = json.load(f)
@@ -106,7 +118,12 @@ def main():
            "unmarked = DRIVER-environment run. The two run classes are not",
            "cross-comparable (r10: uniform ~2x shift on identical plans,",
            "digests unchanged — machine state, not code); grade",
-           "round-over-round native-vs-native or driver-vs-driver only.", "",
+           "round-over-round native-vs-native or driver-vs-driver only.",
+           "Testdata regens start a new DATA EPOCH (currently: "
+           + ", ".join(f"r{e:02d}+" for e in DATA_EPOCH_STARTS) + ");",
+           "content-dependent runtimes are only comparable within an",
+           "epoch (r10→r11: reproducible ~1.4x on untouched queries,",
+           "idle machine, identical digests — the data changed).", "",
            "| query | " + " | ".join(
                f"r{r:02d}" + ("n" if r in native_rounds else "")
                for r in rids) + " |",
@@ -154,11 +171,13 @@ def main():
     # REGRESSION_RATIO for visibility only.)
     warnings = []
     # compare like with like: the regression chain for the newest round
-    # runs against the most recent PRIOR round of the SAME run class —
-    # a driver-vs-native comparison would false-alarm on machine noise.
+    # runs against the most recent PRIOR round of the SAME run class and
+    # SAME data epoch — a driver-vs-native or cross-vintage comparison
+    # would false-alarm on machine noise / data-content change.
     last_r = rids[-1]
     same_class = [r for r in rids[:-1]
-                  if (r in native_rounds) == (last_r in native_rounds)]
+                  if (r in native_rounds) == (last_r in native_rounds)
+                  and data_epoch(r) == data_epoch(last_r)]
     if same_class:
         prev_r = same_class[-1]
         prev_qs = rounds[prev_r].get("queries", {})
