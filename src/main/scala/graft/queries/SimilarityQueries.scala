@@ -1121,6 +1121,64 @@ object SimilarityQueries {
         .orderBy("nprobe", "q_id")
     }),
 
+    /** Binary-quantized retrieval — the 1-bit-per-dimension serving
+      * scheme (sign quantization; the asymmetric-hamming family behind
+      * BQ in production vector stores): each 64-dim vector compresses
+      * to a 64-bit sign signature (8 bytes — 32× less memory bandwidth
+      * per scanned candidate than the float vector, the most aggressive
+      * point on the s12/s21 compression axis), queries rank the corpus
+      * by signature hamming distance, keep a C=50 shortlist, and ONLY
+      * the shortlist is fetched and re-ranked by exact cosine (the s19
+      * refine step). Unlike s02's random-hyperplane LSH the hash here
+      * is the coordinate sign itself — portable SQL — so this variant
+      * carries a FULL DuckDB oracle including its recall@10 vs brute
+      * truth (the `in_truth` column the operator publishes per row).
+      * Signatures are 4×16-bit bands (one 64-bit word would need bit
+      * 63 = sign-bit overflow on both engines, the m09 rule); the
+      * hamming scan reads signatures only, the float vectors stay in
+      * the store until the 150-row shortlist fetch, which broadcasts.
+      * A production build precomputes signatures at ingest (one scan)
+      * and stores them column-adjacent; here they compute scan-side in
+      * the same stage as the hamming compare. */
+    "s22_binary_quant" -> ((s, d) => {
+      val C = 50; val K = 10
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      def bandSig(j: Int) = expr(
+        s"aggregate(zip_with(slice(vec, ${16 * j + 1}, 16), sequence(0, 15), " +
+          "(x, i) -> IF(x > 0d, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
+      val sigs = emb.select(col("vec_id"), bandSig(0).as("g0"),
+        bandSig(1).as("g1"), bandSig(2).as("g2"), bandSig(3).as("g3"))
+      val qSigs = sigs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("g0").as("q0"),
+          col("g1").as("q1"), col("g2").as("q2"), col("g3").as("q3"))
+      def ham(c: Int) = bit_count(expr(s"int(g$c) ^ int(q$c)"))
+      val hammed = sigs.join(broadcast(qSigs), col("q_id") =!= col("vec_id"))
+        .withColumn("ham", ham(0) + ham(1) + ham(2) + ham(3))
+      val wH = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id"))
+      val shortlist = hammed.withColumn("hrn", row_number().over(wH))
+        .filter(col("hrn") <= C).select("q_id", "vec_id", "ham")
+      val qVecs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      val reranked = emb.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(qVecs), "q_id")
+        .withColumn("c6", RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+      val wR = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+      val topk = reranked.withColumn("rank", row_number().over(wR))
+        .filter(col("rank") <= K)
+      // brute truth for the in_truth audit column — same rnd6 rank key
+      val wT = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+      val truth = broadcast(emb.join(broadcast(qVecs), col("q_id") =!= col("vec_id"))
+        .withColumn("c6", RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+        .withColumn("trn", row_number().over(wT))
+        .filter(col("trn") <= K).select(col("q_id"), col("vec_id"), lit(true).as("in_truth")))
+      topk.join(truth, Seq("q_id", "vec_id"), "left")
+        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+          col("ham"), RelationalQueries.rnd(col("c6"), 4).as("cos_sim"),
+          coalesce(col("in_truth"), lit(false)).as("in_truth"))
+        .orderBy("q_id", "rank")
+    }),
+
     /** Matryoshka (prefix-dimension) retrieval recall curve — the MRL
       * serving trade (Kusupati et al. 2022, "Matryoshka Representation
       * Learning"): embeddings trained so every PREFIX of the vector is
@@ -1567,6 +1625,58 @@ object SimilarityQueries {
         |${seg(4)}
         |ORDER BY nprobe, q_id""".stripMargin
     },
+
+    // s22: full replica — sign signatures per 16-dim band (1L << bit,
+    // the m09 no-bit-63 rule), integer hamming rank with vec_id
+    // tiebreak, rnd6 rerank, brute rnd6 truth for the audit column.
+    "s22_binary_quant" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | sig AS (
+        |  SELECT vec_id,
+        |   CAST(list_sum(list_transform(range(1,17),
+        |     i -> CASE WHEN vec[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS g0,
+        |   CAST(list_sum(list_transform(range(1,17),
+        |     i -> CASE WHEN vec[16+i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS g1,
+        |   CAST(list_sum(list_transform(range(1,17),
+        |     i -> CASE WHEN vec[32+i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS g2,
+        |   CAST(list_sum(list_transform(range(1,17),
+        |     i -> CASE WHEN vec[48+i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS g3
+        |  FROM e),
+        | q AS (SELECT vec_id AS q_id, g0 AS q0, g1 AS q1, g2 AS q2, g3 AS q3
+        |       FROM sig WHERE vec_id < 3),
+        | hm AS (
+        |  SELECT q.q_id, s.vec_id,
+        |    bit_count(xor(s.g0, q.q0)) + bit_count(xor(s.g1, q.q1)) +
+        |    bit_count(xor(s.g2, q.q2)) + bit_count(xor(s.g3, q.q3)) AS ham
+        |  FROM sig s CROSS JOIN q WHERE s.vec_id <> q.q_id),
+        | short AS (SELECT q_id, vec_id, ham FROM (
+        |    SELECT q_id, vec_id, ham,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS hrn
+        |    FROM hm) WHERE hrn <= 50),
+        | qv AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3),
+        | rr AS (
+        |  SELECT sh.q_id, sh.vec_id, sh.ham,
+        |    floor((list_cosine_similarity(qv.q_vec, e.vec))*1000000+0.5)/1000000 AS c6
+        |  FROM short sh JOIN e ON e.vec_id = sh.vec_id
+        |               JOIN qv ON qv.q_id = sh.q_id),
+        | topk AS (SELECT q_id, vec_id, ham, c6, rank FROM (
+        |    SELECT *, row_number()
+        |      OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id) AS rank
+        |    FROM rr) WHERE rank <= 10),
+        | ts AS (
+        |  SELECT qv.q_id, e.vec_id,
+        |    floor((list_cosine_similarity(qv.q_vec, e.vec))*1000000+0.5)/1000000 AS c6
+        |  FROM e CROSS JOIN qv WHERE e.vec_id <> qv.q_id),
+        | truth AS (SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number()
+        |      OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id) AS trn
+        |    FROM ts) WHERE trn <= 10)
+        |SELECT k.q_id, CAST(k.rank AS INTEGER) AS rank, k.vec_id AS n_id,
+        |  CAST(k.ham AS INTEGER) AS ham,
+        |  floor(k.c6*10000+0.5)/10000 AS cos_sim,
+        |  (t.vec_id IS NOT NULL) AS in_truth
+        |FROM topk k LEFT JOIN truth t ON t.q_id = k.q_id AND t.vec_id = k.vec_id
+        |ORDER BY k.q_id, k.rank""".stripMargin,
 
     // s21: full replica of the prefix-slice scoring — list_slice +
     // list_cosine_similarity accumulate in the same ascending-index

@@ -602,6 +602,20 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("s22: hamming scan reads broadcast query signatures; shortlist " +
+      "and query vectors broadcast into the rerank — no sort-merge") {
+    // the BQ serving shape: the corpus is scanned (sig + hamming in
+    // one stage) against 3 broadcast query signatures, and only the
+    // 150-row shortlist drives the exact-cosine fetch — a
+    // SortMergeJoin anywhere means either the scan shuffled or the
+    // shortlist did
+    val plan = planOf("s22_binary_quant")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("t30: fertility report is ONE scan + one aggregate pair — " +
       "no join, no window, nothing shuffles but the (lang,source) grid") {
     val plan = planOf("t30_tokenizer_fertility").split("== Initial Plan ==")(0)
