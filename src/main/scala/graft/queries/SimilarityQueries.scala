@@ -216,6 +216,35 @@ object SimilarityQueries {
       .agg(sum("d_e6").as("adc_e6"))
   }
 
+  /** Shared binary-quantization shortlist pipeline — s22's index AND
+    * s23's sweep consume this one code path (the pqAdcScored sharing
+    * discipline). Sign-quantizes every vector to a 64-bit signature as
+    * 4×16-bit bands (bit 63 of one long would overflow identically on
+    * both engines), ranks the corpus by integer hamming against the
+    * broadcast query signatures (vec_id < 3), and returns the top-`c`
+    * per query: (q_id, vec_id, ham[, hrn]). The hamming scan touches
+    * signatures only — 8 bytes per candidate — and the float vectors
+    * stay behind until a consumer fetches the shortlist. */
+  private def bqShortlist(emb: DataFrame, c: Int,
+      keepRank: Boolean = false): DataFrame = {
+    def bandSig(j: Int) = expr(
+      s"aggregate(zip_with(slice(vec, ${16 * j + 1}, 16), sequence(0, 15), " +
+        "(x, i) -> IF(x > 0d, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
+    val sigs = emb.select(col("vec_id"), bandSig(0).as("g0"),
+      bandSig(1).as("g1"), bandSig(2).as("g2"), bandSig(3).as("g3"))
+    val qSigs = sigs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("g0").as("q0"),
+        col("g1").as("q1"), col("g2").as("q2"), col("g3").as("q3"))
+    def ham(b: Int) = bit_count(expr(s"int(g$b) ^ int(q$b)"))
+    val hammed = sigs.join(broadcast(qSigs), col("q_id") =!= col("vec_id"))
+      .withColumn("ham", ham(0) + ham(1) + ham(2) + ham(3))
+    val wH = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id"))
+    val ranked = hammed.withColumn("hrn", row_number().over(wH))
+      .filter(col("hrn") <= c)
+    if (keepRank) ranked.select("q_id", "vec_id", "ham", "hrn")
+    else ranked.select("q_id", "vec_id", "ham")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "s01_knn_brute" -> ((s, d) => {
@@ -1141,23 +1170,9 @@ object SimilarityQueries {
       * and stores them column-adjacent; here they compute scan-side in
       * the same stage as the hamming compare. */
     "s22_binary_quant" -> ((s, d) => {
-      val C = 50; val K = 10
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), embD(col("embedding")).as("vec"))
-      def bandSig(j: Int) = expr(
-        s"aggregate(zip_with(slice(vec, ${16 * j + 1}, 16), sequence(0, 15), " +
-          "(x, i) -> IF(x > 0d, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)")
-      val sigs = emb.select(col("vec_id"), bandSig(0).as("g0"),
-        bandSig(1).as("g1"), bandSig(2).as("g2"), bandSig(3).as("g3"))
-      val qSigs = sigs.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("g0").as("q0"),
-          col("g1").as("q1"), col("g2").as("q2"), col("g3").as("q3"))
-      def ham(c: Int) = bit_count(expr(s"int(g$c) ^ int(q$c)"))
-      val hammed = sigs.join(broadcast(qSigs), col("q_id") =!= col("vec_id"))
-        .withColumn("ham", ham(0) + ham(1) + ham(2) + ham(3))
-      val wH = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id"))
-      val shortlist = hammed.withColumn("hrn", row_number().over(wH))
-        .filter(col("hrn") <= C).select("q_id", "vec_id", "ham")
+      val shortlist = bqShortlist(emb, 50)
       val qVecs = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
       val reranked = emb.join(broadcast(shortlist), "vec_id")
@@ -1165,18 +1180,67 @@ object SimilarityQueries {
         .withColumn("c6", RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
       val wR = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
       val topk = reranked.withColumn("rank", row_number().over(wR))
-        .filter(col("rank") <= K)
+        .filter(col("rank") <= 10)
       // brute truth for the in_truth audit column — same rnd6 rank key
       val wT = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
       val truth = broadcast(emb.join(broadcast(qVecs), col("q_id") =!= col("vec_id"))
         .withColumn("c6", RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
         .withColumn("trn", row_number().over(wT))
-        .filter(col("trn") <= K).select(col("q_id"), col("vec_id"), lit(true).as("in_truth")))
+        .filter(col("trn") <= 10).select(col("q_id"), col("vec_id"), lit(true).as("in_truth")))
       topk.join(truth, Seq("q_id", "vec_id"), "left")
         .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
           col("ham"), RelationalQueries.rnd(col("c6"), 4).as("cos_sim"),
           coalesce(col("in_truth"), lit(false)).as("in_truth"))
         .orderBy("q_id", "rank")
+    }),
+
+    /** Shortlist-size sweep for the binary-quantized index — the C
+      * axis a BQ deployment tunes (s17's nprobe-sweep discipline
+      * applied to s22): recall@10 of the exact-reranked top-10 vs
+      * brute truth for C ∈ {5, 10, 25, 50}, each through the ONE
+      * shared [[bqShortlist]] pipeline s22 serves (an evaluation that
+      * re-inlines its index can silently measure a different index).
+      * Each row publishes both axes — C is the cost (C exact kernels
+      * + C-row fetch per query) and recall the quality, non-decreasing
+      * in C by construction since shortlists are nested prefixes of
+      * the same hamming ranking. Truth is computed ONCE (one brute
+      * pass), the four sweep arms reuse one shortlist build at the
+      * largest C and prefix-filter it — the sweep costs one pipeline
+      * run, not four. */
+    "s23_bq_sweep" -> ((s, d) => {
+      val K = 10
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      // one shortlist at max C; each arm is a prefix (hrn <= C)
+      val short50 = bqShortlist(emb, 50, keepRank = true)
+      val qVecs = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      val reranked = emb.join(broadcast(short50), "vec_id")
+        .join(broadcast(qVecs), "q_id")
+        .withColumn("c6", RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+      val wT = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+      val truth = broadcast(emb.join(broadcast(qVecs), col("q_id") =!= col("vec_id"))
+        .withColumn("c6", RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+        .withColumn("trn", row_number().over(wT))
+        .filter(col("trn") <= K).select(col("q_id"), col("vec_id")))
+      val arms = Seq(5, 10, 25, 50).map { c =>
+        val wR = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+        val topk = reranked.filter(col("hrn") <= c)
+          .withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= K)
+          .select("q_id", "vec_id")
+        val hits = topk.join(truth, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+        topk.groupBy("q_id").agg(count(lit(1)).as("n_ret"))
+          .join(broadcast(hits), Seq("q_id"), "left")
+          .withColumn("c", lit(c))
+      }
+      arms.reduce(_ unionByName _)
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_at_k", RelationalQueries.rnd(
+          col("n_hit").cast("double") / K, 4))
+        .select("c", "q_id", "n_ret", "n_hit", "recall_at_k")
+        .orderBy("c", "q_id")
     }),
 
     /** Matryoshka (prefix-dimension) retrieval recall curve — the MRL
@@ -1306,6 +1370,52 @@ object SimilarityQueries {
       |  JOIN lut l ON l.q_id = p.q_id AND l.cl_id = en.cl_id
       |            AND l.sp = en.sp AND l.code = en.code
       |  GROUP BY p.q_id, en.vec_id)""".stripMargin
+
+  /** Shared DuckDB replica of the binary-quantization pipeline (sign
+    * signatures, hamming ranking, C=50 hrn-ranked shortlist, rnd6
+    * rerank `rr`, brute `truth`) — interpolated into the s22 and s23
+    * oracles so the index replica and the sweep's replica are the same
+    * SQL by construction, mirroring the Spark-side [[bqShortlist]]
+    * sharing. */
+  private val BqCteSql =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      | sig AS (
+      |  SELECT vec_id,
+      |   CAST(list_sum(list_transform(range(1,17),
+      |     i -> CASE WHEN vec[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS g0,
+      |   CAST(list_sum(list_transform(range(1,17),
+      |     i -> CASE WHEN vec[16+i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS g1,
+      |   CAST(list_sum(list_transform(range(1,17),
+      |     i -> CASE WHEN vec[32+i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS g2,
+      |   CAST(list_sum(list_transform(range(1,17),
+      |     i -> CASE WHEN vec[48+i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS g3
+      |  FROM e),
+      | q AS (SELECT vec_id AS q_id, g0 AS q0, g1 AS q1, g2 AS q2, g3 AS q3
+      |       FROM sig WHERE vec_id < 3),
+      | hm AS (
+      |  SELECT q.q_id, s.vec_id,
+      |    bit_count(xor(s.g0, q.q0)) + bit_count(xor(s.g1, q.q1)) +
+      |    bit_count(xor(s.g2, q.q2)) + bit_count(xor(s.g3, q.q3)) AS ham
+      |  FROM sig s CROSS JOIN q WHERE s.vec_id <> q.q_id),
+      | shortall AS (
+      |  SELECT q_id, vec_id, ham,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS hrn
+      |  FROM hm),
+      | qv AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3),
+      | rr AS (
+      |  SELECT sh.q_id, sh.vec_id, sh.ham, sh.hrn,
+      |    floor((list_cosine_similarity(qv.q_vec, e.vec))*1000000+0.5)/1000000 AS c6
+      |  FROM (SELECT * FROM shortall WHERE hrn <= 50) sh
+      |  JOIN e ON e.vec_id = sh.vec_id
+      |  JOIN qv ON qv.q_id = sh.q_id),
+      | ts AS (
+      |  SELECT qv.q_id, e.vec_id,
+      |    floor((list_cosine_similarity(qv.q_vec, e.vec))*1000000+0.5)/1000000 AS c6
+      |  FROM e CROSS JOIN qv WHERE e.vec_id <> qv.q_id),
+      | truth AS (SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id, row_number()
+      |      OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id) AS trn
+      |    FROM ts) WHERE trn <= 10)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // d05/s02's hyperplane constants aren't portable to SQL → rows-only.
@@ -1626,57 +1736,56 @@ object SimilarityQueries {
         |ORDER BY nprobe, q_id""".stripMargin
     },
 
-    // s22: full replica — sign signatures per 16-dim band (1L << bit,
-    // the m09 no-bit-63 rule), integer hamming rank with vec_id
-    // tiebreak, rnd6 rerank, brute rnd6 truth for the audit column.
+    // s22: full replica via the shared BqCteSql block — sign signatures
+    // per 16-dim band (1L << bit, the m09 no-bit-63 rule), integer
+    // hamming rank with vec_id tiebreak, rnd6 rerank, brute rnd6 truth
+    // for the audit column.
     "s22_binary_quant" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-        | sig AS (
-        |  SELECT vec_id,
-        |   CAST(list_sum(list_transform(range(1,17),
-        |     i -> CASE WHEN vec[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS g0,
-        |   CAST(list_sum(list_transform(range(1,17),
-        |     i -> CASE WHEN vec[16+i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS g1,
-        |   CAST(list_sum(list_transform(range(1,17),
-        |     i -> CASE WHEN vec[32+i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS g2,
-        |   CAST(list_sum(list_transform(range(1,17),
-        |     i -> CASE WHEN vec[48+i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS g3
-        |  FROM e),
-        | q AS (SELECT vec_id AS q_id, g0 AS q0, g1 AS q1, g2 AS q2, g3 AS q3
-        |       FROM sig WHERE vec_id < 3),
-        | hm AS (
-        |  SELECT q.q_id, s.vec_id,
-        |    bit_count(xor(s.g0, q.q0)) + bit_count(xor(s.g1, q.q1)) +
-        |    bit_count(xor(s.g2, q.q2)) + bit_count(xor(s.g3, q.q3)) AS ham
-        |  FROM sig s CROSS JOIN q WHERE s.vec_id <> q.q_id),
-        | short AS (SELECT q_id, vec_id, ham FROM (
-        |    SELECT q_id, vec_id, ham,
-        |      row_number() OVER (PARTITION BY q_id ORDER BY ham, vec_id) AS hrn
-        |    FROM hm) WHERE hrn <= 50),
-        | qv AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3),
-        | rr AS (
-        |  SELECT sh.q_id, sh.vec_id, sh.ham,
-        |    floor((list_cosine_similarity(qv.q_vec, e.vec))*1000000+0.5)/1000000 AS c6
-        |  FROM short sh JOIN e ON e.vec_id = sh.vec_id
-        |               JOIN qv ON qv.q_id = sh.q_id),
+      s"""WITH $BqCteSql,
         | topk AS (SELECT q_id, vec_id, ham, c6, rank FROM (
         |    SELECT *, row_number()
         |      OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id) AS rank
-        |    FROM rr) WHERE rank <= 10),
-        | ts AS (
-        |  SELECT qv.q_id, e.vec_id,
-        |    floor((list_cosine_similarity(qv.q_vec, e.vec))*1000000+0.5)/1000000 AS c6
-        |  FROM e CROSS JOIN qv WHERE e.vec_id <> qv.q_id),
-        | truth AS (SELECT q_id, vec_id FROM (
-        |    SELECT q_id, vec_id, row_number()
-        |      OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id) AS trn
-        |    FROM ts) WHERE trn <= 10)
+        |    FROM rr) WHERE rank <= 10)
         |SELECT k.q_id, CAST(k.rank AS INTEGER) AS rank, k.vec_id AS n_id,
         |  CAST(k.ham AS INTEGER) AS ham,
         |  floor(k.c6*10000+0.5)/10000 AS cos_sim,
         |  (t.vec_id IS NOT NULL) AS in_truth
         |FROM topk k LEFT JOIN truth t ON t.q_id = k.q_id AND t.vec_id = k.vec_id
         |ORDER BY k.q_id, k.rank""".stripMargin,
+
+    // s23: the C sweep through the SAME shared BqCteSql — each arm
+    // prefix-filters the one hrn-ranked shortlist before the rerank
+    // rank, exactly like the Spark side's hrn <= c filter.
+    "s23_bq_sweep" -> {
+      def armCte(c: Int): String =
+        s"""topk$c AS (SELECT q_id, vec_id FROM (
+          |    SELECT q_id, vec_id, row_number()
+          |      OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id) AS rank
+          |    FROM rr WHERE hrn <= $c) WHERE rank <= 10),
+          | hits$c AS (SELECT k.q_id, count(*) AS n_hit FROM topk$c k
+          |          JOIN truth t ON t.q_id = k.q_id AND t.vec_id = k.vec_id
+          |          GROUP BY 1)""".stripMargin
+      def armSel(c: Int): String =
+        s"""SELECT $c AS c, k.q_id, count(*) AS n_ret,
+          |  CAST(coalesce(max(h.n_hit), 0) AS BIGINT) AS n_hit,
+          |  floor((CAST(coalesce(max(h.n_hit), 0) AS DOUBLE) / 10)
+          |        *10000+0.5)/10000 AS recall_at_k
+          |FROM topk$c k LEFT JOIN hits$c h ON h.q_id = k.q_id
+          |GROUP BY k.q_id""".stripMargin
+      s"""WITH $BqCteSql,
+        | ${armCte(5)},
+        | ${armCte(10)},
+        | ${armCte(25)},
+        | ${armCte(50)}
+        |${armSel(5)}
+        |UNION ALL
+        |${armSel(10)}
+        |UNION ALL
+        |${armSel(25)}
+        |UNION ALL
+        |${armSel(50)}
+        |ORDER BY c, q_id""".stripMargin
+    },
 
     // s21: full replica of the prefix-slice scoring — list_slice +
     // list_cosine_similarity accumulate in the same ascending-index

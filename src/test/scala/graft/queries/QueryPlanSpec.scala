@@ -616,6 +616,16 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("s23: the sweep reuses ONE shortlist build — four arms, no " +
+      "extra hamming scans, everything broadcast") {
+    // the shared-bqShortlist discipline made structural: one corpus
+    // hamming pass feeds all four prefix-filtered arms, so exactly one
+    // hrn Window ranks hamming; the rerank ranks appear once per arm
+    val plan = planOf("s23_bq_sweep")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("t30: fertility report is ONE scan + one aggregate pair — " +
       "no join, no window, nothing shuffles but the (lang,source) grid") {
     val plan = planOf("t30_tokenizer_fertility").split("== Initial Plan ==")(0)
