@@ -1062,6 +1062,105 @@ object EventQueries {
           countDistinct("purchase_id").as("n_purchases"),
           sum("delay_us").as("sum_delay_us"))
     }),
+
+    /** Stream-stream LEFT OUTER join — the null-emission semantics e10's
+      * inner join never exercises: a click with no purchase in its
+      * 1-hour window must STILL emit (purchase columns null), and the
+      * engine may only do so once the watermark proves no future
+      * purchase can match — the state-eviction deadline and the
+      * null-emission trigger are the same event. That timing needs
+      * later batches, so the replay is staged (the e15 discipline):
+      * file 0 carries every real click/purchase as one batch (inner
+      * matches emit immediately); files 1-2 carry far-future sentinel
+      * pairs (2 h apart — outside the join window, so they never match
+      * anything) whose only job is to push both sides' watermarks past
+      * every real window in two steps, flushing all real unmatched
+      * clicks (two steps because eviction runs one batch behind the
+      * observed maximum, the e15 lag). Sentinels carry negative ids
+      * and are filtered from the readback; the first sentinel click
+      * itself emits unmatched once the second file's watermark passes
+      * it — which is the null-emission machinery working, not noise.
+      * Timestamps stage in the self-controlled ts_ns long domain, so
+      * this query is vintage-independent by construction. At scale:
+      * state is (watermark window × arrival rate) per side, identical
+      * to e10 — the outer semantics add zero state, only the deferred
+      * emission. Oracle: the plain batch LEFT JOIN with the same
+      * µs-domain range condition. */
+    "e19_stream_outer_join" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts_ns").as("ts"))
+      val maxNs = ev.agg(max("ts")).head().getLong(0)
+      val dayNs = 86400L * 1000000000L
+      val src = tempDir("graft_e19_src_")
+      val base = System.currentTimeMillis() - 10 * 60000L
+      def stage(df: DataFrame, idx: Int): Unit = {
+        val tmp = tempDir("graft_e19_stage_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"f$idx.parquet")
+        require(part.renameTo(dst) && dst.setLastModified(base + idx * 60000L),
+          s"e19: staging file $idx failed")
+      }
+      stage(ev, 0)
+      def sentinels(ids: (Long, Long), at: Long): DataFrame =
+        Seq((ids._1, -1L, "click", at),
+          (ids._2, -1L, "purchase", at + 2 * 3600L * 1000000000L))
+          .toDF("event_id", "user_id", "event_type", "ts")
+      stage(sentinels((-1L, -2L), maxNs + 30 * dayNs), 1)
+      stage(sentinels((-3L, -4L), maxNs + 60 * dayNs), 2)
+      val ss = streamSession(s)
+      val schema = s.read.parquet(src).schema
+      // def, not val: each side of a self-join needs its own source
+      def stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withColumn("tss", timestamp_micros(expr("ts div 1000")))
+      val clicks = stream.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tss").as("c_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_ts", "1 day")
+      val purchases = stream.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("tss").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "1 day")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      val outDir = tempDir("graft_e19_out_")
+      val ckpt = tempDir("graft_e19_ckpt_")
+      val q = joined
+        .select(col("click_id"), col("purchase_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("delay_us"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // no coalesce: it would narrow the join state stage (see e03)
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "e19 needs the staged files as separate micro-batches — " +
+          "the forced arrival order collapsed")
+      val out = s.read.parquet(outDir).filter(col("click_id") >= 0)
+      require(!out.isEmpty, "e19: streaming sink produced zero rows") // see e04
+      val res = out.agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_id")).as("n_matched"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        countDistinct("click_id").as("n_clicks"),
+        sum("delay_us").as("sum_delay_us"))
+      require(res.head().getLong(2) > 0,
+        "e19: no unmatched clicks emitted — the outer path (the point " +
+          "of this query) went unexercised")
+      res
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1081,6 +1180,29 @@ object EventQueries {
         | CAST(sum(CASE WHEN rn <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
         |   AS sum_admitted_ids
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // e19: the batch LEFT JOIN with e10's µs-domain range condition;
+    // count(purchase_id)/sum(delay_us) skip nulls identically on both
+    // engines, so matched and unmatched are counted by the same rows
+    // the stream emitted (sentinels carry negative ids, filtered).
+    "e19_stream_outer_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        | p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+        |       WHERE event_type = 'purchase'),
+        | j AS (
+        |  SELECT c.click_id, p.purchase_id,
+        |    epoch_ns(p.ts)//1000 - epoch_ns(c.ts)//1000 AS delay_us
+        |  FROM c LEFT JOIN p ON p.user_id = c.user_id
+        |    AND epoch_ns(p.ts)//1000 >= epoch_ns(c.ts)//1000
+        |    AND epoch_ns(p.ts)//1000 <= epoch_ns(c.ts)//1000 + 3600000000)
+        |SELECT count(*) AS n_rows,
+        | CAST(count(purchase_id) AS BIGINT) AS n_matched,
+        | CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_unmatched,
+        | CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
+        | CAST(sum(delay_us) AS BIGINT) AS sum_delay_us
+        |FROM j""".stripMargin,
 
     // e13: same cross-multiplied integer L1 — the only double op is
     // the final division, so the distance compares exactly.

@@ -662,6 +662,21 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("e19: outer-join readback is ONE aggregate over the sink — " +
+      "no re-join, no window; null accounting happened in-stream") {
+    // the outer join's matched/unmatched split is decided by the
+    // streaming engine's watermark machinery; the readback must only
+    // count what the sink holds — a Join or Window here would mean the
+    // query re-derived the semantics batch-side and proved nothing
+    // <= 4: count(DISTINCT click_id) rewrites into a second partial+
+    // final aggregate pair over the expanded keys — still one linear
+    // pass over the sink rows, no extra scan
+    val plan = planOf("e19_stream_outer_join").split("== Initial Plan ==")(0)
+    assert("HashAggregate".r.findAllIn(plan).size <= 4, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
   test("t28: the keep-first window partitions by the CHUNK HASH — " +
       "cardinality grows with the corpus, never a coarse key") {
     // formatted mode prints operator DETAIL sections (where
