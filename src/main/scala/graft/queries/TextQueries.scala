@@ -1219,6 +1219,49 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    /** Sliding-window duplicate detection — the offset-robust sibling
+      * of t28's fixed grid. A fixed W-token grid only matches repeats
+      * that land on the same chunk boundaries; a copy shifted by a few
+      * tokens (the common case: quoted passages, templated intros at
+      * varying offsets) hashes into different grid cells and escapes.
+      * Lee et al. 2022's suffix-array ExactSubstr catches ANY offset;
+      * this operator is the distributed middle ground: windows of
+      * [[ChunkDedupW]] tokens at stride 8, so a shifted repeat of
+      * length ≥ W+stride-1 is guaranteed to produce at least one
+      * aligned window pair regardless of offset. Cost is the honest
+      * trade: W/stride = 2× the hashed windows of the grid, same
+      * shuffle shape (window-hash-partitioned keep-first ranking, the
+      * t28 no-coarse-key rule). Detection stats only — overlapping
+      * windows cannot sum token retention without double counting, so
+      * excision stays t28's job; this is the AUDIT that prices what
+      * the grid misses. Full windows only (docs shorter than W have
+      * nothing a shifted copy could share at this granularity). */
+    "t32_sliding_dedup" -> ((s, d) => {
+      val W = ChunkDedupW; val S = 8
+      val docs = Tables.documents(s, d)
+        .withColumn("tk", tokens)
+        .withColumn("n", size(col("tk")))
+        .filter(col("n") >= W)
+      val wins = docs
+        .withColumn("j", explode(sequence(lit(0), expr(s"(n - $W) div $S"))))
+        .select(col("source"), col("doc_id"), col("j"),
+          md5(concat_ws(" ", expr(s"slice(tk, j * $S + 1, $W)"))).as("h"))
+      val wKeep = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id", "j")
+      val flagged = wins.withColumn("rn", row_number().over(wKeep))
+      val isDup = col("rn") > 1
+      flagged.groupBy("source").agg(
+          count(lit(1)).as("n_windows"),
+          sum(when(isDup, 1L).otherwise(0L)).as("n_dup_windows"),
+          countDistinct(when(isDup, col("doc_id"))).as("n_docs_hit"),
+          rnd(sum(when(isDup, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 4).as("dup_frac"),
+          sum(when(isDup,
+            graft.operators.Sampling.portableGate(col("h"))).otherwise(0L))
+            .as("dup_chk"))
+        .orderBy("source")
+    }),
+
     /** Domain reweighting, DoReMi-flavored (Xie et al. 2023, "DoReMi:
       * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
       * upweight domains where a proxy model underperforms, publish the
@@ -1751,6 +1794,41 @@ object TextQueries {
         | floor((avg(n_pieces))*10000+0.5)/10000 AS avg_pieces,
         | floor((avg(CAST(n_distinct AS DOUBLE)/n_pieces))*10000+0.5)/10000 AS avg_distinct_ratio
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t32: t28's hashing with stride-8 full windows; detection stats
+    // plus the gate-sum checksum of the flagged (non-first) windows.
+    "t32_sliding_dedup" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        | m AS (SELECT doc_id, source, tk, len(tk) AS n FROM t
+        |       WHERE len(tk) >= $ChunkDedupW),
+        | st AS (
+        |  SELECT doc_id, source, tk, n,
+        |    unnest(range(0, (n - $ChunkDedupW) // 8 + 1)) AS j
+        |  FROM m),
+        | ch AS (
+        |  SELECT source, doc_id, j,
+        |    md5(array_to_string(list_slice(tk, j * 8 + 1,
+        |                                   j * 8 + $ChunkDedupW),
+        |                        ' ')) AS h
+        |  FROM st),
+        | k AS (
+        |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, j)
+        |    AS rn
+        |  FROM ch)
+        |SELECT source, count(*) AS n_windows,
+        | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_windows,
+        | CAST(count(DISTINCT CASE WHEN rn > 1 THEN doc_id END) AS BIGINT)
+        |   AS n_docs_hit,
+        | floor((CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*))*10000+0.5)/10000 AS dup_frac,
+        | CAST(sum(CASE WHEN rn > 1
+        |   THEN ${graft.operators.Sampling.portableGateSql("h")}
+        |   ELSE 0 END) AS BIGINT) AS dup_chk
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     // t31: same census/vocab/freeze chain — top-16 vocab by
     // (count DESC, token), rates by integral e6 division, integer

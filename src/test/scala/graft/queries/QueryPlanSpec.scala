@@ -677,6 +677,14 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(3000))
   }
 
+  test("t32: the sliding-window ranking partitions by the WINDOW HASH " +
+      "— t28's no-coarse-key rule holds at stride granularity too") {
+    val full = planOf("t32_sliding_dedup")
+    val tree = full.split("== Initial Plan ==")(0)
+    assert(full.contains("windowspecdefinition(h"), full.take(4000))
+    assert(!tree.contains("Join"), tree.take(3000))
+  }
+
   test("t28: the keep-first window partitions by the CHUNK HASH — " +
       "cardinality grows with the corpus, never a coarse key") {
     // formatted mode prints operator DETAIL sections (where
