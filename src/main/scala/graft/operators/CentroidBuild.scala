@@ -108,10 +108,10 @@ object CentroidBuild {
     * At 100 TB: per-round cost is n·k rounded-cosine evaluations
     * under whole-stage codegen with a k-row broadcast (k = √n keeps
     * the broadcast at megabytes up to ~10^8 vectors); beyond that,
-    * run this same build hierarchically — lloyd(√k) for coarse outer
-    * cells, then lloyd per cell — which composes from these blocks
-    * with no new shuffle shapes (CentroidSplitSpec exercises the
-    * composition). */
+    * run this same build hierarchically — this lloyd at √k for the
+    * coarse outer cells, then [[lloydGrouped]] for the per-cell
+    * refine — the s24 pipeline, which cuts per-row assignment work
+    * to O(√k) and caps every broadcast at the coarse table. */
   def lloyd(df: DataFrame, idCol: String, vecCol: String, k: Int,
       rounds: Int, dim: Int = 64): DataFrame = {
     val seeds = df
@@ -137,6 +137,68 @@ object CentroidBuild {
       // DuckDB replica is unaffected.
       cents = centroids(df.join(assign, idCol), col("cl_id"), col(vecCol),
         dim).select("cl_id", "cvec").localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** Per-group nearest-centroid assignment — the fine-level routing step
+    * of the hierarchical build: `df` rows carrying a `groupCol` meet ONLY
+    * their own group's centroids (an equi-join on the group key), so
+    * per-row work is the group's centroid count, not the global one.
+    * Returns (idCol, groupCol, fid, csim) with the rnd6 similarity kept
+    * for objective accounting; tie-break csim desc then fid asc, the
+    * [[nearestK]] discipline.
+    *
+    * Scale shape: the centroid frame is k rows TOTAL but the equi-join
+    * probes only the ~√k-entry bucket for the row's group. At test scale
+    * it BROADCASTS (k rows of dim doubles = kilobytes); at 100 TB where
+    * k ≈ 3×10⁵ the same plan flips to a shuffle-hash join on the group
+    * key — one corpus exchange that then serves every fine round, since
+    * rows never change group during refine — keeping every broadcast at
+    * the coarse table's √k rows. */
+  def nearestGrouped(df: DataFrame, cents: DataFrame, groupCol: String,
+      idCol: String, vecCol: String): DataFrame = {
+    val sims = df.join(broadcast(cents), groupCol)
+      .select(col(idCol), col(groupCol), col("fid"),
+        rnd6(graft.functions.VectorExpressions.array_cosine(
+          col(vecCol), col("fvec"))).as("csim"))
+    val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("fid"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Per-group Lloyd — [[lloyd]] run simultaneously inside every group of
+    * `groupCol` in ONE dataframe pipeline (no driver loop over groups: a
+    * 100 TB corpus has √k ≈ hundreds of coarse cells, and a job per cell
+    * is a scheduler pile-up). Seeds are each group's `kPerGroup` smallest
+    * md5(idCol) rows (a per-group window top-k; a group smaller than
+    * kPerGroup seeds what it has), then `rounds` iterations of
+    * [[nearestGrouped]] assignment and one map-side-combinable per-
+    * (group, fid) rnd6 recenter. Returns (groupCol, fid, fvec). Fixed
+    * rounds and rnd6 math, so the whole build unrolls into portable SQL
+    * and keeps a strict DuckDB hash oracle (the s24 replica).
+    *
+    * Same lineage discipline as [[lloyd]]: the centroid table is consumed
+    * by both next-round branches and every downstream user, so each round
+    * eagerly localCheckpoints its k-row output (kilobytes — a barrier,
+    * not a memory cost). */
+  def lloydGrouped(df: DataFrame, groupCol: String, idCol: String,
+      vecCol: String, kPerGroup: Int, rounds: Int, dim: Int = 64): DataFrame = {
+    val wSeed = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")))
+    var cents = df
+      .withColumn("fid", row_number().over(wSeed).cast("long"))
+      .filter(col("fid") <= kPerGroup)
+      .select(col(groupCol), col("fid"), col(vecCol).as("fvec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val assign = nearestGrouped(df, cents, groupCol, idCol, vecCol)
+        .select(col(idCol), col("fid"))
+      cents = df.join(assign, idCol)
+        .groupBy(col(groupCol), col("fid"))
+        .agg(array((0 until dim).map(i =>
+          rnd6(avg(element_at(col(vecCol), i + 1)))): _*).as("fvec"))
+        .localCheckpoint(true)
     }
     cents
   }

@@ -572,6 +572,75 @@ object SimilarityQueries {
           "max_cluster_sz", "sum_csim_e6")
     }),
 
+    /** Hierarchical two-level k-means — the build that stays affordable
+      * past the flat-Lloyd cliff (s07's scaladoc names it; this ships
+      * it). The flat k=√n build does n·k cosine evaluations per round
+      * with a k-row broadcast; at 100 TB (n≈10¹¹ → k≈3×10⁵) that
+      * broadcast is ~150 MB and the per-row scan is 3×10⁵ kernels —
+      * neither affordable. The hierarchy restores both: lloyd(kc=⌈√k⌉)
+      * builds coarse outer cells (a kc-row broadcast, per-row work √k),
+      * every vector routes to its nearest cell ONCE (the (vec_id, cell)
+      * table is two longs per row and localCheckpoints, so the three
+      * downstream consumers — fine seeding, fine refine, final routed
+      * assignment — never recompute the coarse scan), then
+      * [[graft.operators.CentroidBuild.lloydGrouped]] refines
+      * kf=⌈k/kc⌉ centroids INSIDE each cell simultaneously in one
+      * pipeline — assignment is an equi-join on the cell key, so each
+      * row meets only its own cell's ~√k centroids. Total capacity
+      * kc·kf ≥ k fine centroids; per-row assignment work is
+      * O(kc + kf) = O(√k) instead of O(k); no broadcast exceeds the
+      * fine table (k rows at test scale — and at 100 TB that one join
+      * flips to a shuffle-hash join on the cell key, leaving the
+      * kc-row coarse table as the largest broadcast, see
+      * nearestGrouped's scaladoc). This is the standard IMI/two-level
+      * IVF composition (Babenko & Lempitsky, "The Inverted Multi-Index",
+      * CVPR 2012 — trained coarse cells + per-cell refinement).
+      *
+      * The ENTIRE build unrolls into portable SQL — coarse seed/round/
+      * route, per-cell md5 seeding, the fine round's within-cell argmax
+      * + rnd6 recenter, and the final coarse-then-fine routed assignment
+      * — so the hierarchical quantizer itself is hash-verified at every
+      * SF (the s07 replica discipline). sum_csim_e6 keeps the objective
+      * integer-exact; census sizes make imbalance visible. */
+    "s24_hier_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val n = emb.count() // bounded scalar read — the s07/q47 discipline
+      val k = math.ceil(math.sqrt(n.toDouble)).toInt
+      val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+      val kf = (k + kc - 1) / kc
+      val coarse = graft.operators.CentroidBuild.lloyd(
+        emb, "vec_id", "vec", kc, rounds = 1)
+      // route once: (vec_id, cell) is 16 bytes/row at any scale, so the
+      // eager checkpoint bounds memory while sparing three consumers the
+      // n·kc coarse re-scan (the d13 lineage discipline)
+      val cells = graft.operators.CentroidBuild.nearest(
+          graft.operators.CentroidBuild.similarities(
+            emb, coarse, "vec_id", "vec"), "vec_id")
+        .withColumnRenamed("cl_id", "cell")
+        .localCheckpoint(true)
+      val embCell = emb.join(cells, "vec_id")
+      val fine = graft.operators.CentroidBuild.lloydGrouped(
+        embCell, "cell", "vec_id", "vec", kf, rounds = 1)
+      val fin = graft.operators.CentroidBuild.nearestGrouped(
+        embCell, fine, "cell", "vec_id", "vec")
+      val census = fin.groupBy("cell", "fid").agg(count(lit(1)).as("sz"))
+      census.agg(
+          countDistinct("cell").as("n_cells_used"),
+          count(lit(1)).as("n_centroids"),
+          sum("sz").as("n_vecs"),
+          min("sz").as("min_centroid_sz"),
+          max("sz").as("max_centroid_sz"))
+        .crossJoin(fin.agg(
+          sum(floor(col("csim") * 1e6 + 0.5).cast("long")).as("sum_csim_e6")))
+        .withColumn("k_target", lit(k.toLong))
+        .withColumn("n_cells", lit(kc.toLong))
+        .withColumn("k_fine", lit(kf.toLong))
+        .select("k_target", "n_cells", "k_fine", "n_cells_used",
+          "n_centroids", "n_vecs", "min_centroid_sz", "max_centroid_sz",
+          "sum_csim_e6")
+    }),
+
     /** Maximum-inner-product search (MIPS) — recommendation-retrieval
       * scoring, where the right metric is ⟨q, x⟩, not cosine — via the
       * classic norm-augmentation reduction (Bachrach et al. 2014 /
@@ -1959,6 +2028,86 @@ object SimilarityQueries {
         | (SELECT CAST(max(sz) AS BIGINT) FROM cz) AS max_cluster_sz,
         | (SELECT CAST(sum(CAST(floor(csim*1000000+0.5) AS BIGINT)) AS BIGINT)
         |  FROM a3) AS sum_csim_e6""".stripMargin,
+
+    // s24: the ENTIRE hierarchical build unrolls — ⌈√k⌉ coarse sizing,
+    // one coarse (seed, assign, rnd6-recenter) round, the single routed
+    // cell assignment, per-cell md5 fine seeding, one fine within-cell
+    // (assign, rnd6-recenter) round, and the final coarse-then-fine
+    // routed assignment + census — so the two-level quantizer is
+    // hash-verified end to end, not just its output shape.
+    "s24_hier_kmeans" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM e),
+        | kcq AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM kk),
+        | kfq AS (SELECT CAST(ceil(CAST(k AS DOUBLE) / kc) AS BIGINT) AS kf
+        |         FROM kk, kcq),
+        | sd AS (SELECT vec,
+        |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+        |            AS rn
+        |        FROM e),
+        | c0 AS (SELECT rn AS cl_id, vec AS cvec FROM sd
+        |        WHERE rn <= (SELECT kc FROM kcq)),
+        | s1 AS (SELECT e.vec_id, c.cl_id, e.vec,
+        |          floor(list_cosine_similarity(e.vec, c.cvec)*1000000+0.5)
+        |            /1000000 AS csim
+        |        FROM e CROSS JOIN c0 c),
+        | a1 AS (SELECT vec_id, cl_id, vec FROM (
+        |          SELECT vec_id, cl_id, vec, row_number()
+        |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |          FROM s1) WHERE rn = 1),
+        | x1 AS (SELECT cl_id, unnest(vec) AS v,
+        |               generate_subscripts(vec, 1) AS i FROM a1),
+        | m1 AS (SELECT cl_id, i, floor(avg(v)*1000000+0.5)/1000000 AS m
+        |        FROM x1 GROUP BY cl_id, i),
+        | c1 AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM m1
+        |        GROUP BY cl_id),
+        | s2 AS (SELECT e.vec_id, c.cl_id, e.vec,
+        |          floor(list_cosine_similarity(e.vec, c.cvec)*1000000+0.5)
+        |            /1000000 AS csim
+        |        FROM e CROSS JOIN c1 c),
+        | cel AS (SELECT vec_id, cl_id AS cell, vec FROM (
+        |          SELECT vec_id, cl_id, vec, row_number()
+        |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |          FROM s2) WHERE rn = 1),
+        | fsd AS (SELECT cell, vec, row_number()
+        |           OVER (PARTITION BY cell
+        |                 ORDER BY md5(CAST(vec_id AS VARCHAR))) AS fid
+        |         FROM cel),
+        | f0 AS (SELECT cell, fid, vec AS fvec FROM fsd
+        |        WHERE fid <= (SELECT kf FROM kfq)),
+        | fs1 AS (SELECT g.vec_id, g.cell, f.fid, g.vec,
+        |           floor(list_cosine_similarity(g.vec, f.fvec)*1000000+0.5)
+        |             /1000000 AS csim
+        |         FROM cel g JOIN f0 f ON g.cell = f.cell),
+        | fa1 AS (SELECT vec_id, cell, fid, vec FROM (
+        |           SELECT vec_id, cell, fid, vec, row_number()
+        |             OVER (PARTITION BY vec_id ORDER BY csim DESC, fid) AS rn
+        |           FROM fs1) WHERE rn = 1),
+        | fx1 AS (SELECT cell, fid, unnest(vec) AS v,
+        |                generate_subscripts(vec, 1) AS i FROM fa1),
+        | fm1 AS (SELECT cell, fid, i, floor(avg(v)*1000000+0.5)/1000000 AS m
+        |         FROM fx1 GROUP BY cell, fid, i),
+        | f1 AS (SELECT cell, fid, list(m ORDER BY i) AS fvec FROM fm1
+        |        GROUP BY cell, fid),
+        | fs2 AS (SELECT g.vec_id, g.cell, f.fid,
+        |           floor(list_cosine_similarity(g.vec, f.fvec)*1000000+0.5)
+        |             /1000000 AS csim
+        |         FROM cel g JOIN f1 f ON g.cell = f.cell),
+        | fin AS (SELECT vec_id, cell, fid, csim FROM (
+        |           SELECT vec_id, cell, fid, csim, row_number()
+        |             OVER (PARTITION BY vec_id ORDER BY csim DESC, fid) AS rn
+        |           FROM fs2) WHERE rn = 1),
+        | cz AS (SELECT cell, fid, count(*) AS sz FROM fin GROUP BY cell, fid)
+        |SELECT (SELECT k FROM kk) AS k_target,
+        | (SELECT kc FROM kcq) AS n_cells,
+        | (SELECT kf FROM kfq) AS k_fine,
+        | (SELECT count(DISTINCT cell) FROM cz) AS n_cells_used,
+        | (SELECT count(*) FROM cz) AS n_centroids,
+        | (SELECT CAST(sum(sz) AS BIGINT) FROM cz) AS n_vecs,
+        | (SELECT CAST(min(sz) AS BIGINT) FROM cz) AS min_centroid_sz,
+        | (SELECT CAST(max(sz) AS BIGINT) FROM cz) AS max_centroid_sz,
+        | (SELECT CAST(sum(CAST(floor(csim*1000000+0.5) AS BIGINT)) AS BIGINT)
+        |  FROM fin) AS sum_csim_e6""".stripMargin,
 
     "s03_centroid_stats" ->
       """WITH e AS (

@@ -427,6 +427,37 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("s24: both hierarchy levels broadcast — coarse assignment is a " +
+      "broadcast nested-loop over the ⌈√k⌉-row cell table, fine " +
+      "assignment is a broadcast hash join EQUI-KEYED on the cell " +
+      "(each row probes only its own cell's bucket)") {
+    // the committed query localCheckpoints the routed (vec_id, cell)
+    // table, which truncates the coarse lineage out of the final plan —
+    // so pin the two levels where each is visible. Fine level: the
+    // end-to-end plan's only surviving join shape.
+    val plan = planOf("s24_hier_kmeans")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val fineJoinKeyed = plan.linesIterator.exists(l =>
+      l.contains("Left keys") && l.contains("cell"))
+    assert(fineJoinKeyed, plan.take(3000))
+    // Coarse level: rebuild the pre-checkpoint routing frame and assert
+    // the s07 shape (broadcast centroids, never a cartesian shuffle).
+    import graft.operators.CentroidBuild
+    import org.apache.spark.sql.functions.transform
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val coarse = CentroidBuild.lloyd(emb, "vec_id", "vec", k = 5, rounds = 1)
+    val cells = CentroidBuild.nearest(
+      CentroidBuild.similarities(emb, coarse, "vec_id", "vec"), "vec_id")
+    cells.collect()
+    val coarsePlan = cells.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(coarsePlan.contains("BroadcastNestedLoopJoin"), coarsePlan.take(3000))
+    assert(!coarsePlan.contains("CartesianProduct"), coarsePlan.take(3000))
+  }
+
   test("d13: assignment is broadcast (no cartesian), and the dup-pair " +
       "join is equi-keyed on (cl_id, sub) — the faithful-lloyd shape " +
       "can't silently regress if the query is edited without touching " +
