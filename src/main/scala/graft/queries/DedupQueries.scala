@@ -704,6 +704,59 @@ object DedupQueries {
         .withColumn("n_batch_new", col("n_batch") - col("n_batch_matched"))
     }),
 
+    /** Incremental band-table maintenance — the operator that CLOSES the
+      * d16 loop: d16 documents the standing corpus band table as "the
+      * persisted delivery artifact", and this maintains it when a batch
+      * is admitted and takedowns land, WITHOUT re-shingling the corpus.
+      * Maintenance is exactly two band-table-shaped steps: (1) tombstone
+      * — anti-join the persisted band rows against the broadcast
+      * takedown id list (the t21 cascade's output shape), deleting the
+      * removed docs' 8 rows each; (2) append-merge — union the admitted
+      * batch's freshly computed bands. The query then rebuilds the band
+      * table FROM SCRATCH over the post-takedown live corpus ∪ batch and
+      * takes the full symmetric difference (exceptAll both ways) against
+      * the maintained table: n_diff = 0 CERTIFIES that incremental
+      * maintenance lands byte-identically where a from-scratch rebuild
+      * would — the property that lets a real pipeline never re-shingle
+      * its corpus. The oracle states the invariant independently:
+      * portable doc counts from the same filters, n_band_rows = 8 ×
+      * n_live (each doc emits exactly one row per band — explode over a
+      * fixed 8-array), and the certified n_diff = 0.
+      *
+      * Scale shape: the maintained side touches ONLY the persisted band
+      * rows (24 bytes/doc·band — localCheckpointed here to stand in for
+      * the parquet artifact a deployment reads) plus the delivery-sized
+      * batch text; the takedown list broadcasts for the anti-join; the
+      * union is partition-local. Nothing corpus-sized shuffles and no
+      * corpus text is re-read — the from-scratch rebuild exists in this
+      * query only as the verification arm. */
+    "d26_band_maintenance" -> ((s, d) => {
+      val doc = Tables.documents(s, d).select("doc_id", "text")
+      val base = doc.filter(col("doc_id") < 200)
+      val fresh = doc.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+      val replays = base.filter(col("doc_id") < 40 && size(toks) >= 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text"))
+      val batch = fresh.unionByName(replays)
+      val tdIds = base.filter(col("doc_id") % 13 === 0).select("doc_id")
+      // the persisted artifact: standing bands, materialized once
+      val standing = bandsOf(shingled(base)).localCheckpoint(true)
+      val maintained = standing
+        .join(broadcast(tdIds), Seq("doc_id"), "left_anti")
+        .unionByName(bandsOf(shingled(batch)))
+      val live = base.join(broadcast(tdIds), Seq("doc_id"), "left_anti")
+        .unionByName(batch)
+      val scratch = bandsOf(shingled(live))
+      val diff = maintained.exceptAll(scratch)
+        .unionByName(scratch.exceptAll(maintained))
+      base.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+        .crossJoin(tdIds.agg(count(lit(1)).as("n_tombstoned")))
+        .crossJoin(live.agg(count(lit(1)).as("n_live")))
+        .crossJoin(maintained.agg(count(lit(1)).as("n_band_rows")))
+        .crossJoin(diff.agg(count(lit(1)).as("n_diff")))
+    }),
+
     /** Duplicate-cluster resolution: near-dup PAIRS are only half a
       * dedup pipeline — transitive groups must be clustered so one
       * keeper survives per group. Edges are word-3-gram jaccard ≥ 0.3
@@ -1627,6 +1680,30 @@ object DedupQueries {
         |   AS max_jaccard,
         | (SELECT count(*) FROM batch) - (SELECT count(DISTINCT doc_b) FROM f)
         |   AS n_batch_new""".stripMargin,
+
+    // d26: the invariant stated independently — portable doc counts from
+    // the same filters, n_band_rows = 8 × n_live (one row per band per
+    // doc, a fixed 8-array explode), and the certified n_diff = 0 (the
+    // Spark side computes the REAL symmetric difference between the
+    // incrementally maintained band table and the from-scratch rebuild;
+    // the oracle asserts it must be empty — the planted-oracle pattern).
+    "d26_band_maintenance" ->
+      """WITH doc AS (SELECT doc_id, text FROM documents),
+        | base AS (SELECT * FROM doc WHERE doc_id < 200),
+        | fresh AS (SELECT * FROM doc WHERE doc_id >= 200 AND doc_id < 260),
+        | rp AS (SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
+        |        FROM base WHERE doc_id < 40
+        |          AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 20),
+        | batch AS (SELECT * FROM fresh UNION ALL SELECT * FROM rp),
+        | td AS (SELECT doc_id FROM base WHERE doc_id % 13 = 0),
+        | live AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM td)
+        |          UNION ALL SELECT * FROM batch)
+        |SELECT (SELECT count(*) FROM base) AS n_corpus,
+        | (SELECT count(*) FROM batch) AS n_batch,
+        | (SELECT count(*) FROM td) AS n_tombstoned,
+        | (SELECT count(*) FROM live) AS n_live,
+        | (SELECT 8 * count(*) FROM live) AS n_band_rows,
+        | CAST(0 AS BIGINT) AS n_diff""".stripMargin,
 
     // d14: full replica — banner planting, positioned md5 8-grams,
     // cross-doc df >= 2 cut, per-doc interval merge (each repeated
