@@ -84,6 +84,12 @@ object PlanDigest {
       // earlier query spawning one extra RDD (broadcast/AQE timing)
       // shifts it — a session-history artifact, not a plan property
       .replaceAll("RDD\\[\\d+\\]", "RDD[x]")
+      // ...and the checkpoint CALL SITE's source line (`at
+      // DedupQueries.scala:1012`) — inserting a query above it in the
+      // same file shifts every later digest (d21 flipped when d26
+      // landed 53 lines earlier in DedupQueries). A source-layout
+      // artifact, not a plan property; the file name stays pinned.
+      .replaceAll("\\.scala:\\d+", ".scala:x")
     replaced.linesIterator.map { line =>
       // On distinct-rewrite lines, blank BARE-INTEGER list elements —
       // the gid value each Expand projection row carries (the raw

@@ -89,6 +89,13 @@ object Sessions {
     // (Spark 4 otherwise refuses the file); a no-op on the MICROS
     // vintage. normalizeEventTs branches on whichever type results.
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fork-free local-FS chmod (see NioLocalFileSystem's scaladoc):
+      // must be set at build time — the first file:// access caches a
+      // FileSystem instance, after which the conf is inert.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.NioLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.NioLocalFs")
       // Bounded replays emit all output on the data batch itself; the
       // extra no-data micro-batch Spark schedules to advance the
       // watermark only re-commits every state store (32 partitions × 4

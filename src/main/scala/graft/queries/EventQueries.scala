@@ -79,9 +79,18 @@ object EventQueries {
     * built. */
   private[graft] def streamSession(s: SparkSession): SparkSession = {
     val parts = s.conf.getOption("spark.graft.stream.statePartitions")
-      .getOrElse("8")
+      .getOrElse("4")
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", parts)
+    // Checkpoint-file checksums (on by default in Spark 4.1) double every
+    // metadata/state create: each delta/commit/offset file gains a
+    // sibling .checksum create+rename through the same
+    // RawLocalFileSystem.setPermission chmod-fork path described above.
+    // Corruption detection matters for long-lived production checkpoints
+    // on remote storage; these bounded replays re-derive their state
+    // from scratch each run, so the integrity machinery is pure fixed
+    // cost here. A deployment keeping durable checkpoints re-enables it.
+    ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong",
       s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "true"))
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
@@ -124,6 +133,45 @@ object EventQueries {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     scratchDirs.add(p)
     p.toString
+  }
+
+  /** Forced-arrival-order replay staging — ONE shared utility (e15/e18/
+    * e19 each re-implemented this per query through r11, paying one
+    * scan-and-write Spark job PER stage; the twins are now this) and
+    * ONE Spark job total: the stage frames union with a literal stage
+    * index, the shuffle routes each index to a single task
+    * (`repartition` on the index column), and a single partitioned
+    * parquet write emits every stage's lone part-file, which then
+    * renames into the source dir with ascending mtimes so a
+    * `maxFilesPerTrigger=1` file stream replays the stages as separate
+    * ordered micro-batches. The partition column stays in the dir name,
+    * not the file, so the staged schema is exactly the frames' own.
+    * Harness scaffolding, not pipeline: production streams have real
+    * arrival order; this manufactures one deterministically for the
+    * bounded replays whose oracles depend on it. */
+  private def stageReplay(prefix: String, stages: Seq[DataFrame]): String = {
+    val src = tempDir(s"graft_${prefix}_src_")
+    val tmp = tempDir(s"graft_${prefix}_stage_")
+    val tagged = stages.zipWithIndex
+      .map { case (df, i) => df.withColumn("_stage", lit(i)) }
+      .reduce(_ unionByName _)
+    tagged.repartition(stages.size, col("_stage"))
+      .write.partitionBy("_stage").mode("overwrite").parquet(tmp)
+    val base = System.currentTimeMillis() - 10 * 60000L
+    stages.indices.foreach { i =>
+      val dir = new java.io.File(tmp, s"_stage=$i")
+      val parts = Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"$prefix: stage $i wrote ${parts.length} part files (want 1 — " +
+          "an empty stage frame or a split write breaks the forced order)")
+      val dst = new java.io.File(src, s"f$i.parquet")
+      require(parts.head.renameTo(dst) &&
+        dst.setLastModified(base + i * 60000L),
+        s"$prefix: staging file $i failed")
+    }
+    src
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -492,19 +540,8 @@ object EventQueries {
       val maxNs = ev.agg(max("ts_ns")).head().getLong(0)
       val dayNs = 86400L * 1000000000L
       // Harness scaffolding: force arrival order with explicit mtimes
-      // (the determinism e14's order-independent sketch did not need).
-      val src = tempDir("graft_e15_src_")
-      val base = System.currentTimeMillis() - 10 * 60000L
-      def stage(df: DataFrame, idx: Int): Unit = {
-        val tmp = tempDir("graft_e15_stage_")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(src, s"f$idx.parquet")
-        require(part.renameTo(dst) && dst.setLastModified(base + idx * 60000L),
-          s"e15: staging file $idx failed")
-      }
+      // (the determinism e14's order-independent sketch did not need) —
+      // all six stages written by the ONE shared stageReplay job.
       // The engine's late-DATA filter runs one batch behind the
       // eviction/metrics watermark (batch N filters with the watermark
       // that governed batch N-1's eviction — observed empirically, see
@@ -513,18 +550,16 @@ object EventQueries {
       // by the straggler batch even the lagged filter watermark is
       // weeks past every straggler window.
       val lastDay = col("day") > lit("2024-01-29").cast("date")
-      stage(body.filter(col("early") && !col("lg"))
-        .select("event_id", "ts"), 0)
-      stage(body.filter(!col("early") && !lastDay)
-        .select("event_id", "ts"), 1)
-      stage(body.filter(!col("early") && lastDay)
-        .select("event_id", "ts"), 2)
       val stragglers = body.filter(col("early") && col("lg"))
         .select("event_id", "ts")
       val nStragglers = stragglers.count()
-      stage(stragglers, 3)
-      stage(Seq((-1L, maxNs + 30 * dayNs)).toDF("event_id", "ts"), 4)
-      stage(Seq((-2L, maxNs + 60 * dayNs)).toDF("event_id", "ts"), 5)
+      val src = stageReplay("e15", Seq(
+        body.filter(col("early") && !col("lg")).select("event_id", "ts"),
+        body.filter(!col("early") && !lastDay).select("event_id", "ts"),
+        body.filter(!col("early") && lastDay).select("event_id", "ts"),
+        stragglers,
+        Seq((-1L, maxNs + 30 * dayNs)).toDF("event_id", "ts"),
+        Seq((-2L, maxNs + 60 * dayNs)).toDF("event_id", "ts")))
       val ss = streamSession(s)
       val schema = s.read.parquet(src).schema
       val outDir = tempDir("graft_e15_out_")
@@ -722,23 +757,13 @@ object EventQueries {
       val Quota = 10L
       val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
       val maxId = docs.agg(max("doc_id")).head().getLong(0)
-      val src = tempDir("graft_e18_src_")
-      val base = System.currentTimeMillis() - 10 * 60000L
-      def stage(df: org.apache.spark.sql.DataFrame, idx: Int): Unit = {
-        val tmp = tempDir("graft_e18_stage_")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(src, s"f$idx.parquet")
-        require(part.renameTo(dst) && dst.setLastModified(base + idx * 60000L),
-          s"e18: staging file $idx failed")
-      }
       val cut1 = maxId / 3
       val cut2 = 2 * maxId / 3
-      stage(docs.filter(col("doc_id") <= cut1), 0)
-      stage(docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2), 1)
-      stage(docs.filter(col("doc_id") > cut2), 2)
+      // three ascending doc_id ranges, forced order (shared stageReplay)
+      val src = stageReplay("e18", Seq(
+        docs.filter(col("doc_id") <= cut1),
+        docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        docs.filter(col("doc_id") > cut2)))
       val ss = streamSession(s)
       val schema = s.read.parquet(src).schema
       val stream = ss.readStream.schema(schema)
@@ -1094,25 +1119,13 @@ object EventQueries {
           col("ts_ns").as("ts"))
       val maxNs = ev.agg(max("ts")).head().getLong(0)
       val dayNs = 86400L * 1000000000L
-      val src = tempDir("graft_e19_src_")
-      val base = System.currentTimeMillis() - 10 * 60000L
-      def stage(df: DataFrame, idx: Int): Unit = {
-        val tmp = tempDir("graft_e19_stage_")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(src, s"f$idx.parquet")
-        require(part.renameTo(dst) && dst.setLastModified(base + idx * 60000L),
-          s"e19: staging file $idx failed")
-      }
-      stage(ev, 0)
       def sentinels(ids: (Long, Long), at: Long): DataFrame =
         Seq((ids._1, -1L, "click", at),
           (ids._2, -1L, "purchase", at + 2 * 3600L * 1000000000L))
           .toDF("event_id", "user_id", "event_type", "ts")
-      stage(sentinels((-1L, -2L), maxNs + 30 * dayNs), 1)
-      stage(sentinels((-3L, -4L), maxNs + 60 * dayNs), 2)
+      val src = stageReplay("e19", Seq(ev,
+        sentinels((-1L, -2L), maxNs + 30 * dayNs),
+        sentinels((-3L, -4L), maxNs + 60 * dayNs)))
       val ss = streamSession(s)
       val schema = s.read.parquet(src).schema
       // def, not val: each side of a self-join needs its own source

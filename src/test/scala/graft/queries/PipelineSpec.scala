@@ -222,11 +222,15 @@ class PipelineSpec extends AnyFunSuite {
     val ss = EventQueries.streamSession(spark)
     assert(ss ne spark)
     assert(ss.sparkContext eq spark.sparkContext) // clone, not a new app
-    assert(ss.conf.get("spark.sql.shuffle.partitions") == "8")
+    assert(ss.conf.get("spark.sql.shuffle.partitions") == "4")
     // streaming-critical confs travel to the clone
     assert(ss.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
     assert(ss.conf.get(
       "spark.sql.streaming.noDataMicroBatches.enabled") == "false")
+    // bounded replays re-derive state each run: the corruption-detection
+    // checksums are pure per-file fixed cost here (see streamSession)
+    assert(ss.conf.get(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled") == "false")
     // the shared session's batch parallelism is untouched
     assert(spark.conf.get("spark.sql.shuffle.partitions") == parentParts)
     // deployments with larger state raise the knob before first start
