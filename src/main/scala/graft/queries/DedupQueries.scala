@@ -186,6 +186,103 @@ object DedupQueries {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select("doc_a", "doc_b", "jaccard")
 
+  /** Portable 60-bit content hash: the first 15 hex chars of md5 read
+    * as a big-endian integer — `conv(substring(md5(x),1,15),16,10)` in
+    * Spark ≡ `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` in DuckDB
+    * (parity probed over ascii+unicode keys; both engines hash UTF-8
+    * bytes). The wide sibling of the 24-bit
+    * [[graft.operators.Sampling.portableGate]]: same frozen md5 family,
+    * 60 bits for uses where min-collisions or per-bit votes need more
+    * resolution (minhash values, simhash bit sources). 15 hex digits —
+    * not 16 — keeps the value inside a signed 64-bit long on both
+    * engines. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def h60Sql(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  /** STRING word-3-gram shingles (the d22/d16-oracle form): same set
+    * identity as [[shingles]]' hashed form absent 64-bit collisions,
+    * kept as strings so portable hash families can consume them and
+    * DuckDB can rebuild them verbatim. */
+  private def strShingles: Column = array_distinct(expr(
+    """CASE WHEN size(toks) >= 3
+      | THEN transform(sequence(0, size(toks)-3),
+      |                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+      | ELSE array(concat_ws(' ', toks)) END""".stripMargin))
+
+  /** [[minhashPairs]] with the PORTABLE signature family — the d02
+    * production path since r12: K=32 minhash values are per-salt minima
+    * of [[h60]] over the string shingle set, bands are the same 8×4
+    * layout with the 4-value slice serialized as the bucket key, and
+    * candidates verify with exact string-shingle jaccard. Every stage
+    * is cross-engine replicable, so d02 carries a full DuckDB hash
+    * oracle instead of a rows-only check (the r11 verdict's allowlist
+    * retirement). The engine-native splitmix64 kernel pipeline
+    * ([[minhashPairs]] via [[graft.functions.SketchExpressions
+    * .minhash_sig]]) remains the throughput option and stays
+    * ground-truth-verified by its planted companion d06 and the
+    * brute-force-equality consumers (d09/d16/d17/d20/d21).
+    *
+    * Scale shape is unchanged from [[minhashPairs]]: signatures are one
+    * linear pass (K md5 digests per shingle — heavier than splitmix64,
+    * the price of cross-engine verifiability), the band join shuffles
+    * only (id, band, bucket) rows, candidates dedup before the shingle
+    * payload rejoins by id. */
+  def portableMinhashPairs(docsIn: DataFrame): DataFrame = {
+    val (k0, b0, r) = (MinHashK, MinHashB, MinHashR)
+    val docs = docsIn.withColumn("toks", toks).withColumn("ssh", strShingles)
+      .select("doc_id", "ssh")
+    val sig = docs.select(col("doc_id"),
+      array((1 to k0).map(j =>
+        array_min(transform(col("ssh"), x =>
+          h60(concat(lit(s"mh$j:"), x))))): _*).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until b0).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (b * r until (b + 1) * r).map(i =>
+            element_at(col("sig"), i + 1).cast("string")): _*).as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("ssh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("ssh").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** The portable SimHash sketch — d03's production path since r12:
+    * per-token [[h60]] hashes vote ±1 on each of 60 bits (bits 60–63
+    * of the fingerprint are structurally 0), exactly the
+    * [[graft.functions.SketchOps.simhash]] vote rule minus the
+    * splitmix64 remix DuckDB
+    * cannot express (BIGINT multiply overflow is an error there, not a
+    * wraparound). One explode + one 60-column map-side-combinable
+    * aggregate; `explode_outer` keeps token-less docs in the census
+    * with the kernel's empty-input fingerprint (0). The native kernel
+    * ([[simhashSketch]]) remains the linear-pass throughput option,
+    * ground-truth-verified by d08/d11. */
+  def portableSimhashSketch(docsIn: DataFrame): DataFrame = {
+    val tok = docsIn.withColumn("toks", toks)
+      .select(col("doc_id"), explode_outer(col("toks")).as("t"))
+      .withColumn("h", h60(col("t")))
+    val voteCols = (0 until 60).map(b =>
+      sum(when(col("h").isNull, 0)
+        .when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$b"))
+    tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L): Column)
+          .reduce(_ + _).as("simhash"))
+  }
+
   def minhashPairs(docsIn: DataFrame): DataFrame = {
     val docs = shingled(docsIn)
     val bands = bandsOf(docs)
@@ -493,8 +590,15 @@ object DedupQueries {
           max("n").as("largest_group"))
     }),
 
+    /** MinHash+LSH near-dup census over the full corpus, on the
+      * PORTABLE signature family ([[portableMinhashPairs]]) — every
+      * stage (shingling, K=32 h60 minima, 8×4 banding, candidate
+      * dedup, exact-jaccard verify) replicates in DuckDB, so this
+      * carries a full hash oracle. The engine-native splitmix64 kernel
+      * variant of the same pipeline stays ground-truth-verified by its
+      * planted companion (d06). */
     "d02_minhash_lsh" -> ((s, d) => {
-      minhashPairs(Tables.documents(s, d)).agg(
+      portableMinhashPairs(Tables.documents(s, d)).agg(
         count(lit(1)).as("n_candidate_pairs"),
         sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).as("n_dups_05"),
         RelationalQueries.rnd(coalesce(max("jaccard"), lit(0.0)), 4).as("max_jaccard"))
@@ -547,8 +651,15 @@ object DedupQueries {
             .as("max_jaccard_09")))
     }),
 
+    /** SimHash near-dup census over the full corpus, on the PORTABLE
+      * sketch ([[portableSimhashSketch]]: per-token h60 votes, 60
+      * fingerprint bits) — banding and hamming run the same
+      * [[simhashPairs]] machinery, and every stage replicates in
+      * DuckDB, so this carries a full hash oracle. The engine-native
+      * splitmix64 kernel sketch stays ground-truth-verified by its
+      * planted companions (d08 exact, d11 near-dup). */
     "d03_simhash" -> ((s, d) => {
-      val docs = simhashSketch(Tables.documents(s, d))
+      val docs = portableSimhashSketch(Tables.documents(s, d))
       docs.agg(count(lit(1)).as("n_docs"),
           countDistinct("simhash").as("n_distinct_simhash"))
         .crossJoin(simhashPairs(docs).agg(
@@ -1404,6 +1515,88 @@ object DedupQueries {
       | lab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // d02: the ENTIRE portable MinHash+LSH pipeline replicates — string
+    // 3-gram shingles, K=32 per-salt h60 minima, 8×4 banding with the
+    // serialized 4-value bucket key, candidate dedup, exact-jaccard
+    // verify — so the LSH census itself is hash-verified (the r11
+    // allowlist retirement; the splitmix64-kernel variant keeps its
+    // planted ground-truth companion d06).
+    "d02_minhash_lsh" ->
+      s"""WITH tk AS (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents),
+        | sh AS (SELECT doc_id,
+        |   list_distinct(CASE WHEN len(tk) >= 3
+        |     THEN list_transform(range(1, len(tk) - 1),
+        |            i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |     ELSE [array_to_string(tk, ' ')] END) AS g
+        |   FROM tk),
+        | ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        | hv AS (SELECT doc_id, j,
+        |          min(${h60Sql("'mh' || j || ':' || s")}) AS mn
+        |        FROM ex CROSS JOIN (SELECT unnest(range(1, 33)) AS j)
+        |        GROUP BY doc_id, j),
+        | sg AS (SELECT doc_id, list(mn ORDER BY j) AS sig FROM hv
+        |        GROUP BY doc_id),
+        | bd AS (SELECT doc_id, b,
+        |          sig[b*4+1] || ':' || sig[b*4+2] || ':' ||
+        |          sig[b*4+3] || ':' || sig[b*4+4] AS bucket
+        |        FROM sg CROSS JOIN (SELECT unnest(range(0, 8)) AS b)),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+        |          FROM bd a JOIN bd c
+        |            ON a.b = c.b AND a.bucket = c.bucket
+        |               AND a.doc_id < c.doc_id),
+        | jc AS (SELECT doc_a, doc_b,
+        |          len(list_intersect(x.g, y.g)) * 1.0
+        |            / len(list_distinct(list_concat(x.g, y.g))) AS jac
+        |        FROM cand
+        |        JOIN sh x ON x.doc_id = cand.doc_a
+        |        JOIN sh y ON y.doc_id = cand.doc_b)
+        |SELECT count(*) AS n_candidate_pairs,
+        | CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dups_05,
+        | floor(coalesce(max(jac), 0.0)*10000+0.5)/10000 AS max_jaccard
+        |FROM jc""".stripMargin,
+
+    // d03: the portable sketch replicates bit-for-bit — per-token h60,
+    // 60 ±1 vote sums, vote>0 fingerprint bits, then the same 4×16
+    // banding and xor/bit_count hamming the engine runs. Token-less
+    // docs keep fingerprint 0 via the [NULL] unnest (Spark's
+    // explode_outer mirror).
+    "d03_simhash" -> {
+      val votes = (0 until 60).map(b =>
+        s"sum(CASE WHEN h IS NULL THEN 0 WHEN (h >> $b) & 1 = 1 " +
+          s"THEN 1 ELSE -1 END) AS v$b").mkString(",\n|   ")
+      val sig = (0 until 60).map(b =>
+        s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents),
+        | tok AS (SELECT doc_id,
+        |           unnest(CASE WHEN len(tk) = 0 THEN [NULL::VARCHAR]
+        |                  ELSE tk END) AS t
+        |         FROM tk),
+        | hh AS (SELECT doc_id, ${h60Sql("t")} AS h FROM tok),
+        | vt AS (SELECT doc_id,
+        |   $votes
+        |   FROM hh GROUP BY doc_id),
+        | sg AS (SELECT doc_id, $sig AS sh FROM vt),
+        | bd AS (SELECT doc_id, sh, b, (sh >> (b*16)) & 65535 AS bits
+        |        FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        | pr AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |          bit_count(xor(a.sh, c.sh)) AS hamming
+        |        FROM bd a JOIN bd c
+        |          ON a.b = c.b AND a.bits = c.bits
+        |             AND a.doc_id < c.doc_id)
+        |SELECT (SELECT count(*) FROM sg) AS n_docs,
+        | (SELECT count(DISTINCT sh) FROM sg) AS n_distinct_simhash,
+        | (SELECT count(*) FROM pr) AS n_band_collisions,
+        | (SELECT CAST(sum(CASE WHEN hamming <= 8 THEN 1 ELSE 0 END)
+        |    AS BIGINT) FROM pr) AS n_pairs_hamming_le8,
+        | (SELECT CAST(coalesce(min(hamming), 64) AS INTEGER) FROM pr)
+        |   AS min_hamming""".stripMargin
+    },
     // d10 replicates the whole capped blocking in DuckDB (fingerprint,
     // 12-char block key, portable md5 gate on the FULL fingerprint,
     // BlockCap interpolated) so tuning the Scala side can never

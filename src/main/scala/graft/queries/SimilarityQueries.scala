@@ -63,7 +63,10 @@ object SimilarityQueries {
     * the average cluster √n, so the cap moved below it.) */
   val SemDedupCap = 8
 
-  /** Sign-pattern bucket id of `vec` in hash table `table`. */
+  /** Sign-pattern bucket id of `vec` in hash table `table` (Gaussian
+    * random hyperplanes — the classic cosine-LSH family; constants are
+    * driver-side Gaussians, so this family is verified by its planted
+    * companions d07/s05, not by SQL replication). */
   private def lshSignature(vec: Column, table: Int): Column =
     aggregate(
       zip_with(typedLit(lshPlanes.slice(table * LshBits, (table + 1) * LshBits)),
@@ -71,6 +74,31 @@ object SimilarityQueries {
         (plane, idx) => when(dot(plane, vec) > 0,
           pow(lit(2.0), idx).cast("long")).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
+
+  /** PORTABLE axis-sign bucket id for table `table`: bit i is the sign
+    * of stored dimension `table·8 + i + 1` — axis-aligned hyperplanes,
+    * the [[graft.operators.CentroidBuild.signSalt]] family tiled across
+    * disjoint dimension slices (4 tables × 8 bits covers dims 1–32).
+    * Comparing a stored double to zero is exact on both engines, so the
+    * whole bucketing replicates in SQL with NO floating-point edge (the
+    * Gaussian family's near-zero-projection caveat disappears) — this
+    * is the s02/d05 production path since r12, giving both full DuckDB
+    * hash oracles. Dims here are balanced (~50% positive per dim,
+    * measured: 256/256 buckets hit, max 16 of 2000 vecs at sf0.1), the
+    * regime where axis-sign bucketing prunes exactly like a random
+    * hyperplane table; a deployment with skewed dims mean-centers first
+    * or falls back to [[lshSignature]]. */
+  private def signPatternSignature(vec: Column, table: Int): Column =
+    (0 until LshBits).map(i =>
+      when(element_at(vec, table * LshBits + i + 1) > 0,
+        lit(1L << i)).otherwise(0L): Column)
+      .reduce(_ + _)
+
+  /** DuckDB mirror of [[signPatternSignature]]. */
+  private def signPatternSql(vecSql: String, table: Int): String =
+    (0 until LshBits).map(i =>
+      s"(CASE WHEN $vecSql[${table * LshBits + i + 1}] > 0 " +
+        s"THEN ${1L << i} ELSE 0 END)").mkString("(", " + ", ")")
 
   /** The d05 all-pairs-within-buckets near-dup pipeline over an
     * arbitrary (vec_id, vec double[]) frame, returning one row per LSH
@@ -80,10 +108,11 @@ object SimilarityQueries {
     * is Σ bucket² rather than n²; the id-only dedup happens before the
     * vector rejoin so payload arrays never shuffle with signatures.
     */
-  def neardupPairs(emb: DataFrame): DataFrame = {
+  def neardupPairs(emb: DataFrame,
+      sigFn: (Column, Int) => Column = lshSignature): DataFrame = {
     val tabled = emb.select(col("vec_id"),
       explode(array((0 until LshTables).map(t =>
-        struct(lit(t).as("tbl"), lshSignature(col("vec"), t).as("bucket"))): _*)).as("tb"))
+        struct(lit(t).as("tbl"), sigFn(col("vec"), t).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
     val candIds = tabled.as("a").join(tabled.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -106,12 +135,13 @@ object SimilarityQueries {
     * collide in several tables) before the vectors join back, so
     * payload arrays never shuffle through the distinct. Factored out so
     * s02 and the planted ground-truth check (s05) share one code path. */
-  def lshTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int,
+      sigFn: (Column, Int) => Column = lshSignature): DataFrame = {
     // signatures only — the payload vector must not fan out through the
     // ×L explode (it rejoins by id after the candidate dedup)
     val tabled = emb.select(col("vec_id"),
       explode(array((0 until LshTables).map(t =>
-        struct(lit(t).as("tbl"), lshSignature(col("vec"), t).as("bucket"))): _*)).as("tb"))
+        struct(lit(t).as("tbl"), sigFn(col("vec"), t).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
     val queriesDf = tabled.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
@@ -264,13 +294,17 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    /** Query-driven LSH top-k on the PORTABLE axis-sign family
+      * ([[signPatternSignature]]) — bucketing, candidate dedup, cosine
+      * scoring, and the rank all replicate in DuckDB, so the ANN
+      * operator itself is hash-verified end-to-end (the r11 allowlist
+      * retirement). The Gaussian-hyperplane family stays available via
+      * [[lshTopK]]'s default and keeps its planted ground-truth
+      * companion (s05). */
     "s02_ann_lsh" -> ((s, d) => {
-      // Rows-only check (hyperplane constants are not portable to SQL);
-      // the spec asserts recall against s01 on planted neighbors, and
-      // s05 ground-truth-verifies the same code path via planted copies.
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), embD(col("embedding")).as("vec"))
-      lshTopK(emb, col("vec_id") < 3, 5)
+      lshTopK(emb, col("vec_id") < 3, 5, signPatternSignature)
     }),
 
     /** s02's pipeline, ground-truth-verified: augment the corpus with a
@@ -301,13 +335,13 @@ object SimilarityQueries {
       * candidates are verified with exact cosine. Same multi-table
       * machinery as s02 but all-pairs within buckets instead of
       * query-driven, which is the shape that scales — candidate volume
-      * is Σ bucket² rather than n². Rows-only check (hyperplane
-      * constants aren't portable to SQL); PipelineSpec proves planted
-      * near-identical vectors are caught. */
+      * is Σ bucket² rather than n². On the PORTABLE axis-sign family
+      * since r12, so the whole census carries a full DuckDB hash
+      * oracle; the Gaussian family keeps its planted companion (d07). */
     "d05_embed_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), embD(col("embedding")).as("vec"))
-      neardupPairs(emb).agg(
+      neardupPairs(emb, signPatternSignature).agg(
         count(lit(1)).as("n_candidate_pairs"),
         sum(when(col("cos") >= 0.95, 1).otherwise(0)).as("n_neardups_095"),
         sum(when(col("cos") >= 0.8, 1).otherwise(0)).as("n_neardups_08"),
@@ -1613,6 +1647,69 @@ object SimilarityQueries {
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
         | floor((cos)*10000+0.5)/10000 AS cos_sim
         |FROM ranked WHERE rank <= 1 ORDER BY q_id, rank""".stripMargin,
+
+    // s02: the ENTIRE portable LSH pipeline replicates — 4 axis-sign
+    // tables over disjoint dim slices, bucket-join candidates, dedup,
+    // raw-cosine scoring (the s01 rank discipline: ascending-index
+    // kernels are bit-identical cross-engine), top-5 per query.
+    "s02_ann_lsh" -> {
+      val buckets = (0 until LshTables).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${signPatternSql("vec", t)} AS bucket " +
+          "FROM e").mkString("\n|   UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+        |           FROM embeddings),
+        | bk AS (
+        |   $buckets),
+        | qb AS (SELECT vec_id AS q_id, tbl, bucket FROM bk
+        |        WHERE vec_id < 3),
+        | cand AS (SELECT DISTINCT qb.q_id, bk.vec_id
+        |          FROM bk JOIN qb
+        |            ON bk.tbl = qb.tbl AND bk.bucket = qb.bucket
+        |          WHERE bk.vec_id <> qb.q_id),
+        | scored AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    list_cosine_similarity(q.vec, e.vec) AS cos
+        |  FROM cand c
+        |  JOIN e q ON q.vec_id = c.q_id
+        |  JOIN e ON e.vec_id = c.vec_id),
+        | ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+        |      AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id AS n_id,
+        | floor((cos)*10000+0.5)/10000 AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+
+    // d05: the all-pairs-within-buckets mirror of the s02 replica —
+    // same 4 axis-sign tables, pair dedup, exact-cosine verify,
+    // threshold census.
+    "d05_embed_neardup" -> {
+      val buckets = (0 until LshTables).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${signPatternSql("vec", t)} AS bucket " +
+          "FROM e").mkString("\n|   UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+        |           FROM embeddings),
+        | bk AS (
+        |   $buckets),
+        | cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |          FROM bk a JOIN bk b
+        |            ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |               AND a.vec_id < b.vec_id),
+        | pr AS (SELECT id_a, id_b,
+        |          list_cosine_similarity(x.vec, y.vec) AS cos
+        |        FROM cand
+        |        JOIN e x ON x.vec_id = cand.id_a
+        |        JOIN e y ON y.vec_id = cand.id_b)
+        |SELECT count(*) AS n_candidate_pairs,
+        | CAST(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_neardups_095,
+        | CAST(sum(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_neardups_08,
+        | floor(coalesce(max(cos), -1.0)*10000+0.5)/10000 AS max_cos
+        |FROM pr""".stripMargin
+    },
 
     "s01_knn_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec

@@ -35,20 +35,16 @@ class RosterSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("rows-only queries are exactly the documented allowlist") {
-    // every query must carry a DuckDB oracle unless it is one of the
-    // four whose hash-family sketches are not SQL-expressible — each
-    // of which has a hash-verified planted companion (d02→d06,
-    // d03→d08/d11, d05→d07, s02→s05). A query accidentally losing its
-    // oracle entry must fail here, not silently degrade to rows-only.
-    // (m02 left this list in round 10: its byte-histogram stub is
-    // portable SQL via the hex high-nibble replica.)
+  test("EVERY query carries a DuckDB oracle — the rows-only allowlist is retired") {
+    // r11 closed the last four rows-only queries (d02/d03/d05/s02) by
+    // moving them onto portable signature families (h60 minhash, h60
+    // simhash votes, axis-sign LSH) whose pipelines replicate in SQL;
+    // the engine-native splitmix64/Gaussian variants keep their planted
+    // ground-truth companions (d06, d08/d11, d07, s05). A query without
+    // an oracle entry is now ALWAYS a bug — it must fail here, never
+    // silently degrade to the driver's rows-only check.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val allowed = Set("d02_minhash_lsh", "d03_simhash", "d05_embed_neardup",
-      "s02_ann_lsh")
-    assert(rowsOnly == allowed,
-      s"unexpected rows-only queries: ${rowsOnly -- allowed}; " +
-        s"missing allowlisted: ${allowed -- rowsOnly}")
+    assert(rowsOnly.isEmpty, s"queries without oracle: $rowsOnly")
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>

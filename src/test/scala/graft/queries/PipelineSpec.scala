@@ -16,8 +16,22 @@ class PipelineSpec extends AnyFunSuite {
   /** Build a testdata-shaped dir with planted dup structure. */
   private lazy val plantedDir: String = {
     val dir = Files.createTempDirectory("graft-planted").toString
-    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
-    val nearDup = base.replace("lazy", "sleepy") // one token differs
+    // ~60 DISTINCT tokens (not a short phrase repeated): the near-dup
+    // below differs by one appended token, so its shingle jaccard is
+    // ~60/63 ≈ 0.95 — where 8×4 banding recall is structural to ~1e-6,
+    // for ANY hash family. (The original 13-distinct-token ×5 base put
+    // the near pair at j ≈ 0.67, where per-family miss probability is
+    // ~17% — the murmur3 family happened to recall it and the portable
+    // h60 family happened not to; a recall assertion at that similarity
+    // tests banding dice, not the pipeline.)
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four " +
+      "five six seven eight nine ten eleven twelve thirteen fourteen " +
+      "fifteen sixteen seventeen eighteen nineteen twenty apple banana " +
+      "cherry date elder fig grape honey iris jade kiwi lemon mango ") +
+      "nectar olive peach quince raspberry "
+    val nearDup = base + "graftextra" // one appended token ⇒ j ≈ 0.95
     val docs = Seq(
       (0L, base, "en", "src0", base.length.toLong),
       (1L, base, "en", "src0", base.length.toLong),              // exact dup of 0
@@ -87,7 +101,7 @@ class PipelineSpec extends AnyFunSuite {
   test("s02_ann_lsh buckets the planted neighbor pair together") {
     val rows = SimilarityQueries.queries("s02_ann_lsh")(spark, plantedDir)
       .filter(col("q_id") === 0).collect()
-    // near-identical vectors must share all 12 hyperplane signs
+    // near-identical vectors must share every axis sign in all 4 tables
     assert(rows.exists(r => r.getAs[Long]("n_id") == 1L))
   }
 

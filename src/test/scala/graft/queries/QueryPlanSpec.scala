@@ -61,9 +61,16 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(planOf("q09_anti_join").contains("LeftAnti"))
   }
 
-  test("d02: minhash signature computes scan-side (no explode before the band join)") {
+  test("d02: minhash signature computes scan-side (no shingle explode " +
+      "before the band join) — and the native-kernel pipeline keeps the " +
+      "same shape via d06") {
+    // the portable d02 signature is a per-row projection (K array_min
+    // over the shingle array) — shingles must never explode; the only
+    // Generate is the 8-element band array
     val plan = planOf("d02_minhash_lsh")
-    assert(plan.contains("minhash_sig"), plan.take(2000))
+    assert(plan.contains("array_min"), plan.take(2000))
+    // d06 runs the engine-native kernel variant of the same pipeline
+    assert(planOf("d06_minhash_planted").contains("minhash_sig"))
   }
 
   test("s04: centroid table broadcasts; corpus never cartesian-products") {
