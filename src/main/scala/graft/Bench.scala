@@ -200,6 +200,17 @@ object Bench {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $lastPath: ${e.getMessage}") }
     println(line)
+    // the full line is ~5 KB at 150+ queries and does NOT fit in a
+    // 2000-byte stdout tail capture — a tail parser would see a
+    // front-truncated fragment and record "parsed": null. So the LAST
+    // two lines are (a) a greppable pointer to the on-disk native JSON
+    // and (b) a compact summary line (<400 bytes) that a tail capture
+    // always receives whole; per-query detail lives in the file.
+    println(s"BENCH_NATIVE_JSON=$lastPath")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""n_passed":${results.count(_._3)},"n_failed":${failed.size},""" +
+        s""""sf":"$sfDir","full":"$lastPath"}""")
     spark.stop()
   }
 }

@@ -39,7 +39,8 @@ object Verify {
     // Failures are an ARTIFACT, not just stderr noise: a systemic break
     // (e.g. a testdata schema drift failing 19 queries with one root
     // cause) must surface as one obvious committed file, not as an
-    // absence of rows in the downstream compare. Empty array == green.
+    // absence of rows in the downstream compare. Empty object {} == green
+    // (the artifact is a name->error JSON map, not an array).
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -382,15 +382,22 @@ object MultimodalQueries {
       // corpus has no natural payload near-dups, so every 50th doc gets
       // a copy with its first character replaced — a perturbation that
       // moves at most one segment mean, measured hamming 0-1 — under
-      // doc_id + 1e6. The pipeline must surface exactly these pairs
+      // doc_id + max(doc_id)+1. The offset is DERIVED (1-row aggregate
+      // broadcast), not a fixed constant a large corpus's real ids could
+      // collide with. The pipeline must surface exactly these pairs
       // (plus any organic collisions), and the oracle checks WHICH
       // pairs via the id checksum, not just how many.
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val base = docs
         .filter(octet_length(col("text").cast("binary")) >= 64)
+      val off = docs.agg((max(col("doc_id")) + 1L).as("off"))
       val planted = base.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("doc_id"),
           concat(lit("~"), expr("substr(text, 2)")).as("text"))
+        // re-assert the stubPHashBands >= 64-byte contract: swapping a
+        // multibyte first char for '~' can shrink the payload below it
+        .filter(octet_length(col("text").cast("binary")) >= 64)
       val ds = base.unionByName(planted)
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .as[(Long, Array[Byte])]
@@ -443,9 +450,11 @@ object MultimodalQueries {
         | raw AS (
         |  SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n FROM raw0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, hex(encode('~' || substr(text, 2))) AS hx,
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+        |         hex(encode('~' || substr(text, 2))) AS hx,
         |         strlen('~' || substr(text, 2)) AS n
-        |  FROM raw0 WHERE doc_id % 50 = 0),
+        |  FROM raw0 WHERE doc_id % 50 = 0
+        |    AND octet_length(encode('~' || substr(text, 2))) >= 64),
         | bytes AS (
         |  SELECT doc_id, n, i,
         |    strpos('123456789ABCDEF', substr(hx, 2*i+1, 1))*16 +

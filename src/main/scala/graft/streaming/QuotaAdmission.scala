@@ -15,7 +15,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale: state per key is ONE long — keys × 8 bytes, the smallest
   * possible stateful footprint; each batch shuffles only on the key and
   * emits at most the remaining quota per key, so sink traffic is
-  * min(batch, quota-so-far)-bounded. Admission within a batch is
+  * min(batch, quota-so-far)-bounded. Per-batch HEAP is bounded too: a
+  * key whose quota is exhausted drains without buffering a single row,
+  * and an open key buffers at most (quota − admitted) rows in a
+  * size-capped heap — never the whole batch slice, so one hot key
+  * cannot OOM an executor. Admission within a batch is
   * deterministic (ascending doc_id — the contractual tie order), so a
   * checkpoint replay of the same batch admits the same rows and the
   * idempotent sink converges; admission across batches follows arrival
@@ -31,16 +35,31 @@ object QuotaAdmission {
     docs.groupByKey(_.source)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (src: String, it: Iterator[Doc], state: GroupState[Long]) => {
-          var admitted = state.getOption.getOrElse(0L)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Doc]
-          // sort the batch's rows for this key: admission must not
-          // depend on task/file iteration order, or a checkpoint
-          // replay could admit a different set than the original run
-          it.toSeq.sortBy(_.doc_id).foreach { d =>
-            if (admitted < quota) { out += d; admitted += 1 }
+          val admitted = state.getOption.getOrElse(0L)
+          val remaining = quota - admitted
+          if (remaining <= 0L) {
+            // quota exhausted: nothing can be admitted, so never buffer
+            Iterator.empty
+          } else {
+            // admission order must not depend on task/file iteration
+            // order (a checkpoint replay could otherwise admit a
+            // different set), but only the `remaining` SMALLEST doc_ids
+            // matter — keep exactly those in a bounded max-heap instead
+            // of materializing and sorting the whole batch slice
+            val cap = math.min(remaining, Int.MaxValue.toLong).toInt
+            val heap = new java.util.PriorityQueue[Doc](
+              math.min(cap, 1024).max(1),
+              Ordering.by[Doc, Long](_.doc_id).reverse)
+            it.foreach { d =>
+              if (heap.size < cap) heap.add(d)
+              else if (d.doc_id < heap.peek().doc_id) { heap.poll(); heap.add(d) }
+            }
+            val out = new Array[Doc](heap.size)
+            var i = out.length - 1
+            while (i >= 0) { out(i) = heap.poll(); i -= 1 } // ascending emit
+            state.update(admitted + out.length)
+            out.iterator
           }
-          state.update(admitted)
-          out.iterator
         })
   }
 }

@@ -30,6 +30,55 @@ class RosterSpec extends AnyFunSuite {
     assert(norm("ts_ns").dataType == LongType)
   }
 
+  test("all 10 tables match the pinned physical schema fingerprint (epoch canary)") {
+    // The events.ts canary above catches the ONE drift that has already
+    // happened; this pins the ENTIRE physical surface of the testdata
+    // epoch (every table, every column name and scanned type), so ANY
+    // driver regeneration — a renamed field, a widened int, a timestamp
+    // vintage flip on orders/lineitem — fails HERE with the observed
+    // diff instead of as a smear of downstream analysis errors.
+    // On an intentional new epoch: verify the roster is green against
+    // the new files, then update the pins below to the printed actuals.
+    val pinned = Map(
+      "region" -> "r_regionkey:int, r_name:string",
+      "nation" -> "n_nationkey:int, n_name:string, n_regionkey:int",
+      "customer" -> ("c_custkey:bigint, c_name:string, c_nationkey:int, " +
+        "c_acctbal:double, c_mktsegment:string"),
+      "supplier" -> "s_suppkey:bigint, s_name:string, s_nationkey:int, s_acctbal:double",
+      "part" -> ("p_partkey:bigint, p_name:string, p_brand:string, " +
+        "p_type:string, p_size:int, p_retailprice:double"),
+      "orders" -> ("o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, " +
+        "o_totalprice:double, o_orderdate:timestamp_ntz, o_orderpriority:string"),
+      "lineitem" -> ("l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, " +
+        "l_linenumber:int, l_quantity:double, l_extendedprice:double, " +
+        "l_discount:double, l_tax:double, l_returnflag:string, " +
+        "l_linestatus:string, l_shipdate:timestamp_ntz"),
+      // ts is pinned per-FIELD-NAME only: its type legitimately varies by
+      // vintage and is separately gated by the events.ts canary above
+      "events" -> ("event_id:bigint, ts:*, user_id:bigint, " +
+        "event_type:string, value:double, props:string"),
+      "documents" -> "doc_id:bigint, text:string, lang:string, source:string, n_chars:bigint",
+      "embeddings" -> "vec_id:bigint, embedding:array<float>, label:int")
+    val diffs = Tables.All.flatMap { name =>
+      val actual = Tables.t(spark, sf0001, name).schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+      val expect = pinned(name)
+      val matches =
+        if (!expect.contains(":*")) actual == expect
+        else { // wildcard fields compare name-only
+          val as = actual.split(", ").map(_.split(":", 2))
+          val es = expect.split(", ").map(_.split(":", 2))
+          as.length == es.length && as.zip(es).forall { case (a, e) =>
+            a(0) == e(0) && (e(1) == "*" || a(1) == e(1)) }
+        }
+      if (matches) None
+      else Some(s"$name:\n  pinned: $expect\n  actual: $actual")
+    }
+    assert(diffs.isEmpty,
+      "testdata epoch drift — verify the roster against the new files, " +
+        "then update the pins:\n" + diffs.mkString("\n"))
+  }
+
   test("every oracle key has a query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")

@@ -687,10 +687,20 @@ class QueryPlanSpec extends AnyFunSuite {
       "band join never cartesian-products") {
     // the neardupPairs discipline: the ×4 band explode carries only
     // (doc_id, j, bv); payload-derived signature columns rejoin by id
-    // after the distinct, and every join is an equi join
-    val plan = planOf("m09_phash_neardup")
+    // after the distinct, and every DATA join is an equi join — the
+    // single permitted nested-loop is the 1-row max(doc_id)+1 offset
+    // broadcast that derives collision-free planted ids
+    val plan = planOf("m09_phash_neardup").split("== Initial Plan ==")(0)
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the subtree re-expands under each sigs consumer, so count the
+    // SHAPE not the occurrences: every nested-loop must be the 1-row
+    // aggregate built-and-broadcast (BuildRight Cross), never a
+    // data×data join
+    val bnlLines = plan.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlLines.nonEmpty && bnlLines.forall(l =>
+      l.contains("BuildRight") && l.contains("Cross")),
+      s"unexpected nested-loop shape:\n${bnlLines.mkString("\n")}")
   }
 
   test("e18: quota readback joins per-source totals via BROADCAST — " +

@@ -178,6 +178,12 @@ def main():
     same_class = [r for r in rids[:-1]
                   if (r in native_rounds) == (last_r in native_rounds)
                   and data_epoch(r) == data_epoch(last_r)]
+    if not same_class:
+        # the gate compares like-with-like; with no prior round in the same
+        # (run class x data epoch) there is nothing to compare against, and
+        # staying silent would make a skipped gate look like a passed one
+        print(f"note: no comparable prior round (class/epoch) for r{last_r:02d}"
+              " — regression gate skipped")
     if same_class:
         prev_r = same_class[-1]
         prev_qs = rounds[prev_r].get("queries", {})
