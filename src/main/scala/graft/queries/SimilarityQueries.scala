@@ -379,13 +379,20 @@ object SimilarityQueries {
       * quantizer, and inside each cluster drop all but one of any
       * near-identical group — the corpus-pruning step that catches
       * paraphrases and re-encodes which exact/n-gram dedup miss.
-      * Clustering is the FAITHFUL SemDeDup composition: the s07
-      * size-derived k-means build ([[graft.operators.CentroidBuild
-      * .lloyd]], k = ⌈√n⌉ from one bounded scalar n-read, md5-seeded,
-      * two Lloyd rounds) — k grows with the corpus by construction,
-      * retiring the earlier per-label quantizer whose cluster count
-      * was fixed by the label domain. Assignment is over a BROADCAST
-      * centroid table — the corpus never shuffles for assignment, and
+      * Clustering is the HIERARCHICAL two-level build (the s24
+      * pipeline, now the production SemDeDup path, not just a demo):
+      * target capacity k = ⌈√n⌉ from one bounded scalar n-read, then
+      * lloyd(kc=⌈√k⌉) coarse outer cells, one routed (vec_id, cell)
+      * pass that localCheckpoints (16 bytes/row), and a per-cell
+      * [[graft.operators.CentroidBuild.lloydGrouped]] refine of
+      * kf=⌈k/kc⌉ centroids — so per-row assignment work is O(√k), no
+      * broadcast exceeds the fine table, and at 100 TB the one fine
+      * equi-join flips to a shuffle-hash join on the cell key while
+      * the coarse table stays a √k-row broadcast (the flat O(n·k)
+      * build was the roster's last genuine scale cliff — closed HERE,
+      * on the consumer, not only in s24). The cluster key downstream
+      * is the composite cell·(kf+1)+fid, collision-free by
+      * construction. The corpus never shuffles for assignment, and
       * the payload vector rejoins by id after the assignment window,
       * the d05 id-only discipline. Within a cluster, pairs at exact
       * cosine ≥ 0.999 mark the higher vec_id dropped (keep-lowest-id
@@ -417,11 +424,22 @@ object SimilarityQueries {
       val corpus = base.unionByName(planted)
       val n = corpus.count() // bounded scalar read — the s07/q47 discipline
       val k = math.ceil(math.sqrt(n.toDouble)).toInt
-      val cents = graft.operators.CentroidBuild.lloyd(
-        corpus, "vec_id", "vec", k, rounds = 2)
-      val assign = graft.operators.CentroidBuild.nearest(
-        graft.operators.CentroidBuild.similarities(
-          corpus, cents, "vec_id", "vec"), "vec_id")
+      val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+      val kf = (k + kc - 1) / kc
+      val coarse = graft.operators.CentroidBuild.lloyd(
+        corpus, "vec_id", "vec", kc, rounds = 1)
+      val cells = graft.operators.CentroidBuild.nearest(
+          graft.operators.CentroidBuild.similarities(
+            corpus, coarse, "vec_id", "vec"), "vec_id")
+        .withColumnRenamed("cl_id", "cell")
+        .localCheckpoint(true)
+      val embCell = corpus.join(cells, "vec_id")
+      val fine = graft.operators.CentroidBuild.lloydGrouped(
+        embCell, "cell", "vec_id", "vec", kf, rounds = 1)
+      val assign = graft.operators.CentroidBuild.nearestGrouped(
+          embCell, fine, "cell", "vec_id", "vec")
+        .select(col("vec_id"),
+          (col("cell") * (kf + 1) + col("fid")).as("cl_id"))
       val withCl = corpus.select(col("vec_id"), col("vec"),
           graft.operators.CentroidBuild.signSalt(col("vec")).as("salt"))
         .join(assign, "vec_id")
@@ -1397,6 +1415,79 @@ object SimilarityQueries {
     }),
   )
 
+  /** Shared DuckDB replica of the hierarchical two-level k-means build
+    * — coarse md5-seeded Lloyd round, routed cells, per-cell md5-seeded
+    * fine round, routed final assignment — parameterized by the name of
+    * an in-scope (vec_id, vec) corpus CTE and interpolated
+    * (margin-carrying) into BOTH the s24 demo oracle and the d13
+    * SemDeDup oracle, so the certified build and its production
+    * consumer replicate the SAME SQL by construction, mirroring the
+    * Spark-side lloyd/lloydGrouped sharing. Yields the kk/kcq/kfq
+    * scalars (k=⌈√n⌉, kc=⌈√k⌉, kf=⌈k/kc⌉) and
+    * fin(vec_id, cell, fid, csim) — 1 coarse + 1 fine round, the
+    * shipped configuration. */
+  private def hierBuildCteSql(c: String): String =
+    s"""kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM $c),
+      | kcq AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM kk),
+      | kfq AS (SELECT CAST(ceil(CAST(k AS DOUBLE) / kc) AS BIGINT) AS kf
+      |         FROM kk, kcq),
+      | sd AS (SELECT vec,
+      |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+      |            AS rn
+      |        FROM $c),
+      | c0 AS (SELECT rn AS cl_id, vec AS cvec FROM sd
+      |        WHERE rn <= (SELECT kc FROM kcq)),
+      | s1 AS (SELECT t.vec_id, q.cl_id, t.vec,
+      |          floor(list_cosine_similarity(t.vec, q.cvec)*1000000+0.5)
+      |            /1000000 AS csim
+      |        FROM $c t CROSS JOIN c0 q),
+      | a1 AS (SELECT vec_id, cl_id, vec FROM (
+      |          SELECT vec_id, cl_id, vec, row_number()
+      |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+      |          FROM s1) WHERE rn = 1),
+      | x1 AS (SELECT cl_id, unnest(vec) AS v,
+      |               generate_subscripts(vec, 1) AS i FROM a1),
+      | m1 AS (SELECT cl_id, i, floor(avg(v)*1000000+0.5)/1000000 AS m
+      |        FROM x1 GROUP BY cl_id, i),
+      | c1 AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM m1
+      |        GROUP BY cl_id),
+      | s2 AS (SELECT t.vec_id, q.cl_id, t.vec,
+      |          floor(list_cosine_similarity(t.vec, q.cvec)*1000000+0.5)
+      |            /1000000 AS csim
+      |        FROM $c t CROSS JOIN c1 q),
+      | cel AS (SELECT vec_id, cl_id AS cell, vec FROM (
+      |          SELECT vec_id, cl_id, vec, row_number()
+      |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+      |          FROM s2) WHERE rn = 1),
+      | fsd AS (SELECT cell, vec, row_number()
+      |           OVER (PARTITION BY cell
+      |                 ORDER BY md5(CAST(vec_id AS VARCHAR))) AS fid
+      |         FROM cel),
+      | f0 AS (SELECT cell, fid, vec AS fvec FROM fsd
+      |        WHERE fid <= (SELECT kf FROM kfq)),
+      | fs1 AS (SELECT g.vec_id, g.cell, f.fid, g.vec,
+      |           floor(list_cosine_similarity(g.vec, f.fvec)*1000000+0.5)
+      |             /1000000 AS csim
+      |         FROM cel g JOIN f0 f ON g.cell = f.cell),
+      | fa1 AS (SELECT vec_id, cell, fid, vec FROM (
+      |           SELECT vec_id, cell, fid, vec, row_number()
+      |             OVER (PARTITION BY vec_id ORDER BY csim DESC, fid) AS rn
+      |           FROM fs1) WHERE rn = 1),
+      | fx1 AS (SELECT cell, fid, unnest(vec) AS v,
+      |                generate_subscripts(vec, 1) AS i FROM fa1),
+      | fm1 AS (SELECT cell, fid, i, floor(avg(v)*1000000+0.5)/1000000 AS m
+      |         FROM fx1 GROUP BY cell, fid, i),
+      | f1 AS (SELECT cell, fid, list(m ORDER BY i) AS fvec FROM fm1
+      |        GROUP BY cell, fid),
+      | fs2 AS (SELECT g.vec_id, g.cell, f.fid,
+      |           floor(list_cosine_similarity(g.vec, f.fvec)*1000000+0.5)
+      |             /1000000 AS csim
+      |         FROM cel g JOIN f1 f ON g.cell = f.cell),
+      | fin AS (SELECT vec_id, cell, fid, csim FROM (
+      |           SELECT vec_id, cell, fid, csim, row_number()
+      |             OVER (PARTITION BY vec_id ORDER BY csim DESC, fid) AS rn
+      |           FROM fs2) WHERE rn = 1)""".stripMargin
+
   /** Shared DuckDB replica of the IVF-PQ ADC pipeline (corpus,
     * rnd6 centroids, assignment, residuals, md5-seeded codebook,
     * subspace encode, probes, integer LUT, ADC `scored`) —
@@ -1556,50 +1647,11 @@ object SimilarityQueries {
         |          list_transform(vec, x -> x * 1.001) AS vec
         |        FROM sel),
         | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
-        | kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM c),
-        | sd AS (SELECT vec,
-        |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
-        |            AS rn
-        |        FROM c),
-        | c0 AS (SELECT rn AS cl_id, vec AS cvec FROM sd
-        |        WHERE rn <= (SELECT k FROM kk)),
-        | s1 AS (SELECT c.vec_id, q.cl_id, c.vec,
-        |          floor(list_cosine_similarity(c.vec, q.cvec)*1000000+0.5)
-        |            /1000000 AS csim
-        |        FROM c CROSS JOIN c0 q),
-        | a1 AS (SELECT vec_id, cl_id, vec FROM (
-        |          SELECT vec_id, cl_id, vec, row_number()
-        |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
-        |          FROM s1) WHERE rn = 1),
-        | x1 AS (SELECT cl_id, unnest(vec) AS v,
-        |               generate_subscripts(vec, 1) AS i FROM a1),
-        | m1 AS (SELECT cl_id, i, floor(avg(v)*1000000+0.5)/1000000 AS m
-        |        FROM x1 GROUP BY cl_id, i),
-        | c1 AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM m1
-        |        GROUP BY cl_id),
-        | s2 AS (SELECT c.vec_id, q.cl_id, c.vec,
-        |          floor(list_cosine_similarity(c.vec, q.cvec)*1000000+0.5)
-        |            /1000000 AS csim
-        |        FROM c CROSS JOIN c1 q),
-        | a2 AS (SELECT vec_id, cl_id, vec FROM (
-        |          SELECT vec_id, cl_id, vec, row_number()
-        |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
-        |          FROM s2) WHERE rn = 1),
-        | x2 AS (SELECT cl_id, unnest(vec) AS v,
-        |               generate_subscripts(vec, 1) AS i FROM a2),
-        | m2 AS (SELECT cl_id, i, floor(avg(v)*1000000+0.5)/1000000 AS m
-        |        FROM x2 GROUP BY cl_id, i),
-        | c2 AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM m2
-        |        GROUP BY cl_id),
-        | s3 AS (SELECT c.vec_id, q.cl_id,
-        |          floor(list_cosine_similarity(c.vec, q.cvec)*1000000+0.5)
-        |            /1000000 AS csim
-        |        FROM c CROSS JOIN c2 q),
+        | ${hierBuildCteSql("c")},
         | assign AS (
-        |  SELECT vec_id, cl_id FROM (
-        |    SELECT vec_id, cl_id, row_number()
-        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
-        |    FROM s3) WHERE rn = 1),
+        |  SELECT vec_id,
+        |         cell * ((SELECT kf FROM kfq) + 1) + fid AS cl_id
+        |  FROM fin),
         | wc AS (SELECT c.vec_id, a.cl_id, c.vec,
         |          ${graft.operators.CentroidBuild.signSaltSql("c.vec")} AS salt
         |        FROM c JOIN assign a USING (vec_id)),
@@ -2132,68 +2184,12 @@ object SimilarityQueries {
     // (assign, rnd6-recenter) round, and the final coarse-then-fine
     // routed assignment + census — so the two-level quantizer is
     // hash-verified end to end, not just its output shape.
+    // s24: the chain is the SHARED [[hierBuildCteSql]] replica — the
+    // same SQL d13 consumes, so the certified build and the SemDeDup
+    // production path can never drift apart.
     "s24_hier_kmeans" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-        | kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM e),
-        | kcq AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM kk),
-        | kfq AS (SELECT CAST(ceil(CAST(k AS DOUBLE) / kc) AS BIGINT) AS kf
-        |         FROM kk, kcq),
-        | sd AS (SELECT vec,
-        |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
-        |            AS rn
-        |        FROM e),
-        | c0 AS (SELECT rn AS cl_id, vec AS cvec FROM sd
-        |        WHERE rn <= (SELECT kc FROM kcq)),
-        | s1 AS (SELECT e.vec_id, c.cl_id, e.vec,
-        |          floor(list_cosine_similarity(e.vec, c.cvec)*1000000+0.5)
-        |            /1000000 AS csim
-        |        FROM e CROSS JOIN c0 c),
-        | a1 AS (SELECT vec_id, cl_id, vec FROM (
-        |          SELECT vec_id, cl_id, vec, row_number()
-        |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
-        |          FROM s1) WHERE rn = 1),
-        | x1 AS (SELECT cl_id, unnest(vec) AS v,
-        |               generate_subscripts(vec, 1) AS i FROM a1),
-        | m1 AS (SELECT cl_id, i, floor(avg(v)*1000000+0.5)/1000000 AS m
-        |        FROM x1 GROUP BY cl_id, i),
-        | c1 AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM m1
-        |        GROUP BY cl_id),
-        | s2 AS (SELECT e.vec_id, c.cl_id, e.vec,
-        |          floor(list_cosine_similarity(e.vec, c.cvec)*1000000+0.5)
-        |            /1000000 AS csim
-        |        FROM e CROSS JOIN c1 c),
-        | cel AS (SELECT vec_id, cl_id AS cell, vec FROM (
-        |          SELECT vec_id, cl_id, vec, row_number()
-        |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
-        |          FROM s2) WHERE rn = 1),
-        | fsd AS (SELECT cell, vec, row_number()
-        |           OVER (PARTITION BY cell
-        |                 ORDER BY md5(CAST(vec_id AS VARCHAR))) AS fid
-        |         FROM cel),
-        | f0 AS (SELECT cell, fid, vec AS fvec FROM fsd
-        |        WHERE fid <= (SELECT kf FROM kfq)),
-        | fs1 AS (SELECT g.vec_id, g.cell, f.fid, g.vec,
-        |           floor(list_cosine_similarity(g.vec, f.fvec)*1000000+0.5)
-        |             /1000000 AS csim
-        |         FROM cel g JOIN f0 f ON g.cell = f.cell),
-        | fa1 AS (SELECT vec_id, cell, fid, vec FROM (
-        |           SELECT vec_id, cell, fid, vec, row_number()
-        |             OVER (PARTITION BY vec_id ORDER BY csim DESC, fid) AS rn
-        |           FROM fs1) WHERE rn = 1),
-        | fx1 AS (SELECT cell, fid, unnest(vec) AS v,
-        |                generate_subscripts(vec, 1) AS i FROM fa1),
-        | fm1 AS (SELECT cell, fid, i, floor(avg(v)*1000000+0.5)/1000000 AS m
-        |         FROM fx1 GROUP BY cell, fid, i),
-        | f1 AS (SELECT cell, fid, list(m ORDER BY i) AS fvec FROM fm1
-        |        GROUP BY cell, fid),
-        | fs2 AS (SELECT g.vec_id, g.cell, f.fid,
-        |           floor(list_cosine_similarity(g.vec, f.fvec)*1000000+0.5)
-        |             /1000000 AS csim
-        |         FROM cel g JOIN f1 f ON g.cell = f.cell),
-        | fin AS (SELECT vec_id, cell, fid, csim FROM (
-        |           SELECT vec_id, cell, fid, csim, row_number()
-        |             OVER (PARTITION BY vec_id ORDER BY csim DESC, fid) AS rn
-        |           FROM fs2) WHERE rn = 1),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | ${hierBuildCteSql("e")},
         | cz AS (SELECT cell, fid, count(*) AS sz FROM fin GROUP BY cell, fid)
         |SELECT (SELECT k FROM kk) AS k_target,
         | (SELECT kc FROM kcq) AS n_cells,
