@@ -211,32 +211,64 @@ object DedupQueries {
       |                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
       | ELSE array(concat_ws(' ', toks)) END""".stripMargin))
 
+  /** Mersenne prime 2^61−1: the modulus of the derived-minhash affine
+    * family below. With 30-bit multipliers and 30-bit value halves,
+    * every intermediate stays under 2^62 — DuckDB raises an ERROR on
+    * BIGINT overflow (it does not wrap like the JVM), so the family is
+    * designed to never overflow rather than to wrap identically. */
+  private val MhP = 2305843009213693951L
+  private val MhMask = (1L << 30) - 1
+  private def mhConst(tag: String, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft:mh:$tag:$j".getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(d).getLong & MhMask
+  }
+  /** Frozen per-salt (a, b, c) constants, j = 1..K: md5-derived at
+    * class init (deterministic, engine-independent — the LITERAL values
+    * are interpolated into both the Spark plan and the DuckDB oracle),
+    * a and b forced odd. */
+  private val MhConsts: IndexedSeq[(Long, Long, Long)] =
+    (1 to MinHashK).map(j =>
+      (mhConst("a", j) | 1L, mhConst("b", j) | 1L, mhConst("c", j)))
+
   /** [[minhashPairs]] with the PORTABLE signature family — the d02
-    * production path since r12: K=32 minhash values are per-salt minima
-    * of [[h60]] over the string shingle set, bands are the same 8×4
-    * layout with the 4-value slice serialized as the bucket key, and
-    * candidates verify with exact string-shingle jaccard. Every stage
-    * is cross-engine replicable, so d02 carries a full DuckDB hash
-    * oracle instead of a rows-only check (the r11 verdict's allowlist
-    * retirement). The engine-native splitmix64 kernel pipeline
-    * ([[minhashPairs]] via [[graft.functions.SketchExpressions
-    * .minhash_sig]]) remains the throughput option and stays
-    * ground-truth-verified by its planted companion d06 and the
-    * brute-force-equality consumers (d09/d16/d17/d20/d21).
+    * production path since r12: ONE [[h60]] digest per shingle, then
+    * K=32 minhash values as per-salt minima of the affine map
+    * `(a_j·hi + b_j·lo + c_j) mod (2^61−1)` over the digest's 30-bit
+    * halves (hi = x≫30, lo = x∧(2^30−1)) — a pairwise-independent
+    * family whose K derivations are integer ops, not K fresh digests
+    * (the first shipped form ran K md5s per shingle and was 14× the
+    * native kernel's wall time at sf0.1; this form is one digest pass
+    * plus integer folds). Bands are the same 8×4 layout with the
+    * 4-value slice serialized as the bucket key, and candidates verify
+    * with exact string-shingle jaccard — any family-quality deficit
+    * costs recall only, never precision, and recall is certified by
+    * the planted companions. Every stage is cross-engine replicable
+    * ([[MhConsts]] literals interpolate into the SQL), so d02 carries
+    * a full DuckDB hash oracle instead of a rows-only check (the r11
+    * verdict's allowlist retirement). The engine-native splitmix64
+    * kernel pipeline ([[minhashPairs]] via
+    * [[graft.functions.SketchExpressions.minhash_sig]]) remains the
+    * throughput option and stays ground-truth-verified by its planted
+    * companion d06 and the brute-force-equality consumers
+    * (d09/d16/d17/d20/d21).
     *
     * Scale shape is unchanged from [[minhashPairs]]: signatures are one
-    * linear pass (K md5 digests per shingle — heavier than splitmix64,
-    * the price of cross-engine verifiability), the band join shuffles
-    * only (id, band, bucket) rows, candidates dedup before the shingle
-    * payload rejoins by id. */
+    * linear digest pass, the band join shuffles only (id, band, bucket)
+    * rows, candidates dedup before the shingle payload rejoins by id. */
   def portableMinhashPairs(docsIn: DataFrame): DataFrame = {
     val (k0, b0, r) = (MinHashK, MinHashB, MinHashR)
+    require(MhConsts.length == k0)
     val docs = docsIn.withColumn("toks", toks).withColumn("ssh", strShingles)
       .select("doc_id", "ssh")
-    val sig = docs.select(col("doc_id"),
-      array((1 to k0).map(j =>
-        array_min(transform(col("ssh"), x =>
-          h60(concat(lit(s"mh$j:"), x))))): _*).as("sig"))
+    val hashed = docs.select(col("doc_id"),
+      transform(col("ssh"), x => h60(x)).as("hs"))
+    val sig = hashed.select(col("doc_id"),
+      array(MhConsts.map { case (a, b, cc) =>
+        array_min(transform(col("hs"), h =>
+          (lit(a) * shiftright(h, 30) +
+            lit(b) * h.bitwiseAND(lit(MhMask)) + lit(cc)) % lit(MhP)))
+      }: _*).as("sig"))
     val bands = sig.select(col("doc_id"),
       explode(array((0 until b0).map(b =>
         struct(lit(b).as("band"),
@@ -1516,11 +1548,13 @@ object DedupQueries {
 
   val oracleSql: Map[String, String] = Map(
     // d02: the ENTIRE portable MinHash+LSH pipeline replicates — string
-    // 3-gram shingles, K=32 per-salt h60 minima, 8×4 banding with the
-    // serialized 4-value bucket key, candidate dedup, exact-jaccard
-    // verify — so the LSH census itself is hash-verified (the r11
-    // allowlist retirement; the splitmix64-kernel variant keeps its
-    // planted ground-truth companion d06).
+    // 3-gram shingles, ONE h60 digest per shingle, K=32 per-salt minima
+    // of the (a_j·hi + b_j·lo + c_j) mod 2^61−1 affine family (constants
+    // interpolated from MhConsts — the same literals the Spark plan
+    // carries), 8×4 banding with the serialized 4-value bucket key,
+    // candidate dedup, exact-jaccard verify — so the LSH census itself
+    // is hash-verified (the r11 allowlist retirement; the
+    // splitmix64-kernel variant keeps its planted companion d06).
     "d02_minhash_lsh" ->
       s"""WITH tk AS (SELECT doc_id,
         |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -1532,9 +1566,14 @@ object DedupQueries {
         |     ELSE [array_to_string(tk, ' ')] END) AS g
         |   FROM tk),
         | ex AS (SELECT doc_id, unnest(g) AS s FROM sh),
+        | hx AS (SELECT doc_id, ${h60Sql("s")} AS x FROM ex),
+        | co AS (SELECT * FROM (VALUES
+        |   ${MhConsts.zipWithIndex.map { case ((a, b, c), i) =>
+               s"(${i + 1}, ${a}, ${b}, ${c})" }.mkString(",\n        |   ")})
+        |   AS t(j, a, b, c)),
         | hv AS (SELECT doc_id, j,
-        |          min(${h60Sql("'mh' || j || ':' || s")}) AS mn
-        |        FROM ex CROSS JOIN (SELECT unnest(range(1, 33)) AS j)
+        |          min((a * (x >> 30) + b * (x & $MhMask) + c) % $MhP) AS mn
+        |        FROM hx CROSS JOIN co
         |        GROUP BY doc_id, j),
         | sg AS (SELECT doc_id, list(mn ORDER BY j) AS sig FROM hv
         |        GROUP BY doc_id),

@@ -234,4 +234,44 @@ class OperatorsSpec extends AnyFunSuite {
     val row = scanned.agg(max("cum")).collect()(0)
     assert(row.getLong(0) == 1000L)
   }
+
+  import graft.streaming.QuotaAdmission
+  import graft.streaming.QuotaAdmission.Doc
+
+  private def runQuota(name: String, quota: Long)(
+      batches: Seq[Doc]*): Seq[Doc] = {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = QuotaAdmission.admit(mem.toDS(), quota)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).as[Doc].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("quota admission keeps the k smallest doc_ids per key — the bounded-" +
+      "heap path admits exactly what sort-then-take did") {
+    // key a: 5 rows against quota 3 → the 3 smallest ids, never the 3
+    // first-iterated; key b stays under quota and admits everything
+    val out = runQuota("graft_quota_heap", 3)(Seq(
+      Doc(5, "a"), Doc(1, "a"), Doc(9, "a"), Doc(3, "a"), Doc(7, "a"),
+      Doc(2, "b")))
+    assert(out.filter(_.source == "a").map(_.doc_id).sorted == Seq(1L, 3L, 5L))
+    assert(out.filter(_.source == "b").map(_.doc_id) == Seq(2L))
+  }
+
+  test("quota admission: an exhausted key short-circuits (emits nothing " +
+      "ever after); an open key tops up to exactly the remaining quota") {
+    val out = runQuota("graft_quota_exhaust", 2)(
+      Seq(Doc(10, "a"), Doc(11, "a"), Doc(12, "a"), Doc(5, "b")),
+      Seq(Doc(1, "a"), Doc(2, "a"), Doc(6, "b"), Doc(7, "b")))
+    // batch 1 admits a:{10,11} (quota 2) and b:{5}; batch 2 finds a
+    // exhausted — even though its ids are smaller — and b admits only
+    // ONE more row, the smaller of {6,7}
+    assert(out.filter(_.source == "a").map(_.doc_id).sorted == Seq(10L, 11L))
+    assert(out.filter(_.source == "b").map(_.doc_id).sorted == Seq(5L, 6L))
+  }
 }
