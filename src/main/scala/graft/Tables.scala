@@ -84,18 +84,27 @@ object Tables {
   * read-side mutation of the shared session would silently change
   * behavior for whatever else runs on it concurrently. */
 object Sessions {
-  def tune(b: SparkSession.Builder): SparkSession.Builder =
+  def tune(b: SparkSession.Builder): SparkSession.Builder = {
     // Lets the TIMESTAMP(NANOS) testdata vintage scan as a raw Long
     // (Spark 4 otherwise refuses the file); a no-op on the MICROS
     // vintage. normalizeEventTs branches on whichever type results.
-    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Fork-free local-FS chmod (see NioLocalFileSystem's scaladoc):
-      // must be set at build time — the first file:// access caches a
-      // FileSystem instance, after which the conf is inert.
-      .config("spark.hadoop.fs.file.impl",
-        "graft.hadoop.NioLocalFileSystem")
-      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
-        "graft.hadoop.NioLocalFs")
+    val b0 = b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Fork-free local-FS chmod (see NioLocalFileSystem's scaladoc):
+    // must be set at build time — the first file:// access caches a
+    // FileSystem instance, after which the conf is inert.
+    // SPARK_GRAFT_STOCK_FS=1 is the A/B escape hatch: stock Hadoop
+    // LocalFileSystem, for attributing a measured shift to the shim
+    // vs the machine (the shim only replaces forked chmod/readlink
+    // with in-process syscalls, so it should never lose — this makes
+    // that claim testable per-host instead of an article of faith).
+    val b1 =
+      if (sys.env.get("SPARK_GRAFT_STOCK_FS").contains("1")) b0
+      else b0
+        .config("spark.hadoop.fs.file.impl",
+          "graft.hadoop.NioLocalFileSystem")
+        .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+          "graft.hadoop.NioLocalFs")
+    b1
       // Bounded replays emit all output on the data batch itself; the
       // extra no-data micro-batch Spark schedules to advance the
       // watermark only re-commits every state store (32 partitions × 4
@@ -103,4 +112,5 @@ object Sessions {
       // Disabling it halves streaming machinery cost here; a real
       // deployment with timeout-driven emission would re-enable it.
       .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+  }
 }
