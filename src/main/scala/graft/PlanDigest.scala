@@ -102,9 +102,21 @@ object PlanDigest {
           canonHashPartitioning(
             line.replaceAll("(?<=\\[|, )\\d+(?=,|\\])", "x"))
         else line
-      if (ListLinePrefix.findFirstIn(degid.trim).isDefined)
-        canonBrackets(degid)
-      else degid
+      // Partition COUNTS are runtime-derived, not plan shape: the
+      // trailing numeric arg of hash/rangepartitioning reflects
+      // SPARK_GRAFT_CPUS and — on localCheckpoint scans — whatever
+      // partitioning AQE's coalescing left on the materialized RDD,
+      // which depends on SESSION HISTORY (d26's digest flipped between
+      // two same-code manifest sweeps because earlier queries shifted
+      // the block-manager state the checkpoint inherited). Blank the
+      // count on partitioning lines; the key set stays pinned.
+      val departs =
+        if (degid.contains("partitioning("))
+          degid.replaceAll(", \\d+\\)", ", n)")
+        else degid
+      if (ListLinePrefix.findFirstIn(departs.trim).isDefined)
+        canonBrackets(departs)
+      else departs
     }.mkString("\n")
   }
 

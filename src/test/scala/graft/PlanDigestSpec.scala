@@ -142,6 +142,26 @@ class PlanDigestSpec extends AnyFunSuite {
           "UnknownPartitioning(0)"))
   }
 
+  test("normalize blanks partition counts on partitioning lines (runtime-" +
+      "derived: CPUS setting, and AQE-coalesced checkpoint partitioning " +
+      "that depends on session history — d26's manifest flip)") {
+    assert(PlanDigest.normalize(
+        "Arguments: hashpartitioning(doc_id#1, band#2, bucket#3, 4), " +
+          "ENSURE_REQUIREMENTS, [plan_id=55]") ==
+      PlanDigest.normalize(
+        "Arguments: hashpartitioning(doc_id#1, band#2, bucket#3, 32), " +
+          "ENSURE_REQUIREMENTS, [plan_id=56]"))
+    assert(PlanDigest.normalize(
+        "+- Exchange rangepartitioning(ham#5 ASC NULLS FIRST, 7), " +
+          "ENSURE_REQUIREMENTS, [plan_id=1]") ==
+      PlanDigest.normalize(
+        "+- Exchange rangepartitioning(ham#5 ASC NULLS FIRST, 32), " +
+          "ENSURE_REQUIREMENTS, [plan_id=2]"))
+    // the KEY SET stays pinned — different keys must still differ
+    assert(PlanDigest.normalize("Exchange hashpartitioning(a#1, 32)") !=
+      PlanDigest.normalize("Exchange hashpartitioning(b#1, 32)"))
+  }
+
   test("digest differs when plan structure differs") {
     assert(PlanDigest.digest("BroadcastHashJoin [k#1]") !=
       PlanDigest.digest("SortMergeJoin [k#1]"))
