@@ -294,6 +294,55 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    /** Diversified top-k serving — the result-diversification
+      * constraint a retrieval endpoint applies AFTER scoring (the
+      * hard-cap cousin of MMR, Carbonell & Goldstein 1998, as shipped
+      * by production vector stores as a per-attribute group limit):
+      * from each query's rnd6-cosine top-20 shortlist, keep at most ONE
+      * neighbor per `label` (the diversity attribute — the "one chunk
+      * per source document" constraint a RAG retriever applies so a
+      * context window is never five paraphrases of one source; the
+      * unconstrained top-5 here repeats labels, so the cap provably
+      * changes the served set), re-rank the
+      * survivors by original score order, return the top-5. A
+      * redundant result set is a real retrieval failure mode — RAG
+      * context windows filled with five paraphrases of one source —
+      * and the cap is the cheapest guarantee against it.
+      *
+      * Scale shape: scoring here is the s01 broadcast-queries scan,
+      * but the diversification CONTRACT only touches the rank-ordered
+      * shortlist (q_id, n_id, label, c6) — swap in s04's IVF or s02's
+      * LSH shortlist unchanged. Everything after scoring is two
+      * row_number windows over q×20 rows: metadata-sized at any corpus
+      * scale, partitioned by q_id so a million-query batch spreads.
+      * Determinism: ranking keys are rnd6 cosine with n_id tie-break
+      * (the s09 argument), so both engines pick identical shortlists,
+      * identical survivors, identical final ranks — full hash oracle. */
+    "s25_diverse_topk" -> ((s, d) => {
+      val (short, cap, k) = (20, 1, 5)
+      val emb = Tables.embeddings(s, d)
+      val queriesDf = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), embD(col("embedding")).as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("n_id"), col("label"),
+        embD(col("embedding")).as("n_vec"))
+      val scored = corpus.join(broadcast(queriesDf), col("q_id") =!= col("n_id"))
+        .withColumn("c6",
+          RelationalQueries.rnd(cosine(col("q_vec"), col("n_vec")), 6))
+      val wAll = Window.partitionBy("q_id").orderBy(col("c6").desc, col("n_id"))
+      val shortlist = scored.withColumn("rn", row_number().over(wAll))
+        .filter(col("rn") <= short)
+        .select("q_id", "n_id", "label", "c6", "rn")
+      val wLab = Window.partitionBy("q_id", "label").orderBy("rn")
+      val capped = shortlist.withColumn("lr", row_number().over(wLab))
+        .filter(col("lr") <= cap)
+      val wFin = Window.partitionBy("q_id").orderBy("rn")
+      capped.withColumn("rank", row_number().over(wFin))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("n_id"), col("label"),
+          RelationalQueries.rnd(col("c6"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     /** Query-driven LSH top-k on the PORTABLE axis-sign family
       * ([[signPatternSignature]]) — bucketing, candidate dedup, cosine
       * scoring, and the rank all replicate in DuckDB, so the ANN
@@ -1762,6 +1811,32 @@ object SimilarityQueries {
         | floor(coalesce(max(cos), -1.0)*10000+0.5)/10000 AS max_cos
         |FROM pr""".stripMargin
     },
+
+    // s25: the same rnd6 shortlist both engines agree on, then the
+    // label-cap and final re-rank replicate as the identical two
+    // row_number windows.
+    "s25_diverse_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+        |           FROM embeddings WHERE vec_id < 3),
+        | scored AS (
+        |  SELECT q.q_id, e.vec_id AS n_id, e.label,
+        |    floor(list_cosine_similarity(q.q_vec, e.embedding::DOUBLE[])
+        |          *1000000+0.5)/1000000 AS c6
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        | sl AS (SELECT * FROM (
+        |    SELECT q_id, n_id, label, c6, row_number()
+        |      OVER (PARTITION BY q_id ORDER BY c6 DESC, n_id) AS rn
+        |    FROM scored) WHERE rn <= 20),
+        | capped AS (SELECT * FROM (
+        |    SELECT q_id, n_id, label, c6, rn, row_number()
+        |      OVER (PARTITION BY q_id, label ORDER BY rn) AS lr
+        |    FROM sl) WHERE lr <= 1),
+        | fin AS (SELECT q_id, n_id, label, c6, row_number()
+        |           OVER (PARTITION BY q_id ORDER BY rn) AS rank
+        |         FROM capped)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, label,
+        | floor(c6*10000+0.5)/10000 AS cos_sim
+        |FROM fin WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "s01_knn_brute" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec

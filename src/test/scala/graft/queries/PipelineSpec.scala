@@ -345,4 +345,31 @@ class PipelineSpec extends AnyFunSuite {
       .queries("d17_keeper_resolution")(spark, plantedDir).collect().toSeq
     assert(first == second)
   }
+
+  test("s25: the per-label cap BINDS — the diversified top-5 serves all-" +
+      "distinct labels and differs from the unconstrained s01 top-5") {
+    // the unconstrained top-5 repeats labels on this corpus (verified at
+    // all three SFs when the query was designed); if a future testdata
+    // epoch makes label repeats vanish from every query's top-5, the cap
+    // goes dormant and this fails — re-tighten the cap, don't weaken it
+    val div = SimilarityQueries
+      .queries("s25_diverse_topk")(spark, SparkSessionFixture.sf0001)
+      .select("q_id", "n_id", "label").collect()
+      .groupBy(_.getLong(0))
+    val plain = SimilarityQueries
+      .queries("s01_knn_brute")(spark, SparkSessionFixture.sf0001)
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0))
+    assert(div.nonEmpty)
+    div.foreach { case (q, rows) =>
+      val labels = rows.map(_.getInt(2))
+      assert(labels.distinct.length == labels.length,
+        s"q$q served a repeated label: ${labels.mkString(",")}")
+    }
+    val changed = div.keys.count { q =>
+      div(q).map(_.getLong(1)).toSet != plain(q).map(_.getLong(1)).toSet
+    }
+    assert(changed >= 1,
+      "diversified top-5 equals plain top-5 for every query — cap dormant")
+  }
 }
