@@ -185,10 +185,13 @@ object Bench {
     // n_passed/n_failed travel WITH the total: "value" sums only passing
     // queries, so a headline like 127s-over-129 must be impossible to
     // misread as 127s-over-the-full-roster when queries failed
-    val line =
+    // ONE summary prefix builds both output lines — the full line and
+    // the compact tail-capture line below can never desynchronize
+    val summary =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""n_passed":${results.count(_._3)},"n_failed":${failed.size},""" +
-        s""""queries":$qs,""" +
+        s""""n_passed":${results.count(_._3)},"n_failed":${failed.size}"""
+    val line = summary +
+        s""","queries":$qs,""" +
         s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     // the full line never fits in a 2000-byte tail capture; persist it
     // next to the build (env-overridable, cwd by default — NOT a
@@ -207,10 +210,7 @@ object Bench {
     // and (b) a compact summary line (<400 bytes) that a tail capture
     // always receives whole; per-query detail lives in the file.
     println(s"BENCH_NATIVE_JSON=$lastPath")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""n_passed":${results.count(_._3)},"n_failed":${failed.size},""" +
-        s""""sf":"$sfDir","full":"$lastPath"}""")
+    println(summary + s""","sf":"$sfDir","full":"$lastPath"}""")
     spark.stop()
   }
 }

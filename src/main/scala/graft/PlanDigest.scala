@@ -102,18 +102,21 @@ object PlanDigest {
           canonHashPartitioning(
             line.replaceAll("(?<=\\[|, )\\d+(?=,|\\])", "x"))
         else line
-      // Partition COUNTS are runtime-derived, not plan shape: the
-      // trailing numeric arg of hash/rangepartitioning reflects
-      // SPARK_GRAFT_CPUS and — on localCheckpoint scans — whatever
-      // partitioning AQE's coalescing left on the materialized RDD,
-      // which depends on SESSION HISTORY (d26's digest flipped between
-      // two same-code manifest sweeps because earlier queries shifted
-      // the block-manager state the checkpoint inherited). Blank the
-      // count on partitioning lines; the key set stays pinned.
-      val departs =
-        if (degid.contains("partitioning("))
-          degid.replaceAll(", \\d+\\)", ", n)")
-        else degid
+      // Runtime-derived partition COUNTS are not plan shape: the
+      // trailing numeric arg of an optimizer-inserted exchange
+      // (ENSURE_REQUIREMENTS) or a countless repartition(col)
+      // (REPARTITION_BY_COL) reflects SPARK_GRAFT_CPUS and — on
+      // localCheckpoint scans — whatever partitioning AQE's coalescing
+      // left on the materialized RDD, which depends on SESSION HISTORY
+      // (d26's digest flipped between two same-code manifest sweeps
+      // because earlier queries shifted the block-manager state the
+      // checkpoint inherited). Blank exactly that trailing count; a
+      // USER-written repartition(n, …) (REPARTITION_BY_NUM) and any
+      // integer inside a key expression (pmod(h, 16), substring args)
+      // are genuine plan properties and stay pinned.
+      val departs = degid.replaceAll(
+        ", \\d+\\), (ENSURE_REQUIREMENTS|REPARTITION_BY_COL)",
+        ", n), $1")
       if (ListLinePrefix.findFirstIn(departs.trim).isDefined)
         canonBrackets(departs)
       else departs

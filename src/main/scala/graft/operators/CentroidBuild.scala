@@ -150,15 +150,20 @@ object CentroidBuild {
     * [[nearestK]] discipline.
     *
     * Scale shape: the centroid frame is k rows TOTAL but the equi-join
-    * probes only the ~√k-entry bucket for the row's group. At test scale
-    * it BROADCASTS (k rows of dim doubles = kilobytes); at 100 TB where
-    * k ≈ 3×10⁵ the same plan flips to a shuffle-hash join on the group
-    * key — one corpus exchange that then serves every fine round, since
-    * rows never change group during refine — keeping every broadcast at
-    * the coarse table's √k rows. */
+    * probes only the ~√k-entry bucket for the row's group. The join
+    * strategy is deliberately LEFT TO CATALYST — no broadcast() hint:
+    * at test scale the k-row table is kilobytes and auto-broadcast
+    * picks the broadcast hash join anyway, while at 100 TB where
+    * k ≈ 3×10⁵ (~150 MB of fine centroids) the same plan must flip to
+    * a shuffle join on the group key — one corpus exchange that then
+    * serves every fine round, since rows never change group during
+    * refine — keeping every broadcast at the coarse table's √k rows.
+    * A hard hint here would force the driver to collect and every
+    * executor to hold the full fine table regardless of size — exactly
+    * the broadcast cliff this hierarchy exists to close. */
   def nearestGrouped(df: DataFrame, cents: DataFrame, groupCol: String,
       idCol: String, vecCol: String): DataFrame = {
-    val sims = df.join(broadcast(cents), groupCol)
+    val sims = df.join(cents, groupCol)
       .select(col(idCol), col(groupCol), col("fid"),
         rnd6(graft.functions.VectorExpressions.array_cosine(
           col(vecCol), col("fvec"))).as("csim"))

@@ -884,12 +884,18 @@ object DedupQueries {
       val tdIds = base.filter(col("doc_id") % 13 === 0).select("doc_id")
       // the persisted artifact: standing bands, materialized once
       val standing = bandsOf(shingled(base)).localCheckpoint(true)
+      // maintained feeds THREE consumers (the n_band_rows census and
+      // both exceptAll directions) and scratch feeds two — checkpoint
+      // both so the batch re-shingle runs once, not three times, and
+      // the from-scratch rebuild once, not twice (24-byte band rows;
+      // the verification arm now costs ~1× a rebuild instead of ~2×)
       val maintained = standing
         .join(broadcast(tdIds), Seq("doc_id"), "left_anti")
         .unionByName(bandsOf(shingled(batch)))
+        .localCheckpoint(true)
       val live = base.join(broadcast(tdIds), Seq("doc_id"), "left_anti")
         .unionByName(batch)
-      val scratch = bandsOf(shingled(live))
+      val scratch = bandsOf(shingled(live)).localCheckpoint(true)
       val diff = maintained.exceptAll(scratch)
         .unionByName(scratch.exceptAll(maintained))
       base.agg(count(lit(1)).as("n_corpus"))

@@ -163,11 +163,29 @@ object EventQueries {
       val parts = Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))
-      require(parts.length == 1,
-        s"$prefix: stage $i wrote ${parts.length} part files (want 1 — " +
-          "an empty stage frame or a split write breaks the forced order)")
+      require(parts.length <= 1,
+        s"$prefix: stage $i wrote ${parts.length} part files (want ≤1 — " +
+          "a split write breaks the forced order)")
       val dst = new java.io.File(src, s"f$i.parquet")
-      require(parts.head.renameTo(dst) &&
+      val part = parts.headOption.getOrElse {
+        // a CONTENT-GATED stage can legitimately select zero rows on a
+        // new testdata epoch (e15's straggler gate); partitionBy skips
+        // the dir entirely, so stage an explicit zero-row file with the
+        // frame's own schema — the replay still gets its ordered
+        // micro-batch and the query audits an empty stage instead of
+        // crashing (the pre-refactor per-query staging behaved this way)
+        val etmp = tempDir(s"graft_${prefix}_empty${i}_")
+        stages(i).limit(0).repartition(1)
+          .write.mode("overwrite").parquet(etmp)
+        val ep = Option(new java.io.File(etmp).listFiles)
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+        require(ep.length == 1,
+          s"$prefix: empty-stage $i staging wrote ${ep.length} part files")
+        ep.head
+      }
+      require(part.renameTo(dst) &&
         dst.setLastModified(base + i * 60000L),
         s"$prefix: staging file $i failed")
     }

@@ -485,10 +485,15 @@ object SimilarityQueries {
       val embCell = corpus.join(cells, "vec_id")
       val fine = graft.operators.CentroidBuild.lloydGrouped(
         embCell, "cell", "vec_id", "vec", kf, rounds = 1)
+      // 16 bytes/row and consumed TWICE (the pair-join input and the
+      // n_clusters census) — checkpoint so the routed assignment's
+      // corpus-sized join+window never re-evaluates (the `cells`
+      // discipline one level up)
       val assign = graft.operators.CentroidBuild.nearestGrouped(
           embCell, fine, "cell", "vec_id", "vec")
         .select(col("vec_id"),
           (col("cell") * (kf + 1) + col("fid")).as("cl_id"))
+        .localCheckpoint(true)
       val withCl = corpus.select(col("vec_id"), col("vec"),
           graft.operators.CentroidBuild.signSalt(col("vec")).as("salt"))
         .join(assign, "vec_id")
@@ -725,15 +730,23 @@ object SimilarityQueries {
         embCell, "cell", "vec_id", "vec", kf, rounds = 1)
       val fin = graft.operators.CentroidBuild.nearestGrouped(
         embCell, fine, "cell", "vec_id", "vec")
-      val census = fin.groupBy("cell", "fid").agg(count(lit(1)).as("sz"))
+      // ONE pass over the corpus-sized assignment: the objective sum
+      // rides the census aggregate (Σ of per-(cell,fid) integer sums ≡
+      // the global sum), so `fin` — an unmaterialized join+window over
+      // the whole corpus — is never evaluated twice (the lineage
+      // discipline the rest of this file applies via localCheckpoint;
+      // here folding the aggregates is strictly cheaper than a
+      // corpus-sized checkpoint)
+      val census = fin.groupBy("cell", "fid").agg(
+        count(lit(1)).as("sz"),
+        sum(floor(col("csim") * 1e6 + 0.5).cast("long")).as("s6"))
       census.agg(
           countDistinct("cell").as("n_cells_used"),
           count(lit(1)).as("n_centroids"),
           sum("sz").as("n_vecs"),
           min("sz").as("min_centroid_sz"),
-          max("sz").as("max_centroid_sz"))
-        .crossJoin(fin.agg(
-          sum(floor(col("csim") * 1e6 + 0.5).cast("long")).as("sum_csim_e6")))
+          max("sz").as("max_centroid_sz"),
+          sum("s6").as("sum_csim_e6"))
         .withColumn("k_target", lit(k.toLong))
         .withColumn("n_cells", lit(kc.toLong))
         .withColumn("k_fine", lit(kf.toLong))

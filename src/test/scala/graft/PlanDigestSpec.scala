@@ -158,8 +158,20 @@ class PlanDigestSpec extends AnyFunSuite {
         "+- Exchange rangepartitioning(ham#5 ASC NULLS FIRST, 32), " +
           "ENSURE_REQUIREMENTS, [plan_id=2]"))
     // the KEY SET stays pinned — different keys must still differ
-    assert(PlanDigest.normalize("Exchange hashpartitioning(a#1, 32)") !=
-      PlanDigest.normalize("Exchange hashpartitioning(b#1, 32)"))
+    assert(PlanDigest.normalize(
+        "Exchange hashpartitioning(a#1, 32), ENSURE_REQUIREMENTS") !=
+      PlanDigest.normalize(
+        "Exchange hashpartitioning(b#1, 32), ENSURE_REQUIREMENTS"))
+    // a USER-written repartition(n, ...) count is a plan property
+    assert(PlanDigest.normalize(
+        "Exchange hashpartitioning(_stage#1, 3), REPARTITION_BY_NUM") !=
+      PlanDigest.normalize(
+        "Exchange hashpartitioning(_stage#1, 6), REPARTITION_BY_NUM"))
+    // ...and so is an integer inside a key expression
+    assert(PlanDigest.normalize(
+        "Exchange hashpartitioning(pmod(h#1, 16), 32), ENSURE_REQUIREMENTS") !=
+      PlanDigest.normalize(
+        "Exchange hashpartitioning(pmod(h#1, 32), 32), ENSURE_REQUIREMENTS"))
   }
 
   test("digest differs when plan structure differs") {

@@ -45,6 +45,11 @@ time("staging_one_job") {
 val ss = spark.newSession()
 ss.conf.set("spark.sql.shuffle.partitions", sys.env.getOrElse("PROF_PARTS","4"))
 ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+// newSession() starts from builder/SparkConf, NOT the parent's runtime
+// mutations — without re-setting this the profiled stream schedules
+// no-data micro-batches the real e19 never pays (each re-commits every
+// state store), skewing the stream-phase attribution
+ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
 val schema = spark.read.parquet(src).schema
 def stream = ss.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
   .withColumn("tss", timestamp_micros(expr("ts div 1000")))
