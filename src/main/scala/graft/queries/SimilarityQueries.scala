@@ -503,12 +503,14 @@ object SimilarityQueries {
             col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", cosine(col("a.vec"), col("b.vec")))
         .filter(col("cos") >= 0.999)
-      val dropped = dupPairs.select(col("b.vec_id").as("vec_id")).distinct()
+      // ONE aggregate over the pair join (the query's most expensive
+      // stage): countDistinct(dropped id) and max(cos) ride the same
+      // pass instead of re-running the join per report column
       corpus.agg(count(lit(1)).as("n_vecs"))
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
-        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
         .crossJoin(assign.agg(countDistinct("cl_id").as("n_clusters")))
         .crossJoin(dupPairs.agg(
+          countDistinct(col("b.vec_id")).as("n_dropped"),
           RelationalQueries.rnd(coalesce(max("cos"), lit(-1.0)), 4)
             .as("max_dup_cos")))
         .withColumn("n_survivors", col("n_vecs") - col("n_dropped"))
@@ -572,8 +574,12 @@ object SimilarityQueries {
         .withColumn("c6",
           RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
       val wT = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+      // q·K ids with multiple consumers (semi-join(s) + n_truth census):
+      // checkpoint so the corpus-sized brute-force scan behind it runs
+      // exactly once
       val truth = truthScored.withColumn("rn", row_number().over(wT))
         .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
+        .localCheckpoint(true)
       val centroids = graft.operators.CentroidBuild.centroids(
         Tables.embeddings(s, d)
           .select(col("label"), embD(col("embedding")).as("vec")),
@@ -941,14 +947,24 @@ object SimilarityQueries {
         .withColumn("c6",
           RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
       val wT = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+      // truth (q·K ids) feeds the semi-join AND the n_truth census;
+      // checkpoint so the corpus-sized brute-force scan behind it runs
+      // once — and likewise rank the ADC candidates ONCE and checkpoint:
+      // `ranked` feeds both the top-K cut and the per-query candidate
+      // census, and un-materialized each would re-run the whole
+      // centroid/residual/LUT ADC pipeline (it is probe-traffic-sized —
+      // the frame a recall evaluation materializes anyway)
       val truth = truthScored.withColumn("rn", row_number().over(wT))
         .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
-      val scored = pqAdcScored(s, d)
+        .localCheckpoint(true)
       val wA = Window.partitionBy("q_id")
         .orderBy(col("adc_e6").asc, col("vec_id"))
-      val approx = scored.withColumn("rn", row_number().over(wA))
-        .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
-      val nCand = scored.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+      val ranked = pqAdcScored(s, d)
+        .withColumn("rn", row_number().over(wA))
+        .select("q_id", "vec_id", "rn")
+        .localCheckpoint(true)
+      val approx = ranked.filter(col("rn") <= K).select("q_id", "vec_id")
+      val nCand = ranked.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
       val hits = truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
         .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
       truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
@@ -1167,11 +1183,15 @@ object SimilarityQueries {
       val assign = graft.operators.CentroidBuild.nearest(
         graft.operators.CentroidBuild.similarities(embL, cents,
           "vec_id", "vec"), "vec_id")
+      // k rows consumed twice (the totals aggregate + the share join):
+      // checkpoint so the corpus-sized broadcast-assignment scan behind
+      // it runs once
       val byList = assign
         .withColumn("is_new", pmod(col("vec_id"), lit(5)) === 0)
         .groupBy("cl_id")
         .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("n_old"),
           sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+        .localCheckpoint(true)
       val tot = byList.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
       val so = col("n_old").cast("double") / col("t_old")
       val sn = col("n_new").cast("double") / col("t_new")
@@ -1300,15 +1320,23 @@ object SimilarityQueries {
         .withColumn("c6",
           RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
       val wT = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+      // q·K ids with multiple consumers (semi-join(s) + n_truth census):
+      // checkpoint so the corpus-sized brute-force scan behind it runs
+      // exactly once
       val truth = truthScored.withColumn("rn", row_number().over(wT))
         .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
+        .localCheckpoint(true)
       val centroids = graft.operators.CentroidBuild.centroids(
         Tables.embeddings(s, d)
           .select(col("label"), embD(col("embedding")).as("vec")),
         col("label"), col("vec"))
       val perProbe = Seq(1, 2, 4).map { np =>
+        // each sweep point's candidate set feeds the census AND the
+        // scoring window — checkpoint (probe-traffic-sized) so the
+        // assign+probe pipeline runs once per point, not twice
         val cand = graft.operators.CentroidBuild.ivfCandidates(
-          emb, centroids, col("vec_id") < 3, np)
+            emb, centroids, col("vec_id") < 3, np)
+          .localCheckpoint(true)
         val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
         val scored = cand.withColumn("c6",
           RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
