@@ -93,14 +93,35 @@ class QueryPlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
   }
 
-  test("s17: each sweep point keeps the shared probe pipeline's shape " +
-      "(broadcast centroids/probes/queries, no cartesian) — three " +
-      "consumers of ivfCandidates in one plan") {
+  test("s17: sweep points consume each candidate set from ONE checkpoint " +
+      "scan, and the probe pipeline itself keeps the shared shape " +
+      "(broadcast centroids/probes/queries, no cartesian)") {
+    // since the single-pass rework each sweep point's ivfCandidates
+    // output localCheckpoints, so the SHIPPED plan shows the checkpoint
+    // scans (census + scoring read the materialized candidates, not a
+    // re-run of the probe pipeline)...
     val plan = planOf("s17_nprobe_sweep")
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    // 3 sweep points × (probe-list + query-vector) broadcast equi-joins
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 6, plan.take(3000))
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 3,
+      s"expected the three sweep points' checkpoint scans\n${plan.take(3000)}")
+    // ...and the probe pipeline's own shape is pinned directly on the
+    // shared operator the checkpoint materializes (the same code path
+    // s04/s10/s13 ship un-checkpointed)
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), expr("transform(embedding, x -> double(x))").as("vec"))
+    val cents = graft.operators.CentroidBuild.centroids(
+      graft.Tables.embeddings(spark, sf0001)
+        .select(col("label"), expr("transform(embedding, x -> double(x))").as("vec")),
+      col("label"), col("vec"))
+    val cand = graft.operators.CentroidBuild.ivfCandidates(
+      emb, cents, col("vec_id") < 3, 2)
+    cand.collect()
+    val cplan = cand.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(cplan.contains("BroadcastNestedLoopJoin"), cplan.take(3000))
+    assert(!cplan.contains("CartesianProduct"), cplan.take(3000))
+    // probe-list + query-vector broadcast equi-joins
+    assert("BroadcastHashJoin".r.findAllIn(cplan).size >= 2, cplan.take(3000))
   }
 
   test("s11: IVF-PQ's small sides (centroids, codebook, probes, LUT) all " +
