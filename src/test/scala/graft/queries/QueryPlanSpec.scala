@@ -73,6 +73,18 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(planOf("d06_minhash_planted").contains("minhash_sig"))
   }
 
+  test("s25: queries broadcast against the corpus scan; diversification " +
+      "is windows over the shortlist — no shuffled join anywhere") {
+    val plan = planOf("s25_diverse_topk").split("== Initial Plan ==")(0)
+    // the 3-row query table broadcasts into the scoring scan
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan.take(3000))
+    // shortlist rank, per-label cap, final re-rank: three window passes
+    assert("Window".r.findAllIn(plan).size >= 3, plan.take(3000))
+  }
+
   test("s04: centroid table broadcasts; corpus never cartesian-products") {
     // the crossJoin against the K-row centroid frame must plan as a
     // broadcast nested-loop, not a CartesianProduct shuffle
