@@ -818,6 +818,69 @@ object EventQueries {
       res
     }),
 
+    /** First-seen registry on the MODERN arbitrary-state API —
+      * `transformWithState` / `StatefulProcessor` with a typed
+      * `ValueState` handle and the RocksDB state store it requires
+      * ([[graft.streaming.FirstSeenRegistry]]; e04/e18 cover the
+      * legacy `flatMapGroupsWithState` surface, this covers its
+      * Spark-4 successor): emit each (user, event_type) key's FIRST
+      * event exactly once across the stream's lifetime, suppress
+      * every later arrival. The replay is staged as three
+      * event_id % 3 slices with forced arrival order, so "first" is
+      * deterministic ((stage, ts_ns, event_id)-minimum — most keys
+      * exist in EVERY slice, so cross-batch suppression is what the
+      * id checksum verifies, asserted below) and the DuckDB oracle
+      * replicates it as a plain row_number over the same stage
+      * derivation. Scale: one boolean of state per key in RocksDB
+      * (off-heap, changelog-checkpointed — a billion-key registry
+      * costs executor disk, not heap), one linear min-scan per batch
+      * slice, at most one emitted row per key ever. */
+    "e20_tws_first_seen" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts_ns"))
+      val src = stageReplay("e20", (0 until 3).map(i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      val ss = streamSession(s)
+      // transformWithState requires the RocksDB provider (its typed
+      // column-family state layout is not implemented by the default
+      // HDFS-backed store) — set on the per-query clone only
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = s.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .as[graft.streaming.FirstSeenRegistry.Ev]
+      val firsts = graft.streaming.FirstSeenRegistry.firstSeen(stream)(ss)
+      val outDir = tempDir("graft_e20_out_")
+      val ckpt = tempDir("graft_e20_ckpt_")
+      val q = firsts.toDF.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "e20 needs the three staged slices as three micro-batches — " +
+          "the forced arrival order collapsed")
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e20: streaming sink produced zero rows") // see e04
+      // the registry must actually SUPPRESS: most keys recur in every
+      // slice, so emitted rows must be far fewer than delivered rows
+      val nOut = out.count()
+      val nIn = ev.count()
+      require(nOut < nIn,
+        s"e20: registry suppressed nothing ($nOut emitted of $nIn)")
+      out.groupBy("event_type")
+        .agg(count(lit(1)).as("n_keys"),
+          sum("event_id").as("first_id_chk"),
+          min("ts_ns").as("min_first_ts_ns"))
+        .orderBy("event_type")
+    }),
+
     /** Native session-window streaming sessionization — the built-in
       * `session_window` aggregation beside e04's hand-rolled
       * flatMapGroupsWithState: same 1-hour-gap semantics, but state
@@ -1211,6 +1274,24 @@ object EventQueries {
         | CAST(sum(CASE WHEN rn <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
         |   AS sum_admitted_ids
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // e20: first per (user, event_type) under the staged delivery
+    // order — the stage index derives from the SAME event_id % 3 rule
+    // the query staged with, so "first batch containing the key, then
+    // (ts_ns, event_id) minimum within it" is one row_number.
+    "e20_tws_first_seen" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS ts_ns,
+        |         event_id % 3 AS stg
+        |  FROM events),
+        | firsts AS (SELECT * FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY stg, ts_ns, event_id) AS rn
+        |   FROM ev) WHERE rn = 1)
+        |SELECT event_type, count(*) AS n_keys,
+        | CAST(sum(event_id) AS BIGINT) AS first_id_chk,
+        | CAST(min(ts_ns) AS BIGINT) AS min_first_ts_ns
+        |FROM firsts GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // e19: the batch LEFT JOIN with e10's µs-domain range condition;
     // count(purchase_id)/sum(delay_us) skip nulls identically on both
