@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   * The synthetic corpus has no planted duplicates, so these emit
   * single-row summaries (counts of candidates/verified pairs) rather
   * than pair lists — keeps the driver's rows>0 check meaningful.
-  * Exact dedup has a DuckDB oracle; the LSH/bit-sketch ones are
-  * rows-only by contract.
+  * Every query carries a full DuckDB hash oracle: the shipped d02/d03
+  * path is the portable md5-derived signature family (see
+  * [[KernelConf]]); the engine-native splitmix64/xxhash64 kernels
+  * remain the throughput option, selected per-session by conf and
+  * ground-truth-verified by their planted companions.
   */
 object DedupQueries {
 
@@ -34,6 +37,45 @@ object DedupQueries {
     * sf0.1 (largest natural block there is ~304 docs) while leaving
     * small unit-test corpora unsalted. */
   val BlockCap = 256
+
+  /** Signature-kernel selector for the d02/d03 production queries:
+    * `spark.graft.dedup.kernel = portable | native`.
+    *
+    *  - `portable` (default): the md5-derived [[h60]] families
+    *    ([[portableMinhashPairs]], [[portableSimhashSketch]]) — every
+    *    stage replicates bit-for-bit in DuckDB, so d02/d03 carry FULL
+    *    hash oracles. Cost: md5 is ~2× the native kernels' CPU at
+    *    sf0.1 and the most machine-phase-sensitive queries on the
+    *    bench (see tools/BENCH_NOTES.md kernel cost table).
+    *  - `native`: the splitmix64/xxhash64 codegen kernels
+    *    ([[minhashPairs]] via SketchExpressions.minhash_sig,
+    *    [[simhashSketch]] via SimHash64) — the throughput option for
+    *    production corpora. DuckDB cannot replicate wrap-around 64-bit
+    *    multiplies, so under this kernel d02/d03's summaries diverge
+    *    from the shipped portable oracles BY DESIGN; the family's
+    *    correctness is ground-truth-verified by the planted companions
+    *    (d06 minhash, d08/d11 simhash) and the brute-force-equality
+    *    consumers (d09/d16/d17/d20/d21), which pin the native path
+    *    regardless of this conf.
+    *
+    * Both families share every downstream stage (banding layout,
+    * candidate dedup, exact verify), so the conf swaps ONLY the
+    * signature math — scale shape is identical. */
+  val KernelConf = "spark.graft.dedup.kernel"
+  def dedupKernel(s: SparkSession): String = {
+    val k = s.conf.get(KernelConf, "portable")
+    require(k == "portable" || k == "native",
+      s"$KernelConf must be 'portable' or 'native', got '$k'")
+    k
+  }
+  /** Conf-dispatched minhash near-dup pairs (doc_a, doc_b, jaccard). */
+  def minhashPairsKernel(s: SparkSession, docs: DataFrame): DataFrame =
+    if (dedupKernel(s) == "native") minhashPairs(docs)
+    else portableMinhashPairs(docs)
+  /** Conf-dispatched simhash sketch (doc_id, simhash). */
+  def simhashSketchKernel(s: SparkSession, docs: DataFrame): DataFrame =
+    if (dedupKernel(s) == "native") simhashSketch(docs)
+    else portableSimhashSketch(docs)
 
   private def toks: Column = filter(split(col("text"), " "), t => t =!= "")
 
@@ -623,14 +665,15 @@ object DedupQueries {
     }),
 
     /** MinHash+LSH near-dup census over the full corpus, on the
-      * PORTABLE signature family ([[portableMinhashPairs]]) — every
-      * stage (shingling, K=32 h60 minima, 8×4 banding, candidate
-      * dedup, exact-jaccard verify) replicates in DuckDB, so this
+      * conf-selected signature family ([[KernelConf]]; default the
+      * PORTABLE [[portableMinhashPairs]]) — every portable stage
+      * (shingling, K=32 h60 minima, 8×4 banding, candidate dedup,
+      * exact-jaccard verify) replicates in DuckDB, so the default
       * carries a full hash oracle. The engine-native splitmix64 kernel
-      * variant of the same pipeline stays ground-truth-verified by its
-      * planted companion (d06). */
+      * variant of the same pipeline (`kernel=native`) stays
+      * ground-truth-verified by its planted companion (d06). */
     "d02_minhash_lsh" -> ((s, d) => {
-      portableMinhashPairs(Tables.documents(s, d)).agg(
+      minhashPairsKernel(s, Tables.documents(s, d)).agg(
         count(lit(1)).as("n_candidate_pairs"),
         sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).as("n_dups_05"),
         RelationalQueries.rnd(coalesce(max("jaccard"), lit(0.0)), 4).as("max_jaccard"))
@@ -684,14 +727,16 @@ object DedupQueries {
     }),
 
     /** SimHash near-dup census over the full corpus, on the PORTABLE
-      * sketch ([[portableSimhashSketch]]: per-token h60 votes, 60
-      * fingerprint bits) — banding and hamming run the same
-      * [[simhashPairs]] machinery, and every stage replicates in
-      * DuckDB, so this carries a full hash oracle. The engine-native
-      * splitmix64 kernel sketch stays ground-truth-verified by its
-      * planted companions (d08 exact, d11 near-dup). */
+      * conf-selected sketch ([[KernelConf]]; default the PORTABLE
+      * [[portableSimhashSketch]]: per-token h60 votes, 60 fingerprint
+      * bits) — banding and hamming run the same [[simhashPairs]]
+      * machinery, and every portable stage replicates in DuckDB, so
+      * the default carries a full hash oracle. The engine-native
+      * splitmix64 kernel sketch (`kernel=native`) stays
+      * ground-truth-verified by its planted companions (d08 exact,
+      * d11 near-dup). */
     "d03_simhash" -> ((s, d) => {
-      val docs = portableSimhashSketch(Tables.documents(s, d))
+      val docs = simhashSketchKernel(s, Tables.documents(s, d))
       docs.agg(count(lit(1)).as("n_docs"),
           countDistinct("simhash").as("n_distinct_simhash"))
         .crossJoin(simhashPairs(docs).agg(

@@ -149,7 +149,8 @@ object EventQueries {
     * Harness scaffolding, not pipeline: production streams have real
     * arrival order; this manufactures one deterministically for the
     * bounded replays whose oracles depend on it. */
-  private def stageReplay(prefix: String, stages: Seq[DataFrame]): String = {
+  private def stageReplay(prefix: String, stages: Seq[DataFrame],
+      allowEmptyStages: Boolean = false): String = {
     val src = tempDir(s"graft_${prefix}_src_")
     val tmp = tempDir(s"graft_${prefix}_stage_")
     val tagged = stages.zipWithIndex
@@ -173,7 +174,16 @@ object EventQueries {
         // the dir entirely, so stage an explicit zero-row file with the
         // frame's own schema — the replay still gets its ordered
         // micro-batch and the query audits an empty stage instead of
-        // crashing (the pre-refactor per-query staging behaved this way)
+        // crashing (the pre-refactor per-query staging behaved this way).
+        // OPT-IN: only a caller that declares its stages content-gated
+        // gets the fallback — for everyone else an empty stage means
+        // the input regressed, and silently staging a zero-row file
+        // would surface (if at all) only as an opaque oracle mismatch,
+        // so fail fast here instead.
+        require(allowEmptyStages,
+          s"$prefix: stage $i selected ZERO rows but is not declared " +
+            "content-gated (allowEmptyStages=false) — the stage frames " +
+            "no longer match the testdata; fix the gate or opt in")
         val etmp = tempDir(s"graft_${prefix}_empty${i}_")
         stages(i).limit(0).repartition(1)
           .write.mode("overwrite").parquet(etmp)
@@ -577,7 +587,12 @@ object EventQueries {
         body.filter(!col("early") && lastDay).select("event_id", "ts"),
         stragglers,
         Seq((-1L, maxNs + 30 * dayNs)).toDF("event_id", "ts"),
-        Seq((-2L, maxNs + 60 * dayNs)).toDF("event_id", "ts")))
+        Seq((-2L, maxNs + 60 * dayNs)).toDF("event_id", "ts")),
+        // the straggler stage is CONTENT-GATED (portableGate % 5 on a
+        // testdata-epoch-dependent id set) and may legitimately select
+        // zero rows on a regen — this query audits n_stragglers
+        // explicitly, so an empty stage is data, not breakage
+        allowEmptyStages = true)
       val ss = streamSession(s)
       val schema = s.read.parquet(src).schema
       val outDir = tempDir("graft_e15_out_")

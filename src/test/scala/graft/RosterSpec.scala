@@ -62,17 +62,25 @@ class RosterSpec extends AnyFunSuite {
     val diffs = Tables.All.flatMap { name =>
       val actual = Tables.t(spark, sf0001, name).schema.fields
         .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
-      val expect = pinned(name)
-      val matches =
-        if (!expect.contains(":*")) actual == expect
-        else { // wildcard fields compare name-only
-          val as = actual.split(", ").map(_.split(":", 2))
-          val es = expect.split(", ").map(_.split(":", 2))
-          as.length == es.length && as.zip(es).forall { case (a, e) =>
-            a(0) == e(0) && (e(1) == "*" || a(1) == e(1)) }
-        }
-      if (matches) None
-      else Some(s"$name:\n  pinned: $expect\n  actual: $actual")
+      pinned.get(name) match {
+        // a table added to Tables.All without a pin is its OWN diff
+        // entry (a raw Map apply would throw key-not-found and hide
+        // the formatted drift report for every other table)
+        case None =>
+          Some(s"$name:\n  pinned: <no pinned schema for table " +
+            s"'$name' — add one>\n  actual: $actual")
+        case Some(expect) =>
+          val matches =
+            if (!expect.contains(":*")) actual == expect
+            else { // wildcard fields compare name-only
+              val as = actual.split(", ").map(_.split(":", 2))
+              val es = expect.split(", ").map(_.split(":", 2))
+              as.length == es.length && as.zip(es).forall { case (a, e) =>
+                a(0) == e(0) && (e(1) == "*" || a(1) == e(1)) }
+            }
+          if (matches) None
+          else Some(s"$name:\n  pinned: $expect\n  actual: $actual")
+      }
     }
     assert(diffs.isEmpty,
       "testdata epoch drift — verify the roster against the new files, " +

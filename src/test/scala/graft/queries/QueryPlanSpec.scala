@@ -498,14 +498,20 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!coarsePlan.contains("CartesianProduct"), coarsePlan.take(3000))
   }
 
-  test("d13: assignment is broadcast (no cartesian), and the dup-pair " +
-      "join is equi-keyed on (cl_id, sub) — the faithful-lloyd shape " +
+  test("d13: both hierarchy levels assign by broadcast (coarse BNLJ, " +
+      "fine equi-keyed BHJ on cell), and the dup-pair join is " +
+      "equi-keyed on (cl_id, sub) — the hierarchical-build shape " +
       "can't silently regress if the query is edited without touching " +
-      "lloyd itself") {
+      "CentroidBuild itself") {
+    // the committed query localCheckpoints both the routed (vec_id,
+    // cell) table and the fine assignment, which truncates BOTH
+    // hierarchy levels out of the final plan (the only surviving
+    // BroadcastNestedLoopJoins there are the 1-row report-tail
+    // crossJoins — asserting on them would pin nothing). So, like the
+    // s24 test, rebuild each pre-checkpoint frame and pin its shape
+    // where it is visible; the final plan keeps only the pair-join
+    // key assertion, which sits downstream of the checkpoints.
     val plan = planOf("d13_semantic_dedup")
-    // the final nearest-centroid pass crossJoins a BROADCAST k-row
-    // centroid table — the corpus side never shuffles to be assigned
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     // the within-cluster pair join must shuffle on (cl_id, sub) — a
     // key whose cardinality grows with n — never on anything coarser
@@ -515,6 +521,42 @@ class QueryPlanSpec extends AnyFunSuite {
         l.contains("cl_id") && l.contains("sub"))
     assert(pairJoinKeyed,
       s"dup-pair join not keyed on (cl_id, sub):\n${plan.take(3000)}")
+    // Coarse level: the routed (vec_id, cell) frame crossJoins a
+    // BROADCAST ⌈√k⌉-row cell table — the corpus never shuffles or
+    // cartesians to be routed.
+    import graft.operators.CentroidBuild
+    import org.apache.spark.sql.functions.transform
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val coarse = CentroidBuild.lloyd(emb, "vec_id", "vec", k = 4, rounds = 1)
+    val cells = CentroidBuild.nearest(
+        CentroidBuild.similarities(emb, coarse, "vec_id", "vec"), "vec_id")
+      .withColumnRenamed("cl_id", "cell")
+    cells.collect()
+    val coarsePlan = cells.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(coarsePlan.contains("BroadcastNestedLoopJoin"),
+      coarsePlan.take(3000))
+    assert(!coarsePlan.contains("CartesianProduct"), coarsePlan.take(3000))
+    // Fine level: nearestGrouped joins the corpus to the fine table
+    // EQUI-KEYED on cell — each row probes only its own cell's bucket,
+    // so at 100 TB Catalyst can flip this one join broadcast→shuffle
+    // while the coarse table stays a √k-row broadcast.
+    val embCell = emb.join(cells, "vec_id")
+    val fine = CentroidBuild.lloydGrouped(
+      embCell, "cell", "vec_id", "vec", kPerGroup = 2, rounds = 1)
+    val assign = CentroidBuild.nearestGrouped(
+      embCell, fine, "cell", "vec_id", "vec")
+    assign.collect()
+    val finePlan = assign.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(finePlan.contains("BroadcastHashJoin"), finePlan.take(3000))
+    assert(!finePlan.contains("CartesianProduct"), finePlan.take(3000))
+    val fineJoinKeyed = finePlan.linesIterator.exists(l =>
+      l.contains("Left keys") && l.contains("cell"))
+    assert(fineJoinKeyed,
+      s"fine assignment join not keyed on cell:\n${finePlan.take(3000)}")
   }
 
   test("t23: the source cap is two-phase — the first window partitions " +
