@@ -90,6 +90,17 @@ object PlanDigest {
       // landed 53 lines earlier in DedupQueries). A source-layout
       // artifact, not a plan property; the file name stays pinned.
       .replaceAll("\\.scala:\\d+", ".scala:x")
+      // 6th artifact class (r13): the checkpoint call site's METHOD and
+      // FILE — `at localCheckpoint at DedupQueries.scala:x` became `at
+      // checkpoint/materialize at Materialize.scala:x` when the
+      // conf-dispatched Materialize helper replaced direct calls; which
+      // helper frame Spark's CallSite picks (and which mode the session
+      // runs) is deployment plumbing, not plan shape. Blank the RDD
+      // class and the whole `at <method> at <file>.scala:x` token on
+      // checkpoint-scan lines (MapPartitionsRDD in local mode,
+      // ReliableCheckpointRDD in reliable mode — same plan).
+      .replaceAll("[A-Za-z]*RDD\\[(\\d+|x)\\] at [\\w$.]+ at [\\w$.]+\\.scala:x",
+        "RDD[x] at x at x.scala:x")
     replaced.linesIterator.map { line =>
       // On distinct-rewrite lines, blank BARE-INTEGER list elements —
       // the gid value each Expand projection row carries (the raw

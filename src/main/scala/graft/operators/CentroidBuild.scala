@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MaterializeOps
 
 /** Shared coarse-quantizer build for the vector-pipeline family (s03
   * centroid stats, s04 IVF search, d13 semantic dedup): per-group
@@ -136,7 +137,7 @@ object CentroidBuild {
       // materializes the same rnd6 aggregates), so every consumer's
       // DuckDB replica is unaffected.
       cents = centroids(df.join(assign, idCol), col("cl_id"), col(vecCol),
-        dim).select("cl_id", "cvec").localCheckpoint(true)
+        dim).select("cl_id", "cvec").materialize
     }
     cents
   }
@@ -195,7 +196,7 @@ object CentroidBuild {
       .withColumn("fid", row_number().over(wSeed).cast("long"))
       .filter(col("fid") <= kPerGroup)
       .select(col(groupCol), col("fid"), col(vecCol).as("fvec"))
-      .localCheckpoint(true)
+      .materialize
     for (_ <- 1 to rounds) {
       val assign = nearestGrouped(df, cents, groupCol, idCol, vecCol)
         .select(col(idCol), col("fid"))
@@ -203,7 +204,7 @@ object CentroidBuild {
         .groupBy(col(groupCol), col("fid"))
         .agg(array((0 until dim).map(i =>
           rnd6(avg(element_at(col(vecCol), i + 1)))): _*).as("fvec"))
-        .localCheckpoint(true)
+        .materialize
     }
     cents
   }

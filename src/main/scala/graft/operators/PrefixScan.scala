@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MaterializeOps
 
 /** Distributed ordered prefix sum (cumulative scan) — the scale-safe
   * replacement for `sum(...).over(Window.partitionBy(lowCardKey)
@@ -44,7 +45,7 @@ object PrefixScan {
     val sorted = df.repartitionByRange(parts, keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .materialize
     // per-(partition, group) subtotals: partitions × groups rows — a
     // metadata-sized frame, the scan's only cross-partition traffic
     val subtotals = sorted

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MaterializeOps
 
 /** Deduplication operators for an LLM training-data pipeline, over
   * `documents`: exact (hash groupBy), MinHash+LSH banding, SimHash, and
@@ -591,9 +592,9 @@ object DedupQueries {
     * shortcut). */
   def labelPropagate(pairs: DataFrame): DataFrame = {
     val edges = pairs.unionByName(
-      pairs.select(col("v").as("u"), col("u").as("v"))).localCheckpoint(true)
+      pairs.select(col("v").as("u"), col("u").as("v"))).materialize
     var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(true)
+      .withColumn("lbl", col("node")).materialize
     var prevSum = Long.MinValue
     var converged = false
     var rounds = 0
@@ -609,7 +610,7 @@ object DedupQueries {
         .join(lblMap, col("x.lbl") === col("l_node"))
         .select(col("x.node").as("node"), col("l_lbl").as("lbl"))
       labels = labels.unionByName(fromNeighbors).unionByName(viaLabel)
-        .groupBy("node").agg(min("lbl").as("lbl")).localCheckpoint(true)
+        .groupBy("node").agg(min("lbl").as("lbl")).materialize
       rounds += 1
       if (rounds >= 2) {
         val s = Option(labels.agg(sum("lbl")).head().getAs[java.lang.Long](0))
@@ -928,7 +929,7 @@ object DedupQueries {
       val batch = fresh.unionByName(replays)
       val tdIds = base.filter(col("doc_id") % 13 === 0).select("doc_id")
       // the persisted artifact: standing bands, materialized once
-      val standing = bandsOf(shingled(base)).localCheckpoint(true)
+      val standing = bandsOf(shingled(base)).materialize
       // maintained feeds THREE consumers (the n_band_rows census and
       // both exceptAll directions) and scratch feeds two — checkpoint
       // both so the batch re-shingle runs once, not three times, and
@@ -937,10 +938,10 @@ object DedupQueries {
       val maintained = standing
         .join(broadcast(tdIds), Seq("doc_id"), "left_anti")
         .unionByName(bandsOf(shingled(batch)))
-        .localCheckpoint(true)
+        .materialize
       val live = base.join(broadcast(tdIds), Seq("doc_id"), "left_anti")
         .unionByName(batch)
-      val scratch = bandsOf(shingled(live)).localCheckpoint(true)
+      val scratch = bandsOf(shingled(live)).materialize
       val diff = maintained.exceptAll(scratch)
         .unionByName(scratch.exceptAll(maintained))
       base.agg(count(lit(1)).as("n_corpus"))
@@ -1235,7 +1236,7 @@ object DedupQueries {
       // candidate pipeline would re-run per round (the d13 Lloyd
       // lineage discipline, applied to the edge frame instead of the
       // iterate)
-      val pairs = d09Edges(hubCorpus(s, d)).localCheckpoint(true)
+      val pairs = d09Edges(hubCorpus(s, d)).materialize
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(pairs.select(col("v").as("src"), col("u").as("dst")))
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -1245,7 +1246,7 @@ object DedupQueries {
       val base = expr("cast(1000000000 as bigint) div nn")
       var pr = nodes.crossJoin(n)
         .select(col("node"), col("deg"), col("nn"), base.as("pr"))
-        .localCheckpoint(true)
+        .materialize
       for (_ <- 1 to 3) {
         val msgs = edgesD
           .join(pr.select(col("node").as("src"), col("pr").as("src_pr")), "src")
@@ -1256,7 +1257,7 @@ object DedupQueries {
             expr("(15 * (cast(1000000000 as bigint) div nn)" +
               " + 85 * coalesce(contrib, cast(0 as bigint))) div 100")
               .as("pr"))
-          .localCheckpoint(true)
+          .materialize
       }
       val top = pr.orderBy(col("pr").desc, col("node")).limit(10)
       val w = Window.orderBy(col("pr").desc, col("node"))

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MaterializeOps
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors): brute-force cosine top-k as the exact baseline, and a
@@ -481,7 +482,7 @@ object SimilarityQueries {
           graft.operators.CentroidBuild.similarities(
             corpus, coarse, "vec_id", "vec"), "vec_id")
         .withColumnRenamed("cl_id", "cell")
-        .localCheckpoint(true)
+        .materialize
       val embCell = corpus.join(cells, "vec_id")
       val fine = graft.operators.CentroidBuild.lloydGrouped(
         embCell, "cell", "vec_id", "vec", kf, rounds = 1)
@@ -493,7 +494,7 @@ object SimilarityQueries {
           embCell, fine, "cell", "vec_id", "vec")
         .select(col("vec_id"),
           (col("cell") * (kf + 1) + col("fid")).as("cl_id"))
-        .localCheckpoint(true)
+        .materialize
       val withCl = corpus.select(col("vec_id"), col("vec"),
           graft.operators.CentroidBuild.signSalt(col("vec")).as("salt"))
         .join(assign, "vec_id")
@@ -579,7 +580,7 @@ object SimilarityQueries {
       // exactly once
       val truth = truthScored.withColumn("rn", row_number().over(wT))
         .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
-        .localCheckpoint(true)
+        .materialize
       val centroids = graft.operators.CentroidBuild.centroids(
         Tables.embeddings(s, d)
           .select(col("label"), embD(col("embedding")).as("vec")),
@@ -730,7 +731,7 @@ object SimilarityQueries {
           graft.operators.CentroidBuild.similarities(
             emb, coarse, "vec_id", "vec"), "vec_id")
         .withColumnRenamed("cl_id", "cell")
-        .localCheckpoint(true)
+        .materialize
       val embCell = emb.join(cells, "vec_id")
       val fine = graft.operators.CentroidBuild.lloydGrouped(
         embCell, "cell", "vec_id", "vec", kf, rounds = 1)
@@ -956,13 +957,13 @@ object SimilarityQueries {
       // the frame a recall evaluation materializes anyway)
       val truth = truthScored.withColumn("rn", row_number().over(wT))
         .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
-        .localCheckpoint(true)
+        .materialize
       val wA = Window.partitionBy("q_id")
         .orderBy(col("adc_e6").asc, col("vec_id"))
       val ranked = pqAdcScored(s, d)
         .withColumn("rn", row_number().over(wA))
         .select("q_id", "vec_id", "rn")
-        .localCheckpoint(true)
+        .materialize
       val approx = ranked.filter(col("rn") <= K).select("q_id", "vec_id")
       val nCand = ranked.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
       val hits = truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
@@ -1191,7 +1192,7 @@ object SimilarityQueries {
         .groupBy("cl_id")
         .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("n_old"),
           sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
-        .localCheckpoint(true)
+        .materialize
       val tot = byList.agg(sum("n_old").as("t_old"), sum("n_new").as("t_new"))
       val so = col("n_old").cast("double") / col("t_old")
       val sn = col("n_new").cast("double") / col("t_new")
@@ -1325,7 +1326,7 @@ object SimilarityQueries {
       // exactly once
       val truth = truthScored.withColumn("rn", row_number().over(wT))
         .filter(col("rn") <= K).select(col("q_id"), col("vec_id"))
-        .localCheckpoint(true)
+        .materialize
       val centroids = graft.operators.CentroidBuild.centroids(
         Tables.embeddings(s, d)
           .select(col("label"), embD(col("embedding")).as("vec")),
@@ -1336,7 +1337,7 @@ object SimilarityQueries {
         // assign+probe pipeline runs once per point, not twice
         val cand = graft.operators.CentroidBuild.ivfCandidates(
             emb, centroids, col("vec_id") < 3, np)
-          .localCheckpoint(true)
+          .materialize
         val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
         val scored = cand.withColumn("c6",
           RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))

@@ -142,6 +142,26 @@ class PlanDigestSpec extends AnyFunSuite {
           "UnknownPartitioning(0)"))
   }
 
+  test("normalize blanks the checkpoint call-site method AND file (6th " +
+      "artifact class: direct .localCheckpoint vs the Materialize " +
+      "helper vs reliable .checkpoint is deployment plumbing — the " +
+      "frame Spark's CallSite picks is not plan shape)") {
+    val viaDirect = PlanDigest.normalize(
+      "Arguments: [node#1, pr#2], MapPartitionsRDD[1455] at " +
+        "localCheckpoint at DedupQueries.scala:968, ExistingRDD, " +
+        "UnknownPartitioning(0)")
+    val viaHelper = PlanDigest.normalize(
+      "Arguments: [node#1, pr#2], MapPartitionsRDD[201] at " +
+        "materialize at Materialize.scala:50, ExistingRDD, " +
+        "UnknownPartitioning(0)")
+    val viaReliable = PlanDigest.normalize(
+      "Arguments: [node#1, pr#2], ReliableCheckpointRDD[7] at " +
+        "checkpoint at Materialize.scala:58, ExistingRDD, " +
+        "UnknownPartitioning(0)")
+    assert(viaDirect == viaHelper)
+    assert(viaDirect == viaReliable)
+  }
+
   test("normalize blanks partition counts on partitioning lines (runtime-" +
       "derived: CPUS setting, and AQE-coalesced checkpoint partitioning " +
       "that depends on session history — d26's manifest flip)") {
