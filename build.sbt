@@ -28,3 +28,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// The driver parses the bench run's LAST stdout line; sbt's
+// "[success] Total time: ..." footer printed after graft.Bench's
+// compact JSON summary is why BENCH_r12.json recorded parsed:null.
+// Suppressing the success footer makes the JSON line the final one
+// (failures still print "[error]" loudly and exit non-zero).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

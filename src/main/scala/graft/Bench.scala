@@ -59,14 +59,20 @@ object Bench {
     // pays for state-store providers, WAL/offset-log classes, and the
     // stateful-operator codegen paths — fixed costs that would
     // otherwise land on e03 (~3s of its round-1 17.7s was this). A
-    // two-row MemoryStream through BOTH stateful shapes the roster
-    // uses (windowed agg with watermark; flatMapGroupsWithState) warms
-    // them untimed.
+    // two-row MemoryStream through the stateful shapes the roster
+    // uses (windowed agg with watermark; transformWithState, the e04/
+    // e18/e20 path since r13) warms them untimed — on a clone carrying
+    // the SAME RocksDB provider streamSession defaults to, so the
+    // provider's native-lib load and store-open paths are warmed too.
     try {
-      import spark.implicits._
+      val wss = spark.newSession()
+      wss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      import wss.implicits._
       import org.apache.spark.sql.functions._
-      implicit val sqlCtx = spark.sqlContext
-      implicit val sp = spark
+      implicit val sqlCtx = wss.sqlContext
+      implicit val sp = wss
       val ckpt1 = java.nio.file.Files.createTempDirectory("graft_warm1_").toString
       val mem1 = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long)]
@@ -95,7 +101,7 @@ object Bench {
           1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
         graft.streaming.StatefulSessionize.Event(
           1L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 2L))
-      val q2 = graft.streaming.StatefulSessionize.sessions(mem2.toDS())
+      val q2 = graft.streaming.StatefulSessionize.sessionsTws(mem2.toDS())
         .toDF().writeStream.outputMode("append")
         .option("checkpointLocation", ckpt2)
         // the batch MUST be consumed: a no-op sink never runs the
@@ -142,35 +148,58 @@ object Bench {
     // one query's plan without paying for 144.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    var family = ' '
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      if (name.head != family) {
-        // family boundary (d→e→m→q→s→t): ask for a driver-side GC so the
-        // ContextCleaner reclaims the previous family's shuffle files —
-        // off the clock, so it costs the measurements nothing
-        if (family != ' ') System.gc()
-        family = name.head
-      }
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case scala.util.control.NonFatal(e) =>
-          // keep benching the rest, but make the failure attributable —
-          // a swallowed exception must never read as a fast query
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          false
+    // SPARK_GRAFT_BENCH_SAMPLES=N (default 1): run the timed roster N
+    // full passes and record each query's MIN across passes — min, not
+    // mean, because shared-host jitter is one-sided (residual load can
+    // only ADD time; r12 burned a day adjudicating 103.9 vs 123.2 vs
+    // 110.4 s single samples). Whole-roster passes, not per-query
+    // back-to-back repeats, so pass 2 sees the same cache/JVM phase
+    // mix as pass 1 rather than a warmed re-run of itself.
+    val samples = sys.env.get("SPARK_GRAFT_BENCH_SAMPLES")
+      .map(_.trim.toInt).filter(_ >= 1).getOrElse(1)
+    def rosterPass(sample: Int): Seq[(String, Double, Boolean)] = {
+      var family = ' '
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+        if (name.head != family) {
+          // family boundary (d→e→m→q→s→t): ask for a driver-side GC so the
+          // ContextCleaner reclaims the previous family's shuffle files —
+          // off the clock, so it costs the measurements nothing
+          if (family != ' ') System.gc()
+          family = name.head
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // one line per query, flushed as it completes: the driver keeps only
-      // the last ~2000 bytes of output, and a single 95-query JSON line is
-      // ~3.5 KB — per-query lines survive truncation AND mid-bench crashes
-      if (ok) println(f"""{"query":"$name","sec":$dt%.3f}""")
-      else println(f"""{"query":"$name","sec":$dt%.3f,"failed":true}""")
-      Console.flush()
-      scrub(spark)
-      (name, dt, ok)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(e) =>
+            // keep benching the rest, but make the failure attributable —
+            // a swallowed exception must never read as a fast query
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // one line per query, flushed as it completes: the driver keeps only
+        // the last ~2000 bytes of output, and a single 95-query JSON line is
+        // ~3.5 KB — per-query lines survive truncation AND mid-bench crashes
+        val tag = if (samples > 1) s""","sample":$sample""" else ""
+        if (ok) println(f"""{"query":"$name","sec":$dt%.3f$tag%s}""")
+        else println(f"""{"query":"$name","sec":$dt%.3f$tag%s,"failed":true}""")
+        Console.flush()
+        scrub(spark)
+        (name, dt, ok)
+      }
+    }
+    val passes = (1 to samples).map(rosterPass)
+    // min across the passes where the query SUCCEEDED; failed only if
+    // every pass failed (a query that failed once but passed once is a
+    // pass with the passing time — the failure is still visible in the
+    // per-query "failed":true sample lines above)
+    val results = passes.head.map(_._1).map { name =>
+      val runs = passes.map(_.find(_._1 == name).get)
+      val okRuns = runs.filter(_._3)
+      if (okRuns.nonEmpty) (name, okRuns.map(_._2).min, true)
+      else (name, runs.map(_._2).min, false)
     }
     // failed queries are recorded with NEGATIVE seconds (and named in the
     // "failed" list) so no downstream total/compare can absorb a
@@ -189,6 +218,7 @@ object Bench {
     // the compact tail-capture line below can never desynchronize
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""samples":$samples,""" +
         s""""n_passed":${results.count(_._3)},"n_failed":${failed.size}"""
     val line = summary +
         s""","queries":$qs,""" +

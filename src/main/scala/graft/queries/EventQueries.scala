@@ -95,6 +95,18 @@ object EventQueries {
       s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "true"))
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "false"))
+    // RocksDB state store by DEFAULT (override via
+    // spark.graft.stream.stateStoreProvider on the parent session):
+    // transformWithState REQUIRES it (typed column-family state), and
+    // for every other stateful operator it is the 100 TB answer —
+    // state lives off-heap/on-disk with incremental-checkpoint
+    // changelogs, so state volume costs executor disk, not heap. The
+    // legacy HDFS-backed provider remains selectable for deployments
+    // pinned to it; stateless streams ignore the conf entirely.
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      s.conf.getOption("spark.graft.stream.stateStoreProvider").getOrElse(
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider"))
     ss
   }
 
@@ -318,9 +330,11 @@ object EventQueries {
     }),
 
     /** The stateful streaming sessionizer
-      * ([[graft.streaming.StatefulSessionize]], flatMapGroupsWithState,
-      * O(1) state per key) run over the bounded events replay as a
-      * roster query. The operator emits a session only when a LATER
+      * ([[graft.streaming.StatefulSessionize]], transformWithState /
+      * StatefulProcessor with a typed ValueState on RocksDB since r13;
+      * the legacy flatMapGroupsWithState wrapper shares the same
+      * foldBatch and stays the regression companion; O(1) state per
+      * key) run over the bounded events replay as a roster query. The operator emits a session only when a LATER
       * event closes it, so on a bounded stream the emitted set is
       * exactly "every session except each user's last" — which is plain
       * SQL, giving the streaming operator a full DuckDB oracle (unlike
@@ -335,7 +349,11 @@ object EventQueries {
       val raw = eventsStream(s, ss, d)
         .select(col("user_id"), col("ts"), col("event_id"))
         .as[graft.streaming.StatefulSessionize.Event]
-      val sessions = graft.streaming.StatefulSessionize.sessions(raw)(ss)
+      // the MODERN-API twin (transformWithState + ValueState on
+      // RocksDB) — the legacy flatMapGroupsWithState wrapper stays the
+      // regression companion; both run the same foldBatch, and
+      // OperatorsSpec runs the shared scenarios through both
+      val sessions = graft.streaming.StatefulSessionize.sessionsTws(raw)(ss)
       val outDir = tempDir("graft_e04_out_")
       val ckpt = tempDir("graft_e04_ckpt_")
       val q = sessions.toDF.writeStream
@@ -772,8 +790,10 @@ object EventQueries {
       * [[graft.streaming.QuotaAdmission]] as a roster query: each of
       * the 20 document sources may contribute at most 10 docs to the
       * corpus EVER (a licensing cap / tenant budget), with the running
-      * count held in flatMapGroupsWithState (one long per key, the
-      * smallest stateful footprint there is). The replay is staged as
+      * count held in a transformWithState ValueState on RocksDB (one
+      * long per key, the smallest stateful footprint there is; the
+      * legacy flatMapGroupsWithState wrapper shares the same
+      * admitBatch kernel as the regression companion). The replay is staged as
       * three ascending doc_id ranges with forced arrival order (the
       * e15 mtime discipline), so "first 10 observed per source" has a
       * deterministic meaning the DuckDB oracle replicates as a plain
@@ -802,7 +822,9 @@ object EventQueries {
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .as[graft.streaming.QuotaAdmission.Doc]
-      val admitted = graft.streaming.QuotaAdmission.admit(stream, Quota)(ss)
+      // modern-API twin (see e04) — same admitBatch kernel as the
+      // legacy wrapper, counter in RocksDB ValueState
+      val admitted = graft.streaming.QuotaAdmission.admitTws(stream, Quota)(ss)
       val outDir = tempDir("graft_e18_out_")
       val ckpt = tempDir("graft_e18_ckpt_")
       val q = admitted.toDF.writeStream
@@ -836,9 +858,10 @@ object EventQueries {
     /** First-seen registry on the MODERN arbitrary-state API —
       * `transformWithState` / `StatefulProcessor` with a typed
       * `ValueState` handle and the RocksDB state store it requires
-      * ([[graft.streaming.FirstSeenRegistry]]; e04/e18 cover the
-      * legacy `flatMapGroupsWithState` surface, this covers its
-      * Spark-4 successor): emit each (user, event_type) key's FIRST
+      * ([[graft.streaming.FirstSeenRegistry]]; since r13 e04/e18 ride
+      * the same modern API via their StatefulProcessor twins, with the
+      * legacy `flatMapGroupsWithState` wrappers kept as regression
+      * companions): emit each (user, event_type) key's FIRST
       * event exactly once across the stream's lifetime, suppress
       * every later arrival. The replay is staged as three
       * event_id % 3 slices with forced arrival order, so "first" is
@@ -857,12 +880,7 @@ object EventQueries {
           col("ts_ns"))
       val src = stageReplay("e20", (0 until 3).map(i =>
         ev.filter(pmod(col("event_id"), lit(3)) === i)))
-      val ss = streamSession(s)
-      // transformWithState requires the RocksDB provider (its typed
-      // column-family state layout is not implemented by the default
-      // HDFS-backed store) — set on the per-query clone only
-      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val ss = streamSession(s) // RocksDB provider is its default
       val schema = s.read.parquet(src).schema
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)

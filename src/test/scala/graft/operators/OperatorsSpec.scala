@@ -68,23 +68,53 @@ class OperatorsSpec extends AnyFunSuite {
   private def ev(u: Long, sec: Long, id: Long) =
     StatefulSessionize.Event(u, new java.sql.Timestamp(sec * 1000), id)
 
-  /** Feed `batches` one micro-batch at a time through the sessionizer
-    * (gap 60s) and return everything emitted, sorted by first_event.
-    * The query is stopped in a finally so a failing assertion cannot
-    * leak a running stream into later tests. */
-  private def runSessions(name: String)(
+  /** Session clone with the RocksDB state store the transformWithState
+    * twins require (the shared fixture session keeps the default
+    * provider so the legacy paths stay covered on it). */
+  private lazy val rocks: org.apache.spark.sql.SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    ss
+  }
+
+  private def runSessionsOn(s2: org.apache.spark.sql.SparkSession,
+      name: String,
+      mk: (org.apache.spark.sql.Dataset[StatefulSessionize.Event],
+        org.apache.spark.sql.SparkSession) =>
+        org.apache.spark.sql.Dataset[StatefulSessionize.Session])(
       batches: Seq[StatefulSessionize.Event]*): Seq[StatefulSessionize.Session] = {
-    implicit val s = spark
-    implicit val sqlCtx = spark.sqlContext
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
     val mem = MemoryStream[StatefulSessionize.Event]
-    val q = StatefulSessionize.sessions(mem.toDS(), gapSec = 60)
+    val q = mk(mem.toDS(), s2)
       .writeStream.outputMode("append")
       .format("memory").queryName(name).start()
     try {
       batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
-      spark.table(name).as[StatefulSessionize.Session]
+      s2.table(name).as[StatefulSessionize.Session]
         .collect().toSeq.sortBy(_.first_event)
     } finally q.stop()
+  }
+
+  /** Feed `batches` one micro-batch at a time through the sessionizer
+    * (gap 60s) on BOTH arbitrary-state APIs — legacy
+    * flatMapGroupsWithState on the default store and the
+    * transformWithState twin on RocksDB — assert they emit identically
+    * (twin parity rides every scenario for free), and return the
+    * output sorted by first_event. Queries are stopped in a finally so
+    * a failing assertion cannot leak a running stream into later
+    * tests. */
+  private def runSessions(name: String)(
+      batches: Seq[StatefulSessionize.Event]*): Seq[StatefulSessionize.Session] = {
+    val legacy = runSessionsOn(spark, name,
+      (ds, s) => StatefulSessionize.sessions(ds, gapSec = 60)(s))(batches: _*)
+    val tws = runSessionsOn(rocks, name + "_tws",
+      (ds, s) => StatefulSessionize.sessionsTws(ds, gapSec = 60)(s))(batches: _*)
+    assert(tws == legacy,
+      s"modern-API twin diverged:\n legacy=$legacy\n    tws=$tws")
+    legacy
   }
 
   test("stateful streaming sessionization emits closed sessions") {
@@ -238,18 +268,37 @@ class OperatorsSpec extends AnyFunSuite {
   import graft.streaming.QuotaAdmission
   import graft.streaming.QuotaAdmission.Doc
 
-  private def runQuota(name: String, quota: Long)(
+  private def runQuotaOn(s2: org.apache.spark.sql.SparkSession,
+      name: String, quota: Long,
+      mk: (org.apache.spark.sql.Dataset[Doc], Long,
+        org.apache.spark.sql.SparkSession) => org.apache.spark.sql.Dataset[Doc])(
       batches: Seq[Doc]*): Seq[Doc] = {
-    implicit val s = spark
-    implicit val sqlCtx = spark.sqlContext
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
     val mem = MemoryStream[Doc]
-    val q = QuotaAdmission.admit(mem.toDS(), quota)
+    val q = mk(mem.toDS(), quota, s2)
       .writeStream.outputMode("append")
       .format("memory").queryName(name).start()
     try {
       batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
-      spark.table(name).as[Doc].collect().toSeq
+      s2.table(name).as[Doc].collect().toSeq
     } finally q.stop()
+  }
+
+  /** Both APIs (see runSessions): legacy wrapper on the default store,
+    * transformWithState twin on RocksDB, asserted identical per
+    * (source, ids-in-order), legacy returned. */
+  private def runQuota(name: String, quota: Long)(
+      batches: Seq[Doc]*): Seq[Doc] = {
+    val legacy = runQuotaOn(spark, name, quota,
+      (ds, qt, s) => QuotaAdmission.admit(ds, qt)(s))(batches: _*)
+    val tws = runQuotaOn(rocks, name + "_tws", quota,
+      (ds, qt, s) => QuotaAdmission.admitTws(ds, qt)(s))(batches: _*)
+    def canon(d: Seq[Doc]) = d.groupBy(_.source)
+      .view.mapValues(_.map(_.doc_id)).toMap
+    assert(canon(tws) == canon(legacy),
+      s"modern-API twin diverged:\n legacy=$legacy\n    tws=$tws")
+    legacy
   }
 
   test("quota admission keeps the k smallest doc_ids per key — the bounded-" +

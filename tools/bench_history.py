@@ -127,6 +127,10 @@ def main():
            "only), `!` = round had failed queries (excluded from its",
            "total — not comparable against a fully-green round).",
            "Column suffix `n` = builder-NATIVE run (BENCH_r{N}_native.json);",
+           "`n2`/`n3` = native MULTI-SAMPLE run (SPARK_GRAFT_BENCH_SAMPLES:",
+           "per-query MIN across that many whole-roster passes — min, not",
+           "mean, because shared-host jitter is one-sided; prefer these",
+           "over single-sample rounds when adjudicating a flap).",
            "unmarked = DRIVER-environment run. The two run classes are not",
            "cross-comparable (r10: uniform ~2x shift on identical plans,",
            "digests unchanged — machine state, not code); grade",
@@ -138,6 +142,9 @@ def main():
            "idle machine, identical digests — the data changed).", "",
            "| query | " + " | ".join(
                f"r{r:02d}" + ("n" if r in native_rounds else "")
+               + (str(rounds[r]["samples"])
+                  if r in native_rounds and rounds[r].get("samples", 1) > 1
+                  else "")
                for r in rids) + " |",
            "|---|" + "---|" * len(rids)]
     for q in queries:
