@@ -1,0 +1,260 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale soak — measures the SCALING EXPONENT of the
+  * roster's most expensive operator pipelines instead of arguing it
+  * from plan shape (the round-12 verdict's top ask: every 100 TB claim
+  * in this repo was executed only at sf0.1).
+  *
+  * `runMain graft.Soak [baseSfDir] [workDir]`
+  *  - env SPARK_GRAFT_SOAK_SCALES: comma ints, default `1,3,10`
+  *  - env SPARK_GRAFT_SOAK_SAMPLES: per-point repeats, min kept
+  *    (default 2 — host jitter is one-sided, see tools/BENCH_NOTES.md)
+  *  - env SPARK_GRAFT_CPUS: session parallelism, default 4
+  *
+  * == Corpus synthesis ==
+  * Scale m replicates the base tables m× with content-preserving but
+  * DECORRELATING perturbations, so the workload's per-replica
+  * difficulty is isomorphic to the base while cross-replica rows never
+  * collide as near-duplicates (naive replication would plant m−1 exact
+  * twins of every row and grow candidate volume quadratically —
+  * measuring an artifact, not the operator):
+  *  - documents: every token gets a replica suffix (`tok` → `tokz2`) —
+  *    shingle/minhash/simhash structure is a relabeled isomorph per
+  *    replica, zero shingles shared across replicas; doc_id strides by
+  *    2^20/replica; n_chars recomputed from the perturbed text.
+  *  - embeddings: the vector circular-shifts by r dimensions —
+  *    within-replica pairwise cosines are EXACTLY the base's
+  *    (rotation is an isometry of the dot product), cross-replica
+  *    cosines decorrelate; vec_id strides by 2^20; label kept (IVF
+  *    lists grow m×, the realistic shape).
+  *  - events: ids/users stride (2^24 / 2^20), timestamps kept — the
+  *    same window range gets m× denser and the user-key state table
+  *    grows m×, which is how event volume actually scales.
+  *
+  * == Query set ==
+  * The 12 most expensive roster pipelines. Ten run VERBATIM via
+  * SparkEntry (their corpus is the full scaled table). d09/d13 cap
+  * their roster corpus to a fixed subset (oracle economics), so the
+  * soak runs uncapped twins of the same operator code — label
+  * propagation over banded minhash edges, and the full hierarchical
+  * SemDeDup pipeline — on the whole scaled corpus; planted near-dups
+  * ride every 10th doc/vector so dedup finds work at every scale.
+  *
+  * Output: one JSON line per measurement, then one `soak_summary`
+  * line per query with its per-scale seconds and the fitted log-log
+  * slope (`exponent`); SOAK.md interprets them. */
+object Soak {
+
+  private val DocStride = 1L << 20
+  private val VecStride = 1L << 20
+  private val EvStride = 1L << 24
+  private val UserStride = 1L << 20
+  private val Dim = 64
+  // exposed for SoakSpec's replica-boundary assertions only
+  private[graft] def docStrideForTest: Long = DocStride
+  private[graft] def vecStrideForTest: Long = VecStride
+
+  private def toksOf(c: Column): Column = filter(split(c, " "), t => t =!= "")
+
+  /** m-replica scaled copies of documents/embeddings/events under
+    * `out` (idempotent: skipped if the done-marker exists). */
+  def synthesize(s: SparkSession, base: String, out: String, m: Int): Unit = {
+    val done = new java.io.File(out, "_SOAK_DONE")
+    if (done.exists()) return
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    val embs = s.read.parquet(s"$base/embeddings.parquet")
+    val evs = s.read.parquet(s"$base/events.parquet")
+    def docRep(r: Int): DataFrame =
+      if (r == 0) docs.select("doc_id", "text", "lang", "source", "n_chars")
+      else {
+        val text = concat_ws(" ",
+          transform(toksOf(col("text")), t => concat(t, lit(s"z$r"))))
+        docs.select((col("doc_id") + lit(r * DocStride)).as("doc_id"),
+          text.as("text"), col("lang"), col("source"),
+          length(text).cast("long").as("n_chars"))
+      }
+    def embRep(r: Int): DataFrame =
+      if (r % Dim == 0)
+        embs.select((col("vec_id") + lit(r * VecStride)).as("vec_id"),
+          col("embedding"), col("label"))
+      else
+        embs.select((col("vec_id") + lit(r * VecStride)).as("vec_id"),
+          concat(slice(col("embedding"), r + 1, Dim - r),
+            slice(col("embedding"), 1, r)).as("embedding"),
+          col("label"))
+    def evRep(r: Int): DataFrame =
+      evs.select((col("event_id") + lit(r * EvStride)).as("event_id"),
+        col("ts"), (col("user_id") + lit(r * UserStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    (0 until m).map(docRep).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    (0 until m).map(embRep).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    (0 until m).map(evRep).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    done.createNewFile(): Unit
+  }
+
+  /** Full-corpus documents + a planted near-copy of every 10th doc
+    * (the d09Corpus recipe, uncapped) so edge/cluster volume grows
+    * WITH the corpus instead of staying a 240-doc constant. */
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val planted = base
+      .filter(col("doc_id") % 10 === 0 &&
+        size(toksOf(col("text"))) >= 20)
+      .select((col("doc_id") + lit(100L * DocStride)).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text"))
+    base.unionByName(planted)
+  }
+
+  private def embD(c: Column): Column =
+    transform(c, x => x.cast("double"))
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.array_cosine(a, b)
+
+  /** The d13 hierarchical SemDeDup pipeline on the FULL embeddings
+    * table (+ planted ×1.001 copies of every 10th vector): identical
+    * operator code to the roster query — lloyd coarse, lloydGrouped
+    * refine, routed assignment, sign-salt capSplit, capped pair join —
+    * with k = ⌈√n⌉ growing with the corpus, which is exactly the
+    * scaling claim under test. */
+  private def d13Full(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CentroidBuild
+    import graft.operators.Materialize.MaterializeOps
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), embD(col("embedding")).as("vec"))
+    val planted = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + lit(100L * VecStride)).as("vec_id"),
+        transform(col("vec"), x => x * lit(1.001)).as("vec"))
+    val corpus = base.unionByName(planted)
+    val n = corpus.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kf = (k + kc - 1) / kc
+    val coarse = CentroidBuild.lloyd(corpus, "vec_id", "vec", kc, rounds = 1)
+    val cells = CentroidBuild.nearest(
+        CentroidBuild.similarities(corpus, coarse, "vec_id", "vec"), "vec_id")
+      .withColumnRenamed("cl_id", "cell").materialize
+    val embCell = corpus.join(cells, "vec_id")
+    val fine = CentroidBuild.lloydGrouped(
+      embCell, "cell", "vec_id", "vec", kf, rounds = 1)
+    val assign = CentroidBuild.nearestGrouped(
+        embCell, fine, "cell", "vec_id", "vec")
+      .select(col("vec_id"),
+        (col("cell") * (kf + 1) + col("fid")).as("cl_id")).materialize
+    val withCl = corpus.select(col("vec_id"), col("vec"),
+        CentroidBuild.signSalt(col("vec")).as("salt"))
+      .join(assign, "vec_id")
+    val split = CentroidBuild.capSplit(withCl,
+      graft.queries.SimilarityQueries.SemDedupCap)
+    val dupPairs = split.as("a").join(split.as("b"),
+        col("a.cl_id") === col("b.cl_id") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.vec"), col("b.vec")))
+      .filter(col("cos") >= 0.999)
+    corpus.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(assign.agg(countDistinct("cl_id").as("n_clusters")))
+      .crossJoin(dupPairs.agg(
+        countDistinct(col("b.vec_id")).as("n_dropped")))
+  }
+
+  /** Uncapped d09: banded minhash edges + pointer-doubling label
+    * propagation over the planted full corpus. */
+  private def d09Full(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.DedupQueries
+    val labels = DedupQueries.labelPropagate(
+      DedupQueries.d09Edges(plantedDocs(s, d)))
+    labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+        max("sz").as("largest"))
+  }
+
+  private val Verbatim = Seq("d02_minhash_lsh", "s11_ivfpq_adc",
+    "s17_nprobe_sweep", "s18_pq_recall", "s19_adc_rerank",
+    "s24_hier_kmeans", "t14_shard_pack", "t27_lm_perplexity",
+    "e15_late_data_audit", "e19_stream_outer_join")
+
+  def queries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Verbatim.map(n => n -> SparkEntry.queries(n)) ++
+      Seq("d09_full_labelprop" -> (d09Full(_, _)),
+        "d13_full_semdedup" -> (d13Full(_, _)))
+
+  def main(args: Array[String]): Unit = {
+    val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/graft_soak")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val samples = sys.env.getOrElse("SPARK_GRAFT_SOAK_SAMPLES", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = Sessions.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scales.foreach { m =>
+      synthesize(spark, base, s"$work/x$m", m)
+      println(s"""{"soak":"synthesized","scale":$m}""")
+    }
+    // warmup (untimed): smallest scale once through every query
+    queries.foreach { case (_, fn) =>
+      try { fn(spark, s"$work/x${scales.min}").count(); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+      Bench.scrub(spark)
+    }
+    val results = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[Int, Double]]
+    (1 to samples).foreach { sample =>
+      scales.foreach { m =>
+        queries.foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, s"$work/x$m").count(); true }
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[soak] $name x$m FAILED: ${e.getMessage}")
+              false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (ok) {
+            val qmap = results.getOrElseUpdate(name,
+              scala.collection.mutable.Map.empty)
+            qmap(m) = math.min(qmap.getOrElse(m, Double.MaxValue), dt)
+            println(f"""{"soak":"$name","scale":$m,"sample":$sample,"sec":$dt%.3f}""")
+          }
+          Console.flush()
+          Bench.scrub(spark)
+        }
+      }
+    }
+    // least-squares slope of log(t) on log(m) — the scaling exponent
+    // (raw wall times include a fixed per-query floor, so exponents
+    // UNDER-estimate asymptotic growth; superlinear readings are the
+    // alarming ones, see SOAK.md)
+    queries.foreach { case (name, _) =>
+      results.get(name).filter(_.size >= 2).foreach { qmap =>
+        val pts = qmap.toSeq.sortBy(_._1)
+          .map { case (m, t) => (math.log(m.toDouble), math.log(t)) }
+        val n = pts.size.toDouble
+        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        // tail segment (two largest scales): the informative reading —
+        // the per-query fixed floor (session/planning/stream spin-up)
+        // flattens the global fit at small scales
+        val bySc = qmap.toSeq.sortBy(_._1)
+        val Seq((m1, t1), (m2, t2)) = bySc.takeRight(2).toSeq
+        val tail = math.log(t2 / t1) / math.log(m2.toDouble / m1)
+        val per = bySc
+          .map { case (m, t) => f""""x$m":$t%.3f""" }.mkString(",")
+        println(f"""{"soak_summary":"$name",$per%s,"exponent":$slope%.3f,"tail_exponent":$tail%.3f}""")
+      }
+    }
+    spark.stop()
+  }
+}
