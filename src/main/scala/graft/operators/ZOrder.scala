@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering — the multi-dimensional data-layout
+  * lever missing from one-key bucketing/partitioning
+  * ([[StorageLayout]]): interleave the bits of two normalized sort
+  * dimensions so that rows close in EITHER dimension land close in the
+  * one physical sort order. Files written in z-key ranges then carry
+  * tight min/max footers on BOTH columns, so a scan with a predicate on
+  * either (or both) dimensions prunes most files — where a layout
+  * sorted by one column prunes only queries on that column and scans
+  * everything for the other.
+  *
+  * This is the OPTIMIZE ZORDER BY shape (public Delta/Iceberg practice)
+  * re-expressed on the open DataFrame surface: the z-key is pure
+  * integer column algebra (shift/mask/add — whole-stage-codegen'd, no
+  * UDF) and the write is Spark's own range-partitioned sort
+  * (`repartitionByRange` = sample z-keys → range exchange →
+  * per-partition sort → one file per range). At 100 TB the sort is the
+  * only shuffle and it is embarrassingly range-parallel; everything
+  * downstream is scan-time pruning for free.
+  *
+  * The reference (a row-streaming CSV loader, /root/reference/
+  * common/loader.go:21-52) preserves input order and has no layout
+  * optimizer at all; this operator exists for the scale the reference
+  * never reaches.
+  */
+object ZOrder {
+
+  /** Morton-interleave the low `bits` bits of k non-negative long
+    * columns round-robin: result bit `i·k + j` is bit `i` of column
+    * `j`. Expands to shift/mask/add terms that stay inside whole-stage
+    * codegen. `bits · k` ≤ 63 (result fits a signed long). */
+  def interleaveN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 1 && bits >= 1 && bits * k <= 63,
+      s"need 1 ≤ bits·k ≤ 63, got bits=$bits k=$k")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ + _)
+  }
+
+  /** Two-dimension special case (bit `2i` from `x`, bit `2i+1` from
+    * `y`) — the form the q52 oracle mirrors. */
+  def interleave2(x: Column, y: Column, bits: Int): Column =
+    interleaveN(Seq(x, y), bits)
+
+  /** The identical arithmetic as ANSI/DuckDB SQL text, for oracle
+    * parity: every term is `(((x >> i) & 1) << 2i)` — bit-exact in any
+    * engine with 64-bit integer shifts. */
+  def interleave2Sql(x: String, y: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      s"(((($x) >> $i) & 1) << ${2 * i}) + (((($y) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Min-max normalize a non-negative long column onto [0, 2^bits). The
+    * bounds come in as columns (a 1-row broadcast aggregate upstream)
+    * so the whole rescale stays row-local integer math:
+    * `((v - lo) * (2^bits - 1)) div max(hi - lo, 1)` — Catalyst's
+    * IntegralDivide, exact 64-bit, never a rounding-sensitive double
+    * division. */
+  def normalize(v: Column, lo: Column, hi: Column, bits: Int): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graft.ColumnBridge
+    val top = (1L << bits) - 1
+    val num = (v - lo) * lit(top)
+    val den = greatest(hi - lo, lit(1L))
+    ColumnBridge.column(new IntegralDivide(
+      ColumnBridge.expression(num), ColumnBridge.expression(den)))
+  }
+
+  /** SQL mirror of [[normalize]] (DuckDB `//` is integer division; both
+    * operands are non-negative so trunc-vs-floor cannot differ). */
+  def normalizeSql(v: String, lo: String, hi: String, bits: Int): String = {
+    val top = (1L << bits) - 1
+    s"((($v) - ($lo)) * $top) // greatest(($hi) - ($lo), 1)"
+  }
+
+  /** Write `df` as parquet clustered by the z-order of long-typed
+    * columns: compute the z-key, range-partition into `nFiles` z-runs
+    * (sampled range exchange — the only shuffle), sort within each run,
+    * drop the key, write. Each output file then spans a contiguous
+    * z-range, i.e. a small hyper-rectangle of the clustered dimensions,
+    * so its parquet min/max footers are tight on EVERY clustered
+    * column. `bits` must cover the value range of each column
+    * (pre-normalize if not). */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int, nFiles: Int): Unit = {
+    val z = interleaveN(zCols.map(c => col(c).cast("long")), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int, nFiles: Int): Unit =
+    writeZOrdered(df, path, Seq(xCol, yCol), bits, nFiles)
+}

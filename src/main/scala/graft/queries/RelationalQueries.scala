@@ -788,6 +788,73 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), rnd(sum(revenue), 2).as("revenue"))
         .orderBy("p_brand")
     }),
+
+    /** Z-order layout planner ([[graft.operators.ZOrder]]): quantify
+      * multi-dimensional data skipping BEFORE paying for a 100 TB
+      * rewrite. Orders are normalized onto a 16-bit (custkey ×
+      * order-day) grid, Morton-interleaved, and chunked three ways —
+      * top-6-z-bits (the z-ordered file boundaries), custkey-ranges
+      * (single-key clustering), day-ranges — then each layout's chunk
+      * min/max footers are probed with three predicates (a 2-D
+      * rectangle, custkey-only, day-only). Output per (layout, probe):
+      * chunks/rows scanned vs matched and the scan fraction in basis
+      * points. The z-layout is the only one that bounds the WORST case
+      * across probe shapes — exactly why OPTIMIZE ZORDER exists.
+      * Shapes: the z-key is shift/mask codegen (no UDF); the three
+      * layouts come from ONE scan via explode (not three passes); the
+      * min/max bounds attach as a 1-row broadcast aggregate; chunk
+      * stats (≤192 rows) × 3 probes is a metadata-sized broadcast
+      * cross join. All math is 64-bit integral ⇒ bit-exact DuckDB
+      * oracle. */
+    "q52_zorder_skipping" -> ((s, d) => {
+      import graft.operators.ZOrder
+      import s.implicits._
+      val dims = Tables.orders(s, d).select(
+        col("o_custkey").cast("long").as("x"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+          .cast("long").as("y"))
+      val mm = dims.agg(min("x").as("xlo"), max("x").as("xhi"),
+        min("y").as("ylo"), max("y").as("yhi"))
+      val base = dims.crossJoin(broadcast(mm))
+        .withColumn("xn", ZOrder.normalize(col("x"), col("xlo"), col("xhi"), 16))
+        .withColumn("yn", ZOrder.normalize(col("y"), col("ylo"), col("yhi"), 16))
+        .withColumn("z", ZOrder.interleave2(col("xn"), col("yn"), 16))
+        .withColumn("m_x", col("xn").between(26214L, 39321L).cast("long"))
+        .withColumn("m_y", col("yn").between(26214L, 39321L).cast("long"))
+        .withColumn("m_both", col("m_x") * col("m_y"))
+      val chunks = base.select(explode(array(
+          struct(lit("zorder").as("layout"),
+            shiftright(col("z"), 26).as("chunk")),
+          struct(lit("by_cust").as("layout"),
+            shiftright(col("xn"), 10).as("chunk")),
+          struct(lit("by_date").as("layout"),
+            shiftright(col("yn"), 10).as("chunk")))).as("l"),
+          col("xn"), col("yn"), col("m_both"), col("m_x"), col("m_y"))
+        .groupBy(col("l.layout").as("layout"), col("l.chunk").as("chunk"))
+        .agg(count(lit(1)).as("n"),
+          min("xn").as("mnx"), max("xn").as("mxx"),
+          min("yn").as("mny"), max("yn").as("mxy"),
+          sum("m_both").as("sb"), sum("m_x").as("sx"), sum("m_y").as("sy"))
+      val probes = Seq(
+        ("both", 26214L, 39321L, 26214L, 39321L),
+        ("x_only", 26214L, 39321L, 0L, 65535L),
+        ("y_only", 0L, 65535L, 26214L, 39321L))
+        .toDF("probe", "lox", "hix", "loy", "hiy")
+      chunks.crossJoin(broadcast(probes))
+        .withColumn("scanned", (col("mnx") <= col("hix") &&
+          col("mxx") >= col("lox") && col("mny") <= col("hiy") &&
+          col("mxy") >= col("loy")).cast("long"))
+        .withColumn("m", when(col("probe") === "both", col("sb"))
+          .when(col("probe") === "x_only", col("sx")).otherwise(col("sy")))
+        .groupBy("layout", "probe")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("scanned").as("n_scanned"),
+          sum("n").as("rows_total"),
+          sum(col("scanned") * col("n")).as("rows_scanned"),
+          sum("m").as("rows_matched"))
+        .withColumn("scan_bp", expr("(rows_scanned * 10000) div rows_total"))
+        .orderBy("layout", "probe")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1256,5 +1323,57 @@ object RelationalQueries {
         | floor((sum(li.l_extendedprice * dim.mult))*100+0.5)/100 AS adj_revenue
         |FROM lineitem li JOIN dim ON li.l_returnflag = dim.k
         |GROUP BY li.l_returnflag ORDER BY k""".stripMargin,
+
+    // q52: the shift/mask z-key and the integral-divide normalization
+    // are GENERATED from the same ZOrder helpers the Spark plan uses —
+    // one arithmetic definition, two engines.
+    "q52_zorder_skipping" -> {
+      val nx = graft.operators.ZOrder.normalizeSql("x", "xlo", "xhi", 16)
+      val ny = graft.operators.ZOrder.normalizeSql("y", "ylo", "yhi", 16)
+      val zs = graft.operators.ZOrder.interleave2Sql("xn", "yn", 16)
+      s"""WITH dims AS (
+         |  SELECT CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '1992-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+         |  FROM orders),
+         |mm AS (SELECT min(x) AS xlo, max(x) AS xhi,
+         |  min(y) AS ylo, max(y) AS yhi FROM dims),
+         |norm AS (SELECT $nx AS xn, $ny AS yn FROM dims, mm),
+         |base AS (
+         |  SELECT xn, yn, $zs AS z,
+         |    CASE WHEN xn BETWEEN 26214 AND 39321 THEN 1 ELSE 0 END AS m_x,
+         |    CASE WHEN yn BETWEEN 26214 AND 39321 THEN 1 ELSE 0 END AS m_y,
+         |    CASE WHEN xn BETWEEN 26214 AND 39321
+         |      AND yn BETWEEN 26214 AND 39321 THEN 1 ELSE 0 END AS m_both
+         |  FROM norm),
+         |tri AS (
+         |  SELECT 'zorder' AS layout, z >> 26 AS chunk, * FROM base
+         |  UNION ALL SELECT 'by_cust', xn >> 10, * FROM base
+         |  UNION ALL SELECT 'by_date', yn >> 10, * FROM base),
+         |chunks AS (
+         |  SELECT layout, chunk, count(*) AS n,
+         |    min(xn) AS mnx, max(xn) AS mxx, min(yn) AS mny, max(yn) AS mxy,
+         |    sum(m_both) AS sb, sum(m_x) AS sx, sum(m_y) AS sy
+         |  FROM tri GROUP BY 1, 2),
+         |probes(probe, lox, hix, loy, hiy) AS (VALUES
+         |  ('both', 26214, 39321, 26214, 39321),
+         |  ('x_only', 26214, 39321, 0, 65535),
+         |  ('y_only', 0, 65535, 26214, 39321)),
+         |j AS (
+         |  SELECT layout, probe, n,
+         |    CASE WHEN mnx <= hix AND mxx >= lox
+         |      AND mny <= hiy AND mxy >= loy THEN 1 ELSE 0 END AS scanned,
+         |    CASE WHEN probe = 'both' THEN sb
+         |      WHEN probe = 'x_only' THEN sx ELSE sy END AS m
+         |  FROM chunks, probes)
+         |SELECT layout, probe, count(*) AS n_chunks,
+         |  CAST(sum(scanned) AS BIGINT) AS n_scanned,
+         |  CAST(sum(n) AS BIGINT) AS rows_total,
+         |  CAST(sum(scanned * n) AS BIGINT) AS rows_scanned,
+         |  CAST(sum(m) AS BIGINT) AS rows_matched,
+         |  (CAST(sum(scanned * n) AS BIGINT) * 10000)
+         |    // CAST(sum(n) AS BIGINT) AS scan_bp
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
   )
 }

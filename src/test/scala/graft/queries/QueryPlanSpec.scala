@@ -868,4 +868,23 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("q52: three layouts from ONE corpus pass (explode, no re-scan " +
+      "per layout); z-key stays in codegen; joins are metadata-sized " +
+      "broadcasts") {
+    val full = planOf("q52_zorder_skipping")
+    val plan = full.split("== Initial Plan ==")(0)
+    // exactly two orders scans: the 1-row min/max bounds + the main pass
+    assert("Scan parquet".r.findAllIn(plan).size == 2, plan.take(3000))
+    // the three layouts fan out via Generate(explode), not three scans
+    assert(plan.contains("Generate"), plan.take(3000))
+    // bounds + probe attachments broadcast; nothing shuffles a join
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(3000))
+    // no corpus-sized window sneaks in (the 9-row orderBy is a Sort)
+    assert(!"\\bWindow\\b".r.findFirstIn(plan).isDefined, plan.take(3000))
+    // the shift/mask Morton key compiles into whole-stage codegen (the
+    // Generate's input projection carries a codegen id in formatted mode)
+    assert(full.contains("codegen id"), full.take(3000))
+  }
 }
