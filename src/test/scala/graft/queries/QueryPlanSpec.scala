@@ -887,4 +887,23 @@ class QueryPlanSpec extends AnyFunSuite {
     // Generate's input projection carries a codegen id in formatted mode)
     assert(full.contains("codegen id"), full.take(3000))
   }
+
+  test("t33: every window is DOC-keyed (never corpus-wide); variants + " +
+      "positions + schemes all fan out of ONE scan; the orig∩shift " +
+      "presence test is an aggregate, not a self-join") {
+    val full = planOf("t33_cdc_chunking")
+    val plan = full.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(3000))
+    // no join anywhere: twin construction, chunking, and the presence
+    // test are explode + aggregate shapes
+    assert(!plan.contains("Join"), plan.take(3000))
+    // three Generates: variant twin, posexplode, scheme fan-out
+    assert("Generate".r.findAllIn(plan).size == 3, plan.take(3000))
+    // lag + cumsum windows exist and EVERY window spec is doc-keyed
+    val specs = full.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, full.take(3000))
+    specs.foreach(l => assert(l.contains("doc_id"),
+      s"corpus-sized window spec: $l"))
+  }
 }
