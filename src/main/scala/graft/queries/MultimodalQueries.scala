@@ -434,6 +434,56 @@ object MultimodalQueries {
           coalesce(col("pair_chk"), lit(0L)).as("pair_chk"))
         .orderBy("ham")
     }),
+
+    /** Scene-cut detection — the temporal-segmentation stage a video
+      * training pipeline runs before clip extraction (shot-boundary
+      * detection: PySceneDetect's content-detector shape): fan the
+      * payload out to ordered frames (m03's deterministic 64-byte
+      * chunking standing in for decoded video), extract a small integer
+      * feature vector per frame WHERE THE CODEC STUB SITS (here:
+      * space/vowel census of the chunk — a real pipeline emits a frame
+      * histogram or embedding from the decoder; the m02 discipline),
+      * and declare a cut wherever the L1 distance to the previous frame
+      * exceeds a threshold. Consecutive chunks of one document share
+      * character statistics, so the corpus has true temporal coherence
+      * and the cut rate lands at ~18%, not noise. Scene ids are the
+      * inclusive running sum of cut flags — lag() and cumsum over
+      * windows KEYED BY DOC (frame count per video bounds the
+      * partition, never the corpus); scene assembly is one
+      * hash-partitioned (doc, scene) aggregate; output is a per-source
+      * scene-length profile. All-integer features and counts ⇒ the
+      * whole segmentation replicates bit-for-bit in DuckDB. */
+    "m10_scene_cuts" -> ((s, d) => {
+      val C = 64; val T = 8
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("fidx")
+      val frames = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, greatest(CAST(floor((length(text)-1)/$C) AS INT), 0)), i -> substring(text, i*$C+1, $C))")))
+        .select(col("source"), col("doc_id"),
+          col("pos").cast("long").as("fidx"), col("col").as("f"))
+      val scenes = frames
+        .withColumn("sp", expr("length(f) - length(replace(f, ' ', ''))"))
+        .withColumn("vw", expr("length(f) - length(replace(replace(" +
+          "replace(f, 'a', ''), 'e', ''), 'o', ''))"))
+        .withColumn("dist", abs(col("sp") - lag("sp", 1).over(wDoc)) +
+          abs(col("vw") - lag("vw", 1).over(wDoc)))
+        .withColumn("cut", when(col("dist") > T, 1L).otherwise(0L))
+        .withColumn("scene_id", sum("cut").over(wDoc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("source", "doc_id", "scene_id")
+        .agg(count(lit(1)).as("n_f"))
+      scenes.groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_scenes"),
+          sum("n_f").as("n_frames"),
+          max("n_f").as("max_scene_frames"))
+        .withColumn("cuts_per_doc_e2",
+          expr("((n_scenes - n_docs) * 100) div n_docs"))
+        .withColumn("avg_scene_frames_e2",
+          expr("(n_frames * 100) div n_scenes"))
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -668,5 +718,47 @@ object MultimodalQueries {
         | CAST(sum(CAST(floor(c6*1000000+0.5) AS BIGINT)) AS BIGINT)
         |   AS sum_score_e6
         |FROM p GROUP BY label ORDER BY label""".stripMargin,
+
+    // m10: character-domain frame chunking (length/substring count
+    // CODE POINTS on both engines — not strlen), integer feature
+    // census, same lag + inclusive-cumsum segmentation.
+    "m10_scene_cuts" ->
+      """WITH fr AS (
+        |  SELECT source, doc_id,
+        |    unnest(range(0, greatest(CAST(floor((length(text)-1)/64) AS BIGINT) + 1, 1))) AS fidx,
+        |    text
+        |  FROM documents),
+        | f2 AS (
+        |  SELECT source, doc_id, fidx,
+        |    substring(text, CAST(fidx*64+1 AS BIGINT), 64) AS f
+        |  FROM fr),
+        | ft AS (
+        |  SELECT source, doc_id, fidx,
+        |    length(f) - length(replace(f, ' ', '')) AS sp,
+        |    length(f) - length(replace(replace(replace(f, 'a', ''),
+        |      'e', ''), 'o', '')) AS vw
+        |  FROM f2),
+        | lg AS (
+        |  SELECT *, abs(sp - lag(sp, 1) OVER w) + abs(vw - lag(vw, 1) OVER w)
+        |      AS dist
+        |  FROM ft WINDOW w AS (PARTITION BY doc_id ORDER BY fidx)),
+        | ct AS (
+        |  SELECT *, CASE WHEN dist > 8 THEN 1 ELSE 0 END AS cut FROM lg),
+        | sc AS (
+        |  SELECT *, sum(cut) OVER (PARTITION BY doc_id ORDER BY fidx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_id
+        |  FROM ct),
+        | scenes AS (
+        |  SELECT source, doc_id, scene_id, count(*) AS n_f
+        |  FROM sc GROUP BY 1, 2, 3)
+        |SELECT source,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_scenes,
+        |  CAST(sum(n_f) AS BIGINT) AS n_frames,
+        |  CAST(max(n_f) AS BIGINT) AS max_scene_frames,
+        |  ((count(*) - count(DISTINCT doc_id)) * 100) // count(DISTINCT doc_id)
+        |    AS cuts_per_doc_e2,
+        |  (CAST(sum(n_f) AS BIGINT) * 100) // count(*) AS avg_scene_frames_e2
+        |FROM scenes GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -906,4 +906,17 @@ class QueryPlanSpec extends AnyFunSuite {
     specs.foreach(l => assert(l.contains("doc_id"),
       s"corpus-sized window spec: $l"))
   }
+
+  test("m10: segmentation windows are DOC-keyed (frame count per video " +
+      "bounds the partition); one scan, no joins") {
+    val full = planOf("m10_scene_cuts")
+    val plan = full.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    val specs = full.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, full.take(3000))
+    specs.foreach(l => assert(l.contains("doc_id"),
+      s"corpus-sized window spec: $l"))
+  }
 }
