@@ -91,8 +91,29 @@ object ZOrder {
     * column. `bits` must cover the value range of each column
     * (pre-normalize if not). */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
-      bits: Int, nFiles: Int): Unit = {
-    val z = interleaveN(zCols.map(c => col(c).cast("long")), bits)
+      bits: Int, nFiles: Int, validateRange: Boolean = true): Unit = {
+    require(!df.columns.contains("__z"),
+      "input already has a __z column — rename it before z-ordering")
+    val longs = zCols.map(c => col(c).cast("long"))
+    if (validateRange) {
+      // fail LOUDLY on out-of-range values: interleaveN reads only the
+      // low `bits` bits, so silent truncation would alias distant keys
+      // into the same z-runs and quietly destroy the clustering (every
+      // file spanning the whole domain). Costs one extra scan; callers
+      // that already normalized may pass validateRange = false.
+      val aggs = longs.flatMap(c => Seq(min(c), max(c)))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      if (!row.isNullAt(0)) { // null bounds = empty input, nothing to check
+        val bad = zCols.indices.collect {
+          case i if row.getLong(2 * i) < 0 ||
+            row.getLong(2 * i + 1) >= (1L << bits) =>
+            s"${zCols(i)} in [${row.getLong(2 * i)}, ${row.getLong(2 * i + 1)}]"
+        }
+        require(bad.isEmpty, s"z-order columns must lie in [0, 2^$bits): " +
+          s"${bad.mkString("; ")} — normalize() them first")
+      }
+    }
+    val z = interleaveN(longs, bits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")

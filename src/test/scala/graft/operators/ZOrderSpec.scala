@@ -67,9 +67,39 @@ class ZOrderSpec extends AnyFunSuite {
         .as("xn"),
       ZOrder.normalize(col("y"), lit(r.getLong(2)), lit(r.getLong(3)), 16)
         .as("yn"))
-    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-zorder")
+    val base = baseDir.toString
     val zdir = s"$base/z"
     val xdir = s"$base/x"
+    try {
+      runLayoutContrast(norm, zdir, xdir)
+    } finally { // remove the two staged parquet datasets
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(baseDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("writeZOrdered fails loudly on out-of-range values instead of " +
+      "silently aliasing distant keys") {
+    val bad = Seq((70000L, 1L), (5L, 2L)).toDF("xn", "yn") // 70000 >= 2^16
+    val dir = java.nio.file.Files.createTempDirectory("graft-zbad")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ZOrder.writeZOrdered(bad, s"$dir/z", "xn", "yn", 16, 2)
+      }
+      assert(e.getMessage.contains("normalize"), e.getMessage)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  private def runLayoutContrast(norm: org.apache.spark.sql.DataFrame,
+      zdir: String, xdir: String): Unit = {
     ZOrder.writeZOrdered(norm, zdir, "xn", "yn", 16, 8)
     // control layout: same data, same file count, sorted by x only
     norm.repartitionByRange(8, col("xn")).sortWithinPartitions("xn")
