@@ -67,6 +67,7 @@ object Soak {
     val docs = s.read.parquet(s"$base/documents.parquet")
     val embs = s.read.parquet(s"$base/embeddings.parquet")
     val evs = s.read.parquet(s"$base/events.parquet")
+    val ords = s.read.parquet(s"$base/orders.parquet")
     def docRep(r: Int): DataFrame =
       if (r == 0) docs.select("doc_id", "text", "lang", "source", "n_chars")
       else {
@@ -95,6 +96,16 @@ object Soak {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     (0 until m).map(evRep).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // orders: key/customer-strided replicas, dates kept — the z-order
+    // planner (q52) sees an m× corpus over an m× customer domain with
+    // the same temporal span, i.e. the same grid occupancy shape
+    def ordRep(r: Int): DataFrame =
+      ords.select((col("o_orderkey") + lit(r * EvStride)).as("o_orderkey"),
+        (col("o_custkey") + lit(r * UserStride)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    (0 until m).map(ordRep).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
     done.createNewFile(): Unit
   }
 
@@ -176,7 +187,8 @@ object Soak {
   private val Verbatim = Seq("d02_minhash_lsh", "s11_ivfpq_adc",
     "s17_nprobe_sweep", "s18_pq_recall", "s19_adc_rerank",
     "s24_hier_kmeans", "t14_shard_pack", "t27_lm_perplexity",
-    "e15_late_data_audit", "e19_stream_outer_join")
+    "e15_late_data_audit", "e19_stream_outer_join",
+    "q52_zorder_skipping", "t33_cdc_chunking", "m10_scene_cuts")
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Verbatim.map(n => n -> SparkEntry.queries(n)) ++
@@ -186,6 +198,13 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_soak")
+    // dev-loop filter, same convention as Verify's SPARK_GRAFT_ONLY:
+    // soak only the named queries (new roster members join the corpus
+    // without re-measuring the settled 12)
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val qs = queries.filter(q => only.forall(_.contains(q._1)))
+    require(qs.nonEmpty, s"SPARK_GRAFT_SOAK_ONLY=$only selects no query")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALES", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
     val samples = sys.env.getOrElse("SPARK_GRAFT_SOAK_SAMPLES", "2").toInt
@@ -204,7 +223,7 @@ object Soak {
       println(s"""{"soak":"synthesized","scale":$m}""")
     }
     // warmup (untimed): smallest scale once through every query
-    queries.foreach { case (_, fn) =>
+    qs.foreach { case (_, fn) =>
       try { fn(spark, s"$work/x${scales.min}").count(); () }
       catch { case scala.util.control.NonFatal(_) => () }
       Bench.scrub(spark)
@@ -213,7 +232,7 @@ object Soak {
       .empty[String, scala.collection.mutable.Map[Int, Double]]
     (1 to samples).foreach { sample =>
       scales.foreach { m =>
-        queries.foreach { case (name, fn) =>
+        qs.foreach { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, s"$work/x$m").count(); true }
             catch { case scala.util.control.NonFatal(e) =>
@@ -235,7 +254,7 @@ object Soak {
     // (raw wall times include a fixed per-query floor, so exponents
     // UNDER-estimate asymptotic growth; superlinear readings are the
     // alarming ones, see SOAK.md)
-    queries.foreach { case (name, _) =>
+    qs.foreach { case (name, _) =>
       results.get(name).filter(_.size >= 2).foreach { qmap =>
         val pts = qmap.toSeq.sortBy(_._1)
           .map { case (m, t) => (math.log(m.toDouble), math.log(t)) }

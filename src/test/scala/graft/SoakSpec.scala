@@ -18,7 +18,7 @@ class SoakSpec extends AnyFunSuite {
   }
 
   test("scaled tables have exactly m x the base rows with the base schema") {
-    Seq("documents", "embeddings", "events").foreach { t =>
+    Seq("documents", "embeddings", "events", "orders").foreach { t =>
       val base = spark.read.parquet(s"$sf0001/$t.parquet")
       val scaled = spark.read.parquet(s"$dir/$t.parquet")
       assert(scaled.count() == 3 * base.count(), t)
@@ -32,6 +32,8 @@ class SoakSpec extends AnyFunSuite {
     assert(docs.select("doc_id").distinct().count() == docs.count())
     val evs = spark.read.parquet(s"$dir/events.parquet")
     assert(evs.select("event_id").distinct().count() == evs.count())
+    val ords = spark.read.parquet(s"$dir/orders.parquet")
+    assert(ords.select("o_orderkey").distinct().count() == ords.count())
   }
 
   test("document replicas share ZERO tokens with the base — naive " +
