@@ -855,6 +855,83 @@ object RelationalQueries {
         .withColumn("scan_bp", expr("(rows_scanned * 10000) div rows_total"))
         .orderBy("layout", "probe")
     }),
+
+    /** Declarative constraint audit — Deequ's unit-tests-for-data shape
+      * (Schelter et al., VLDB 2018): a constraint suite (completeness,
+      * key uniqueness, value range, set membership, referential
+      * integrity, freshness) evaluated against a feed, emitted as a
+      * per-constraint report with violation counts, thresholds, and
+      * pass flags — the gate a 100 TB ingest runs BEFORE data reaches
+      * training. The feed is the orders table plus six deterministic
+      * dirty slices (one per rule, disjoint key ranges so each rule's
+      * planted count is attributable; re-keyed except the uniqueness
+      * plant) — the oracle rebuilds the same feed, so the audit's
+      * DETECTION is what's verified, and the report shows both
+      * outcomes (five constraints fail on their plants, freshness
+      * passes under its explicit tolerance). Shapes: every row-local
+      * check rides ONE wide aggregate chain over ONE feed pass
+      * (uniqueness via count−count_distinct folds in as the single
+      * distinct aggregate's extra grouping phase — no second scan, no
+      * keep-first window); referential integrity is a broadcast LEFT
+      * ANTI against the dim keys that Catalyst pushes through the
+      * union branches (bloom-prefiltered at real scale, q47's
+      * operator); the report itself is a 1-row explode —
+      * metadata-sized. */
+    "q53_constraint_audit" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+      def slice(m: Int, rekey: Long): DataFrame = {
+        val sl = base.filter(col("o_orderkey") % m === 0)
+        if (rekey == 0L) sl
+        else sl.withColumn("o_orderkey", col("o_orderkey") + rekey)
+      }
+      val dirty = base
+        .unionByName(slice(500, 0L)) // duplicate keys, verbatim rows
+        .unionByName(slice(300, 20000000L)
+          .withColumn("o_custkey", col("o_custkey") + 10000000L))
+        .unionByName(slice(400, 30000000L)
+          .withColumn("o_totalprice", -col("o_totalprice")))
+        .unionByName(slice(600, 40000000L)
+          .withColumn("o_custkey", lit(null).cast("long")))
+        .unionByName(slice(700, 50000000L)
+          .withColumn("o_orderstatus", lit("X")))
+        .unionByName(slice(800, 60000000L)
+          .withColumn("o_orderdate", expr("o_orderdate + INTERVAL '60' MONTH")))
+      val fk = dirty.filter(col("o_custkey").isNotNull)
+        .join(broadcast(Tables.customer(s, d).select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v_fk"))
+      val wide = dirty.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_complete"),
+        (count(lit(1)) - countDistinct("o_orderkey")).as("v_unique"),
+        sum(when(col("o_totalprice") < 0 ||
+          col("o_totalprice") > 1000000.0, 1L).otherwise(0L)).as("v_range"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("v_set"),
+        sum(when(expr("o_orderdate > TIMESTAMP_NTZ'2002-01-01'"), 1L)
+          .otherwise(0L)).as("v_fresh"))
+      def entry(name: String, checked: Column, viol: Column,
+          maxAllowed: Long): Column =
+        struct(lit(name).as("check_name"), checked.as("n_checked"),
+          viol.cast("long").as("n_violations"),
+          lit(maxAllowed).as("max_allowed"))
+      wide.crossJoin(broadcast(fk))
+        .select(explode(array(
+          entry("complete_custkey", col("n_rows"), col("v_complete"), 0L),
+          entry("unique_orderkey", col("n_rows"), col("v_unique"), 0L),
+          entry("range_totalprice", col("n_rows"), col("v_range"), 0L),
+          entry("set_orderstatus", col("n_rows"), col("v_set"), 0L),
+          entry("fk_custkey", col("n_rows") - col("v_complete"),
+            col("v_fk"), 0L),
+          entry("fresh_orderdate", col("n_rows"), col("v_fresh"), 50L)))
+          .as("c"))
+        .select(col("c.check_name").as("check_name"),
+          col("c.n_checked").as("n_checked"),
+          col("c.n_violations").as("n_violations"),
+          col("c.max_allowed").as("max_allowed"),
+          (col("c.n_violations") <= col("c.max_allowed")).as("passed"))
+        .orderBy("check_name")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1375,5 +1452,57 @@ object RelationalQueries {
          |    // CAST(sum(n) AS BIGINT) AS scan_bp
          |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    // q53: the oracle rebuilds the same six dirty slices positionally
+    // (orders physical column order), then re-derives every check.
+    "q53_constraint_audit" ->
+      """WITH dirty AS (
+        |  SELECT * FROM orders
+        |  UNION ALL SELECT * FROM orders WHERE o_orderkey % 500 = 0
+        |  UNION ALL SELECT o_orderkey + 20000000, o_custkey + 10000000,
+        |    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 300 = 0
+        |  UNION ALL SELECT o_orderkey + 30000000, o_custkey,
+        |    o_orderstatus, -o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 400 = 0
+        |  UNION ALL SELECT o_orderkey + 40000000, CAST(NULL AS BIGINT),
+        |    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 600 = 0
+        |  UNION ALL SELECT o_orderkey + 50000000, o_custkey,
+        |    'X', o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 700 = 0
+        |  UNION ALL SELECT o_orderkey + 60000000, o_custkey,
+        |    o_orderstatus, o_totalprice, o_orderdate + INTERVAL 60 MONTH,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 800 = 0),
+        | w AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_complete,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_unique,
+        |    CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |    CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '2002-01-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_fresh
+        |  FROM dirty),
+        | fk AS (
+        |  SELECT count(*) AS v_fk FROM dirty o
+        |  WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        | rep AS (
+        |  SELECT 'complete_custkey' AS check_name, n_rows AS n_checked,
+        |    v_complete AS n_violations, CAST(0 AS BIGINT) AS max_allowed
+        |  FROM w
+        |  UNION ALL SELECT 'unique_orderkey', n_rows, v_unique, 0 FROM w
+        |  UNION ALL SELECT 'range_totalprice', n_rows, v_range, 0 FROM w
+        |  UNION ALL SELECT 'set_orderstatus', n_rows, v_set, 0 FROM w
+        |  UNION ALL SELECT 'fk_custkey', n_rows - v_complete, v_fk, 0
+        |  FROM w, fk
+        |  UNION ALL SELECT 'fresh_orderdate', n_rows, v_fresh, 50 FROM w)
+        |SELECT check_name, n_checked, n_violations, max_allowed,
+        |  n_violations <= max_allowed AS passed
+        |FROM rep ORDER BY check_name""".stripMargin,
   )
 }

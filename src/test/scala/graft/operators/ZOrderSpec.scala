@@ -55,6 +55,40 @@ class ZOrderSpec extends AnyFunSuite {
     assert(n.getLong(1) == (5L * 65535L) / 10L)
   }
 
+  test("property: interleaveN is a bijection whose inverse recovers " +
+      "every coordinate (400 generated samples, batch-evaluated)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val g = for {
+      k <- Gen.choose(1, 4)
+      bits <- Gen.choose(1, 63 / k)
+      vs <- Gen.listOfN(k, Gen.choose(0L, (1L << bits) - 1))
+    } yield (bits, vs)
+    val samples = (1 to 400).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)))
+    // one Spark job per (k, bits) shape, each evaluating its whole batch
+    samples.groupBy { case (bits, vs) => (bits, vs.size) }
+      .foreach { case ((bits, k), group) =>
+        val df = group.map(_._2.mkString(",")).toDF("csv")
+          .withColumn("vs", split(col("csv"), ","))
+        val cols = (0 until k).map(j =>
+          element_at(col("vs"), j + 1).cast("long"))
+        val got = df.withColumn("z", ZOrder.interleaveN(cols, bits))
+          .select("csv", "z").collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        got.foreach { case (csv, z) =>
+          val vs = csv.split(",").map(_.toLong)
+          // inverse: bit i of coordinate j is z's bit i*k + j
+          val back = (0 until k).map { j =>
+            (0 until bits).foldLeft(0L) { (acc, i) =>
+              acc | (((z >> (i * k + j)) & 1L) << i)
+            }
+          }
+          assert(back.toSeq == vs.toSeq, s"k=$k bits=$bits vs=$csv z=$z")
+        }
+      }
+  }
+
   test("z-ordered files bound the worst case: a y-only probe scans ALL " +
       "x-sorted files but only a band of z-files") {
     val dims = Tables.orders(spark, sf0001).select(

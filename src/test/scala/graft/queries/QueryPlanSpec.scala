@@ -907,6 +907,20 @@ class QueryPlanSpec extends AnyFunSuite {
       s"corpus-sized window spec: $l"))
   }
 
+  test("q53: all row-local checks ride ONE aggregate chain over the " +
+      "feed (uniqueness folded in as a distinct aggregate — no window, " +
+      "no sort-merge); referential integrity is a broadcast LEFT ANTI " +
+      "that Catalyst pushes through the union branches") {
+    val plan = planOf("q53_constraint_audit").split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin LeftAnti"), plan.take(3000))
+    // the wide agg plans as partial+final (with the distinct's extra
+    // grouping phases), all HashAggregate — nothing sort-based
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("SortAggregate") &&
+      !"\\bWindow\\b".r.findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
   test("m10: segmentation windows are DOC-keyed (frame count per video " +
       "bounds the partition); one scan, no joins") {
     val full = planOf("m10_scene_cuts")
