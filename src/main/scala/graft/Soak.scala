@@ -63,7 +63,10 @@ object Soak {
     * `out` (idempotent: skipped if the done-marker exists). */
   def synthesize(s: SparkSession, base: String, out: String, m: Int): Unit = {
     val done = new java.io.File(out, "_SOAK_DONE")
-    if (done.exists()) return
+    // the marker alone is not enough: a work dir synthesized before a
+    // table joined the set (orders, r13) would skip-and-miss it
+    if (done.exists() && new java.io.File(out, "orders.parquet").exists())
+      return
     val docs = s.read.parquet(s"$base/documents.parquet")
     val embs = s.read.parquet(s"$base/embeddings.parquet")
     val evs = s.read.parquet(s"$base/events.parquet")
@@ -204,7 +207,12 @@ object Soak {
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = queries.filter(q => only.forall(_.contains(q._1)))
-    require(qs.nonEmpty, s"SPARK_GRAFT_SOAK_ONLY=$only selects no query")
+    only.foreach { names =>
+      val unknown = names -- queries.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SOAK_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
+    require(qs.nonEmpty, "SPARK_GRAFT_SOAK_ONLY selects no query")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALES", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
     val samples = sys.env.getOrElse("SPARK_GRAFT_SOAK_SAMPLES", "2").toInt

@@ -103,11 +103,18 @@ object ZOrder {
       // that already normalized may pass validateRange = false.
       val aggs = longs.flatMap(c => Seq(min(c), max(c)))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
-      if (!row.isNullAt(0)) { // null bounds = empty input, nothing to check
-        val bad = zCols.indices.collect {
-          case i if row.getLong(2 * i) < 0 ||
-            row.getLong(2 * i + 1) >= (1L << bits) =>
-            s"${zCols(i)} in [${row.getLong(2 * i)}, ${row.getLong(2 * i + 1)}]"
+      // all bounds null = empty input, nothing to check; a null bound
+      // on SOME column means that column is entirely NULL — its own
+      // loud failure, not an NPE and not a silent skip of the rest
+      if (!(0 until 2 * zCols.size).forall(row.isNullAt)) {
+        val bad = zCols.indices.flatMap { i =>
+          if (row.isNullAt(2 * i))
+            Some(s"${zCols(i)} is entirely NULL")
+          else if (row.getLong(2 * i) < 0 ||
+            row.getLong(2 * i + 1) >= (1L << bits))
+            Some(s"${zCols(i)} in [${row.getLong(2 * i)}, " +
+              s"${row.getLong(2 * i + 1)}]")
+          else None
         }
         require(bad.isEmpty, s"z-order columns must lie in [0, 2^$bits): " +
           s"${bad.mkString("; ")} — normalize() them first")

@@ -101,6 +101,15 @@ object MultimodalQueries {
     if (w >= h) (box, math.max(1, h * box / w))
     else (math.max(1, w * box / h), box)
 
+
+  /** The frame fan-out expression shared by m03/m07/m10: chunk a
+    * column into fixed-size frames (at least one, even for an empty
+    * payload). `lenFn` picks the domain — `octet_length` for binary
+    * payloads, `length` (code points) for text. One definition; the
+    * per-query oracles mirror it in SQL. */
+  private def frameChunksSql(c: String, lenFn: String, chunk: Int): String =
+    s"transform(sequence(0, greatest(CAST(floor(($lenFn($c)-1)/$chunk) AS INT), 0)), i -> substring($c, i*$chunk+1, $chunk))"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     /** Binary metadata pass: byte length + content hash + lead byte —
@@ -281,7 +290,7 @@ object MultimodalQueries {
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .select(col("doc_id"),
           explode(expr(
-            s"transform(sequence(0, greatest(CAST(floor((octet_length(content)-1)/$chunk) AS INT), 0)), i -> substring(content, i*$chunk+1, $chunk))"))
+            frameChunksSql("content", "octet_length", chunk)))
             .as("frame"))
         .select(col("doc_id"), md5(col("frame")).as("fmd5"))
       val byHash = frames.groupBy("fmd5")
@@ -306,7 +315,7 @@ object MultimodalQueries {
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .select(col("doc_id"),
           posexplode(expr(
-            s"transform(sequence(0, greatest(CAST(floor((octet_length(content)-1)/$chunk) AS INT), 0)), i -> substring(content, i*$chunk+1, $chunk))")))
+            frameChunksSql("content", "octet_length", chunk))))
         .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
           octet_length(col("col")).as("frame_bytes"),
           md5(col("col")).as("frame_md5"))
@@ -438,7 +447,7 @@ object MultimodalQueries {
     /** Scene-cut detection — the temporal-segmentation stage a video
       * training pipeline runs before clip extraction (shot-boundary
       * detection: PySceneDetect's content-detector shape): fan the
-      * payload out to ordered frames (m03's deterministic 64-byte
+      * payload out to ordered frames (m03's deterministic 64-character
       * chunking standing in for decoded video), extract a small integer
       * feature vector per frame WHERE THE CODEC STUB SITS (here:
       * space/vowel census of the chunk — a real pipeline emits a frame
@@ -459,7 +468,7 @@ object MultimodalQueries {
         .partitionBy("doc_id").orderBy("fidx")
       val frames = Tables.documents(s, d)
         .select(col("source"), col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, greatest(CAST(floor((length(text)-1)/$C) AS INT), 0)), i -> substring(text, i*$C+1, $C))")))
+          frameChunksSql("text", "length", C))))
         .select(col("source"), col("doc_id"),
           col("pos").cast("long").as("fidx"), col("col").as("f"))
       val scenes = frames

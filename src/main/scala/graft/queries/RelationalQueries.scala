@@ -868,7 +868,8 @@ object RelationalQueries {
       * plant) — the oracle rebuilds the same feed, so the audit's
       * DETECTION is what's verified, and the report shows both
       * outcomes (five constraints fail on their plants, freshness
-      * passes under its explicit tolerance). Shapes: every row-local
+      * passes under its 1%-of-rows rate tolerance — a rate, not an
+      * absolute count, so the outcome is scale-stable). Shapes: every row-local
       * check rides ONE wide aggregate chain over ONE feed pass
       * (uniqueness via count−count_distinct folds in as the single
       * distinct aggregate's extra grouping phase — no second scan, no
@@ -911,19 +912,24 @@ object RelationalQueries {
         sum(when(expr("o_orderdate > TIMESTAMP_NTZ'2002-01-01'"), 1L)
           .otherwise(0L)).as("v_fresh"))
       def entry(name: String, checked: Column, viol: Column,
-          maxAllowed: Long): Column =
+          maxAllowed: Column): Column =
         struct(lit(name).as("check_name"), checked.as("n_checked"),
           viol.cast("long").as("n_violations"),
-          lit(maxAllowed).as("max_allowed"))
+          maxAllowed.cast("long").as("max_allowed"))
+      val zero = lit(0L)
       wide.crossJoin(broadcast(fk))
         .select(explode(array(
-          entry("complete_custkey", col("n_rows"), col("v_complete"), 0L),
-          entry("unique_orderkey", col("n_rows"), col("v_unique"), 0L),
-          entry("range_totalprice", col("n_rows"), col("v_range"), 0L),
-          entry("set_orderstatus", col("n_rows"), col("v_set"), 0L),
+          entry("complete_custkey", col("n_rows"), col("v_complete"), zero),
+          entry("unique_orderkey", col("n_rows"), col("v_unique"), zero),
+          entry("range_totalprice", col("n_rows"), col("v_range"), zero),
+          entry("set_orderstatus", col("n_rows"), col("v_set"), zero),
           entry("fk_custkey", col("n_rows") - col("v_complete"),
-            col("v_fk"), 0L),
-          entry("fresh_orderdate", col("n_rows"), col("v_fresh"), 50L)))
+            col("v_fk"), zero),
+          // a RATE tolerance (1% of rows), not an absolute count — an
+          // absolute threshold silently flips the pass/fail outcome
+          // with data size (50 passed at sf0.01, failed at sf0.1)
+          entry("fresh_orderdate", col("n_rows"), col("v_fresh"),
+            expr("n_rows div 100"))))
           .as("c"))
         .select(col("c.check_name").as("check_name"),
           col("c.n_checked").as("n_checked"),
@@ -1500,7 +1506,8 @@ object RelationalQueries {
         |  UNION ALL SELECT 'set_orderstatus', n_rows, v_set, 0 FROM w
         |  UNION ALL SELECT 'fk_custkey', n_rows - v_complete, v_fk, 0
         |  FROM w, fk
-        |  UNION ALL SELECT 'fresh_orderdate', n_rows, v_fresh, 50 FROM w)
+        |  UNION ALL SELECT 'fresh_orderdate', n_rows, v_fresh,
+        |    n_rows // 100 FROM w)
         |SELECT check_name, n_checked, n_violations, max_allowed,
         |  n_violations <= max_allowed AS passed
         |FROM rep ORDER BY check_name""".stripMargin,
