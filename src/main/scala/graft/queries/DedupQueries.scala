@@ -742,7 +742,10 @@ object DedupQueries {
       * ground-truth-verified by its planted companions (d08 exact,
       * d11 near-dup). */
     "d03_simhash" -> ((s, d) => {
-      val docs = simhashSketchKernel(s, Tables.documents(s, d))
+      // the sketch (token explode + 60 bit votes per doc) feeds the
+      // census agg AND both band sides AND the hamming verify —
+      // materialize once (the d02 shared-frame rule)
+      val docs = simhashSketchKernel(s, Tables.documents(s, d)).materialize
       docs.agg(count(lit(1)).as("n_docs"),
           countDistinct("simhash").as("n_distinct_simhash"))
         .crossJoin(simhashPairs(docs).agg(
