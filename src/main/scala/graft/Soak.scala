@@ -176,15 +176,86 @@ object Soak {
         countDistinct(col("b.vec_id")).as("n_dropped")))
   }
 
-  /** Uncapped d09: banded minhash edges + pointer-doubling label
-    * propagation over the planted full corpus. */
+  /** Uncapped d09 on the SHIPPED path (exact-content collapse +
+    * banded rep edges + pointer-doubling label propagation) over the
+    * planted full corpus. */
   private def d09Full(s: SparkSession, d: String): DataFrame = {
     import graft.queries.DedupQueries
-    val labels = DedupQueries.labelPropagate(
-      DedupQueries.d09Edges(plantedDocs(s, d)))
+    val labels = DedupQueries.labelPropagateCollapsed(plantedDocs(s, d))
     labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
         max("sz").as("largest"))
+  }
+
+  /** Hot-bucket skew corpus: the base documents plus h EXACT copies of
+    * one ≥20-token doc — the error-page/boilerplate shape every web
+    * crawl has. All h+1 copies share one bucket in EVERY band, so the
+    * uncollapsed band self-join pays C(h+1,2) candidate pairs out of a
+    * single task; the collapsed build pays h star rows. */
+  private def hotDocs(s: SparkSession, d: String, h: Int): DataFrame = {
+    val base = Tables.documents(s, d).select("doc_id", "text")
+    val src = base.filter(size(toksOf(col("text"))) >= 20)
+      .orderBy("doc_id").limit(1)
+    val copies = src
+      .select(explode(expr(s"sequence(1, $h)")).as("k"), col("text"))
+      .select((col("k") + lit(200L * DocStride)).as("doc_id"), col("text"))
+    base.unionByName(copies)
+  }
+
+  private def clusterCensus(labels: DataFrame): DataFrame =
+    labels.groupBy("lbl").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+        max("sz").as("largest"))
+
+  /** Skew mode (`SPARK_GRAFT_SOAK_SKEW_H=512,2048,8192`): measures the
+    * d09 clustering pipeline's wall time against the planted
+    * mega-duplicate size h, for the uncollapsed (all in-bucket pairs)
+    * and collapsed (rep pairs + star) builds. The uncollapsed curve is
+    * expected ~quadratic in h — the cliff the collapse exists to
+    * remove; the spec-level label equality of the two builds is
+    * DedupSkewSpec's job, so this mode only times them. */
+  private def skewMain(spark: SparkSession, base: String,
+      hs: Seq[Int], samples: Int): Unit = {
+    import graft.queries.DedupQueries
+    val variants: Seq[(String, Int => DataFrame)] = Seq(
+      "d09_hot_uncollapsed" -> ((h: Int) => clusterCensus(
+        DedupQueries.labelPropagate(
+          DedupQueries.d09Edges(hotDocs(spark, base, h))))),
+      "d09_hot_collapsed" -> ((h: Int) => clusterCensus(
+        DedupQueries.labelPropagateCollapsed(hotDocs(spark, base, h)))))
+    // warmup: smallest h once through both variants
+    variants.foreach { case (_, fn) =>
+      fn(hs.min).count(); Bench.scrub(spark)
+    }
+    val results = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[Int, Double]]
+    (1 to samples).foreach { sample =>
+      hs.foreach { h =>
+        variants.foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          fn(h).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          val qmap = results.getOrElseUpdate(name,
+            scala.collection.mutable.Map.empty)
+          qmap(h) = math.min(qmap.getOrElse(h, Double.MaxValue), dt)
+          println(f"""{"skew":"$name","h":$h,"sample":$sample,"sec":$dt%.3f}""")
+          Console.flush()
+          Bench.scrub(spark)
+        }
+      }
+    }
+    results.toSeq.sortBy(_._1).foreach { case (name, qmap) =>
+      val bySc = qmap.toSeq.sortBy(_._1)
+      val per = bySc.map { case (h, t) => f""""h$h":$t%.3f""" }.mkString(",")
+      bySc.takeRight(2) match {
+        case Seq((h1, t1), (h2, t2)) =>
+          val tail = math.log(t2 / t1) / math.log(h2.toDouble / h1)
+          println(
+            f"""{"skew_summary":"$name",$per%s,"tail_exponent":$tail%.3f}""")
+        case _ =>
+          println(f"""{"skew_summary":"$name",$per%s}""")
+      }
+    }
   }
 
   private val Verbatim = Seq("d02_minhash_lsh", "s11_ivfpq_adc",
@@ -226,6 +297,13 @@ object Soak {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val skewHs = sys.env.get("SPARK_GRAFT_SOAK_SKEW_H")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+    if (skewHs.isDefined) {
+      skewMain(spark, base, skewHs.get, samples)
+      spark.stop()
+      sys.exit(0)
+    }
     scales.foreach { m =>
       synthesize(spark, base, s"$work/x$m", m)
       println(s"""{"soak":"synthesized","scale":$m}""")

@@ -403,6 +403,85 @@ object DedupQueries {
     minhashPairs(corpus).filter(col("jaccard") >= 0.3)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
 
+  /** Connected components over the near-dup graph with an
+    * EXACT-CONTENT COLLAPSE in front of the banding — the hot-bucket
+    * guard for the clustering consumers (d09 census / d17 keeper /
+    * d25 soft-dedup via [[d09Labels]]).
+    *
+    * The failure mode: [[minhashPairs]] generates ALL in-bucket pairs,
+    * so a mega-duplicate cluster of h identical docs (the error-page /
+    * boilerplate case every web crawl has) puts h rows in ONE bucket
+    * of EVERY band and pays h²/2 candidate pairs — produced by a
+    * single join task, since one bucket is one shuffle key. The soak's
+    * replica corpora never exercise this (they plant dup PAIRS, so
+    * buckets hold 2); SOAK.md's skew section measures the cliff and
+    * this fix.
+    *
+    * The collapse: group docs by their exact hashed-shingle SET
+    * (md5 of the sorted array — 128 bits, birthday-safe past 10^18
+    * docs), elect rep = min(doc_id) per group, band and verify
+    * REPRESENTATIVES only, and hand [[labelPropagate]] the rep-level
+    * verified edges plus one (rep, member) star edge per non-rep
+    * member. Work becomes quadratic in DISTINCT contents per bucket —
+    * and distinct contents spread over buckets by construction (their
+    * signatures differ), so the h-duplicate bucket costs h linear star
+    * rows instead of h²/2 pairs.
+    *
+    * Equivalence to `labelPropagate(d09Edges(corpus))` is EXACT, not
+    * approximate — per component and per label:
+    *  - signatures, buckets, and jaccard are functions of the shingle
+    *    SET alone, so every member has exactly its rep's candidates
+    *    and verified neighbors: an uncollapsed edge (a, b) across
+    *    groups implies the rep edge (rep_a, rep_b) here, and
+    *    conversely; a within-group edge (jaccard 1 ≥ any threshold)
+    *    is replaced by the star path a–rep–b;
+    *  - the node set is preserved: a multi-doc group's members enter
+    *    via star edges (they have a real jaccard-1 edge), a singleton
+    *    doc enters iff its rep-level edges exist (it IS its rep);
+    *  - labels agree: rep = min(doc_id) of its group, so the min over
+    *    collapsed nodes of a component is the min over all members.
+    * DedupSkewSpec asserts label-table equality against the
+    * uncollapsed build on a planted mega-group corpus. */
+  def labelPropagateCollapsed(corpusIn: DataFrame,
+      minJaccard: Double = 0.3): DataFrame =
+    labelPropagate(collapsedEdges(corpusIn, minJaccard))
+
+  /** The collapsed build's edge frame — rep-level verified near-dup
+    * edges plus the per-group star — exposed so the plan spec can pin
+    * its executed shape (group on the 128-bit content key, equi joins
+    * only, no cartesian). See [[labelPropagateCollapsed]]. */
+  def collapsedEdges(corpusIn: DataFrame,
+      minJaccard: Double = 0.3): DataFrame = {
+    import graft.operators.Materialize.MaterializeOps
+    // one tokenize+shingle pass feeds the content key, the rep
+    // signatures, and both verify-join sides (the d02/d03 shared-frame
+    // rule)
+    val sh = shingled(corpusIn).materialize
+    val keyed = sh.select(col("doc_id"),
+      md5(concat_ws(",",
+        transform(array_sort(col("sh")), x => x.cast("string")))).as("ckey"))
+    val groups = keyed.groupBy("ckey")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("gsize"))
+    val members = keyed.join(groups, "ckey")
+    val star = members
+      .filter(col("gsize") >= 2 && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("u"), col("doc_id").as("v"))
+    val repSh = sh.join(
+      members.filter(col("doc_id") === col("rep")).select("doc_id"),
+      "doc_id")
+    val bands = bandsOf(repSh)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val repEdges = verifyJaccard(cand, repSh, repSh)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    repEdges.unionByName(star)
+  }
+
   /** The shared d20/d21 hub-graph corpus: doc_id < 200 plus an
     * 11-clique of planted variants of one source doc (each appending a
     * distinct token) — a known high-degree structure against an
@@ -553,7 +632,10 @@ object DedupQueries {
     val sessionKey =
       s.sparkContext.applicationId + "#" + System.identityHashCode(s)
     val handle = labelCache.computeIfAbsent((sessionKey, d), _ => {
-      val labels = labelPropagate(d09Edges(d09Corpus(s, d)))
+      // the collapsed build: label-identical to
+      // labelPropagate(d09Edges(...)) — see labelPropagateCollapsed's
+      // equivalence argument — with the hot-bucket h² bounded away
+      val labels = labelPropagateCollapsed(d09Corpus(s, d))
       // labelPropagate returns a checkpoint-materialized frame, so the
       // row count is an aggregate over local blocks, not a recompute
       if (labels.count() <= labelMemoMaxRows(s))

@@ -178,4 +178,45 @@ class DedupSkewSpec extends AnyFunSuite {
       DedupQueries.simhashBands(bands = 5, bits = 16)
     }
   }
+
+  test("labelPropagateCollapsed == uncollapsed build: mega-group, " +
+      "cross-group near-dup, short-text twins, organic singletons") {
+    // The exact-content collapse must be invisible in the label table.
+    // Corpus exercises every equivalence case from the scaladoc:
+    //  - 60 EXACT copies of one 30-token text (the hot bucket the
+    //    collapse exists for; uncollapsed this is C(61,2) in-bucket
+    //    pairs, collapsed it is 60 star rows)
+    //  - a near-dup of that text (one appended token) — the component
+    //    must extend PAST the exact group through a rep-level edge
+    //  - an unrelated exact pair plus its near-dup (a small organic
+    //    component fully outside the mega group)
+    //  - two copies of a 2-token doc (the short-text CASE branch:
+    //    shingle = hash of the whole text)
+    //  - 40 distinct organic docs that must stay out of the node set
+    val megaText = "mega " + randWords(29)
+    val pairText = "pair " + randWords(29)
+    val rows =
+      (0 until 60).map(i => ((1000 + i).toLong, megaText)) ++
+        Seq((2000L, megaText + " graftnear")) ++
+        Seq((3000L, pairText), (3001L, pairText),
+          (3002L, pairText + " graftnear")) ++
+        Seq((4000L, "tiny doc"), (4001L, "tiny doc")) ++
+        (0 until 40).map(i => ((5000 + i).toLong, s"organic $i " + randWords(30)))
+    val corpus = rows.toDF("doc_id", "text")
+
+    val un = DedupQueries.labelPropagate(DedupQueries.d09Edges(corpus))
+      .as[(Long, Long)].collect().toSet
+    val co = DedupQueries.labelPropagateCollapsed(corpus)
+      .as[(Long, Long)].collect().toSet
+    assert(co == un,
+      s"collapsed label table diverges: only-collapsed=${(co -- un).take(5)} " +
+        s"only-uncollapsed=${(un -- co).take(5)}")
+    // sanity on the fixture itself: the mega component spans the 60
+    // copies + the near-dup, labeled by the smallest doc_id
+    assert(un.count(_._2 == 1000L) == 61,
+      "fixture drift: mega component is not 61 nodes")
+    assert(un.contains((2000L, 1000L)),
+      "fixture drift: near-dup did not join the mega component")
+    assert(un.count(_._2 == 3000L) == 3 && un.contains((4001L, 4000L)))
+  }
 }

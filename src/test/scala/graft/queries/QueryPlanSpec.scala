@@ -441,6 +441,23 @@ class QueryPlanSpec extends AnyFunSuite {
       s"edge build plans a cartesian:\n${tree.take(3000)}")
   }
 
+  test("d09 shipped path: the exact-content collapse is equi-keyed " +
+      "end to end — content-key group + membership join, rep-only band " +
+      "join, star from the same census; no cartesian") {
+    // labelPropagateCollapsed checkpoints per round, so pin the edge
+    // frame it consumes (the d13/s24 rebuild pattern)
+    val corpus = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 200).select("doc_id", "text")
+    val edges = DedupQueries.collapsedEdges(corpus)
+    edges.collect()
+    val tree = edges.queryExecution.executedPlan.toString
+    assert(!tree.contains("CartesianProduct") &&
+      !tree.contains("BroadcastNestedLoopJoin"),
+      s"collapsed edge build plans a cartesian:\n${tree.take(3000)}")
+    // the collapse itself: a hash aggregate keyed on the content digest
+    assert(tree.contains("ckey"), tree.take(3000))
+  }
+
   test("d14: gram doc-frequency combines map-side; no cartesian anywhere; " +
       "coverage is interval-merged — no position-level explode remains") {
     val plan = planOf("d14_verbatim_spans")
