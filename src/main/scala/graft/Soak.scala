@@ -130,32 +130,50 @@ object Soak {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.array_cosine(a, b)
 
-  /** The d13 hierarchical SemDeDup pipeline on the FULL embeddings
-    * table (+ planted ×1.001 copies of every 10th vector): identical
-    * operator code to the roster query — lloyd coarse, lloydGrouped
-    * refine, routed assignment, sign-salt capSplit, capped pair join —
-    * with k = ⌈√n⌉ growing with the corpus, which is exactly the
+  /** The d13 SemDeDup pipeline on the FULL embeddings table
+    * (+ planted ×1.001 copies of every 10th vector): the SHIPPED
+    * [[graft.queries.SimilarityQueries.semDedupBuild]] path —
+    * exact-vector collapse, lloyd coarse, lloydGrouped refine, routed
+    * assignment, sign-salt capSplit, capped rep-pair join — with
+    * k = ⌈√n_distinct⌉ growing with the corpus, which is exactly the
     * scaling claim under test. */
   private def d13Full(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.CentroidBuild
-    import graft.operators.Materialize.MaterializeOps
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), embD(col("embedding")).as("vec"))
     val planted = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + lit(100L * VecStride)).as("vec_id"),
         transform(col("vec"), x => x * lit(1.001)).as("vec"))
     val corpus = base.unionByName(planted)
+    val (reps, assign, dupPairs) =
+      graft.queries.SimilarityQueries.semDedupBuild(corpus)
+    corpus.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(reps.agg(count(lit(1)).as("n_reps")))
+      .crossJoin(assign.agg(countDistinct("cl_id").as("n_clusters")))
+      .crossJoin(dupPairs.agg(
+        countDistinct(col("b.vec_id")).as("n_rep_dropped")))
+  }
+
+  /** The PRE-collapse d13 pipeline, kept verbatim as the skew mode's
+    * comparator: hierarchical build + capSplit over the RAW corpus,
+    * where h identical vectors share (cl_id, salt) and defeat the cap
+    * with C(h,2) pairs in one task. Never shipped — exists so
+    * `d13_hot_uncollapsed` measures what the collapse removes. */
+  private[graft] def d13Uncollapsed(corpus: DataFrame,
+      dim: Int = Dim): DataFrame = {
+    import graft.operators.CentroidBuild
+    import graft.operators.Materialize.MaterializeOps
     val n = corpus.count()
     val k = math.ceil(math.sqrt(n.toDouble)).toInt
     val kc = math.ceil(math.sqrt(k.toDouble)).toInt
     val kf = (k + kc - 1) / kc
-    val coarse = CentroidBuild.lloyd(corpus, "vec_id", "vec", kc, rounds = 1)
+    val coarse = CentroidBuild.lloyd(corpus, "vec_id", "vec", kc,
+      rounds = 1, dim = dim)
     val cells = CentroidBuild.nearest(
         CentroidBuild.similarities(corpus, coarse, "vec_id", "vec"), "vec_id")
       .withColumnRenamed("cl_id", "cell").materialize
     val embCell = corpus.join(cells, "vec_id")
     val fine = CentroidBuild.lloydGrouped(
-      embCell, "cell", "vec_id", "vec", kf, rounds = 1)
+      embCell, "cell", "vec_id", "vec", kf, rounds = 1, dim = dim)
     val assign = CentroidBuild.nearestGrouped(
         embCell, fine, "cell", "vec_id", "vec")
       .select(col("vec_id"),
@@ -207,6 +225,21 @@ object Soak {
       .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
         max("sz").as("largest"))
 
+  /** Hot-cluster skew corpus for the vector pipelines: the base
+    * embeddings plus h EXACT copies of one vector. Identical vectors
+    * share cell, salt, and sub, so the uncollapsed capSplit pair join
+    * pays C(h+1,2) cosines out of one task; the collapsed build pays
+    * one representative. */
+  private def hotVecs(s: SparkSession, d: String, h: Int): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), embD(col("embedding")).as("vec"))
+    val src = base.orderBy("vec_id").limit(1)
+    val copies = src
+      .select(explode(expr(s"sequence(1, $h)")).as("k"), col("vec"))
+      .select((col("k") + lit(200L * VecStride)).as("vec_id"), col("vec"))
+    base.unionByName(copies)
+  }
+
   /** Skew mode (`SPARK_GRAFT_SOAK_SKEW_H=512,2048,8192`): measures the
     * d09 clustering pipeline's wall time against the planted
     * mega-duplicate size h, for the uncollapsed (all in-bucket pairs)
@@ -222,7 +255,22 @@ object Soak {
         DedupQueries.labelPropagate(
           DedupQueries.d09Edges(hotDocs(spark, base, h))))),
       "d09_hot_collapsed" -> ((h: Int) => clusterCensus(
-        DedupQueries.labelPropagateCollapsed(hotDocs(spark, base, h)))))
+        DedupQueries.labelPropagateCollapsed(hotDocs(spark, base, h)))),
+      "d13_hot_uncollapsed" -> ((h: Int) =>
+        d13Uncollapsed(hotVecs(spark, base, h))),
+      "d13_hot_collapsed" -> ((h: Int) => {
+        val (reps, assign, dupPairs) =
+          graft.queries.SimilarityQueries.semDedupBuild(
+            hotVecs(spark, base, h))
+        reps.agg(count(lit(1)).as("n_reps"))
+          .crossJoin(assign.agg(countDistinct("cl_id").as("n_clusters")))
+          .crossJoin(dupPairs.agg(
+            countDistinct(col("b.vec_id")).as("n_rep_dropped")))
+      }))
+      .filter(v => sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .forall(_.contains(v._1)))
+    require(variants.nonEmpty, "SPARK_GRAFT_SOAK_ONLY selects no skew variant")
     // warmup: smallest h once through both variants
     variants.foreach { case (_, fn) =>
       fn(hs.min).count(); Bench.scrub(spark)
@@ -272,18 +320,24 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_soak")
+    // skew mode has its own variant roster — its ONLY filter is
+    // validated inside skewMain, so the query-roster validation below
+    // must not see skew variant names
+    val skewMode = sys.env.contains("SPARK_GRAFT_SOAK_SKEW_H")
     // dev-loop filter, same convention as Verify's SPARK_GRAFT_ONLY:
     // soak only the named queries (new roster members join the corpus
     // without re-measuring the settled 12)
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val qs = queries.filter(q => only.forall(_.contains(q._1)))
-    only.foreach { names =>
-      val unknown = names -- queries.map(_._1).toSet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_SOAK_ONLY names unknown queries: ${unknown.mkString(",")}")
+    if (!skewMode) {
+      only.foreach { names =>
+        val unknown = names -- queries.map(_._1).toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_SOAK_ONLY names unknown queries: ${unknown.mkString(",")}")
+      }
+      require(qs.nonEmpty, "SPARK_GRAFT_SOAK_ONLY selects no query")
     }
-    require(qs.nonEmpty, "SPARK_GRAFT_SOAK_ONLY selects no query")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALES", "1,3,10")
       .split(",").map(_.trim.toInt).toSeq
     val samples = sys.env.getOrElse("SPARK_GRAFT_SOAK_SAMPLES", "2").toInt

@@ -64,6 +64,75 @@ object SimilarityQueries {
     * the average cluster √n, so the cap moved below it.) */
   val SemDedupCap = 8
 
+  /** The shared SemDeDup pipeline: EXACT-VECTOR COLLAPSE, then the
+    * hierarchical build (coarse lloyd + per-cell refine + routed
+    * assignment), then the sign-salt cap-split pair join over
+    * REPRESENTATIVES. Returns (reps, assign, repDupPairs):
+    * reps = (vec_id = min id of its exact-duplicate group, vec,
+    * gsize), assign = (vec_id, cl_id) over reps, repDupPairs = the
+    * capped within-(cl_id, sub) pairs at cosine ≥ 0.999 with their
+    * exact cos. Consumed by the d13 roster tail and the Soak twin.
+    *
+    * Why the collapse is load-bearing (the d09 hot-bucket argument,
+    * vector edition): [[graft.operators.CentroidBuild.capSplit]]'s
+    * salt is CONTENT-derived — deliberately, so a duplicate always
+    * shares its original's sub-cluster (recall) — which means h
+    * EXACT copies of one vector share (cl_id, salt), collapse into
+    * ONE sub, and the pair join pays C(h,2) cosines in one task: the
+    * cap's n·cap/2 bound silently assumes salt diversity that
+    * identical content does not have. Grouping by the exact vector
+    * first (this is also the published SemDeDup composition — exact
+    * dedup precedes semantic dedup) restores the bound: a non-rep
+    * member is a drop by definition (its rep is an identical vector
+    * with a smaller id), and rep-level pairs decide everything else,
+    * because cell routing, salt, and cosine are functions of the
+    * vector alone. On a duplicate-free corpus the collapse is the
+    * identity and the pipeline is unchanged. Consequence the
+    * uncollapsed form gets WRONG, pinned by SemDedupCollapseSpec: a
+    * mega-duplicate group inflates the uncollapsed cluster census, so
+    * nsub grows and a genuine near-dup NEIGHBOR of the duplicated
+    * vector can land in a different sub and silently escape the drop
+    * set — collapsing fixes recall, not just cost. Every stage
+    * (group-by-list, min, count) is portable, so the d13 oracle
+    * replicates the collapse verbatim. */
+  def semDedupBuild(corpusIn: DataFrame, dim: Int = 64)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.{CentroidBuild => CB}
+    val reps = corpusIn.groupBy("vec")
+      .agg(min("vec_id").as("vec_id"), count(lit(1)).as("gsize"))
+      .select("vec_id", "vec", "gsize").materialize
+    // bounded scalar read — the s07/q47 discipline; k sizes from
+    // DISTINCT content (what clustering structure actually exists)
+    val n = reps.count()
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kf = (k + kc - 1) / kc
+    val repVecs = reps.select("vec_id", "vec")
+    val coarse = CB.lloyd(repVecs, "vec_id", "vec", kc, rounds = 1,
+      dim = dim)
+    val cells = CB.nearest(
+        CB.similarities(repVecs, coarse, "vec_id", "vec"), "vec_id")
+      .withColumnRenamed("cl_id", "cell").materialize
+    val embCell = repVecs.join(cells, "vec_id")
+    val fine = CB.lloydGrouped(embCell, "cell", "vec_id", "vec", kf,
+      rounds = 1, dim = dim)
+    val assign = CB.nearestGrouped(embCell, fine, "cell", "vec_id", "vec")
+      .select(col("vec_id"),
+        (col("cell") * (kf + 1) + col("fid")).as("cl_id"))
+      .materialize
+    val withCl = repVecs.select(col("vec_id"), col("vec"),
+        CB.signSalt(col("vec")).as("salt"))
+      .join(assign, "vec_id")
+    val split = CB.capSplit(withCl, SemDedupCap)
+    val dupPairs = split.as("a").join(split.as("b"),
+        col("a.cl_id") === col("b.cl_id") &&
+          col("a.sub") === col("b.sub") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.vec"), col("b.vec")))
+      .filter(col("cos") >= 0.999)
+    (reps, assign, dupPairs)
+  }
+
   /** Sign-pattern bucket id of `vec` in hash table `table` (Gaussian
     * random hyperplanes — the classic cosine-LSH family; constants are
     * driver-side Gaussians, so this family is verified by its planted
@@ -448,12 +517,18 @@ object SimilarityQueries {
       * cosine ≥ 0.999 mark the higher vec_id dropped (keep-lowest-id
       * is the deterministic representative rule).
       *
-      * The pair join is CAPPED, not just clustered: clusters larger
+      * The pair join is COLLAPSED and capped, not just clustered:
+      * since r13 the whole pipeline runs through [[semDedupBuild]] —
+      * exact-vector collapse first (group by the vector, rep = min
+      * id; the published SemDeDup composition), then clusters larger
       * than [[SemDedupCap]] sub-split via
       * [[graft.operators.CentroidBuild.capSplit]] on the sign-pattern
-      * salt, so pair volume is ~n·cap/2 even when Lloyd leaves some
-      * clusters far above the √n average — the hard bound backstopping
-      * the k ∝ √n growth. The sign salt is invariant
+      * salt, so pair volume is ~n_distinct·cap/2 even when Lloyd
+      * leaves clusters far above the √n average AND when the corpus
+      * carries mega-duplicate groups (identical vectors share the
+      * salt, so without the collapse a h-copy group defeats the cap
+      * with C(h,2) pairs in one task — measured in SOAK.md's skew
+      * section). The sign salt is invariant
       * under positive scaling, so every planted ×1.001 copy provably
       * shares its original's sub-cluster (a row-id hash would scatter
       * them); the join shuffles on (cl_id, sub), whose cardinality
@@ -472,49 +547,30 @@ object SimilarityQueries {
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("vec"), x => x * lit(1.001)).as("vec"))
       val corpus = base.unionByName(planted)
-      val n = corpus.count() // bounded scalar read — the s07/q47 discipline
-      val k = math.ceil(math.sqrt(n.toDouble)).toInt
-      val kc = math.ceil(math.sqrt(k.toDouble)).toInt
-      val kf = (k + kc - 1) / kc
-      val coarse = graft.operators.CentroidBuild.lloyd(
-        corpus, "vec_id", "vec", kc, rounds = 1)
-      val cells = graft.operators.CentroidBuild.nearest(
-          graft.operators.CentroidBuild.similarities(
-            corpus, coarse, "vec_id", "vec"), "vec_id")
-        .withColumnRenamed("cl_id", "cell")
-        .materialize
-      val embCell = corpus.join(cells, "vec_id")
-      val fine = graft.operators.CentroidBuild.lloydGrouped(
-        embCell, "cell", "vec_id", "vec", kf, rounds = 1)
-      // 16 bytes/row and consumed TWICE (the pair-join input and the
-      // n_clusters census) — checkpoint so the routed assignment's
-      // corpus-sized join+window never re-evaluates (the `cells`
-      // discipline one level up)
-      val assign = graft.operators.CentroidBuild.nearestGrouped(
-          embCell, fine, "cell", "vec_id", "vec")
-        .select(col("vec_id"),
-          (col("cell") * (kf + 1) + col("fid")).as("cl_id"))
-        .materialize
-      val withCl = corpus.select(col("vec_id"), col("vec"),
-          graft.operators.CentroidBuild.signSalt(col("vec")).as("salt"))
-        .join(assign, "vec_id")
-      val split = graft.operators.CentroidBuild.capSplit(withCl, SemDedupCap)
-      val dupPairs = split.as("a").join(split.as("b"),
-          col("a.cl_id") === col("b.cl_id") && col("a.sub") === col("b.sub") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", cosine(col("a.vec"), col("b.vec")))
-        .filter(col("cos") >= 0.999)
-      // ONE aggregate over the pair join (the query's most expensive
-      // stage): countDistinct(dropped id) and max(cos) ride the same
-      // pass instead of re-running the join per report column
+      // exact-vector collapse + hierarchical build + capped rep pairs
+      // (scale + recall rationale on [[semDedupBuild]])
+      val (reps, assign, dupPairs) = semDedupBuild(corpus)
+      // ONE aggregate per frame (the pair join is the query's most
+      // expensive stage): countDistinct(dropped rep) and max(cos) ride
+      // the same pass. A non-rep member is a drop by definition
+      // (identical vector, smaller-id rep), so
+      // n_dropped = (n_vecs − n_reps) + dropped reps, and any gsize ≥ 2
+      // group contributes exact-duplicate pairs at cosine 1.0 to the
+      // max — both folds mirrored verbatim in the oracle.
       corpus.agg(count(lit(1)).as("n_vecs"))
         .crossJoin(planted.agg(count(lit(1)).as("n_planted")))
+        .crossJoin(reps.agg(count(lit(1)).as("n_reps"),
+          max(when(col("gsize") >= 2, lit(1.0))).as("dup_flag")))
         .crossJoin(assign.agg(countDistinct("cl_id").as("n_clusters")))
         .crossJoin(dupPairs.agg(
-          countDistinct(col("b.vec_id")).as("n_dropped"),
-          RelationalQueries.rnd(coalesce(max("cos"), lit(-1.0)), 4)
-            .as("max_dup_cos")))
+          countDistinct(col("b.vec_id")).as("n_rep_dropped"),
+          max("cos").as("max_rep_cos")))
+        .withColumn("n_dropped",
+          col("n_vecs") - col("n_reps") + col("n_rep_dropped"))
         .withColumn("n_survivors", col("n_vecs") - col("n_dropped"))
+        .withColumn("max_dup_cos", RelationalQueries.rnd(
+          greatest(coalesce(col("max_rep_cos"), lit(-1.0)),
+            coalesce(col("dup_flag"), lit(-1.0))), 4))
         .select("n_vecs", "n_planted", "n_dropped", "n_survivors",
           "n_clusters", "max_dup_cos")
     }),
@@ -1738,14 +1794,17 @@ object SimilarityQueries {
         |          list_transform(vec, x -> x * 1.001) AS vec
         |        FROM sel),
         | c AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
-        | ${hierBuildCteSql("c")},
+        | cr AS (SELECT min(vec_id) AS vec_id, vec, count(*) AS gsize
+        |        FROM c GROUP BY vec),
+        | crv AS (SELECT vec_id, vec FROM cr),
+        | ${hierBuildCteSql("crv")},
         | assign AS (
         |  SELECT vec_id,
         |         cell * ((SELECT kf FROM kfq) + 1) + fid AS cl_id
         |  FROM fin),
-        | wc AS (SELECT c.vec_id, a.cl_id, c.vec,
-        |          ${graft.operators.CentroidBuild.signSaltSql("c.vec")} AS salt
-        |        FROM c JOIN assign a USING (vec_id)),
+        | wc AS (SELECT crv.vec_id, a.cl_id, crv.vec,
+        |          ${graft.operators.CentroidBuild.signSaltSql("crv.vec")} AS salt
+        |        FROM crv JOIN assign a USING (vec_id)),
         | sz AS (SELECT cl_id, count(*) AS bn FROM wc GROUP BY cl_id),
         | wcs AS (
         |  SELECT wc.*, salt % CAST((bn + ${SemDedupCap - 1}) // $SemDedupCap
@@ -1759,11 +1818,15 @@ object SimilarityQueries {
         |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.999)
         |SELECT (SELECT count(*) FROM c) AS n_vecs,
         | (SELECT count(*) FROM pl) AS n_planted,
-        | (SELECT count(DISTINCT id_b) FROM dup) AS n_dropped,
-        | (SELECT count(*) FROM c) - (SELECT count(DISTINCT id_b) FROM dup)
+        | (SELECT count(*) FROM c) - (SELECT count(*) FROM cr)
+        |   + (SELECT count(DISTINCT id_b) FROM dup) AS n_dropped,
+        | (SELECT count(*) FROM cr) - (SELECT count(DISTINCT id_b) FROM dup)
         |   AS n_survivors,
         | (SELECT count(DISTINCT cl_id) FROM assign) AS n_clusters,
-        | (SELECT coalesce(floor((max(cos))*10000+0.5)/10000, -1.0) FROM dup)
+        | (SELECT floor(greatest(
+        |     coalesce((SELECT max(cos) FROM dup), -1.0),
+        |     coalesce((SELECT CASE WHEN max(gsize) >= 2 THEN 1.0 END
+        |               FROM cr), -1.0))*10000+0.5)/10000)
         |   AS max_dup_cos""".stripMargin,
 
     // s05: DuckDB brute-forces the TRUE rank-1 neighbor over the same

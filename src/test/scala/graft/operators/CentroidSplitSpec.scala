@@ -57,6 +57,79 @@ class CentroidSplitSpec extends AnyFunSuite {
     // salt ⇒ same salt % nsub for every nsub
   }
 
+  test("capSplit's bound has an identical-content escape hatch — " +
+      "pinned, not hidden: h exact copies share (cl_id, salt) and " +
+      "land in ONE sub whatever the cap") {
+    // the salt is content-derived BY DESIGN (recall: a duplicate must
+    // co-locate with its original), so identical vectors cannot be
+    // split apart — the d10Blocked overflow caveat, vector edition.
+    // This is why semDedupBuild collapses exact vectors FIRST.
+    val v = randVec()
+    val assigned = (0 until 200).map(i => (i.toLong, 1L, v))
+      .toDF("vec_id", "cl_id", "vec")
+      .withColumn("salt", CentroidBuild.signSalt(col("vec")))
+    val sizes = CentroidBuild.capSplit(assigned, cap = 8)
+      .groupBy("cl_id", "sub").count().select("count").as[Long].collect()
+    assert(sizes.length == 1 && sizes.head == 200,
+      s"identical vectors split across subs (${sizes.toSeq}) — the salt " +
+        "is no longer content-derived and scaled-dup recall is broken")
+  }
+
+  test("semDedupBuild: the exact-vector collapse is the identity on a " +
+      "duplicate-free corpus") {
+    val corpus = (0 until 50).map(i => (i.toLong, randVec()))
+      .toDF("vec_id", "vec")
+    val (reps, assign, _) =
+      graft.queries.SimilarityQueries.semDedupBuild(corpus, dim = 16)
+    assert(reps.count() == 50)
+    assert(reps.filter(col("gsize") =!= 1).count() == 0)
+    assert(assign.select("vec_id").distinct().count() == 50)
+  }
+
+  test("semDedupBuild: a mega-duplicate group collapses to one rep, " +
+      "members drop by arithmetic, and the near-dup NEIGHBOR is " +
+      "recalled where the uncollapsed cap-split provably loses it") {
+    // Fixture built for determinism, not luck:
+    //  - v: first 8 dims negative with dim 1 at −1e−9 ⇒ salt 0
+    //  - neighbor: same vector with dim 1 at +1e−9 ⇒ salt 1,
+    //    cosine(v, neighbor) ≈ 1 ≥ 0.999
+    //  - 60 exact copies of v (ids 100–159, rep = 100), neighbor id
+    //    500, 20 organic gaussians (ids 0–19, pairwise cos ≪ 0.999)
+    // UNCOLLAPSED: the group's cluster census bn ≥ 61 ⇒ nsub ≥ 8, and
+    // sub(group) = 0 ≠ 1 = sub(neighbor) ⇒ the genuine near-dup pair
+    // is never compared — the cap SILENTLY COSTS RECALL exactly when
+    // the corpus is duplicate-heavy. COLLAPSED: the group is one rep,
+    // its cluster census stays ≤ cap ⇒ nsub = 1 ⇒ the pair is
+    // compared and the neighbor drops.
+    val vBase = randVec().map(x => -math.abs(x) - 0.1)
+    val v = vBase.updated(0, -1e-9)
+    val neighbor = vBase.updated(0, 1e-9)
+    val organic = (0 until 20).map(i => (i.toLong, randVec()))
+    val group = (0 until 60).map(i => ((100 + i).toLong, v))
+    val corpus = (organic ++ group :+ (500L, neighbor))
+      .toDF("vec_id", "vec")
+
+    val (reps, _, dupPairs) =
+      graft.queries.SimilarityQueries.semDedupBuild(corpus, dim = 16)
+    assert(reps.count() == 22, "collapse must leave 20 organic + rep + neighbor")
+    val grp = reps.filter(col("vec_id") === 100L)
+      .select("gsize").as[Long].collect()
+    assert(grp.sameElements(Array(60L)),
+      s"group row (rep=100) must carry gsize 60, got ${grp.toSeq}")
+    val droppedReps = dupPairs.select(col("b.vec_id")).as[Long]
+      .collect().toSet
+    assert(droppedReps == Set(500L),
+      s"collapsed build must drop exactly the neighbor, got $droppedReps")
+
+    // the uncollapsed comparator on the SAME corpus: the 59 non-min
+    // members drop (in-sub identical pairs) but the neighbor escapes
+    val un = graft.Soak.d13Uncollapsed(corpus, dim = 16)
+      .select("n_dropped").as[Long].collect()
+    assert(un.sameElements(Array(59L)),
+      s"uncollapsed pipeline expected to drop exactly the 59 non-min " +
+        s"copies and MISS the neighbor (the pinned recall bug), got ${un.toSeq}")
+  }
+
   test("hierarchical IVF composes from lloyd: coarse outer cells, then " +
       "the same build per cell — the documented 100 TB shape") {
     // beyond ~10^8 vectors a single k=√n broadcast outgrows megabytes;
