@@ -267,26 +267,42 @@ object Soak {
           .crossJoin(dupPairs.agg(
             countDistinct(col("b.vec_id")).as("n_rep_dropped")))
       }))
-      .filter(v => sys.env.get("SPARK_GRAFT_SOAK_ONLY")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-        .forall(_.contains(v._1)))
-    require(variants.nonEmpty, "SPARK_GRAFT_SOAK_ONLY selects no skew variant")
-    // warmup: smallest h once through both variants
-    variants.foreach { case (_, fn) =>
-      fn(hs.min).count(); Bench.scrub(spark)
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- variants.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SOAK_ONLY names unknown skew variants: " +
+          unknown.mkString(","))
+    }
+    val vs = variants.filter(v => only.forall(_.contains(v._1)))
+    require(vs.nonEmpty, "SPARK_GRAFT_SOAK_ONLY selects no skew variant")
+    // warmup: smallest h once through both variants; failures are
+    // logged, not fatal — the run must survive the deliberately
+    // near-death uncollapsed variants to print its summary
+    vs.foreach { case (name, fn) =>
+      try { fn(hs.min).count(); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[skew] $name warmup FAILED: ${e.getMessage}") }
+      Bench.scrub(spark)
     }
     val results = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.Map[Int, Double]]
     (1 to samples).foreach { sample =>
       hs.foreach { h =>
-        variants.foreach { case (name, fn) =>
+        vs.foreach { case (name, fn) =>
           val t0 = System.nanoTime()
-          fn(h).count()
+          val ok = try { fn(h).count(); true }
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[skew] $name h=$h FAILED: ${e.getMessage}")
+              false }
           val dt = (System.nanoTime() - t0) / 1e9
-          val qmap = results.getOrElseUpdate(name,
-            scala.collection.mutable.Map.empty)
-          qmap(h) = math.min(qmap.getOrElse(h, Double.MaxValue), dt)
-          println(f"""{"skew":"$name","h":$h,"sample":$sample,"sec":$dt%.3f}""")
+          if (ok) {
+            val qmap = results.getOrElseUpdate(name,
+              scala.collection.mutable.Map.empty)
+            qmap(h) = math.min(qmap.getOrElse(h, Double.MaxValue), dt)
+            println(f"""{"skew":"$name","h":$h,"sample":$sample,"sec":$dt%.3f}""")
+          }
           Console.flush()
           Bench.scrub(spark)
         }

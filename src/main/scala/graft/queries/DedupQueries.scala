@@ -323,12 +323,7 @@ object DedupQueries {
           concat_ws(":", (b * r until (b + 1) * r).map(i =>
             element_at(col("sig"), i + 1).cast("string")): _*).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
+    bandCandidates(bands)
       .join(docs.select(col("doc_id").as("doc_a"), col("ssh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("ssh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
@@ -363,15 +358,22 @@ object DedupQueries {
           .reduce(_ + _).as("simhash"))
   }
 
-  def minhashPairs(docsIn: DataFrame): DataFrame = {
-    val docs = shingled(docsIn)
-    val bands = bandsOf(docs)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+  /** Distinct (doc_a, doc_b) candidate pairs from a (doc_id, band,
+    * bucket) frame's in-bucket self-collisions — the ONE candidate
+    * predicate shared by every self-join banding consumer, so a future
+    * change (e.g. a multi-band agreement threshold) cannot diverge
+    * between the pair and collapsed paths. */
+  private def bandCandidates(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, docs, docs)
+
+  def minhashPairs(docsIn: DataFrame): DataFrame = {
+    val docs = shingled(docsIn)
+    verifyJaccard(bandCandidates(bandsOf(docs)), docs, docs)
   }
 
   /** Cross-corpus variant of [[minhashPairs]]: candidates are band
@@ -466,17 +468,12 @@ object DedupQueries {
     val star = members
       .filter(col("gsize") >= 2 && col("doc_id") =!= col("rep"))
       .select(col("rep").as("u"), col("doc_id").as("v"))
-    val repSh = sh.join(
-      members.filter(col("doc_id") === col("rep")).select("doc_id"),
-      "doc_id")
-    val bands = bandsOf(repSh)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val repEdges = verifyJaccard(cand, repSh, repSh)
+    // reps are distinct min doc_ids, so the rep shingle table comes
+    // straight off the census — no second pass through the content-key
+    // projection
+    val repSh = sh.join(groups.select(col("rep").as("doc_id")), "doc_id")
+    val repEdges = verifyJaccard(bandCandidates(bandsOf(repSh)),
+        repSh, repSh)
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     repEdges.unionByName(star)

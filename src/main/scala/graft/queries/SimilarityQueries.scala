@@ -88,7 +88,7 @@ object SimilarityQueries {
     * because cell routing, salt, and cosine are functions of the
     * vector alone. On a duplicate-free corpus the collapse is the
     * identity and the pipeline is unchanged. Consequence the
-    * uncollapsed form gets WRONG, pinned by SemDedupCollapseSpec: a
+    * uncollapsed form gets WRONG, pinned by CentroidSplitSpec: a
     * mega-duplicate group inflates the uncollapsed cluster census, so
     * nsub grows and a genuine near-dup NEIGHBOR of the duplicated
     * vector can land in a different sub and silently escape the drop
