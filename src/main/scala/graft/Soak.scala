@@ -256,6 +256,14 @@ object Soak {
           DedupQueries.d09Edges(hotDocs(spark, base, h))))),
       "d09_hot_collapsed" -> ((h: Int) => clusterCensus(
         DedupQueries.labelPropagateCollapsed(hotDocs(spark, base, h)))),
+      "d02_hot_uncollapsed" -> ((h: Int) =>
+        DedupQueries.minhashPairsKernel(spark, hotDocs(spark, base, h))
+          .agg(count(lit(1)).as("n_candidate_pairs"),
+            sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L))
+              .as("n_dups_05"))),
+      "d02_hot_collapsed" -> ((h: Int) =>
+        DedupQueries.minhashPairStatsCollapsed(
+          spark, hotDocs(spark, base, h))),
       "d13_hot_uncollapsed" -> ((h: Int) =>
         d13Uncollapsed(hotVecs(spark, base, h))),
       "d13_hot_collapsed" -> ((h: Int) => {

@@ -376,6 +376,60 @@ object DedupQueries {
     verifyJaccard(bandCandidates(bandsOf(docs)), docs, docs)
   }
 
+  /** d02's corpus-wide pair statistics with an EXACT-TEXT collapse in
+    * front of the kernel — the hot-bucket guard for the pair-COUNT
+    * query, where the output numbers legitimately grow with C(h,2) on
+    * a mega-duplicate corpus but the WORK must not: group docs by
+    * md5(text), run the banded kernel over representatives only, and
+    * fold multiplicities back with exact combinatorics. Identical
+    * text ⇒ identical shingle set ⇒ identical signature, buckets, and
+    * jaccard, so the fold is equality, not approximation:
+    *  - a cross-group pair (a, b) is a candidate iff its reps are,
+    *    with the same jaccard ⇒ every rep pair contributes
+    *    g_a·g_b pairs to each count it qualifies for;
+    *  - all C(g, 2) within-group pairs are candidates with jaccard
+    *    EXACTLY 1.0 (identical sets: |∩|/|∪| = n/n — the same 1.0 the
+    *    uncollapsed verify computes), so they add to both counts and
+    *    cap the max;
+    * g·(g−1) is always even, so the within-group combinatorics stay
+    * in exact integer arithmetic on both engines. DedupSkewSpec
+    * asserts equality against the uncollapsed aggregate on a planted
+    * mega-group corpus; the d02 oracle replicates the collapse and
+    * the fold verbatim (sf0.1's documents table carries 8 genuine
+    * exact-dup texts, so the weighted path is oracle-exercised, not
+    * dormant). Work becomes quadratic in DISTINCT texts per bucket —
+    * the same bound [[labelPropagateCollapsed]] gives the clustering
+    * family. */
+  def minhashPairStatsCollapsed(s: SparkSession,
+      docsIn: DataFrame): DataFrame = {
+    import graft.operators.Materialize.MaterializeOps
+    val g = docsIn.select(col("doc_id"), col("text"))
+      .groupBy(md5(col("text")).as("ckey"))
+      .agg(min("doc_id").as("doc_id"), min("text").as("text"),
+        count(lit(1)).as("gsize"))
+      .select("doc_id", "text", "gsize").materialize
+    val pairs = minhashPairsKernel(s, g.select("doc_id", "text"))
+    val w = g.select(col("doc_id"), col("gsize"))
+    val weighted = pairs
+      .join(w.select(col("doc_id").as("doc_a"), col("gsize").as("ga")),
+        "doc_a")
+      .join(w.select(col("doc_id").as("doc_b"), col("gsize").as("gb")),
+        "doc_b")
+    val cross = weighted.agg(
+      coalesce(sum(col("ga") * col("gb")), lit(0L)).as("cand_cross"),
+      coalesce(sum(when(col("jaccard") >= 0.5, col("ga") * col("gb"))
+        .otherwise(0L)), lit(0L)).as("dups_cross"),
+      max("jaccard").as("max_cross"))
+    val within = g.agg(
+      sum(expr("gsize * (gsize - 1) div 2")).as("cand_within"),
+      max(when(col("gsize") >= 2, lit(1.0))).as("max_within"))
+    cross.crossJoin(within).select(
+      (col("cand_cross") + col("cand_within")).as("n_candidate_pairs"),
+      (col("dups_cross") + col("cand_within")).as("n_dups_05"),
+      RelationalQueries.rnd(greatest(coalesce(col("max_cross"), lit(0.0)),
+        coalesce(col("max_within"), lit(0.0))), 4).as("max_jaccard"))
+  }
+
   /** Cross-corpus variant of [[minhashPairs]]: candidates are band
     * collisions BETWEEN a standing corpus and a new batch (never
     * corpus×corpus — the standing corpus is already deduped, so its
@@ -757,12 +811,11 @@ object DedupQueries {
       * carries a full hash oracle. The engine-native splitmix64 kernel
       * variant of the same pipeline (`kernel=native`) stays
       * ground-truth-verified by its planted companion (d06). */
-    "d02_minhash_lsh" -> ((s, d) => {
-      minhashPairsKernel(s, Tables.documents(s, d)).agg(
-        count(lit(1)).as("n_candidate_pairs"),
-        sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).as("n_dups_05"),
-        RelationalQueries.rnd(coalesce(max("jaccard"), lit(0.0)), 4).as("max_jaccard"))
-    }),
+    "d02_minhash_lsh" -> ((s, d) =>
+      // the exact-text collapse + weighted fold — count-identical to
+      // the raw kernel aggregate (see minhashPairStatsCollapsed), with
+      // the mega-duplicate hot bucket bounded away
+      minhashPairStatsCollapsed(s, Tables.documents(s, d))),
 
     /** d02's pipeline, count-verified against ground truth: augment a
       * fixed 200-doc subset with doctored near-duplicates (one appended
@@ -1695,9 +1748,12 @@ object DedupQueries {
     // is hash-verified (the r11 allowlist retirement; the
     // splitmix64-kernel variant keeps its planted companion d06).
     "d02_minhash_lsh" ->
-      s"""WITH tk AS (SELECT doc_id,
+      s"""WITH gr AS (SELECT min(doc_id) AS doc_id, min(text) AS text,
+        |               count(*) AS gsize
+        |        FROM documents GROUP BY md5(text)),
+        | tk AS (SELECT doc_id,
         |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
-        |        FROM documents),
+        |        FROM gr),
         | sh AS (SELECT doc_id,
         |   list_distinct(CASE WHEN len(tk) >= 3
         |     THEN list_transform(range(1, len(tk) - 1),
@@ -1729,12 +1785,23 @@ object DedupQueries {
         |            / len(list_distinct(list_concat(x.g, y.g))) AS jac
         |        FROM cand
         |        JOIN sh x ON x.doc_id = cand.doc_a
-        |        JOIN sh y ON y.doc_id = cand.doc_b)
-        |SELECT count(*) AS n_candidate_pairs,
-        | CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_dups_05,
-        | floor(coalesce(max(jac), 0.0)*10000+0.5)/10000 AS max_jaccard
-        |FROM jc""".stripMargin,
+        |        JOIN sh y ON y.doc_id = cand.doc_b),
+        | wjc AS (SELECT jc.*, ga.gsize AS ga, gb.gsize AS gb
+        |         FROM jc JOIN gr ga ON ga.doc_id = jc.doc_a
+        |                 JOIN gr gb ON gb.doc_id = jc.doc_b),
+        | wi AS (SELECT CAST(sum(gsize * (gsize - 1) // 2) AS BIGINT)
+        |            AS cand_within,
+        |          max(CASE WHEN gsize >= 2 THEN 1.0 END) AS max_within
+        |        FROM gr)
+        |SELECT
+        | CAST(coalesce((SELECT sum(ga * gb) FROM wjc), 0)
+        |   + wi.cand_within AS BIGINT) AS n_candidate_pairs,
+        | CAST(coalesce((SELECT sum(CASE WHEN jac >= 0.5 THEN ga * gb
+        |                           ELSE 0 END) FROM wjc), 0)
+        |   + wi.cand_within AS BIGINT) AS n_dups_05,
+        | floor(greatest(coalesce((SELECT max(jac) FROM wjc), 0.0),
+        |   coalesce(wi.max_within, 0.0))*10000+0.5)/10000 AS max_jaccard
+        |FROM wi""".stripMargin,
 
     // d03: the portable sketch replicates bit-for-bit — per-token h60,
     // 60 ±1 vote sums, vote>0 fingerprint bits, then the same 4×16

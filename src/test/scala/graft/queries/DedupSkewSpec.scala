@@ -179,6 +179,41 @@ class DedupSkewSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashPairStatsCollapsed == the raw kernel aggregate: the " +
+      "weighted fold reproduces pair counts exactly on a mega-group " +
+      "corpus (C(g,2) within, g_a*g_b across)") {
+    // 40 exact copies (C(40,2) = 780 within-group pairs at jaccard 1),
+    // one near-dup of the same text (joins each copy at j ≈ 0.97 —
+    // 40 cross pairs through ONE rep pair), 30 organic distinct docs
+    val megaText = "pairs " + randWords(29)
+    val rows =
+      (0 until 40).map(i => ((700 + i).toLong, megaText)) ++
+        Seq((900L, megaText + " graftnear")) ++
+        (0 until 30).map(i => (i.toLong, s"org $i " + randWords(30)))
+    val corpus = rows.toDF("doc_id", "text")
+
+    val raw = DedupQueries.minhashPairsKernel(spark, corpus).agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_dups_05"),
+      RelationalQueries.rnd(coalesce(max("jaccard"), lit(0.0)), 4)
+        .as("max_jaccard")).collect().head
+    val folded = DedupQueries.minhashPairStatsCollapsed(spark, corpus)
+      .collect().head
+    assert(folded.getLong(0) == raw.getLong(0),
+      s"candidate count diverged: folded ${folded.getLong(0)} vs " +
+        s"raw ${raw.getLong(0)}")
+    assert(folded.getLong(1) == raw.getLong(1),
+      s"dup count diverged: folded ${folded.getLong(1)} vs " +
+        s"raw ${raw.getLong(1)}")
+    assert(folded.getDouble(2) == raw.getDouble(2),
+      s"max jaccard diverged: folded ${folded.getDouble(2)} vs " +
+        s"raw ${raw.getDouble(2)}")
+    // and the fixture is not vacuous: the mega group dominates both
+    // counts (C(40,2) = 780 within + 40 near-dup cross pairs)
+    assert(folded.getLong(0) >= 820 && folded.getDouble(2) == 1.0,
+      s"fixture drift: ${folded.toSeq}")
+  }
+
   test("labelPropagateCollapsed == uncollapsed build: mega-group, " +
       "cross-group near-dup, short-text twins, organic singletons") {
     // The exact-content collapse must be invisible in the label table.
