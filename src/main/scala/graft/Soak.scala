@@ -264,6 +264,18 @@ object Soak {
       "d02_hot_collapsed" -> ((h: Int) =>
         DedupQueries.minhashPairStatsCollapsed(
           spark, hotDocs(spark, base, h))),
+      "d03_hot_uncollapsed" -> ((h: Int) => {
+        import graft.queries.DedupQueries.{simhashSketchKernel, simhashPairs}
+        val sk = simhashSketchKernel(spark, hotDocs(spark, base, h))
+        sk.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(simhashPairs(sk).agg(
+            count(lit(1)).as("n_band_collisions"),
+            sum(when(col("hamming") <= 8, 1L).otherwise(0L))
+              .as("n_pairs_hamming_le8")))
+      }),
+      "d03_hot_collapsed" -> ((h: Int) =>
+        DedupQueries.simhashStatsCollapsed(
+          spark, hotDocs(spark, base, h))),
       "d13_hot_uncollapsed" -> ((h: Int) =>
         d13Uncollapsed(hotVecs(spark, base, h))),
       "d13_hot_collapsed" -> ((h: Int) => {

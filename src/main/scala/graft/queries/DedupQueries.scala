@@ -791,6 +791,52 @@ object DedupQueries {
       .distinct()
   }
 
+  /** d03's corpus-wide simhash census with the same EXACT-TEXT
+    * collapse + combinatoric fold as [[minhashPairStatsCollapsed]]:
+    * identical text ⇒ identical token stream ⇒ identical fingerprint
+    * ⇒ identical bands and hamming-0 to every co-member, so the
+    * sketch runs over representatives and the counts fold back
+    * exactly — C(g,2) within-group collisions at hamming 0, g_a·g_b
+    * per colliding rep pair, distinct-fingerprint census unchanged
+    * (members share their rep's fingerprint). Equality pinned by
+    * DedupSkewSpec; the oracle replicates collapse + fold. */
+  def simhashStatsCollapsed(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    import graft.operators.Materialize.MaterializeOps
+    val g = docsIn.select(col("doc_id"), col("text"))
+      .groupBy(md5(col("text")).as("ckey"))
+      .agg(min("doc_id").as("doc_id"), min("text").as("text"),
+        count(lit(1)).as("gsize"))
+    // ONE materialized frame carries sketch + weight: it feeds the
+    // census, both band sides, the hamming verify, and the weight
+    // joins (the d02/d03 shared-frame rule)
+    val sk = simhashSketchKernel(s, g.select("doc_id", "text"))
+      .join(g.select("doc_id", "gsize"), "doc_id").materialize
+    val pairs = simhashPairs(sk.select("doc_id", "simhash"))
+    val w = sk.select(col("doc_id"), col("gsize"))
+    val weighted = pairs
+      .join(w.select(col("doc_id").as("doc_a"), col("gsize").as("ga")),
+        "doc_a")
+      .join(w.select(col("doc_id").as("doc_b"), col("gsize").as("gb")),
+        "doc_b")
+    val cross = weighted.agg(
+      coalesce(sum(col("ga") * col("gb")), lit(0L)).as("coll_cross"),
+      coalesce(sum(when(col("hamming") <= 8, col("ga") * col("gb"))
+        .otherwise(0L)), lit(0L)).as("le8_cross"),
+      min("hamming").as("min_cross"))
+    val within = sk.agg(
+      sum(expr("gsize * (gsize - 1) div 2")).as("coll_within"),
+      max(when(col("gsize") >= 2, lit(1)).otherwise(lit(0))).as("has_dup"))
+    sk.agg(sum("gsize").as("n_docs"),
+        countDistinct("simhash").as("n_distinct_simhash"))
+      .crossJoin(cross).crossJoin(within)
+      .select(col("n_docs"), col("n_distinct_simhash"),
+        (col("coll_cross") + col("coll_within")).as("n_band_collisions"),
+        (col("le8_cross") + col("coll_within")).as("n_pairs_hamming_le8"),
+        least(coalesce(col("min_cross"), lit(64)),
+          when(col("has_dup") === 1, lit(0)).otherwise(lit(64)))
+          .as("min_hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "d01_exact_dedup" -> ((s, d) => {
@@ -873,18 +919,11 @@ object DedupQueries {
       * splitmix64 kernel sketch (`kernel=native`) stays
       * ground-truth-verified by its planted companions (d08 exact,
       * d11 near-dup). */
-    "d03_simhash" -> ((s, d) => {
-      // the sketch (token explode + 60 bit votes per doc) feeds the
-      // census agg AND both band sides AND the hamming verify —
-      // materialize once (the d02 shared-frame rule)
-      val docs = simhashSketchKernel(s, Tables.documents(s, d)).materialize
-      docs.agg(count(lit(1)).as("n_docs"),
-          countDistinct("simhash").as("n_distinct_simhash"))
-        .crossJoin(simhashPairs(docs).agg(
-          count(lit(1)).as("n_band_collisions"),
-          sum(when(col("hamming") <= 8, 1).otherwise(0)).as("n_pairs_hamming_le8"),
-          coalesce(min("hamming"), lit(64)).as("min_hamming")))
-    }),
+    "d03_simhash" -> ((s, d) =>
+      // exact-text collapse + combinatoric fold — count-identical to
+      // the raw sketch aggregate (see simhashStatsCollapsed), with
+      // the mega-duplicate hot bucket bounded away
+      simhashStatsCollapsed(s, Tables.documents(s, d))),
 
     /** d03's pipeline, count-verified against ground truth: augment a
       * fixed 200-doc subset with EXACT copies. Identical text ⇒
@@ -1815,9 +1854,12 @@ object DedupQueries {
       val sig = (0 until 60).map(b =>
         s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) " +
           "ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
-      s"""WITH tk AS (SELECT doc_id,
+      s"""WITH gr AS (SELECT min(doc_id) AS doc_id, min(text) AS text,
+        |               count(*) AS gsize
+        |        FROM documents GROUP BY md5(text)),
+        | tk AS (SELECT doc_id,
         |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
-        |        FROM documents),
+        |        FROM gr),
         | tok AS (SELECT doc_id,
         |           unnest(CASE WHEN len(tk) = 0 THEN [NULL::VARCHAR]
         |                  ELSE tk END) AS t
@@ -1833,14 +1875,25 @@ object DedupQueries {
         |          bit_count(xor(a.sh, c.sh)) AS hamming
         |        FROM bd a JOIN bd c
         |          ON a.b = c.b AND a.bits = c.bits
-        |             AND a.doc_id < c.doc_id)
-        |SELECT (SELECT count(*) FROM sg) AS n_docs,
+        |             AND a.doc_id < c.doc_id),
+        | wpr AS (SELECT pr.*, ga.gsize AS ga, gb.gsize AS gb
+        |         FROM pr JOIN gr ga ON ga.doc_id = pr.doc_a
+        |                 JOIN gr gb ON gb.doc_id = pr.doc_b),
+        | wi AS (SELECT CAST(sum(gsize * (gsize - 1) // 2) AS BIGINT)
+        |            AS coll_within,
+        |          max(CASE WHEN gsize >= 2 THEN 1 ELSE 0 END) AS has_dup
+        |        FROM gr)
+        |SELECT (SELECT CAST(sum(gsize) AS BIGINT) FROM gr) AS n_docs,
         | (SELECT count(DISTINCT sh) FROM sg) AS n_distinct_simhash,
-        | (SELECT count(*) FROM pr) AS n_band_collisions,
-        | (SELECT CAST(sum(CASE WHEN hamming <= 8 THEN 1 ELSE 0 END)
-        |    AS BIGINT) FROM pr) AS n_pairs_hamming_le8,
-        | (SELECT CAST(coalesce(min(hamming), 64) AS INTEGER) FROM pr)
-        |   AS min_hamming""".stripMargin
+        | CAST(coalesce((SELECT sum(ga * gb) FROM wpr), 0)
+        |   + wi.coll_within AS BIGINT) AS n_band_collisions,
+        | CAST(coalesce((SELECT sum(CASE WHEN hamming <= 8 THEN ga * gb
+        |                           ELSE 0 END) FROM wpr), 0)
+        |   + wi.coll_within AS BIGINT) AS n_pairs_hamming_le8,
+        | CAST(least(coalesce((SELECT min(hamming) FROM wpr), 64),
+        |   CASE WHEN wi.has_dup = 1 THEN 0 ELSE 64 END) AS INTEGER)
+        |   AS min_hamming
+        |FROM wi""".stripMargin
     },
     // d10 replicates the whole capped blocking in DuckDB (fingerprint,
     // 12-char block key, portable md5 gate on the FULL fingerprint,

@@ -214,6 +214,34 @@ class DedupSkewSpec extends AnyFunSuite {
       s"fixture drift: ${folded.toSeq}")
   }
 
+  test("simhashStatsCollapsed == the raw sketch aggregate on a " +
+      "mega-group corpus (hamming-0 within, weighted across)") {
+    val megaText = "simstats " + randWords(29)
+    val rows =
+      (0 until 40).map(i => ((700 + i).toLong, megaText)) ++
+        Seq((900L, megaText + " graftnear")) ++
+        (0 until 30).map(i => (i.toLong, s"org $i " + randWords(30)))
+    val corpus = rows.toDF("doc_id", "text")
+
+    val sk = DedupQueries.simhashSketchKernel(spark, corpus)
+    val raw = sk.agg(count(lit(1)).as("n_docs"),
+        countDistinct("simhash").as("n_distinct_simhash"))
+      .crossJoin(DedupQueries.simhashPairs(sk).agg(
+        count(lit(1)).as("n_band_collisions"),
+        sum(when(col("hamming") <= 8, 1L).otherwise(0L))
+          .as("n_pairs_hamming_le8"),
+        coalesce(min("hamming"), lit(64)).as("min_hamming")))
+      .collect().head
+    val folded = DedupQueries.simhashStatsCollapsed(spark, corpus)
+      .collect().head
+    assert(folded.toSeq == raw.toSeq,
+      s"folded ${folded.toSeq} vs raw ${raw.toSeq}")
+    // non-vacuous: the mega group dominates (C(40,2) = 780 hamming-0
+    // collisions) and min_hamming is 0
+    assert(folded.getLong(2) >= 780 && folded.getInt(4) == 0,
+      s"fixture drift: ${folded.toSeq}")
+  }
+
   test("labelPropagateCollapsed == uncollapsed build: mega-group, " +
       "cross-group near-dup, short-text twins, organic singletons") {
     // The exact-content collapse must be invisible in the label table.
