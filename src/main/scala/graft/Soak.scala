@@ -266,7 +266,12 @@ object Soak {
           spark, hotDocs(spark, base, h))),
       "d03_hot_uncollapsed" -> ((h: Int) => {
         import graft.queries.DedupQueries.{simhashSketchKernel, simhashPairs}
+        import graft.operators.Materialize.MaterializeOps
+        // the sketch materialize matches the retired shipped query
+        // exactly — the comparator must measure the old plan, not the
+        // old plan plus a recompute artifact
         val sk = simhashSketchKernel(spark, hotDocs(spark, base, h))
+          .materialize
         sk.agg(count(lit(1)).as("n_docs"))
           .crossJoin(simhashPairs(sk).agg(
             count(lit(1)).as("n_band_collisions"),

@@ -400,28 +400,45 @@ object DedupQueries {
     * dormant). Work becomes quadratic in DISTINCT texts per bucket —
     * the same bound [[labelPropagateCollapsed]] gives the clustering
     * family. */
-  def minhashPairStatsCollapsed(s: SparkSession,
-      docsIn: DataFrame): DataFrame = {
+  /** The exact-text collapse census shared by [[minhashPairStats
+    * Collapsed]] and [[simhashStatsCollapsed]]: one rep (min doc_id)
+    * per distinct text with its group size, MATERIALIZED because it
+    * feeds both the sketch/signature branch and the weight joins (an
+    * unbarriered dual consumption recomputes the corpus scan + md5
+    * groupBy per branch). One definition so the collapse key of the
+    * two fold queries cannot diverge (the [[bandCandidates]] rule). */
+  private def exactTextGroups(docsIn: DataFrame): DataFrame = {
     import graft.operators.Materialize.MaterializeOps
-    val g = docsIn.select(col("doc_id"), col("text"))
+    docsIn.select(col("doc_id"), col("text"))
       .groupBy(md5(col("text")).as("ckey"))
       .agg(min("doc_id").as("doc_id"), min("text").as("text"),
         count(lit(1)).as("gsize"))
       .select("doc_id", "text", "gsize").materialize
-    val pairs = minhashPairsKernel(s, g.select("doc_id", "text"))
+  }
+
+  /** Attach each pair endpoint's group size as (ga, gb) — the other
+    * half of the fold both collapse queries share. */
+  private def weightByGroup(pairs: DataFrame, g: DataFrame): DataFrame = {
     val w = g.select(col("doc_id"), col("gsize"))
-    val weighted = pairs
+    pairs
       .join(w.select(col("doc_id").as("doc_a"), col("gsize").as("ga")),
         "doc_a")
       .join(w.select(col("doc_id").as("doc_b"), col("gsize").as("gb")),
         "doc_b")
-    val cross = weighted.agg(
+  }
+
+  def minhashPairStatsCollapsed(s: SparkSession,
+      docsIn: DataFrame): DataFrame = {
+    val g = exactTextGroups(docsIn)
+    val pairs = minhashPairsKernel(s, g.select("doc_id", "text"))
+    val cross = weightByGroup(pairs, g).agg(
       coalesce(sum(col("ga") * col("gb")), lit(0L)).as("cand_cross"),
       coalesce(sum(when(col("jaccard") >= 0.5, col("ga") * col("gb"))
         .otherwise(0L)), lit(0L)).as("dups_cross"),
       max("jaccard").as("max_cross"))
     val within = g.agg(
-      sum(expr("gsize * (gsize - 1) div 2")).as("cand_within"),
+      coalesce(sum(expr("gsize * (gsize - 1) div 2")), lit(0L))
+        .as("cand_within"),
       max(when(col("gsize") >= 2, lit(1.0))).as("max_within"))
     cross.crossJoin(within).select(
       (col("cand_cross") + col("cand_within")).as("n_candidate_pairs"),
@@ -802,31 +819,24 @@ object DedupQueries {
     * DedupSkewSpec; the oracle replicates collapse + fold. */
   def simhashStatsCollapsed(s: SparkSession, docsIn: DataFrame): DataFrame = {
     import graft.operators.Materialize.MaterializeOps
-    val g = docsIn.select(col("doc_id"), col("text"))
-      .groupBy(md5(col("text")).as("ckey"))
-      .agg(min("doc_id").as("doc_id"), min("text").as("text"),
-        count(lit(1)).as("gsize"))
-    // ONE materialized frame carries sketch + weight: it feeds the
+    // the shared collapse census (materialized there), then ONE more
+    // materialized frame carrying sketch + weight: it feeds the
     // census, both band sides, the hamming verify, and the weight
     // joins (the d02/d03 shared-frame rule)
+    val g = exactTextGroups(docsIn)
     val sk = simhashSketchKernel(s, g.select("doc_id", "text"))
       .join(g.select("doc_id", "gsize"), "doc_id").materialize
     val pairs = simhashPairs(sk.select("doc_id", "simhash"))
-    val w = sk.select(col("doc_id"), col("gsize"))
-    val weighted = pairs
-      .join(w.select(col("doc_id").as("doc_a"), col("gsize").as("ga")),
-        "doc_a")
-      .join(w.select(col("doc_id").as("doc_b"), col("gsize").as("gb")),
-        "doc_b")
-    val cross = weighted.agg(
+    val cross = weightByGroup(pairs, sk).agg(
       coalesce(sum(col("ga") * col("gb")), lit(0L)).as("coll_cross"),
       coalesce(sum(when(col("hamming") <= 8, col("ga") * col("gb"))
         .otherwise(0L)), lit(0L)).as("le8_cross"),
       min("hamming").as("min_cross"))
     val within = sk.agg(
-      sum(expr("gsize * (gsize - 1) div 2")).as("coll_within"),
+      coalesce(sum(expr("gsize * (gsize - 1) div 2")), lit(0L))
+        .as("coll_within"),
       max(when(col("gsize") >= 2, lit(1)).otherwise(lit(0))).as("has_dup"))
-    sk.agg(sum("gsize").as("n_docs"),
+    sk.agg(coalesce(sum("gsize"), lit(0L)).as("n_docs"),
         countDistinct("simhash").as("n_distinct_simhash"))
       .crossJoin(cross).crossJoin(within)
       .select(col("n_docs"), col("n_distinct_simhash"),
@@ -1828,8 +1838,8 @@ object DedupQueries {
         | wjc AS (SELECT jc.*, ga.gsize AS ga, gb.gsize AS gb
         |         FROM jc JOIN gr ga ON ga.doc_id = jc.doc_a
         |                 JOIN gr gb ON gb.doc_id = jc.doc_b),
-        | wi AS (SELECT CAST(sum(gsize * (gsize - 1) // 2) AS BIGINT)
-        |            AS cand_within,
+        | wi AS (SELECT CAST(coalesce(sum(gsize * (gsize - 1) // 2), 0)
+        |            AS BIGINT) AS cand_within,
         |          max(CASE WHEN gsize >= 2 THEN 1.0 END) AS max_within
         |        FROM gr)
         |SELECT
@@ -1879,11 +1889,12 @@ object DedupQueries {
         | wpr AS (SELECT pr.*, ga.gsize AS ga, gb.gsize AS gb
         |         FROM pr JOIN gr ga ON ga.doc_id = pr.doc_a
         |                 JOIN gr gb ON gb.doc_id = pr.doc_b),
-        | wi AS (SELECT CAST(sum(gsize * (gsize - 1) // 2) AS BIGINT)
-        |            AS coll_within,
+        | wi AS (SELECT CAST(coalesce(sum(gsize * (gsize - 1) // 2), 0)
+        |            AS BIGINT) AS coll_within,
         |          max(CASE WHEN gsize >= 2 THEN 1 ELSE 0 END) AS has_dup
         |        FROM gr)
-        |SELECT (SELECT CAST(sum(gsize) AS BIGINT) FROM gr) AS n_docs,
+        |SELECT (SELECT CAST(coalesce(sum(gsize), 0) AS BIGINT) FROM gr)
+        |   AS n_docs,
         | (SELECT count(DISTINCT sh) FROM sg) AS n_distinct_simhash,
         | CAST(coalesce((SELECT sum(ga * gb) FROM wpr), 0)
         |   + wi.coll_within AS BIGINT) AS n_band_collisions,
