@@ -17,6 +17,19 @@ object Bench {
     * nothing is loaded, and the next streaming query transparently
     * restarts it.
     */
+  /** Force FULL evaluation of a result frame — the measured action for
+    * every bench/soak timing. `.count()` is NOT that: Catalyst prunes
+    * columns nothing downstream reads, and a global `count()` over a
+    * report aggregate reads none of it, so the final aggregate's
+    * expressions — exactly where queries like d02's jaccard verify
+    * spend their scan-side CPU — were silently skipped (measured:
+    * 0.7 s under count() vs 682 s fully evaluated on a planted d04
+    * hot block; see tools/BENCH_NOTES.md r13 measurement-rule note).
+    * The noop v2 sink consumes every row and every column, transfers
+    * nothing to the driver, and writes nothing. */
+  private[graft] def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   private[graft] def scrub(spark: SparkSession): Unit = {
     // NonFatal only: an OOM or linkage error (e.g. StateStore.stop()
     // shifting on a Spark upgrade) must crash loudly, not be swallowed
@@ -47,12 +60,14 @@ object Bench {
     // happens to run first (a cold broadcast join costs ~6s, warm ~0.7s)
     Tables.All.foreach { t =>
       try {
-        if (t == "events") Tables.events(spark, sfDir).count()
-        else Tables.t(spark, sfDir, t).count()
+        // force, not count: count() reads parquet footers only — the
+        // page-cache warmup must actually read the column bytes
+        if (t == "events") force(Tables.events(spark, sfDir))
+        else force(Tables.t(spark, sfDir, t))
       } catch { case _: Throwable => () }
     }
     Seq("q01_agg_battery", "q04_broadcast_join", "s01_knn_brute").foreach { q =>
-      try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
+      try SparkEntry.queries.get(q).foreach(f => force(f(spark, sfDir)))
       catch { case _: Throwable => () }
     }
     // streaming machinery warmup: the first streaming query of a JVM
@@ -171,7 +186,7 @@ object Bench {
         }
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { force(fn(spark, sfDir)); true }
           catch { case scala.util.control.NonFatal(e) =>
             // keep benching the rest, but make the failure attributable —
             // a swallowed exception must never read as a fast query

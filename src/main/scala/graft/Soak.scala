@@ -264,6 +264,37 @@ object Soak {
       "d02_hot_collapsed" -> ((h: Int) =>
         DedupQueries.minhashPairStatsCollapsed(
           spark, hotDocs(spark, base, h))),
+      "d04_hot_uncollapsed" -> ((h: Int) => {
+        // the retired d04 body: blocked pairs over the raw corpus —
+        // identical texts share the prefix salt, so the hot group
+        // lands in ONE sub-block
+        val docs = hotDocs(spark, base, h)
+          .join(Tables.documents(spark, base).select("doc_id", "lang"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("lang"), lit("en")).as("lang"),
+            length(col("text")).as("n_chars"), col("text"))
+        val salted = DedupQueries.d04Blocked(docs)
+        val a = salted.select(col("lang"), col("lbucket"), col("sub"),
+          col("doc_id").as("doc_a"), col("g").as("g_a"))
+        val b = salted.select(col("lang"), col("lbucket"), col("sub"),
+          col("doc_id").as("doc_b"), col("g").as("g_b"))
+        a.join(b, Seq("lang", "lbucket", "sub"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("jaccard",
+            size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+              size(array_union(col("g_a"), col("g_b"))).cast("double"))
+          .agg(count(lit(1)).as("n_pairs_compared"),
+            sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L))
+              .as("n_sim_03"))
+      }),
+      "d04_hot_collapsed" -> ((h: Int) => {
+        val docs = hotDocs(spark, base, h)
+          .join(Tables.documents(spark, base).select("doc_id", "lang"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("lang"), lit("en")).as("lang"),
+            length(col("text")).as("n_chars"), col("text"))
+        DedupQueries.ngramJaccardStatsCollapsed(docs)
+      }),
       "d03_hot_uncollapsed" -> ((h: Int) => {
         import graft.queries.DedupQueries.{simhashSketchKernel, simhashPairs}
         import graft.operators.Materialize.MaterializeOps
@@ -306,7 +337,7 @@ object Soak {
     // logged, not fatal — the run must survive the deliberately
     // near-death uncollapsed variants to print its summary
     vs.foreach { case (name, fn) =>
-      try { fn(hs.min).count(); () }
+      try { Bench.force(fn(hs.min)); () }
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[skew] $name warmup FAILED: ${e.getMessage}") }
       Bench.scrub(spark)
@@ -317,7 +348,7 @@ object Soak {
       hs.foreach { h =>
         vs.foreach { case (name, fn) =>
           val t0 = System.nanoTime()
-          val ok = try { fn(h).count(); true }
+          val ok = try { Bench.force(fn(h)); true }
             catch { case scala.util.control.NonFatal(e) =>
               System.err.println(s"[skew] $name h=$h FAILED: ${e.getMessage}")
               false }
@@ -405,7 +436,7 @@ object Soak {
     }
     // warmup (untimed): smallest scale once through every query
     qs.foreach { case (_, fn) =>
-      try { fn(spark, s"$work/x${scales.min}").count(); () }
+      try { Bench.force(fn(spark, s"$work/x${scales.min}")); () }
       catch { case scala.util.control.NonFatal(_) => () }
       Bench.scrub(spark)
     }
@@ -415,7 +446,7 @@ object Soak {
       scales.foreach { m =>
         qs.foreach { case (name, fn) =>
           val t0 = System.nanoTime()
-          val ok = try { fn(spark, s"$work/x$m").count(); true }
+          val ok = try { Bench.force(fn(spark, s"$work/x$m")); true }
             catch { case scala.util.control.NonFatal(e) =>
               System.err.println(s"[soak] $name x$m FAILED: ${e.getMessage}")
               false }

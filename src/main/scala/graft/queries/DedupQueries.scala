@@ -111,10 +111,20 @@ object DedupQueries {
     * ceil(n/BlockCap) prefix-hash sub-blocks. Input needs
     * (doc_id, lang, n_chars, text). */
   def d04Blocked(docs: DataFrame): DataFrame = {
-    val grams = array_distinct(expr(
+    // grams hashed to long, the [[shingles]] rule: jaccard only needs
+    // SET identity, and long-array intersects are ~10x cheaper than
+    // 5-char-string intersects — at sf0.1 the honest (post-count()-fix)
+    // pair stage dropped 31 s -> ~3 s on this change alone. The oracle
+    // keeps STRING grams: jaccard over hashed sets equals jaccard over
+    // the strings absent 64-bit collisions (the d02/d06/DupGraphCteSql
+    // precedent).
+    // sorted: the downstream pair jaccard is the merge-count kernel
+    // (functions.SetOps.jaccardSorted), which needs ascending inputs
+    val grams = array_sort(array_distinct(expr(
       """CASE WHEN length(text) >= 5
-        | THEN transform(sequence(1, length(text)-4), i -> substring(text, i, 5))
-        | ELSE array(text) END""".stripMargin))
+        | THEN transform(sequence(1, length(text)-4),
+        |                i -> xxhash64(substring(text, i, 5)))
+        | ELSE array(xxhash64(text)) END""".stripMargin)))
     // the one engine-portable hash recipe, shared with the verified
     // split (keep in sync with its DuckDB replica below)
     val pint = graft.operators.Sampling.portableGate(substring(col("text"), 1, 32))
@@ -847,6 +857,65 @@ object DedupQueries {
           .as("min_hamming"))
   }
 
+  /** d04's blocked n-gram Jaccard statistics with the collapse: the
+    * prefix salt is text-derived (identical texts share it by
+    * design), so h identical docs in one (lang, lbucket) block defeat
+    * [[BlockCap]] with C(h,2) pairs in one sub-block — the same
+    * escape hatch as the band family, closed the same way. The
+    * collapse key is (lang, lbucket, md5(text)) — ALL the blocking
+    * inputs, so members are interchangeable for every downstream
+    * stage — and the blocking recipe is [[d04Blocked]] VERBATIM over
+    * representatives (n_chars reconstructed as lbucket·64, whose
+    * floor(n/64) is exactly lbucket). Counts fold back like
+    * [[minhashPairStatsCollapsed]]; avg folds as a weighted mean
+    * (within-group pairs contribute jaccard exactly 1.0 each). Like
+    * d13, the census now counts DISTINCT contents, so a duplicate-
+    * heavy block no longer inflates nsub and prefix-sharing near-dups
+    * of the duplicated text keep their sub-block — collapse improves
+    * recall here too, and the oracle mirrors the whole fold. */
+  def ngramJaccardStatsCollapsed(docsIn: DataFrame): DataFrame = {
+    import graft.operators.Materialize.MaterializeOps
+    val g0 = docsIn.select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 64).as("lbucket"), col("text"))
+      .groupBy(col("lang"), col("lbucket"), md5(col("text")).as("ckey"))
+      .agg(min("doc_id").as("doc_id"), min("text").as("text"),
+        count(lit(1)).as("gsize"))
+      .select("doc_id", "lang", "lbucket", "text", "gsize").materialize
+    val salted = d04Blocked(g0.select(col("doc_id"), col("lang"),
+      (col("lbucket") * 64).as("n_chars"), col("text")))
+    val a = salted.select(col("lang"), col("lbucket"), col("sub"),
+      col("doc_id").as("doc_a"), col("g").as("g_a"))
+    val b = salted.select(col("lang"), col("lbucket"), col("sub"),
+      col("doc_id").as("doc_b"), col("g").as("g_b"))
+    val pairs = a.join(b, Seq("lang", "lbucket", "sub"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", graft.functions.VectorExpressions
+        .jaccard_sorted(col("g_a"), col("g_b")))
+      .select("doc_a", "doc_b", "jaccard")
+    val cross = weightByGroup(pairs, g0).agg(
+      coalesce(sum(col("ga") * col("gb")), lit(0L)).as("n_cross"),
+      coalesce(sum(when(col("jaccard") >= 0.3, col("ga") * col("gb"))
+        .otherwise(0L)), lit(0L)).as("sim_cross"),
+      coalesce(sum(col("jaccard") * col("ga") * col("gb")), lit(0.0))
+        .as("jsum_cross"),
+      max("jaccard").as("max_cross"))
+    val within = g0.agg(
+      coalesce(sum(expr("gsize * (gsize - 1) div 2")), lit(0L))
+        .as("coll_within"),
+      max(when(col("gsize") >= 2, lit(1.0))).as("max_within"))
+    cross.crossJoin(within).select(
+      (col("n_cross") + col("coll_within")).as("n_pairs_compared"),
+      (col("sim_cross") + col("coll_within")).as("n_sim_03"),
+      RelationalQueries.rnd(greatest(coalesce(col("max_cross"), lit(0.0)),
+        coalesce(col("max_within"), lit(0.0))), 4).as("max_jaccard"),
+      RelationalQueries.rnd(
+        when(col("n_cross") + col("coll_within") === 0, lit(0.0))
+          .otherwise((col("jsum_cross") +
+              col("coll_within").cast("double")) /
+            (col("n_cross") + col("coll_within")).cast("double")), 4)
+        .as("avg_jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "d01_exact_dedup" -> ((s, d) => {
@@ -1267,20 +1336,9 @@ object DedupQueries {
       // sub-block). The sub-bucket hash is md5-prefix → nibble arithmetic,
       // chosen because Spark and DuckDB compute it bit-identically, so
       // the whole salted pipeline is oracle-verifiable end-to-end.
-      val salted = d04Blocked(Tables.documents(s, d))
-      val a = salted.select(col("lang"), col("lbucket"), col("sub"),
-        col("doc_id").as("doc_a"), col("g").as("g_a"))
-      val b = salted.select(col("lang"), col("lbucket"), col("sub"),
-        col("doc_id").as("doc_b"), col("g").as("g_b"))
-      val pairs = a.join(b, Seq("lang", "lbucket", "sub"))
-        .filter(col("doc_a") < col("doc_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-            size(array_union(col("g_a"), col("g_b"))).cast("double"))
-      pairs.agg(count(lit(1)).as("n_pairs_compared"),
-        sum(when(col("jaccard") >= 0.3, 1).otherwise(0)).as("n_sim_03"),
-        RelationalQueries.rnd(coalesce(max("jaccard"), lit(0.0)), 4).as("max_jaccard"),
-        RelationalQueries.rnd(coalesce(avg("jaccard"), lit(0.0)), 4).as("avg_jaccard"))
+      // exact-content collapse + weighted fold (collapse key = ALL
+      // blocking inputs; see ngramJaccardStatsCollapsed)
+      ngramJaccardStatsCollapsed(Tables.documents(s, d))
     }),
 
     /** Edit-distance record linkage: the fuzzy-identity dedup used for
@@ -2266,32 +2324,57 @@ object DedupQueries {
     // replicated verbatim in DuckDB (BlockCap interpolated so tuning
     // the Scala constant can't desynchronize the replica).
     "d04_ngram_jaccard" ->
-      s"""WITH g AS (
-        |  SELECT doc_id, lang,
+      s"""WITH gr AS (
+        |  SELECT min(doc_id) AS doc_id, lang,
         |    CAST(floor(n_chars / 64) AS BIGINT) AS lbucket,
+        |    min(text) AS text, count(*) AS gsize
+        |  FROM documents
+        |  GROUP BY lang, CAST(floor(n_chars / 64) AS BIGINT), md5(text)),
+        | g AS (
+        |  SELECT doc_id, lang, lbucket,
         |    list_distinct(CASE WHEN length(text) >= 5
         |      THEN list_transform(range(1, length(text) - 3),
         |                          i -> substring(text, i, 5))
         |      ELSE [text] END) AS g,
         |    ${graft.operators.Sampling.portableGateSql(
              "substring(text, 1, 32)")} AS pint
-        |  FROM documents),
+        |  FROM gr),
         | sz AS (
         |  SELECT lang, lbucket, count(*) AS bn FROM g GROUP BY lang, lbucket),
         | s AS (
         |  SELECT g.*, pint % CAST((bn + ${BlockCap - 1}) // $BlockCap AS INTEGER) AS sub
         |  FROM g JOIN sz USING (lang, lbucket)),
         | p AS (
-        |  SELECT len(list_intersect(a.g, b.g)) * 1.0
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    len(list_intersect(a.g, b.g)) * 1.0
         |           / len(list_distinct(list_concat(a.g, b.g))) AS jaccard
         |  FROM s a JOIN s b
         |    ON a.lang = b.lang AND a.lbucket = b.lbucket AND a.sub = b.sub
-        |   AND a.doc_id < b.doc_id)
-        |SELECT count(*) AS n_pairs_compared,
-        | CAST(sum(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_sim_03,
-        | floor((coalesce(max(jaccard), 0.0))*10000+0.5)/10000 AS max_jaccard,
-        | floor((coalesce(avg(jaccard), 0.0))*10000+0.5)/10000 AS avg_jaccard
-        |FROM p""".stripMargin,
+        |   AND a.doc_id < b.doc_id),
+        | wp AS (SELECT p.*, ga.gsize AS ga, gb.gsize AS gb
+        |        FROM p JOIN gr ga ON ga.doc_id = p.doc_a
+        |               JOIN gr gb ON gb.doc_id = p.doc_b),
+        | cx AS (SELECT
+        |    CAST(coalesce(sum(ga * gb), 0) AS BIGINT) AS n_cross,
+        |    CAST(coalesce(sum(CASE WHEN jaccard >= 0.3 THEN ga * gb
+        |                      ELSE 0 END), 0) AS BIGINT) AS sim_cross,
+        |    coalesce(sum(jaccard * ga * gb), 0.0) AS jsum_cross,
+        |    max(jaccard) AS max_cross
+        |  FROM wp),
+        | wi AS (SELECT CAST(coalesce(sum(gsize * (gsize - 1) // 2), 0)
+        |            AS BIGINT) AS coll_within,
+        |          max(CASE WHEN gsize >= 2 THEN 1.0 END) AS max_within
+        |        FROM gr)
+        |SELECT CAST(cx.n_cross + wi.coll_within AS BIGINT)
+        |   AS n_pairs_compared,
+        | CAST(cx.sim_cross + wi.coll_within AS BIGINT) AS n_sim_03,
+        | floor(greatest(coalesce(cx.max_cross, 0.0),
+        |   coalesce(wi.max_within, 0.0))*10000+0.5)/10000 AS max_jaccard,
+        | CASE WHEN cx.n_cross + wi.coll_within = 0 THEN 0.0
+        |   ELSE floor(((cx.jsum_cross + wi.coll_within)
+        |     / (cx.n_cross + wi.coll_within))*10000+0.5)/10000 END
+        |   AS avg_jaccard
+        |FROM cx, wi""".stripMargin,
     // d02/d03: LSH banding and bit sketches are not reproducible in
     // DuckDB SQL (xxhash64/murmur internals) → rows-only checks. d06
     // closes the gap for d02: the same Spark pipeline runs on a

@@ -54,4 +54,48 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .count()
     assert(n == 1000)
   }
+
+  test("jaccard_sorted == intersect/union on random sorted distinct sets") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val a = Seq.fill(rng.nextInt(50) + 1)(rng.nextInt(60).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rng.nextInt(50) + 1)(rng.nextInt(60).toLong)
+        .distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+      .withColumn("fast", VectorExpressions.jaccard_sorted(col("a"), col("b")))
+      .withColumn("ref",
+        size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b"))).cast("double"))
+    assert(df.filter(col("fast") =!= col("ref")).count() == 0,
+      df.filter(col("fast") =!= col("ref")).collect().take(3).mkString("; "))
+  }
+
+  test("jaccard_sorted: identical sets give exactly 1.0, disjoint " +
+      "sets 0.0, both-empty null, unsorted input fails loudly") {
+    val one = Seq((Seq(1L, 5L, 9L), Seq(1L, 5L, 9L))).toDF("a", "b")
+      .select(VectorExpressions.jaccard_sorted(col("a"), col("b")))
+      .collect()(0).getDouble(0)
+    assert(one == 1.0)
+    val zero = Seq((Seq(1L, 2L), Seq(3L, 4L))).toDF("a", "b")
+      .select(VectorExpressions.jaccard_sorted(col("a"), col("b")))
+      .collect()(0).getDouble(0)
+    assert(zero == 0.0)
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("a", "b")
+      .select(VectorExpressions.jaccard_sorted(col("a"), col("b")))
+      .collect()(0)
+    assert(empty.isNullAt(0))
+    val ex = intercept[Exception] {
+      Seq((Seq(5L, 1L, 9L), Seq(1L, 2L, 9L))).toDF("a", "b")
+        .select(VectorExpressions.jaccard_sorted(col("a"), col("b")))
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")) ++ Iterator(""))
+        .mkString(" | ")
+    assert(rootMsg(ex).contains("not sorted"), rootMsg(ex))
+  }
 }

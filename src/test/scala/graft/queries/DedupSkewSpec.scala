@@ -242,6 +242,48 @@ class DedupSkewSpec extends AnyFunSuite {
       s"fixture drift: ${folded.toSeq}")
   }
 
+  test("ngramJaccardStatsCollapsed == the raw blocked aggregate when " +
+      "the census is cap-stable (weighted fold incl. the avg)") {
+    // 71 docs in one (lang, lbucket) block — under BlockCap both ways,
+    // so nsub = 1 in both pipelines and the gating is identical; the
+    // fixture's 40-copy group makes every weighted term (C(g,2)
+    // within at jaccard 1, g_a·g_b cross, the weighted mean) live.
+    // (Above the cap the collapsed census deliberately differs — it
+    // counts DISTINCT contents, the d13 argument — so equality is
+    // only claimed, and tested, on the cap-stable regime.)
+    val megaText = "ngram " + randWords(29)
+    val rows =
+      (0 until 40).map(i => ((700 + i).toLong, megaText)) ++
+        Seq((900L, megaText + " graftnear")) ++
+        (0 until 30).map(i => (i.toLong, s"org $i " + randWords(30)))
+    val corpus = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+
+    val salted = DedupQueries.d04Blocked(corpus)
+    val a = salted.select(col("lang"), col("lbucket"), col("sub"),
+      col("doc_id").as("doc_a"), col("g").as("g_a"))
+    val b = salted.select(col("lang"), col("lbucket"), col("sub"),
+      col("doc_id").as("doc_b"), col("g").as("g_b"))
+    val raw = a.join(b, Seq("lang", "lbucket", "sub"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))).cast("double"))
+      .agg(count(lit(1)).as("n_pairs_compared"),
+        sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)).as("n_sim_03"),
+        RelationalQueries.rnd(coalesce(max("jaccard"), lit(0.0)), 4)
+          .as("max_jaccard"),
+        RelationalQueries.rnd(coalesce(avg("jaccard"), lit(0.0)), 4)
+          .as("avg_jaccard")).collect().head
+    val folded = DedupQueries.ngramJaccardStatsCollapsed(corpus)
+      .collect().head
+    assert(folded.toSeq == raw.toSeq,
+      s"folded ${folded.toSeq} vs raw ${raw.toSeq}")
+    assert(folded.getLong(0) >= 780 && folded.getDouble(2) == 1.0,
+      s"fixture drift: ${folded.toSeq}")
+  }
+
   test("labelPropagateCollapsed == uncollapsed build: mega-group, " +
       "cross-group near-dup, short-text twins, organic singletons") {
     // The exact-content collapse must be invisible in the label table.
