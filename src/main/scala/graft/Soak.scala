@@ -80,15 +80,19 @@ object Soak {
           text.as("text"), col("lang"), col("source"),
           length(text).cast("long").as("n_chars"))
       }
-    def embRep(r: Int): DataFrame =
-      if (r % Dim == 0)
+    def embRep(r: Int): DataFrame = {
+      // rotate by r mod Dim: a raw r > Dim would hand slice() a negative
+      // length and crash synthesis for SPARK_GRAFT_SOAK_SCALES > 64
+      val sh = r % Dim
+      if (sh == 0)
         embs.select((col("vec_id") + lit(r * VecStride)).as("vec_id"),
           col("embedding"), col("label"))
       else
         embs.select((col("vec_id") + lit(r * VecStride)).as("vec_id"),
-          concat(slice(col("embedding"), r + 1, Dim - r),
-            slice(col("embedding"), 1, r)).as("embedding"),
+          concat(slice(col("embedding"), sh + 1, Dim - sh),
+            slice(col("embedding"), 1, sh)).as("embedding"),
           col("label"))
+    }
     def evRep(r: Int): DataFrame =
       evs.select((col("event_id") + lit(r * EvStride)).as("event_id"),
         col("ts"), (col("user_id") + lit(r * UserStride)).as("user_id"),

@@ -14,6 +14,15 @@ object Verify {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Oracle comparison is only meaningful under the portable signature
+    // kernel: spark.graft.dedup.kernel=native makes d02/d03 diverge from
+    // their committed DuckDB oracles BY DESIGN, so a stray conf flip
+    // (spark-defaults, env) would turn genuine mismatches into
+    // expected-looking noise. Pin the kernel here and say so, so every
+    // dump is attributable to the portable path.
+    spark.conf.set(graft.queries.DedupQueries.KernelConf, "portable")
+    println(s"[verify] ${graft.queries.DedupQueries.KernelConf}=portable " +
+      "(pinned: oracle parity requires the portable md5 kernel)")
     // dev-loop filter: SPARK_GRAFT_ONLY=e07,e08 limits the dump to the
     // named prefixes (the driver never sets it, so its runs stay full).
     // Filtered dumps land in <outDir>_partial so a truncated dump can

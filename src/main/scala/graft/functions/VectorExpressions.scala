@@ -120,12 +120,16 @@ object SetOps {
     * arrays by linear merge-count — no per-call hash structure, unlike
     * `array_intersect`+`array_union` which build one each per PAIR (the
     * honest post-count()-fix d04 profile: 317k pairs × ~52 µs; this
-    * kernel runs the same pairs at ~2-4 µs). Callers own the sortedness
-    * contract (d04Blocked emits array_sort(array_distinct(...)));
-    * unsorted input would silently undercount the intersection, so the
-    * kernel fails loudly on an observed order violation — one branch
-    * per element, and it catches every violation that could change the
-    * count. Null elements are a data bug for hashed-gram sets: null. */
+    * kernel runs the same pairs at ~2-4 µs). Callers own the
+    * sorted-DISTINCT contract (d04Blocked emits
+    * array_sort(array_distinct(...))); unsorted input would silently
+    * undercount the intersection and duplicate elements would silently
+    * inflate it ([1,1,2] vs [1,2] reading 2/3 instead of 1.0), so the
+    * kernel fails loudly on any observed strict-ascent violation —
+    * still one branch per element, and it makes the declared contract
+    * self-enforcing instead of resting on every caller remembering
+    * array_distinct. Null elements are a data bug for hashed-gram
+    * sets: null. */
   def jaccardSorted(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements(); val m = b.numElements()
     if (n + m == 0) return null
@@ -134,10 +138,12 @@ object SetOps {
     while (i < n && j < m) {
       if (a.isNullAt(i) || b.isNullAt(j)) return null
       val x = a.getLong(i); val y = b.getLong(j)
-      if (i > 0 && x < prevA) throw new IllegalArgumentException(
-        "jaccard_sorted: left array is not sorted ascending")
-      if (j > 0 && y < prevB) throw new IllegalArgumentException(
-        "jaccard_sorted: right array is not sorted ascending")
+      if (i > 0 && x <= prevA) throw new IllegalArgumentException(
+        "jaccard_sorted: left array is not strictly ascending " +
+          "(sorted distinct sets required)")
+      if (j > 0 && y <= prevB) throw new IllegalArgumentException(
+        "jaccard_sorted: right array is not strictly ascending " +
+          "(sorted distinct sets required)")
       if (x == y) { common += 1; prevA = x; prevB = y; i += 1; j += 1 }
       else if (x < y) { prevA = x; i += 1 }
       else { prevB = y; j += 1 }

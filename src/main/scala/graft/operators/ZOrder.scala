@@ -64,19 +64,35 @@ object ZOrder {
     * so the whole rescale stays row-local integer math:
     * `((v - lo) * (2^bits - 1)) div max(hi - lo, 1)` — Catalyst's
     * IntegralDivide, exact 64-bit, never a rounding-sensitive double
-    * division. */
+    * division.
+    *
+    * Range bound: the numerator is 64-bit, so the column range must
+    * satisfy `hi − lo ≤ Long.MaxValue / (2^bits − 1)` (≈ 2^(63−bits));
+    * a wider range would silently wrap under non-ANSI arithmetic and
+    * produce garbage z-keys. The bound is enforced per row with a
+    * one-compare `raise_error` guard — lo/hi are columns, so there is
+    * no driver-side place to `require` it. */
   def normalize(v: Column, lo: Column, hi: Column, bits: Int): Column = {
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     import org.apache.spark.sql.graft.ColumnBridge
+    require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
     val top = (1L << bits) - 1
+    val maxRange = Long.MaxValue / top
     val num = (v - lo) * lit(top)
     val den = greatest(hi - lo, lit(1L))
-    ColumnBridge.column(new IntegralDivide(
-      ColumnBridge.expression(num), ColumnBridge.expression(den)))
+    when(den <= lit(maxRange),
+      ColumnBridge.column(new IntegralDivide(
+        ColumnBridge.expression(num), ColumnBridge.expression(den))))
+      .otherwise(raise_error(concat(
+        lit(s"zorder normalize: column range "), den.cast("string"),
+        lit(s" exceeds $maxRange for bits=$bits — pre-scale the column " +
+          "or reduce bits"))))
   }
 
   /** SQL mirror of [[normalize]] (DuckDB `//` is integer division; both
-    * operands are non-negative so trunc-vs-floor cannot differ). */
+    * operands are non-negative so trunc-vs-floor cannot differ). The
+    * Spark side's overflow guard is not mirrored: it never fires on
+    * in-bound data, so results are identical wherever both run. */
   def normalizeSql(v: String, lo: String, hi: String, bits: Int): String = {
     val top = (1L << bits) - 1
     s"((($v) - ($lo)) * $top) // greatest(($hi) - ($lo), 1)"
