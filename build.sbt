@@ -36,3 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // (failures still print "[error]" loudly and exit non-zero).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// ...and r13 showed that alone is not enough: sbt's logger still
+// "[info] "-prefixes every forked-run stdout line, so the driver's
+// json.loads on the tail's last line kept failing (BENCH_r13/r14
+// parsed:null with the JSON line dead last). StdoutOutput inherits the
+// forked JVM's stdout directly — no logger, no prefix, bare JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

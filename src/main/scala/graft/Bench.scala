@@ -251,11 +251,18 @@ object Bench {
     // the full line is ~5 KB at 150+ queries and does NOT fit in a
     // 2000-byte stdout tail capture — a tail parser would see a
     // front-truncated fragment and record "parsed": null. So the LAST
-    // two lines are (a) a greppable pointer to the on-disk native JSON
-    // and (b) a compact summary line (<400 bytes) that a tail capture
-    // always receives whole; per-query detail lives in the file.
-    println(s"BENCH_NATIVE_JSON=$lastPath")
-    println(summary + s""","sf":"$sfDir","full":"$lastPath"}""")
+    // two stdout lines are (a) a greppable pointer to the on-disk
+    // native JSON and (b) a compact summary line (<400 bytes) that a
+    // tail capture always receives whole; per-query detail lives in
+    // the file. spark.stop() runs FIRST so no late shutdown logging
+    // can land after them, and the final line goes through
+    // System.out directly (not Scala's Console, which sbt's non-forked
+    // runner intercepts and [info]-prefixes) so the tail parser gets
+    // bare JSON.
     spark.stop()
+    println(s"BENCH_NATIVE_JSON=$lastPath")
+    Console.flush()
+    System.out.println(summary + s""","sf":"$sfDir","full":"$lastPath"}""")
+    System.out.flush()
   }
 }

@@ -125,11 +125,13 @@ object SetOps {
     * array_sort(array_distinct(...))); unsorted input would silently
     * undercount the intersection and duplicate elements would silently
     * inflate it ([1,1,2] vs [1,2] reading 2/3 instead of 1.0), so the
-    * kernel fails loudly on any observed strict-ascent violation —
-    * still one branch per element, and it makes the declared contract
-    * self-enforcing instead of resting on every caller remembering
-    * array_distinct. Null elements are a data bug for hashed-gram
-    * sets: null. */
+    * kernel fails loudly on any strict-ascent violation — including in
+    * the tail of the unexhausted array after the merge ends (a=[1],
+    * b=[1,3,3] would otherwise silently report 1/3 for a true 1/2).
+    * Still one branch per element over a single linear pass, and it
+    * makes the declared contract self-enforcing instead of resting on
+    * every caller remembering array_distinct. Null elements are a data
+    * bug for hashed-gram sets: null. */
   def jaccardSorted(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements(); val m = b.numElements()
     if (n + m == 0) return null
@@ -138,18 +140,34 @@ object SetOps {
     while (i < n && j < m) {
       if (a.isNullAt(i) || b.isNullAt(j)) return null
       val x = a.getLong(i); val y = b.getLong(j)
-      if (i > 0 && x <= prevA) throw new IllegalArgumentException(
-        "jaccard_sorted: left array is not strictly ascending " +
-          "(sorted distinct sets required)")
-      if (j > 0 && y <= prevB) throw new IllegalArgumentException(
-        "jaccard_sorted: right array is not strictly ascending " +
-          "(sorted distinct sets required)")
+      if (i > 0 && x <= prevA) throw notAscending("left")
+      if (j > 0 && y <= prevB) throw notAscending("right")
       if (x == y) { common += 1; prevA = x; prevB = y; i += 1; j += 1 }
       else if (x < y) { prevA = x; i += 1 }
       else { prevB = y; j += 1 }
     }
+    // Validate the tail of whichever array the merge didn't exhaust —
+    // the union size (n + m - common) is only correct if those
+    // elements are distinct too.
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getLong(i)
+      if (i > 0 && x <= prevA) throw notAscending("left")
+      prevA = x; i += 1
+    }
+    while (j < m) {
+      if (b.isNullAt(j)) return null
+      val y = b.getLong(j)
+      if (j > 0 && y <= prevB) throw notAscending("right")
+      prevB = y; j += 1
+    }
     java.lang.Double.valueOf(common.toDouble / (n + m - common).toDouble)
   }
+
+  private def notAscending(side: String): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"jaccard_sorted: $side array is not strictly ascending " +
+        "(sorted distinct sets required)")
 }
 
 /** `jaccard_sorted(a, b)` — exact set Jaccard of two sorted distinct

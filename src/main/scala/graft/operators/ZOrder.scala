@@ -71,7 +71,9 @@ object ZOrder {
     * a wider range would silently wrap under non-ANSI arithmetic and
     * produce garbage z-keys. The bound is enforced per row with a
     * one-compare `raise_error` guard — lo/hi are columns, so there is
-    * no driver-side place to `require` it. */
+    * no driver-side place to `require` it. NULL bounds (an
+    * entirely-NULL column through a min/max aggregate) yield NULL, the
+    * pre-guard behavior — not a raise_error with a NULL message. */
   def normalize(v: Column, lo: Column, hi: Column, bits: Int): Column = {
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     import org.apache.spark.sql.graft.ColumnBridge
@@ -80,9 +82,10 @@ object ZOrder {
     val maxRange = Long.MaxValue / top
     val num = (v - lo) * lit(top)
     val den = greatest(hi - lo, lit(1L))
-    when(den <= lit(maxRange),
-      ColumnBridge.column(new IntegralDivide(
-        ColumnBridge.expression(num), ColumnBridge.expression(den))))
+    when(den.isNull, lit(null).cast("long"))
+      .when(den <= lit(maxRange),
+        ColumnBridge.column(new IntegralDivide(
+          ColumnBridge.expression(num), ColumnBridge.expression(den))))
       .otherwise(raise_error(concat(
         lit(s"zorder normalize: column range "), den.cast("string"),
         lit(s" exceeds $maxRange for bits=$bits — pre-scale the column " +
@@ -92,8 +95,12 @@ object ZOrder {
   /** SQL mirror of [[normalize]] (DuckDB `//` is integer division; both
     * operands are non-negative so trunc-vs-floor cannot differ). The
     * Spark side's overflow guard is not mirrored: it never fires on
-    * in-bound data, so results are identical wherever both run. */
+    * in-bound data, so results are identical wherever both run. Shares
+    * normalize's bits bound so the two sides can never silently
+    * diverge (bits=64 would compute (1L<<64)-1 == 0 here while the
+    * Spark side rejects it). */
   def normalizeSql(v: String, lo: String, hi: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
     val top = (1L << bits) - 1
     s"((($v) - ($lo)) * $top) // greatest(($hi) - ($lo), 1)"
   }

@@ -96,6 +96,27 @@ class VectorExpressionsSpec extends AnyFunSuite {
       (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(e => Option(e.getMessage).getOrElse("")) ++ Iterator(""))
         .mkString(" | ")
-    assert(rootMsg(ex).contains("not sorted"), rootMsg(ex))
+    assert(rootMsg(ex).contains("strictly ascending"), rootMsg(ex))
+    // Duplicate elements violate the DISTINCT half of the contract
+    // (would silently inflate the union count): must also fail loudly.
+    val dup = intercept[Exception] {
+      Seq((Seq(1L, 1L, 2L), Seq(1L, 2L))).toDF("a", "b")
+        .select(VectorExpressions.jaccard_sorted(col("a"), col("b")))
+        .collect()
+    }
+    assert(rootMsg(dup).contains("strictly ascending"), rootMsg(dup))
+    // Violations in the tail AFTER the shorter array exhausts are also
+    // caught (a=[1], b=[1,3,3] would otherwise report 1/3 for true 1/2).
+    val tail = intercept[Exception] {
+      Seq((Seq(1L), Seq(1L, 3L, 3L))).toDF("a", "b")
+        .select(VectorExpressions.jaccard_sorted(col("a"), col("b")))
+        .collect()
+    }
+    assert(rootMsg(tail).contains("strictly ascending"), rootMsg(tail))
+    // And a well-formed pair whose tail is fine still computes exactly.
+    val half = Seq((Seq(1L), Seq(1L, 3L))).toDF("a", "b")
+      .select(VectorExpressions.jaccard_sorted(col("a"), col("b")))
+      .collect()(0).getDouble(0)
+    assert(half == 0.5)
   }
 }

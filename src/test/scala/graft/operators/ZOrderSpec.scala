@@ -55,6 +55,36 @@ class ZOrderSpec extends AnyFunSuite {
     assert(n.getLong(1) == (5L * 65535L) / 10L)
   }
 
+  test("normalize overflow guard: an in-bound range is untouched, an " +
+      "out-of-bound range raises, NULL bounds yield NULL not a crash") {
+    val maxRange = Long.MaxValue / ((1L << 16) - 1)
+    // in-bound: the widest legal range still produces the exact value
+    val ok = Seq(maxRange).toDF("v").select(
+      ZOrder.normalize(col("v"), lit(0L), lit(maxRange), 16)).head()
+    assert(ok.getLong(0) == 65535L)
+    // out-of-bound: one past the cap must raise with the r14 message,
+    // not silently wrap the 64-bit numerator into garbage z-keys
+    val e = intercept[Exception] {
+      Seq(1L).toDF("v").select(
+        ZOrder.normalize(col("v"), lit(0L), lit(maxRange + 1), 16)).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(rootMsg(e).contains("exceeds"), rootMsg(e))
+    // NULL bounds (entirely-NULL column through min/max): NULL result,
+    // the pre-guard behavior — not raise_error with a NULL message
+    val nul = Seq(1L).toDF("v").select(
+      ZOrder.normalize(col("v"), lit(null).cast("long"),
+        lit(null).cast("long"), 16)).head()
+    assert(nul.isNullAt(0))
+    // normalizeSql mirrors normalize's bits bound (bits=64 would emit
+    // `* 0` SQL where the Spark side rejects loudly)
+    intercept[IllegalArgumentException] {
+      ZOrder.normalizeSql("v", "0", "10", 64)
+    }
+  }
+
   test("property: interleaveN is a bijection whose inverse recovers " +
       "every coordinate (400 generated samples, batch-evaluated)") {
     import org.scalacheck.Gen
