@@ -24,6 +24,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Also mirror the launcher's NON-add-opens defaults (measured
+  // neutral here — the r15 bench-flap investigation A/B'd them — but
+  // parity with spark-submit'd JVMs removes a whole class of
+  // "harness vs shell" attribution questions):
+  "-Djdk.reflect.useDirectMethodHandleAccessor=false",
+  "-Dio.netty.tryReflectionSetAccessible=true",
+  "-Dio.netty.allocator.type=pooled",
+  "--enable-native-access=ALL-UNNAMED",
+  "-XX:+IgnoreUnrecognizedVMOptions",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -119,6 +119,10 @@ object Soak {
   /** Full-corpus documents + a planted near-copy of every 10th doc
     * (the d09Corpus recipe, uncapped) so edge/cluster volume grows
     * WITH the corpus instead of staying a 240-doc constant. */
+  // exposed for ExecutorLoss's disturbed-vs-baseline runs
+  private[graft] def plantedDocsForHarness(s: SparkSession,
+      d: String): DataFrame = plantedDocs(s, d)
+
   private def plantedDocs(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select("doc_id", "text")
     val planted = base
@@ -244,31 +248,109 @@ object Soak {
     base.unionByName(copies)
   }
 
-  /** Skew mode (`SPARK_GRAFT_SOAK_SKEW_H=512,2048,8192`): measures the
-    * d09 clustering pipeline's wall time against the planted
-    * mega-duplicate size h, for the uncollapsed (all in-bucket pairs)
-    * and collapsed (rep pairs + star) builds. The uncollapsed curve is
-    * expected ~quadratic in h — the cliff the collapse exists to
-    * remove; the spec-level label equality of the two builds is
-    * DedupSkewSpec's job, so this mode only times them. */
+  /** Hot-KEY fact table for the q41/q42 comparators: the sf-base
+    * lineitem re-keyed, plus h synthetic rows that all share ONE key —
+    * the shape where a shuffle sends the whole hot key's volume to a
+    * single reducer. Built with `range(h)` (parallel) rather than an
+    * explode of one sequence row (which would itself be the single-task
+    * pathology the variants exist to measure). */
+  private def hotFact(s: SparkSession, d: String, h: Int): DataFrame = {
+    val base = Tables.lineitem(s, d).select(col("l_returnflag").as("k"),
+      col("l_quantity").cast("double").as("qty"),
+      col("l_extendedprice").cast("double").as("price"))
+    val hot = s.range(h.toLong).select(lit("HOT").as("k"),
+      lit(1.0).as("qty"), lit(1.0).as("price"))
+    base.unionByName(hot)
+  }
+
+  /** The q42 comparators' dim side: one row per key plus a multiplier
+    * column — small enough to broadcast (the q42_hot_bcast anchor) or
+    * replicate-salt, never the side that shuffles. */
+  private def dimOf(f: DataFrame): DataFrame =
+    f.select("k").distinct()
+      .withColumn("mult", when(col("k") === "HOT", 0.5).otherwise(1.0))
+
+  /** Hot-SOURCE documents for the t23 comparators: base docs plus h
+    * synthetic ids under one source, so the naive per-source top-N
+    * window sorts h rows in a single partition. t23 reads only
+    * (doc_id, source) — the gate is id-derived — so the hot rows need
+    * no text. */
+  private def hotSourceDocs(s: SparkSession, d: String, h: Int): DataFrame = {
+    val base = Tables.documents(s, d).select("doc_id", "source")
+    val hot = s.range(h.toLong)
+      .select((col("id") + lit(300L * DocStride)).as("doc_id"),
+        lit("hotsrc").as("source"))
+    base.unionByName(hot)
+  }
+
+  /** Per-source top-N selection census over `docs` — the t23 body with
+    * the two-phase gate-salt either on (shipped shape) or off (naive
+    * single window, the oracle's shape). Selection is identical by
+    * construction; only the partition profile differs. */
+  private def sourceCapCensus(docs: DataFrame, salted: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val N = 10; val SALT = 8
+    val gated = docs.select(col("doc_id"), col("source"),
+      graft.operators.Sampling.portableGate(
+        concat(col("doc_id").cast("string"), lit(":cap"))).as("g"))
+    val kept =
+      if (!salted) {
+        val w = Window.partitionBy("source").orderBy(col("g"), col("doc_id"))
+        gated.withColumn("rn", row_number().over(w)).filter(col("rn") <= N)
+      } else {
+        val w1 = Window.partitionBy(col("source"), pmod(col("g"), lit(SALT)))
+          .orderBy(col("g"), col("doc_id"))
+        val cand = gated.withColumn("rn1", row_number().over(w1))
+          .filter(col("rn1") <= N)
+        val w2 = Window.partitionBy("source").orderBy(col("g"), col("doc_id"))
+        cand.withColumn("rn2", row_number().over(w2)).filter(col("rn2") <= N)
+      }
+    kept.groupBy("source").agg(count(lit(1)).as("n_kept"),
+      sum("doc_id").as("kept_id_sum"), min("doc_id").as("min_kept_id"),
+      max("doc_id").as("max_kept_id"))
+  }
+
+  /** One skew-mode measurement target: `conf` is applied around the
+    * run and restored after (so AQE-skew toggles can't leak across
+    * variants); h rungs above `maxH` are SKIPPED WITH A PRINTED LINE —
+    * a silent cap would read as "measured and flat" (the d04
+    * uncollapsed comparator pays ~52 µs per C(h,2) pair in one task;
+    * its h=16384 rung is ~2 h of single-thread work, extrapolated in
+    * SOAK.md instead of burned). */
+  private case class SkewVariant(name: String, fn: Int => DataFrame,
+      conf: Map[String, String] = Map.empty, maxH: Int = Int.MaxValue)
+
+  /** Skew mode (`SPARK_GRAFT_SOAK_SKEW_H=512,2048,8192`): wall time vs
+    * planted skew size h for BOTH skew families —
+    *  - mega-DUPLICATE clusters (h identical docs/vectors) through the
+    *    five collapse-protected pipelines, uncollapsed vs collapsed:
+    *    the uncollapsed curves are ~quadratic (the cliff the collapse
+    *    removes); label equality of the two builds is DedupSkewSpec's
+    *    job, this mode only times them;
+    *  - hot-KEY volume (h rows under one grouping/join/window key)
+    *    through the q41/q42/t23 comparators: plain vs AQE-skew vs
+    *    manual salt, the "when does hand salting beat AQE" experiment
+    *    (BENCH_NOTES). These only bite at h ≫ the dup-cluster rungs
+    *    (work is linear per row, not per pair), so sweep them
+    *    separately at h ~ 10⁶ via SPARK_GRAFT_SOAK_ONLY. */
   private def skewMain(spark: SparkSession, base: String,
       hs: Seq[Int], samples: Int): Unit = {
     import graft.queries.DedupQueries
-    val variants: Seq[(String, Int => DataFrame)] = Seq(
-      "d09_hot_uncollapsed" -> ((h: Int) => clusterCensus(
+    val variants: Seq[SkewVariant] = Seq(
+      SkewVariant("d09_hot_uncollapsed", (h: Int) => clusterCensus(
         DedupQueries.labelPropagate(
           DedupQueries.d09Edges(hotDocs(spark, base, h))))),
-      "d09_hot_collapsed" -> ((h: Int) => clusterCensus(
+      SkewVariant("d09_hot_collapsed", (h: Int) => clusterCensus(
         DedupQueries.labelPropagateCollapsed(hotDocs(spark, base, h)))),
-      "d02_hot_uncollapsed" -> ((h: Int) =>
+      SkewVariant("d02_hot_uncollapsed", (h: Int) =>
         DedupQueries.minhashPairsKernel(spark, hotDocs(spark, base, h))
           .agg(count(lit(1)).as("n_candidate_pairs"),
             sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L))
               .as("n_dups_05"))),
-      "d02_hot_collapsed" -> ((h: Int) =>
+      SkewVariant("d02_hot_collapsed", (h: Int) =>
         DedupQueries.minhashPairStatsCollapsed(
           spark, hotDocs(spark, base, h))),
-      "d04_hot_uncollapsed" -> ((h: Int) => {
+      SkewVariant("d04_hot_uncollapsed", maxH = 4096, fn = (h: Int) => {
         // the retired d04 body: blocked pairs over the raw corpus —
         // identical texts share the prefix salt, so the hot group
         // lands in ONE sub-block
@@ -291,7 +373,7 @@ object Soak {
             sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L))
               .as("n_sim_03"))
       }),
-      "d04_hot_collapsed" -> ((h: Int) => {
+      SkewVariant("d04_hot_collapsed", (h: Int) => {
         val docs = hotDocs(spark, base, h)
           .join(Tables.documents(spark, base).select("doc_id", "lang"),
             Seq("doc_id"), "left")
@@ -299,7 +381,7 @@ object Soak {
             length(col("text")).as("n_chars"), col("text"))
         DedupQueries.ngramJaccardStatsCollapsed(docs)
       }),
-      "d03_hot_uncollapsed" -> ((h: Int) => {
+      SkewVariant("d03_hot_uncollapsed", (h: Int) => {
         import graft.queries.DedupQueries.{simhashSketchKernel, simhashPairs}
         import graft.operators.Materialize.MaterializeOps
         // the sketch materialize matches the retired shipped query
@@ -313,12 +395,12 @@ object Soak {
             sum(when(col("hamming") <= 8, 1L).otherwise(0L))
               .as("n_pairs_hamming_le8")))
       }),
-      "d03_hot_collapsed" -> ((h: Int) =>
+      SkewVariant("d03_hot_collapsed", (h: Int) =>
         DedupQueries.simhashStatsCollapsed(
           spark, hotDocs(spark, base, h))),
-      "d13_hot_uncollapsed" -> ((h: Int) =>
+      SkewVariant("d13_hot_uncollapsed", (h: Int) =>
         d13Uncollapsed(hotVecs(spark, base, h))),
-      "d13_hot_collapsed" -> ((h: Int) => {
+      SkewVariant("d13_hot_collapsed", (h: Int) => {
         val (reps, assign, dupPairs) =
           graft.queries.SimilarityQueries.semDedupBuild(
             hotVecs(spark, base, h))
@@ -326,42 +408,122 @@ object Soak {
           .crossJoin(assign.agg(countDistinct("cl_id").as("n_clusters")))
           .crossJoin(dupPairs.agg(
             countDistinct(col("b.vec_id")).as("n_rep_dropped")))
-      }))
+      }),
+      // ---- hot-KEY family: plain vs AQE-skew vs manual salt ----
+      // q41: hot GROUP BY key. Expectation worth measuring honestly:
+      // Spark's hash aggregate does map-side partial aggregation, so a
+      // decomposable sum/count over a hot key is ALREADY flat — the
+      // plain curve should match the salted one, and q41's salt is
+      // paying an extra shuffle stage for insurance it only needs when
+      // partial aggregation is defeated. The numbers make that case.
+      SkewVariant("q41_hot_plain", (h: Int) =>
+        hotFact(spark, base, h).groupBy("k")
+          .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))),
+      SkewVariant("q41_hot_salted", (h: Int) =>
+        graft.operators.SkewTools.saltedSumCount(
+          hotFact(spark, base, h), Seq("k"), "qty")),
+      // q42: hot JOIN key, dim side 4 rows. Four physical answers to
+      // the same logical join, worst to best:
+      //  - merge-hinted shuffle join, AQE skew split OFF: the funnel
+      //    (the hot key's h rows sort-merge in one task);
+      //  - same join, AQE skewJoin ON with thresholds scaled to the
+      //    toy corpus (defaults trigger at 256 MB partitions — nothing
+      //    this size would ever split): AQE's runtime rescue;
+      //  - SkewTools.saltedJoin (merge-hinted): the manual rescue that
+      //    also works where AQE can't see (non-SMJ plans, first run);
+      //  - plain broadcast: the right answer whenever the dim fits —
+      //    no shuffle of the fact side at all, skew irrelevant.
+      SkewVariant("q42_hot_shuffle", (h: Int) => {
+        val f = hotFact(spark, base, h)
+        f.join(dimOf(f).hint("merge"), Seq("k"))
+          .groupBy("k").agg(count(lit(1)).as("n"),
+            sum(col("price") * col("mult")).as("adj"))
+      }, conf = Map("spark.sql.adaptive.skewJoin.enabled" -> "false")),
+      SkewVariant("q42_hot_aqeskew", (h: Int) => {
+        val f = hotFact(spark, base, h)
+        f.join(dimOf(f).hint("merge"), Seq("k"))
+          .groupBy("k").agg(count(lit(1)).as("n"),
+            sum(col("price") * col("mult")).as("adj"))
+      }, conf = Map(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m")),
+      SkewVariant("q42_hot_salted", (h: Int) => {
+        val f = hotFact(spark, base, h)
+        graft.operators.SkewTools.saltedJoin(f, dimOf(f).hint("merge"), "k")
+          .groupBy("k").agg(count(lit(1)).as("n"),
+            sum(col("price") * col("mult")).as("adj"))
+      }, conf = Map("spark.sql.adaptive.skewJoin.enabled" -> "false")),
+      SkewVariant("q42_hot_bcast", (h: Int) => {
+        val f = hotFact(spark, base, h)
+        f.join(broadcast(dimOf(f)), Seq("k"))
+          .groupBy("k").agg(count(lit(1)).as("n"),
+            sum(col("price") * col("mult")).as("adj"))
+      }),
+      // t23: hot WINDOW key — per-source top-N where one source holds
+      // h of the rows. The naive single window sorts h rows in one
+      // partition; the shipped two-phase gate-salt bounds any
+      // partition at ~h/8 and ranks only 8·N finalists.
+      SkewVariant("t23_hot_naive", (h: Int) =>
+        sourceCapCensus(hotSourceDocs(spark, base, h), salted = false)),
+      SkewVariant("t23_hot_salted", (h: Int) =>
+        sourceCapCensus(hotSourceDocs(spark, base, h), salted = true)))
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
-      val unknown = names -- variants.map(_._1).toSet
+      val unknown = names -- variants.map(_.name).toSet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_SOAK_ONLY names unknown skew variants: " +
           unknown.mkString(","))
     }
-    val vs = variants.filter(v => only.forall(_.contains(v._1)))
+    val vs = variants.filter(v => only.forall(_.contains(v.name)))
     require(vs.nonEmpty, "SPARK_GRAFT_SOAK_ONLY selects no skew variant")
-    // warmup: smallest h once through both variants; failures are
+    // apply a variant's session confs for exactly one measurement and
+    // restore the previous values — an AQE toggle must not leak into
+    // the next variant's timing
+    def withVariantConf[A](conf: Map[String, String])(body: => A): A = {
+      val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toSeq
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // warmup: smallest h once through every variant; failures are
     // logged, not fatal — the run must survive the deliberately
     // near-death uncollapsed variants to print its summary
-    vs.foreach { case (name, fn) =>
-      try { Bench.force(fn(hs.min)); () }
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[skew] $name warmup FAILED: ${e.getMessage}") }
-      Bench.scrub(spark)
+    vs.foreach { v =>
+      if (hs.min <= v.maxH) {
+        try withVariantConf(v.conf) { Bench.force(v.fn(hs.min)); () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[skew] ${v.name} warmup FAILED: ${e.getMessage}") }
+        Bench.scrub(spark)
+      }
     }
     val results = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.Map[Int, Double]]
     (1 to samples).foreach { sample =>
       hs.foreach { h =>
-        vs.foreach { case (name, fn) =>
-          val t0 = System.nanoTime()
-          val ok = try { Bench.force(fn(h)); true }
-            catch { case scala.util.control.NonFatal(e) =>
-              System.err.println(s"[skew] $name h=$h FAILED: ${e.getMessage}")
-              false }
-          val dt = (System.nanoTime() - t0) / 1e9
-          if (ok) {
-            val qmap = results.getOrElseUpdate(name,
-              scala.collection.mutable.Map.empty)
-            qmap(h) = math.min(qmap.getOrElse(h, Double.MaxValue), dt)
-            println(f"""{"skew":"$name","h":$h,"sample":$sample,"sec":$dt%.3f}""")
+        vs.foreach { v =>
+          val name = v.name
+          if (h > v.maxH) {
+            // loud, not silent: a skipped rung must never read as
+            // "measured and flat" in the summary table
+            println(s"""{"skew":"$name","h":$h,"skipped":"h > maxH=${v.maxH}"}""")
+          } else {
+            val t0 = System.nanoTime()
+            val ok = try { withVariantConf(v.conf) { Bench.force(v.fn(h)) }; true }
+              catch { case scala.util.control.NonFatal(e) =>
+                System.err.println(s"[skew] $name h=$h FAILED: ${e.getMessage}")
+                false }
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (ok) {
+              val qmap = results.getOrElseUpdate(name,
+                scala.collection.mutable.Map.empty)
+              qmap(h) = math.min(qmap.getOrElse(h, Double.MaxValue), dt)
+              println(f"""{"skew":"$name","h":$h,"sample":$sample,"sec":$dt%.3f}""")
+            }
           }
           Console.flush()
           Bench.scrub(spark)

@@ -118,6 +118,8 @@ object CentroidBuild {
     val seeds = df
       .withColumn("h", md5(col(idCol).cast("string")))
       .orderBy("h").limit(k)
+    // global (unpartitioned) window — benign: it numbers the
+    // post-limit(k) seed frame (k = √n rows), not the corpus
     val wSeed = Window.orderBy("h")
     var cents = seeds
       .select(row_number().over(wSeed).cast("long").as("cl_id"),

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 /** Skew mitigation for hot grouping/join keys (100 TB stance: AQE's
   * skew-join handles sort-merge joins, but a pathologically hot GROUP
   * BY key still funnels one reducer; salting splits it).
+  *
+  * WHEN to reach for these vs letting the engine cope — measured in
+  * `graft.Soak`'s skew mode (hot-key variants; numbers in
+  * tools/BENCH_NOTES.md "AQE skew-join vs manual salting"):
+  *  - hot GROUP BY with decomposable aggregates: usually NEITHER —
+  *    hash aggregation's map-side partial step already emits one row
+  *    per (task, key), so the hot key's volume never shuffles;
+  *    [[saltedSumCount]] pays an extra shuffle stage and earns it only
+  *    when partial aggregation is defeated (`collect_list`, exact
+  *    `percentile`, very wide agg buffers).
+  *  - hot JOIN key, dim side broadcastable: broadcast. Skew is a
+  *    shuffle pathology; a broadcast join has no shuffle to skew.
+  *  - hot JOIN key, both sides big (sort-merge): AQE's skew-join
+  *    splits the hot partition at runtime — IF the hot partition
+  *    clears `spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes`
+  *    (256 MB default; a hot key below it just runs long) and the
+  *    plan is an SMJ under AQE. [[saltedJoin]] is the static rescue
+  *    for what AQE can't see: non-SMJ plans, aggregation-after-join
+  *    pipelines where the funnel is downstream of the split, or
+  *    engines/first-runs without runtime stats.
   */
 object SkewTools {
 

@@ -1507,6 +1507,9 @@ object DedupQueries {
           .materialize
       }
       val top = pr.orderBy(col("pr").desc, col("node")).limit(10)
+      // global (unpartitioned) window — benign: it ranks the
+      // post-limit(10) frame, never the corpus, so the single-partition
+      // funnel Spark warns about is a 10-row sort
       val w = Window.orderBy(col("pr").desc, col("node"))
       top.withColumn("rank", row_number().over(w))
         .select(col("rank"), col("node"), col("pr").as("pr_e9"), col("deg"))

@@ -161,7 +161,7 @@ object EventQueries {
     * Harness scaffolding, not pipeline: production streams have real
     * arrival order; this manufactures one deterministically for the
     * bounded replays whose oracles depend on it. */
-  private def stageReplay(prefix: String, stages: Seq[DataFrame],
+  private[graft] def stageReplay(prefix: String, stages: Seq[DataFrame],
       allowEmptyStages: Boolean = false): String = {
     val src = tempDir(s"graft_${prefix}_src_")
     val tmp = tempDir(s"graft_${prefix}_stage_")

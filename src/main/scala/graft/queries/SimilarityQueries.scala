@@ -1329,6 +1329,9 @@ object SimilarityQueries {
         .withColumn("lex", size(array_intersect(col("tk"), col("q_tk"))))
         .withColumn("c6",
           RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+      // global (unpartitioned) windows — benign: each ranks its own
+      // post-limit(K) finalist frame (K rows), not the candidate set;
+      // the TopK cut above already ran distributed
       val wL = Window.orderBy(col("lex").desc, col("doc_id"))
       val lexTop = cand.select("doc_id", "lex")
         .orderBy(col("lex").desc, col("doc_id")).limit(K)

@@ -48,7 +48,19 @@ HOST_EPOCH_STARTS = [1, 12]
 # every prior round (measured: d04 0.7 s pruned vs 31 s full at sf0.1).
 # Cross-epoch ratios on such queries are the pruning artifact, not a
 # regression; see tools/BENCH_NOTES.md.
-MEASUREMENT_EPOCH_STARTS = [1, 13]
+#
+# CAVEAT (r15 adjudication): BENCH_r13_native.json was recorded
+# MID-round-13, BEFORE the count()->noop switch landed in the
+# end-of-round snapshot commit — so the r13n2 COLUMN belongs to the
+# OLD rule even though its round number maps to the new epoch
+# (its q12=0.12s / d04=0.35s are count()-pruned readings; the r13
+# DRIVER run, post-switch, clocked the same queries at 4.3s / 6.4s).
+# First fully post-switch native column: r15n2. Do not chase
+# r13n2-vs-r14+ "regressions" on aggregate-tail queries — that ratio
+# is the pruning artifact, measured and closed in round 15. Since the
+# table's r13 column IS that pre-switch file, the epoch boundary for
+# the table's data sits at r14, not r13.
+MEASUREMENT_EPOCH_STARTS = [1, 14]
 
 def data_epoch(r):
     return (max(e for e in DATA_EPOCH_STARTS if e <= r),
