@@ -11,8 +11,16 @@ import org.apache.spark.sql.functions._
   * unit suite. Run manually:
   *
   * {{{
-  * SPARK_HOME=/opt/spark sbt -batch "runMain graft.ExecutorLoss [sfDir]"
+  * SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+  *   sbt -batch "runMain graft.ExecutorLoss [sfDir]"
   * }}}
+  * (SPARK_SCALA_VERSION short-circuits the launcher's source-tree
+  * build-dir probe, which fails against a binary distro when executors
+  * are forked by the standalone worker.)
+  *
+  * r15 result (sf0.01, both pipelines): executor SIGKILLed
+  * mid-fixpoint, run COMPLETED, fingerprints EQUAL — the reliable-mode
+  * contract holds under a real loss, not just by scaladoc.
   *
   * Protocol, per target pipeline (d09 label propagation, s24
   * hierarchical k-means — the two iterative operators whose rounds
@@ -111,8 +119,14 @@ object ExecutorLoss {
         // the fixpoint is provably mid-flight — then shoot an executor
         val deadline = System.nanoTime() + 120L * 1000000000L
         def ckStarted: Boolean = {
-          val d = ck2.toFile.listFiles()
-          d != null && d.exists(_.getName.startsWith("rdd-"))
+          // layout is <dir>/<uuid>/rdd-<id>/part-*: scan one level down
+          val top = ck2.toFile.listFiles()
+          top != null && top.exists { d =>
+            d.isDirectory && {
+              val sub = d.listFiles()
+              sub != null && sub.exists(_.getName.startsWith("rdd-"))
+            }
+          }
         }
         while (!ckStarted && System.nanoTime() < deadline) Thread.sleep(100)
         val pids = executorPids()
