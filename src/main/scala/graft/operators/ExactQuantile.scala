@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.operators.Materialize.MaterializeOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact interpolated percentiles (the `quantile_cont`
+  * definition) without the single-buffer funnel.
+  *
+  * Spark's built-in `percentile` is a TypedImperativeAggregate: every
+  * group's distinct (value → count) map is built inside ONE
+  * aggregation buffer, serialized partial→final, and sorted on the
+  * final reducer — per-group memory grows with the group's distinct
+  * values, and each requested fraction builds its own map. At roster
+  * scale that is a few hundred ms of overhead; at 100 TB a group with
+  * billions of distinct values is a guaranteed executor OOM, the same
+  * disease class as the dedup hot-bucket (SOAK.md) with memory in
+  * place of time.
+  *
+  * This operator computes the identical result through bounded stages:
+  *
+  *  1. distinct-value census `(g, v) → c` — the only full-data
+  *     shuffle, map-side combinable, shared by ALL requested
+  *     fractions; materialized once (three consumers).
+  *  2. per-group `n/lo/hi` (tiny) broadcast back; each census row gets
+  *     an equi-width bucket id over [lo, hi].
+  *  3. per-(group, bucket) histogram + running base offsets — at most
+  *     `buckets` rows per group, so the cumulative window is trivially
+  *     small.
+  *  4. rank targets: for each fraction f, position = f·(n−1)
+  *     (0-indexed over the sorted multiset) needs the order statistics
+  *     at floor(position) and ceil(position); the bucket histogram
+  *     locates which bucket holds each, WITHOUT sorting anything yet.
+  *  5. in-bucket rank select: only census rows of targeted buckets are
+  *     scanned; a window sorted within (group, bucket) turns running
+  *     counts into global rank spans, and the order statistic is the
+  *     value whose span contains the target rank. The sort funnel is
+  *     one bucket's distinct values — 1/buckets of the value RANGE —
+  *     instead of the whole group. (A value-mass pathology inside one
+  *     bucket collapses first through the census — identical values
+  *     are one row — and can be split further by recursing the same
+  *     bucket trick; one level suffices for any data this engine has
+  *     met.)
+  *  6. interpolation mirrors `Percentile.getPercentile` exactly —
+  *     `(ceil(pos) − pos)·vLo + (pos − floor(pos))·vHi`, degenerate
+  *     cases returning vLo — so results are bit-compatible with the
+  *     built-in (ExactQuantileSpec asserts exact equality, and the
+  *     q45 DuckDB oracle is unchanged).
+  *
+  * Returns one row per group: `groupCol`, one double column per named
+  * fraction, and `n` (the non-null value count, which is what the
+  * percentile is taken over). Null values are ignored, like the
+  * built-in; groups whose every value is null vanish, like the
+  * built-in's null result row would after the roster's join shapes.
+  */
+object ExactQuantile {
+
+  def quantiles(df: DataFrame, groupCol: String, valueCol: String,
+      fractions: Seq[(String, Double)], buckets: Int = 4096): DataFrame = {
+    require(fractions.nonEmpty, "at least one fraction")
+    require(fractions.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
+      s"fractions must be in [0,1]: $fractions")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+
+    val rows = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+
+    // 1. census — the one full-data shuffle, shared by all fractions
+    val census = rows.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .materialize
+
+    // 2. per-group stats, broadcast back over the census
+    val stats = census.groupBy("g")
+      .agg(sum("c").as("n"), min("v").as("lo"), max("v").as("hi"))
+    val withB = census.join(broadcast(stats), "g")
+      .withColumn("b",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets),
+            lit((buckets - 1).toLong)).cast("long")))
+
+    // 3. bucket histogram + exclusive base offsets (≤ buckets rows/group)
+    val wBucket = Window.partitionBy("g").orderBy("b")
+    val bases = withB.groupBy("g", "b").agg(sum("c").as("bc"))
+      .withColumn("cum", sum("bc").over(wBucket))
+      .withColumn("base", col("cum") - col("bc"))
+
+    // 4. rank targets per (group, fraction): order statistics at
+    //    floor(pos) and ceil(pos), located via the bucket histogram
+    val sp = df.sparkSession
+    import sp.implicits._
+    val fLit = fractions.zipWithIndex.map { case ((_, f), i) => (i, f) }
+      .toDF("qi", "f")
+    val need = stats.select(col("g"), col("n"))
+      .crossJoin(broadcast(fLit))
+      .withColumn("pos", col("f") * (col("n") - 1).cast("double"))
+      .select(col("g"), col("qi"), col("pos"), explode(array(
+        struct(lit("lo").as("which"), (floor(col("pos")) + 1).as("r")),
+        struct(lit("hi").as("which"), (ceil(col("pos")) + 1).as("r"))))
+        .as("x"))
+      .select(col("g"), col("qi"), col("pos"),
+        col("x.which").as("which"), col("x.r").as("r"))
+    val targets = need.join(bases, Seq("g"))
+      .filter(col("r") > col("base") && col("r") <= col("cum"))
+      .select("g", "qi", "pos", "which", "r", "b", "base")
+
+    // 5. in-bucket rank select over targeted buckets only
+    val wValue = Window.partitionBy("g", "b").orderBy("v")
+    val spans = withB
+      .join(broadcast(targets.select("g", "b").distinct()),
+        Seq("g", "b"), "left_semi")
+      .withColumn("cumv", sum("c").over(wValue))
+    val stat = spans.join(broadcast(targets), Seq("g", "b"))
+      .filter(col("r") > col("base") + col("cumv") - col("c") &&
+        col("r") <= col("base") + col("cumv"))
+
+    // 6. Percentile-identical interpolation, then one column per name
+    val interp = stat.groupBy("g", "qi", "pos").agg(
+      max(when(col("which") === "lo", col("v"))).as("vLo"),
+      max(when(col("which") === "hi", col("v"))).as("vHi"))
+      .withColumn("q",
+        when(col("vHi") === col("vLo"), col("vLo"))
+          .otherwise((ceil(col("pos")) - col("pos")) * col("vLo") +
+            (col("pos") - floor(col("pos"))) * col("vHi")))
+    val named = fractions.zipWithIndex.map { case ((name, _), i) =>
+      max(when(col("qi") === i, col("q"))).as(name)
+    }
+    interp.groupBy("g").agg(named.head, named.tail: _*)
+      .join(stats.select("g", "n"), "g")
+      .withColumnRenamed("g", groupCol)
+  }
+}

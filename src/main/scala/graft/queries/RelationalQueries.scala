@@ -566,17 +566,24 @@ object RelationalQueries {
         .orderBy("k")
     }),
 
-    /** Exact interpolated percentiles (`percentile` = sort + linear
-      * interpolation, the quantile_cont definition) per group. A full
-      * exact percentile shuffles every value to its group — fine for
-      * low-cardinality groups; the approx path for wide data is q44. */
+    /** Exact interpolated percentiles (the quantile_cont definition)
+      * per group — via [[graft.operators.ExactQuantile]], the
+      * distributed rank-select that shares one distinct-value census
+      * across all three fractions instead of building three per-group
+      * value maps inside aggregation buffers (the built-in
+      * `percentile`'s shape, whose buffer grows with a group's
+      * distinct values — the approx path for wide data is q44, the
+      * exact path at scale is this). Interpolation is bit-compatible
+      * with the built-in (ExactQuantileSpec), so the oracle is
+      * unchanged. */
     "q45_percentile_exact" -> ((s, d) => {
-      def p(f: Double, as: String): Column =
-        rnd(expr(s"percentile(l_extendedprice, $f)"), 4).as(as)
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(p(0.5, "p50"), p(0.9, "p90"), p(0.99, "p99"),
-          count(lit(1)).as("n"))
+      graft.operators.ExactQuantile.quantiles(
+        Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .select(col("l_returnflag"),
+          rnd(col("p50"), 4).as("p50"), rnd(col("p90"), 4).as("p90"),
+          rnd(col("p99"), 4).as("p99"), col("n"))
         .orderBy("l_returnflag")
     }),
 
@@ -589,15 +596,20 @@ object RelationalQueries {
       * (The approximate VALUE itself is sketch-implementation-defined,
       * so it is not oracle-comparable — the rank-error bound is.) */
     "q44_approx_quantile" -> ((s, d) => {
-      val g = Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
+      val li = Tables.lineitem(s, d)
+      val approx = li.groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-          .as("approx"),
-          expr("percentile(l_extendedprice, 0.45)").as("p45"),
-          expr("percentile(l_extendedprice, 0.55)").as("p55"))
-      g.agg(count(lit(1)).as("n_groups"),
-        sum(when(col("approx").between(col("p45"), col("p55")), 1).otherwise(0))
-          .cast("long").as("n_within"))
+          .as("approx"))
+      // the exact p45/p55 band rides the distributed rank-select, not
+      // the built-in's per-group value-map buffer (same move as q45)
+      val exact = graft.operators.ExactQuantile.quantiles(
+        li.select("l_returnflag", "l_extendedprice"),
+        "l_returnflag", "l_extendedprice",
+        Seq("p45" -> 0.45, "p55" -> 0.55))
+      approx.join(exact, "l_returnflag")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("approx").between(col("p45"), col("p55")), 1).otherwise(0))
+            .cast("long").as("n_within"))
     }),
 
     /** Equi-width histogram over a data-derived domain: min/max come

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSessionFixture
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ExactQuantile must be BIT-compatible with the built-in `percentile`
+  * (it mirrors Percentile.getPercentile's interpolation arithmetic),
+  * not merely close — q45's DuckDB hash oracle rides on that. */
+class ExactQuantileSpec extends AnyFunSuite {
+  import SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val fracs = Seq("p00" -> 0.0, "p25" -> 0.25, "p50" -> 0.5,
+    "p90" -> 0.9, "p99" -> 0.99, "p100" -> 1.0)
+
+  /** Built-in reference with the same output shape. */
+  private def builtin(df: DataFrame, g: String, v: String): Map[Any, Seq[Double]] =
+    df.filter(col(v).isNotNull)
+      .groupBy(g)
+      .agg(expr(s"percentile(cast($v as double), ${fracs.head._2})").as(fracs.head._1),
+        fracs.tail.map { case (n, f) =>
+          expr(s"percentile(cast($v as double), $f)").as(n)
+        }: _*)
+      .collect().map(r => r.get(0) -> fracs.indices.map(i => r.getDouble(i + 1)))
+      .toMap
+
+  private def ours(df: DataFrame, g: String, v: String): Map[Any, Seq[Double]] =
+    ExactQuantile.quantiles(df, g, v, fracs)
+      .collect().map { r =>
+        val gi = r.fieldIndex(g)
+        r.get(gi) -> fracs.map { case (n, _) => r.getDouble(r.fieldIndex(n)) }
+      }.toMap
+
+  test("matches the built-in bit-for-bit on mixed random data") {
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 5000).map { i =>
+      val g = s"g${i % 7}"
+      // duplicate-heavy: quantize half the draws so census fold matters
+      val x = rng.nextDouble() * 1000
+      (g, if (i % 2 == 0) math.floor(x) else x)
+    }
+    val df = rows.toDF("g", "v")
+    assert(ours(df, "g", "v") === builtin(df, "g", "v"))
+  }
+
+  test("degenerate groups: single value, all-equal, two values") {
+    val df = Seq(
+      ("one", 5.0),
+      ("same", 3.0), ("same", 3.0), ("same", 3.0),
+      ("two", 1.0), ("two", 2.0)).toDF("g", "v")
+    assert(ours(df, "g", "v") === builtin(df, "g", "v"))
+  }
+
+  test("nulls are ignored and n counts non-null values only") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", Some(2.0))).toDF("g", "v")
+    assert(ours(df, "g", "v") === builtin(df, "g", "v"))
+    val n = ExactQuantile.quantiles(df, "g", "v", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getLong(r.fieldIndex("n"))).toMap
+    assert(n === Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("matches the built-in on sf0.001 lineitem (decimal input)") {
+    val li = spark.read.parquet(
+      s"${SparkSessionFixture.sf0001}/lineitem.parquet")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    assert(ours(li, "g", "v") === builtin(li, "g", "v"))
+  }
+
+  test("empty input yields empty output") {
+    val df = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(ExactQuantile.quantiles(df, "g", "v", Seq("p50" -> 0.5)).count() === 0)
+  }
+
+  test("rejects bad arguments") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      ExactQuantile.quantiles(df, "g", "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      ExactQuantile.quantiles(df, "g", "v", Seq("p" -> 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      ExactQuantile.quantiles(df, "g", "v", Seq("p" -> 0.5), buckets = 1)
+    }
+  }
+}
