@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   *     shuffle, map-side combinable, shared by ALL requested
   *     fractions; materialized once (three consumers).
   *  2. per-group `n/lo/hi` (tiny) broadcast back; each census row gets
-  *     an equi-width bucket id over [lo, hi].
+  *     an equi-width bucket id over [lo, hi] — bounds from finite
+  *     values only, NaN/±∞ in sentinel buckets at the sort-order
+  *     edges (-∞ < finite < +∞ < NaN, Spark's double ordering).
   *  3. per-(group, bucket) histogram + running base offsets — at most
   *     `buckets` rows per group, so the cumulative window is trivially
   *     small.
@@ -71,12 +73,28 @@ object ExactQuantile {
     val census = rows.groupBy("g", "v").agg(count(lit(1)).as("c"))
       .materialize
 
-    // 2. per-group stats, broadcast back over the census
+    // 2. per-group stats, broadcast back over the census. Bucket bounds
+    //    come from FINITE values only, with NaN/±∞ routed to sentinel
+    //    buckets in sort order (-∞ < finite < +∞ < NaN, matching both
+    //    Spark's double ordering and the built-in's sorted multiset) —
+    //    otherwise a single stray NaN makes hi−lo NaN, floor(NaN)
+    //    casts to bucket 0 for every row, and the histogram silently
+    //    collapses to the one-bucket full-group sort funnel this
+    //    operator exists to avoid. n still counts ALL non-null values
+    //    (NaN/∞ included), like the built-in.
+    val finiteV = !isnan(col("v")) &&
+      col("v") =!= Double.PositiveInfinity &&
+      col("v") =!= Double.NegativeInfinity
     val stats = census.groupBy("g")
-      .agg(sum("c").as("n"), min("v").as("lo"), max("v").as("hi"))
+      .agg(sum("c").as("n"),
+        min(when(finiteV, col("v"))).as("lo"),
+        max(when(finiteV, col("v"))).as("hi"))
     val withB = census.join(broadcast(stats), "g")
       .withColumn("b",
-        when(col("hi") === col("lo"), lit(0L))
+        when(isnan(col("v")), lit((buckets + 1).toLong))
+          .when(col("v") === Double.PositiveInfinity, lit(buckets.toLong))
+          .when(col("v") === Double.NegativeInfinity, lit(-1L))
+          .when(col("hi").isNull || col("hi") === col("lo"), lit(0L))
           .otherwise(least(
             floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets),
             lit((buckets - 1).toLong)).cast("long")))

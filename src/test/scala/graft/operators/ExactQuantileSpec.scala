@@ -69,6 +69,27 @@ class ExactQuantileSpec extends AnyFunSuite {
     assert(ours(li, "g", "v") === builtin(li, "g", "v"))
   }
 
+  test("non-finite values: NaN sorts greatest, infinities at the edges") {
+    // -∞ < finite < +∞ < NaN is Spark's double ordering and the order
+    // the built-in's sorted multiset uses; interpolation touching ∞
+    // produces ∞/NaN by the same double arithmetic, so results must
+    // stay bit-equal (compared via doubleToLongBits — NaN != NaN
+    // under ==). Also pins the histogram: the finite values must not
+    // all collapse into bucket 0 just because a NaN poisoned hi−lo.
+    def bits(m: Map[Any, Seq[Double]]): Map[Any, Seq[Long]] =
+      m.map { case (k, vs) =>
+        k -> vs.map(java.lang.Double.doubleToLongBits)
+      }
+    val df = Seq(
+      ("mix", 1.0), ("mix", Double.NaN), ("mix", 2.0),
+      ("mix", Double.PositiveInfinity),
+      ("mix", Double.NegativeInfinity), ("mix", 3.0),
+      ("allnan", Double.NaN), ("allnan", Double.NaN),
+      ("inf", Double.PositiveInfinity), ("inf", Double.NegativeInfinity))
+      .toDF("g", "v")
+    assert(bits(ours(df, "g", "v")) === bits(builtin(df, "g", "v")))
+  }
+
   test("empty input yields empty output") {
     val df = Seq.empty[(String, Double)].toDF("g", "v")
     assert(ExactQuantile.quantiles(df, "g", "v", Seq("p50" -> 0.5)).count() === 0)
