@@ -101,6 +101,14 @@ object PlanDigest {
       // ReliableCheckpointRDD in reliable mode — same plan).
       .replaceAll("[A-Za-z]*RDD\\[(\\d+|x)\\] at [\\w$.]+ at [\\w$.]+\\.scala:x",
         "RDD[x] at x at x.scala:x")
+      // 7th artifact class (r15): query-stage Statistics annotations —
+      // `BroadcastQueryStage (23), Statistics(sizeInBytes=64.5 MiB,
+      // rowCount=2.00E+4)` prints RUNTIME-MEASURED stats, which depend
+      // on session history (d03 flapped 8.5 vs 64.5 MiB across
+      // identical same-code sweeps — whether AQE measured the stage or
+      // inherited an earlier query's exchange state). Measured bytes
+      // are not plan shape; rowCount rides in the same payload.
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
     replaced.linesIterator.map { line =>
       // On distinct-rewrite lines, blank BARE-INTEGER list elements —
       // the gid value each Expand projection row carries (the raw
@@ -316,6 +324,15 @@ object PlanDigest {
          |timing drift whose digest is unchanged in this file's diff is
          |shared-JVM jitter by construction; a real plan change is a
          |one-line diff here and adjudicates itself.
+         |
+         |Known-bimodal: d03_simhash rarely (1 in 5 r15 sweeps) prints
+         |with AQE's broadcast-stage reuse racing under the materialized
+         |sketch's four consumers — the loser run prints a fresh
+         |Project+Scan subtree instead of referencing the sibling's
+         |nodes (78ab7acfaf6e709bf124627e1ec8e7d4 common,
+         |c0e5ab45d8b70e249bb530896684b9aa raced). Same operators, same
+         |shape; adjudicate a d03 flap by dump+diff
+         |(SPARK_GRAFT_DIGEST_DUMP) before reading anything into it.
          |
          || query | plan_digest |
          ||---|---|

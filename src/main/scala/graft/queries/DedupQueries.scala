@@ -1104,8 +1104,16 @@ object DedupQueries {
       // PushDownLeftSemiAntiJoin rule rewrites Filter(SemiJoin) order
       // and would hoist the bloom ABOVE the join, defeating the
       // prefilter (QueryPlanSpec pins the filter-below-join shape)
-      val dupHashes = bh.filter(ColumnBridge.column(new BloomFilterMightContain(
-          Literal(bloomBin), ColumnBridge.expression(xxhash64(col("h"))))))
+      // broadcast the bloom-SURVIVING batch side explicitly: it is
+      // small by construction (only probable dups pass the prefilter),
+      // while the standing corpus is the side that grows with the
+      // archive — at 100 TB the corpus must never shuffle for this
+      // probe. Also pins the AQE build-side choice, which otherwise
+      // coin-flips between these two similarly-sized test frames and
+      // flaps the plan digest (PLAN_DIGESTS.md, r15).
+      val dupHashes = broadcast(
+        bh.filter(ColumnBridge.column(new BloomFilterMightContain(
+          Literal(bloomBin), ColumnBridge.expression(xxhash64(col("h")))))))
         .join(corpus, Seq("h"))
       bh.agg(sum("n").as("n_batch"), count(lit(1)).as("n_batch_hashes"))
         .crossJoin(dupHashes.agg(

@@ -194,6 +194,22 @@ class PlanDigestSpec extends AnyFunSuite {
         "Exchange hashpartitioning(pmod(h#1, 32), 32), ENSURE_REQUIREMENTS"))
   }
 
+  test("normalize blanks query-stage Statistics payloads (runtime-" +
+      "measured: d03 flapped sizeInBytes 8.5 vs 64.5 MiB across " +
+      "identical same-code sweeps — 7th artifact class)") {
+    assert(PlanDigest.normalize(
+        "+- BroadcastQueryStage (23), Statistics(sizeInBytes=64.5 MiB, " +
+          "rowCount=2.00E+4)") ==
+      PlanDigest.normalize(
+        "+- BroadcastQueryStage (23), Statistics(sizeInBytes=8.5 MiB, " +
+          "rowCount=2.00E+4)"))
+    // the stage NODE itself stays pinned
+    assert(PlanDigest.normalize(
+        "+- BroadcastQueryStage (23), Statistics(x)") !=
+      PlanDigest.normalize(
+        "+- ShuffleQueryStage (23), Statistics(x)"))
+  }
+
   test("digest differs when plan structure differs") {
     assert(PlanDigest.digest("BroadcastHashJoin [k#1]") !=
       PlanDigest.digest("SortMergeJoin [k#1]"))
