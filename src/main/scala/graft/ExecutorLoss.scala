@@ -43,7 +43,12 @@ object ExecutorLoss {
     * canonical string form, summed as unsigned big-ints per column
     * position. Collect-free on the cluster side (one agg row). */
   private def fingerprint(df: DataFrame): String = {
-    val cols = df.columns.sorted.map(c => col(c).cast("string"))
+    // null sentinel: concat_ws SKIPS nulls even with its \u0001
+    // separator, so ("a", null, "b") would collide with ("a", "b",
+    // null) - a collision that could adjudicate a kill-corrupted
+    // result as SURVIVED
+    val cols = df.columns.sorted.map(c =>
+      coalesce(col(c).cast("string"), lit("<null>")))
     val rowHash = unhex(substring(md5(concat_ws("", cols: _*)), 1, 14))
     df.agg(sum(conv(hex(rowHash), 16, 10).cast("decimal(38,0)"))
         .cast("string").as("fp"),
@@ -114,9 +119,14 @@ object ExecutorLoss {
         ck2.toString, extraCp)
       s2.sparkContext.setLogLevel("WARN")
       @volatile var killed: Option[Long] = None
+      @volatile var cancelKiller = false
       val killer = new Thread(() => {
         // wait for the first checkpoint WRITE (rdd-* dir appears) —
-        // the fixpoint is provably mid-flight — then shoot an executor
+        // the fixpoint is provably mid-flight — then shoot an executor.
+        // Kill ONLY on that proof: a deadline/cancel exit must not
+        // fire (a stale killer outliving its leg would murder the NEXT
+        // pipeline's executor, and a pre-checkpoint kill would report
+        // a lineage recompute as reliable-checkpoint recovery).
         val deadline = System.nanoTime() + 120L * 1000000000L
         def ckStarted: Boolean = {
           // layout is <dir>/<uuid>/rdd-<id>/part-*: scan one level down
@@ -128,13 +138,19 @@ object ExecutorLoss {
             }
           }
         }
-        while (!ckStarted && System.nanoTime() < deadline) Thread.sleep(100)
-        val pids = executorPids()
-        pids.headOption.foreach { pid =>
-          Runtime.getRuntime.exec(Array("kill", "-9", pid.toString)).waitFor()
-          killed = Some(pid)
-          System.err.println(s"[loss] $name: killed executor pid $pid " +
-            s"(of ${pids.size})")
+        var proven = false
+        while (!proven && !cancelKiller && System.nanoTime() < deadline) {
+          proven = ckStarted
+          if (!proven) Thread.sleep(100)
+        }
+        if (proven && !cancelKiller) {
+          val pids = executorPids()
+          pids.headOption.foreach { pid =>
+            Runtime.getRuntime.exec(Array("kill", "-9", pid.toString)).waitFor()
+            killed = Some(pid)
+            System.err.println(s"[loss] $name: killed executor pid $pid " +
+              s"(of ${pids.size})")
+          }
         }
       }, s"executor-killer-$name")
       killer.setDaemon(true)
@@ -150,6 +166,7 @@ object ExecutorLoss {
         } catch { case scala.util.control.NonFatal(e) =>
           s"DIED: ${e.getClass.getSimpleName}: ${e.getMessage}"
         } finally {
+          cancelKiller = true
           s2.stop()
           org.apache.spark.sql.SparkSession.clearActiveSession()
           org.apache.spark.sql.SparkSession.clearDefaultSession()

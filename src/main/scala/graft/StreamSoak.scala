@@ -98,14 +98,19 @@ object StreamSoak {
       println(s"""{"stream_soak":"synthesized","scale":$m}""")
     }
 
-    def e18Src(d: String): (DataFrame, String) = {
+    // staged ONCE per scale and shared by all three e18 legs: the
+    // replay source is read-only, each leg keeps its own checkpoint /
+    // output dirs, and re-staging would re-run the max(doc_id) agg and
+    // the full parquet re-write three times over (the dominant staging
+    // I/O at scale 30)
+    def e18Src(d: String): String = {
       val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"))
       val maxId = docs.agg(max("doc_id")).head().getLong(0)
       val cut1 = maxId / 3; val cut2 = 2 * maxId / 3
-      (docs, graft.queries.EventQueries.stageReplay("ssoak_e18", Seq(
+      graft.queries.EventQueries.stageReplay("ssoak_e18", Seq(
         docs.filter(col("doc_id") <= cut1),
         docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
-        docs.filter(col("doc_id") > cut2))))
+        docs.filter(col("doc_id") > cut2)))
     }
 
     def withProvider(provider: String)(body: => Unit): Unit = {
@@ -145,9 +150,11 @@ object StreamSoak {
         println(f"""{"stream_soak":"e20_tws","provider":"rocksdb","scale":$m,"sec":$dt%.3f,$frag%s}""")
       }
 
+      val e18Staged = e18Src(d)
+
       // e18 quota, modern API (RocksDB required)
       locally {
-        val (_, src) = e18Src(d)
+        val src = e18Staged
         val ss = graft.queries.EventQueries.streamSession(spark)
         import ss.implicits._
         val schema = spark.read.parquet(src).schema
@@ -164,7 +171,7 @@ object StreamSoak {
       // provider comparison
       Seq("rocksdb", "hdfs").foreach { provider =>
         withProvider(provider) {
-          val (_, src) = e18Src(d)
+          val src = e18Staged
           val ss = graft.queries.EventQueries.streamSession(spark)
           import ss.implicits._
           val schema = spark.read.parquet(src).schema

@@ -55,15 +55,35 @@ import org.apache.spark.sql.functions._
   * percentile is taken over). Null values are ignored, like the
   * built-in; groups whose every value is null vanish, like the
   * built-in's null result row would after the roster's join shapes.
+  *
+  * Two documented edges of the bit-compat contract:
+  *
+  *  - '''-0.0''': the census `groupBy` canonicalizes -0.0 to 0.0
+  *    (Spark SQL's NormalizeFloatingNumbers grouping semantics), so an
+  *    order statistic that IS a negative zero comes back +0.0 where
+  *    the built-in's Java-keyed value map preserves the sign bit.
+  *    Same SQL value, different `doubleToLongBits` — pinned in
+  *    ExactQuantileSpec as the one deliberate deviation.
+  *  - '''group cardinality''' (`hinted`): the default plan broadcasts
+  *    the per-group stats and rank targets (one row per group, resp.
+  *    groups × fractions × 2) — right for the usual
+  *    few-to-millions-of-groups shape, but a groupCol with hundreds of
+  *    millions of distinct groups would blow the broadcast, not the
+  *    executors. Pass `hinted = false` to drop the hints and let the
+  *    planner shuffle those joins on `g`; every stage is still
+  *    bounded, it just pays shuffles where the broadcast was free.
   */
 object ExactQuantile {
 
   def quantiles(df: DataFrame, groupCol: String, valueCol: String,
-      fractions: Seq[(String, Double)], buckets: Int = 4096): DataFrame = {
+      fractions: Seq[(String, Double)], buckets: Int = 4096,
+      hinted: Boolean = true): DataFrame = {
     require(fractions.nonEmpty, "at least one fraction")
     require(fractions.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
       s"fractions must be in [0,1]: $fractions")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def hintSmall(small: DataFrame): DataFrame =
+      if (hinted) broadcast(small) else small
 
     val rows = df
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
@@ -89,7 +109,7 @@ object ExactQuantile {
       .agg(sum("c").as("n"),
         min(when(finiteV, col("v"))).as("lo"),
         max(when(finiteV, col("v"))).as("hi"))
-    val withB = census.join(broadcast(stats), "g")
+    val withB = census.join(hintSmall(stats), "g")
       .withColumn("b",
         when(isnan(col("v")), lit((buckets + 1).toLong))
           .when(col("v") === Double.PositiveInfinity, lit(buckets.toLong))
@@ -127,10 +147,10 @@ object ExactQuantile {
     // 5. in-bucket rank select over targeted buckets only
     val wValue = Window.partitionBy("g", "b").orderBy("v")
     val spans = withB
-      .join(broadcast(targets.select("g", "b").distinct()),
+      .join(hintSmall(targets.select("g", "b").distinct()),
         Seq("g", "b"), "left_semi")
       .withColumn("cumv", sum("c").over(wValue))
-    val stat = spans.join(broadcast(targets), Seq("g", "b"))
+    val stat = spans.join(hintSmall(targets), Seq("g", "b"))
       .filter(col("r") > col("base") + col("cumv") - col("c") &&
         col("r") <= col("base") + col("cumv"))
 

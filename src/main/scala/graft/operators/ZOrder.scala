@@ -69,11 +69,15 @@ object ZOrder {
     * Range bound: the numerator is 64-bit, so the column range must
     * satisfy `hi − lo ≤ Long.MaxValue / (2^bits − 1)` (≈ 2^(63−bits));
     * a wider range would silently wrap under non-ANSI arithmetic and
-    * produce garbage z-keys. The bound is enforced per row with a
-    * one-compare `raise_error` guard — lo/hi are columns, so there is
-    * no driver-side place to `require` it. NULL bounds (an
-    * entirely-NULL column through a min/max aggregate) yield NULL, the
-    * pre-guard behavior — not a raise_error with a NULL message. */
+    * produce garbage z-keys. The guard must also pin `lo ≤ v ≤ hi` —
+    * the wrap operand is `v − lo`, which `hi − lo` only bounds when v
+    * is inside the bounds, so swapped/stale bounds or an out-of-domain
+    * v would wrap straight past a range-only check. Both are enforced
+    * per row with `raise_error` — lo/hi are columns, so there is no
+    * driver-side place to `require` them. NULL bounds (an
+    * entirely-NULL column through a min/max aggregate) and NULL v
+    * yield NULL, the pre-guard behavior — not a raise_error with a
+    * NULL message. */
   def normalize(v: Column, lo: Column, hi: Column, bits: Int): Column = {
     import org.apache.spark.sql.catalyst.expressions.IntegralDivide
     import org.apache.spark.sql.graft.ColumnBridge
@@ -82,14 +86,24 @@ object ZOrder {
     val maxRange = Long.MaxValue / top
     val num = (v - lo) * lit(top)
     val den = greatest(hi - lo, lit(1L))
-    when(den.isNull, lit(null).cast("long"))
-      .when(den <= lit(maxRange),
+    // NOTE greatest() skips nulls, so den is never null — NULL bounds
+    // must be caught on the inputs or they fall through to a
+    // raise_error(NULL message)
+    when(v.isNull || lo.isNull || hi.isNull, lit(null).cast("long"))
+      .when(v.between(lo, hi) && den <= lit(maxRange),
         ColumnBridge.column(new IntegralDivide(
           ColumnBridge.expression(num), ColumnBridge.expression(den))))
-      .otherwise(raise_error(concat(
-        lit(s"zorder normalize: column range "), den.cast("string"),
-        lit(s" exceeds $maxRange for bits=$bits — pre-scale the column " +
-          "or reduce bits"))))
+      .otherwise(raise_error(
+        when(v.between(lo, hi), concat(
+          lit(s"zorder normalize: column range "), den.cast("string"),
+          lit(s" exceeds $maxRange for bits=$bits — pre-scale the column " +
+            "or reduce bits")))
+          .otherwise(concat(
+            lit("zorder normalize: value "), v.cast("string"),
+            lit(" outside bounds ["), lo.cast("string"), lit(", "),
+            hi.cast("string"),
+            lit("] — swapped or stale bounds would silently wrap " +
+              "the 64-bit numerator")))))
   }
 
   /** SQL mirror of [[normalize]] (DuckDB `//` is integer division; both

@@ -90,6 +90,32 @@ class ExactQuantileSpec extends AnyFunSuite {
     assert(bits(ours(df, "g", "v")) === bits(builtin(df, "g", "v")))
   }
 
+  test("-0.0 is canonicalized to 0.0 by the census groupBy (the one " +
+      "documented bit-compat deviation)") {
+    // Spark's NormalizeFloatingNumbers rewrites -0.0 grouping keys to
+    // 0.0, so an order statistic that IS a negative zero surfaces as
+    // +0.0; the built-in's Java-keyed value map preserves the sign
+    // bit. Same SQL value — pinned here so the deviation is a
+    // decision, not a surprise.
+    val df = Seq(("z", -0.0), ("z", -0.0), ("z", 1.0)).toDF("g", "v")
+    val got = ExactQuantile.quantiles(df, "g", "v", Seq("p00" -> 0.0))
+      .head().getDouble(1)
+    assert(java.lang.Double.doubleToLongBits(got) ==
+      java.lang.Double.doubleToLongBits(0.0))
+  }
+
+  test("hinted = false (the ultra-high-group-cardinality plan) " +
+      "matches the default exactly") {
+    val rng = new scala.util.Random(7)
+    val df = (1 to 800).map(i => (s"g${i % 5}", rng.nextDouble() * 100))
+      .toDF("g", "v")
+    val a = ExactQuantile.quantiles(df, "g", "v", fracs)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = ExactQuantile.quantiles(df, "g", "v", fracs, hinted = false)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("empty input yields empty output") {
     val df = Seq.empty[(String, Double)].toDF("g", "v")
     assert(ExactQuantile.quantiles(df, "g", "v", Seq("p50" -> 0.5)).count() === 0)

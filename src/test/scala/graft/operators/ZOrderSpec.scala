@@ -83,6 +83,24 @@ class ZOrderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ZOrder.normalizeSql("v", "0", "10", 64)
     }
+    // swapped bounds: hi < lo makes den = greatest(negative, 1) = 1
+    // pass a range-only check while v − lo wraps — must raise, not wrap
+    val sw = intercept[Exception] {
+      Seq(1L).toDF("v").select(
+        ZOrder.normalize(col("v"), lit(10L), lit(0L), 16)).collect()
+    }
+    assert(rootMsg(sw).contains("outside bounds"), rootMsg(sw))
+    // out-of-domain v: hi − lo only bounds the v − lo numerator when
+    // lo ≤ v ≤ hi, so a stale-bounds v must raise too
+    val od = intercept[Exception] {
+      Seq(100L).toDF("v").select(
+        ZOrder.normalize(col("v"), lit(0L), lit(10L), 16)).collect()
+    }
+    assert(rootMsg(od).contains("outside bounds"), rootMsg(od))
+    // NULL v with live bounds: NULL result, same as the pre-guard math
+    val nulV = Seq(Option.empty[Long]).toDF("v").select(
+      ZOrder.normalize(col("v"), lit(0L), lit(10L), 16)).head()
+    assert(nulV.isNullAt(0))
   }
 
   test("property: interleaveN is a bijection whose inverse recovers " +
