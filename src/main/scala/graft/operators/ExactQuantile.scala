@@ -169,4 +169,113 @@ object ExactQuantile {
       .join(stats.select("g", "n"), "g")
       .withColumnRenamed("g", groupCol)
   }
+
+  /** Distributed type-1 (lower) WEIGHTED quantiles per group: the
+    * smallest value whose cumulative weight reaches f·W. Spark has no
+    * built-in weighted percentile at all, and the naive SQL shape is
+    * a full per-group sort window over every row — the funnel
+    * [[quantiles]] exists to avoid. This mirrors its bounded stages
+    * with weight MASS in place of counts: weight census per (g, v)
+    * (map-side combinable, the only full-data shuffle), per-group
+    * bucket histogram of weight with running offsets, crossing-bucket
+    * location per fraction, cumulative scan of only the targeted
+    * buckets. Type-1 (no interpolation) is the definition with an
+    * exact cross-engine SQL mirror — `min(v) where cum_weight ≥ f·W`
+    * — and the natural semantics for sampling weights (the value
+    * where a weighted sampler's CDF crosses f).
+    *
+    * Rows with null value, null weight, or weight ≤ 0 are ignored (a
+    * non-positive sampling weight is a dropped row; admitting it
+    * would make the CDF non-monotone). NaN/±∞ values ride
+    * [[quantiles]]' sentinel buckets. Output: `groupCol`, one double
+    * column per named fraction, and `wsum` — the group's total
+    * admitted weight (the weight-domain counterpart of `n`), in the
+    * weight column's own type. The crossing test compares the
+    * cumulative weight against one double multiply `f·W`; pass an
+    * integer-typed weight column when census sums must be
+    * order-independent bit-exact (q54 casts its quantity weights to
+    * long, and its DuckDB oracle computes the identical multiply). */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, fractions: Seq[(String, Double)],
+      buckets: Int = 4096, hinted: Boolean = true): DataFrame = {
+    require(fractions.nonEmpty, "at least one fraction")
+    require(fractions.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
+      s"fractions must be in [0,1]: $fractions")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def hintSmall(small: DataFrame): DataFrame =
+      if (hinted) broadcast(small) else small
+
+    val rows = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"),
+        col(weightCol).as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
+
+    // 1. weight census — identical values collapse to one row carrying
+    //    their total mass
+    val census = rows.groupBy("g", "v").agg(sum("w").as("c"))
+      .materialize
+
+    // 2. per-group stats + sentinel-bucketed histogram (see quantiles)
+    val finiteV = !isnan(col("v")) &&
+      col("v") =!= Double.PositiveInfinity &&
+      col("v") =!= Double.NegativeInfinity
+    val stats = census.groupBy("g")
+      .agg(sum("c").as("tw"),
+        min(when(finiteV, col("v"))).as("lo"),
+        max(when(finiteV, col("v"))).as("hi"))
+    val withB = census.join(hintSmall(stats), "g")
+      .withColumn("b",
+        when(isnan(col("v")), lit((buckets + 1).toLong))
+          .when(col("v") === Double.PositiveInfinity, lit(buckets.toLong))
+          .when(col("v") === Double.NegativeInfinity, lit(-1L))
+          .when(col("hi").isNull || col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets),
+            lit((buckets - 1).toLong)).cast("long")))
+
+    // 3. bucket histogram of weight + exclusive base offsets
+    val wBucket = Window.partitionBy("g").orderBy("b")
+    val bases = withB.groupBy("g", "b").agg(sum("c").as("bc"))
+      .withColumn("cum", sum("bc").over(wBucket))
+      .withColumn("base", col("cum") - col("bc"))
+
+    // 4. crossing bucket per (group, fraction): min b with cum ≥ f·W
+    //    (cum is strictly increasing over nonempty buckets, so this is
+    //    the bucket holding the crossing value; f = 0 lands in the
+    //    first nonempty bucket)
+    val sp = df.sparkSession
+    import sp.implicits._
+    val fLit = fractions.zipWithIndex.map { case ((_, f), i) => (i, f) }
+      .toDF("qi", "f")
+    val need = stats.select(col("g"), col("tw"))
+      .crossJoin(broadcast(fLit))
+      .withColumn("t", col("f") * col("tw"))
+    val tb = need.join(bases.select("g", "b", "cum"), Seq("g"))
+      .filter(col("cum") >= col("t"))
+      .groupBy("g", "qi", "t").agg(min("b").as("b"))
+    val targets = tb.join(bases.select("g", "b", "base"), Seq("g", "b"))
+      .select("g", "qi", "t", "b", "base")
+
+    // 5. in-bucket crossing: the first v whose running mass reaches t.
+    //    The t ≤ 0 disjunct admits the group's very first value for
+    //    f = 0, where `previous < t` can never hold.
+    val wValue = Window.partitionBy("g", "b").orderBy("v")
+    val spans = withB
+      .join(hintSmall(targets.select("g", "b").distinct()),
+        Seq("g", "b"), "left_semi")
+      .withColumn("cumv", sum("c").over(wValue))
+    val prev = col("base") + col("cumv") - col("c")
+    val stat = spans.join(hintSmall(targets), Seq("g", "b"))
+      .filter(col("base") + col("cumv") >= col("t") &&
+        (prev < col("t") || (col("t") <= 0 && prev <= 0)))
+
+    // 6. one column per named fraction + the group's admitted weight
+    val picked = stat.groupBy("g", "qi").agg(min("v").as("q"))
+    val named = fractions.zipWithIndex.map { case ((name, _), i) =>
+      max(when(col("qi") === i, col("q"))).as(name)
+    }
+    picked.groupBy("g").agg(named.head, named.tail: _*)
+      .join(stats.select(col("g"), col("tw").as("wsum")), "g")
+      .withColumnRenamed("g", groupCol)
+  }
 }

@@ -587,6 +587,30 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** WEIGHTED quantiles — the per-group value where the cumulative
+      * weight crosses f·W (type-1/lower, the definition with an exact
+      * cross-engine mirror), weighting each price by its line
+      * quantity. Spark has NO built-in weighted percentile; the naive
+      * shape is a full per-group sort window. This rides
+      * [[graft.operators.ExactQuantile.weightedQuantiles]] — the same
+      * census→bucket-histogram→targeted-scan stages as q45 with
+      * weight mass in place of counts, so the sort funnel never
+      * exceeds one bucket. Weights are cast to long so every census
+      * sum is exact int64 (order-independent — the integer-arithmetic
+      * oracle-parity rule); the crossing threshold f·W is one double
+      * multiply, computed identically by the DuckDB oracle. */
+    "q54_weighted_quantile" -> ((s, d) => {
+      graft.operators.ExactQuantile.weightedQuantiles(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_extendedprice"), col("l_quantity").cast("long").as("w")),
+        "l_returnflag", "l_extendedprice", "w",
+        Seq("wp50" -> 0.5, "wp90" -> 0.9, "wp99" -> 0.99))
+        .select(col("l_returnflag"),
+          rnd(col("wp50"), 4).as("wp50"), rnd(col("wp90"), 4).as("wp90"),
+          rnd(col("wp99"), 4).as("wp99"), col("wsum"))
+        .orderBy("l_returnflag")
+    }),
+
     /** Sketch-based quantiles at scale: `percentile_approx` (a KLL-
       * style mergeable sketch — constant memory per group, one pass,
       * map-side mergeable) vs the exact sort-based percentile. The
@@ -960,6 +984,24 @@ object RelationalQueries {
         | floor(quantile_cont(l_extendedprice, 0.99)*10000+0.5)/10000 AS p99,
         | count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q54: type-1 weighted quantile = min v with cum_weight >= f*W.
+    // Integer weight sums (BIGINT) are order-independent exact; the
+    // f*W threshold is the same one double multiply both engines run.
+    "q54_weighted_quantile" ->
+      """WITH w AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v,
+        |    CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+        |c AS (SELECT g, v, sum(wt) AS wv FROM w GROUP BY g, v),
+        |r AS (SELECT g, v,
+        |    sum(wv) OVER (PARTITION BY g ORDER BY v) AS cw,
+        |    sum(wv) OVER (PARTITION BY g) AS tw FROM c)
+        |SELECT g AS l_returnflag,
+        |  floor(min(CASE WHEN cw >= 0.5*tw THEN v END)*10000+0.5)/10000 AS wp50,
+        |  floor(min(CASE WHEN cw >= 0.9*tw THEN v END)*10000+0.5)/10000 AS wp90,
+        |  floor(min(CASE WHEN cw >= 0.99*tw THEN v END)*10000+0.5)/10000 AS wp99,
+        |  CAST(min(tw) AS BIGINT) AS wsum
+        |FROM r GROUP BY g ORDER BY g""".stripMargin,
 
     // q44: the sketch value is implementation-defined; the rank-error
     // invariant (every approx median inside the exact p45..p55 band,

@@ -116,6 +116,71 @@ class ExactQuantileSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  /** Brute-force type-1 weighted quantile: sort by value, accumulate
+    * weight, return the first value whose cumulative weight reaches
+    * f·W — the definition weightedQuantiles distributes. */
+  private def bruteWeighted(rows: Seq[(String, Double, Long)],
+      fs: Seq[Double]): Map[String, Seq[Double]] =
+    rows.filter(_._3 > 0).groupBy(_._1).map { case (g, rs) =>
+      val byV = rs.groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val total = byV.map(_._2).sum
+      g -> fs.map { f =>
+        val t = f * total
+        var cum = 0L
+        byV.find { case (_, wv) => cum += wv; cum >= t }.get._1
+      }
+    }
+
+  test("weightedQuantiles matches the brute-force CDF crossing on " +
+      "random integer-weighted data") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 3000).map { i =>
+      (s"g${i % 6}",
+        math.floor(rng.nextDouble() * 500), // duplicate-heavy values
+        (rng.nextInt(50) + 1).toLong)
+    }
+    val fs = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = ExactQuantile.weightedQuantiles(
+      rows.toDF("g", "v", "w"), "g", "v", "w",
+      fs.zipWithIndex.map { case (f, i) => s"q$i" -> f })
+      .collect().map { r =>
+        r.getString(r.fieldIndex("g")) ->
+          fs.indices.map(i => r.getDouble(r.fieldIndex(s"q$i")))
+      }.toMap
+    assert(got === bruteWeighted(rows, fs))
+  }
+
+  test("weightedQuantiles with unit weights equals the type-1 " +
+      "unweighted quantile; wsum sums admitted weight only") {
+    val rows = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 1L),
+      ("a", 4.0, 1L),
+      // ignored: null value, null weight, zero and negative weight
+      ("a", 5.0, 0L), ("a", 6.0, -3L))
+    val df = rows.toDF("g", "v", "w")
+      .union(Seq(("a", Option.empty[Double], Option(1L)),
+        ("a", Option(7.0), Option.empty[Long])).toDF("g", "v", "w"))
+    val r = ExactQuantile.weightedQuantiles(df, "g", "v", "w",
+      Seq("p50" -> 0.5, "p100" -> 1.0)).head()
+    // type-1 over {1,2,3,4}: p50 = first v with cum >= 2 = 2.0
+    assert(r.getDouble(r.fieldIndex("p50")) === 2.0)
+    assert(r.getDouble(r.fieldIndex("p100")) === 4.0)
+    assert(r.getLong(r.fieldIndex("wsum")) === 4L)
+  }
+
+  test("weightedQuantiles: empty input and bad arguments") {
+    val df = Seq.empty[(String, Double, Long)].toDF("g", "v", "w")
+    assert(ExactQuantile.weightedQuantiles(df, "g", "v", "w",
+      Seq("p50" -> 0.5)).count() === 0)
+    intercept[IllegalArgumentException] {
+      ExactQuantile.weightedQuantiles(df, "g", "v", "w", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      ExactQuantile.weightedQuantiles(df, "g", "v", "w",
+        Seq("p" -> -0.1))
+    }
+  }
+
   test("empty input yields empty output") {
     val df = Seq.empty[(String, Double)].toDF("g", "v")
     assert(ExactQuantile.quantiles(df, "g", "v", Seq("p50" -> 0.5)).count() === 0)
