@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sampling for training-data pipelines.
@@ -121,5 +122,108 @@ object Sampling {
       when(col(strataCol) === stratum, lit((f * buckets).toLong)).otherwise(acc)
     }
     df.filter(gate < cut)
+  }
+
+  /** Deterministic EXACT-k weighted (PPS) sample per stratum via
+    * systematic thresholds: order rows by the portable-gate shuffle key,
+    * accumulate weight, and hit every row whose cumulative-weight
+    * interval `(cw − w, cw]` contains a threshold `t_j = (j+0.5)·W/k`.
+    * The k thresholds partition `(0, W]`, so per stratum the total hit
+    * count is EXACTLY k and a row's inclusion probability under the
+    * (hash-)random order is `min(1, k·w/W)` — the rate/Bernoulli gates
+    * above ([[byKeyHash]], [[stratifiedByHash]]) give nominal fractions
+    * with binomial jitter and no weighting; this is the "exactly 1000
+    * docs per domain, probability ∝ token count" budgeting move, and a
+    * row with `w ≥ W/k` is selected with certainty (hits ≥ 1, counted
+    * once per threshold it absorbs). Everything is a pure function of
+    * (key, salt, corpus), so the sample survives re-runs, retries, and
+    * replanning; a new `salt` is the re-draw knob.
+    *
+    * Engine-portable by the same rules as
+    * [[graft.operators.ExactQuantile.weightedQuantiles]]: integer
+    * weight sums are order-independent exact, and each threshold is the
+    * one chained `(j+0.5) × W ÷ k` double expression — ×, ÷ are
+    * correctly rounded, so any engine computes bit-identical
+    * thresholds (t34's DuckDB oracle hash-matches every per-row hit
+    * count). No `rand()`, no transcendentals — the A-Res/A-ExpJ
+    * weighted-reservoir family needs `u^(1/w)` or `ln(u)/w`, and `pow`/
+    * `ln` are NOT correctly rounded, so their selections are
+    * engine-ambiguous at the ulp; systematic PPS is the variant with an
+    * exact cross-engine witness.
+    *
+    * Scale shape (the ExactQuantile stages, keyed by shuffle order
+    * instead of value): the gate is uniform over 24 bits, so bucket
+    * `skey >> (24−bucketBits)` is monotone in the global order and
+    * uniformly loaded — per-(stratum, bucket) mass aggregates map-side,
+    * the ≤2^bucketBits-row base-offset window is per-stratum tiny, the
+    * in-bucket running sum is a bounded-partition window, and
+    * thresholds join back broadcast. No global sort, no single-reducer
+    * window, no driver state: global cw = base + in-bucket cum is
+    * identical to the flat cumsum because bucket order refines skey
+    * order.
+    *
+    * Rows with null or non-positive weight are dropped (a non-positive
+    * sampling weight is a dropped row — see weightedQuantiles). Output:
+    * one row per SELECTED key — (strataCol, keyCol, weightCol,
+    * `hits`) — where `hits` ≥ 1 is the number of thresholds absorbed;
+    * `sum(hits)` per stratum is exactly k. */
+  def systematicPps(df: DataFrame, strataCol: String, keyCol: String,
+      weightCol: String, k: Int, salt: String = "pps",
+      bucketBits: Int = 12, hinted: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(bucketBits >= 1 && bucketBits <= 23,
+      s"bucketBits must be in [1,23], got $bucketBits")
+    def hintSmall(small: DataFrame): DataFrame =
+      if (hinted) broadcast(small) else small
+    val shift = 24 - bucketBits
+
+    val rows = df
+      .select(col(strataCol).as("g"), col(keyCol).as("kk"),
+        col(weightCol).as("w"))
+      .filter(col("w").isNotNull && col("w") > 0)
+      .withColumn("skey",
+        portableGate(concat(col("kk").cast("string"), lit(":" + salt))))
+      .withColumn("b", shiftright(col("skey"), shift).cast("long"))
+
+    // per-(stratum, bucket) mass → exclusive base offsets; the window
+    // ranges over ≤ 2^bucketBits rows per stratum
+    val wB = Window.partitionBy("g").orderBy("b")
+    val bases = rows.groupBy("g", "b").agg(sum("w").as("bw"))
+      .withColumn("cum", sum("bw").over(wB))
+      .withColumn("base", col("cum") - col("bw"))
+    val totals = bases.groupBy("g").agg(sum("bw").as("tw"))
+
+    // k systematic thresholds per stratum: t_j = (j+0.5)·W/k ∈ (0, W)
+    val thresholds = totals
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("t", (col("j").cast("double") + lit(0.5))
+        * col("tw").cast("double") / lit(k.toDouble))
+
+    // crossing bucket per threshold: min b with cum ≥ t. Both sides
+    // are small (k·strata vs ≤2^bucketBits·strata rows) — hint the
+    // build side explicitly so AQE's size race can't flip it
+    // run-to-run (the d12 plan-digest artifact class).
+    val tb = hintSmall(thresholds).join(bases.select("g", "b", "cum"),
+        Seq("g"))
+      .filter(col("cum") >= col("t"))
+      .groupBy("g", "j", "t").agg(min("b").as("b"))
+    val targets = hintSmall(tb).join(bases.select("g", "b", "base"),
+        Seq("g", "b"))
+      .select("g", "j", "t", "b", "base")
+
+    // in-bucket running mass over (skey, key); a row absorbs every
+    // threshold inside its (prev, cw] interval
+    val wV = Window.partitionBy("g", "b").orderBy("skey", "kk")
+    val spans = rows
+      .join(hintSmall(targets.select("g", "b").distinct()),
+        Seq("g", "b"), "left_semi")
+      .withColumn("cumv", sum("w").over(wV))
+    val cw = col("base") + col("cumv")
+    val hit = spans.join(hintSmall(targets), Seq("g", "b"))
+      .filter(cw >= col("t") && cw - col("w") < col("t"))
+
+    hit.groupBy("g", "kk", "w").agg(count(lit(1)).as("hits"))
+      .select(col("g").as(strataCol), col("kk").as(keyCol),
+        col("w").as(weightCol), col("hits"))
   }
 }

@@ -38,6 +38,9 @@ object TextQueries {
   /** t28 dedup chunk width (tokens, non-overlapping). */
   val ChunkDedupW = 16
 
+  /** t34 sample budget: exactly this many PPS hits per language. */
+  val PpsK = 40
+
   /** t33 content-defined chunking: target average chunk length — a
     * token closes a chunk when the 24-bit portable gate of its trailing
     * 3-token window ≡ 0 (mod this), so boundaries fire at rate 1/A. */
@@ -1428,6 +1431,31 @@ object TextQueries {
           expr("(n_resynced * 10000) div n_uniq_chunks"))
         .orderBy("scheme", "source")
     }),
+
+    /** Exact-budget weighted sampling — "exactly [[PpsK]] sample hits
+      * per language, probability ∝ document size": systematic PPS over
+      * the portable-gate shuffle order via
+      * [[graft.operators.Sampling.systematicPps]]. The rate gates (t16)
+      * and temperature mixture (t18) give nominal fractions with
+      * binomial jitter; a training-mix BUDGET ("this domain contributes
+      * exactly k documents/epochs") needs an exact-k draw, and the
+      * usual weighted-reservoir algorithms (A-Res/A-ExpJ) rank by
+      * `u^(1/w)` — `pow`/`ln` are not correctly rounded, so their
+      * selections are engine-ambiguous at the ulp. Systematic
+      * thresholds keep every op in the correctly-rounded set (integer
+      * cumsums, one ×/÷ chain per threshold), so each per-document hit
+      * count is hash-checked against DuckDB's flat window-cumsum
+      * replay — which also witnesses that the operator's distributed
+      * bucket decomposition reproduces the flat global order. Output is
+      * every selected doc with its hit count (a doc with
+      * n_chars ≥ W/k absorbs several thresholds — selected with
+      * certainty, budget-accounted per hit; Σhits = k per lang). */
+    "t34_pps_sample" -> ((s, d) => {
+      graft.operators.Sampling.systematicPps(
+        Tables.documents(s, d), "lang", "doc_id", "n_chars",
+        k = PpsK, salt = "pps42")
+        .orderBy("lang", "doc_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2359,5 +2387,31 @@ object TextQueries {
         |  (CAST(sum(in_o * in_s) AS BIGINT) * 10000)
         |    // CAST(sum(in_o) AS BIGINT) AS resync_bp
         |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // t34: the oracle replays systematic PPS as ONE flat window cumsum
+    // per language — also witnessing that the operator's bucketed
+    // decomposition reproduces the flat global (skey, doc_id) order.
+    // Integer cum weights are exact; each threshold is the identical
+    // correctly-rounded (j+0.5)*W/k double chain in both engines.
+    "t34_pps_sample" ->
+      s"""WITH d AS (
+        |  SELECT lang, doc_id, n_chars AS w,
+        |    (${graft.operators.Sampling.portableGateSql(
+             "CAST(doc_id AS VARCHAR) || ':pps42'")}) AS skey
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        | r AS (
+        |  SELECT lang, doc_id, w,
+        |    sum(w) OVER (PARTITION BY lang ORDER BY skey, doc_id) AS cw,
+        |    sum(w) OVER (PARTITION BY lang) AS tw
+        |  FROM d),
+        | t AS (
+        |  SELECT lang,
+        |    (CAST(j AS DOUBLE) + 0.5) * CAST(tw AS DOUBLE) / $PpsK.0 AS t
+        |  FROM (SELECT DISTINCT lang, tw FROM r), range($PpsK) AS js(j))
+        |SELECT r.lang, r.doc_id, CAST(r.w AS BIGINT) AS n_chars,
+        |  count(*) AS hits
+        |FROM r JOIN t ON t.lang = r.lang
+        |  AND r.cw >= t.t AND r.cw - r.w < t.t
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -73,4 +73,89 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(out("en") / 10000.0 - 0.5) < 0.05)
     assert(math.abs(out("de") / 10000.0 - 0.1) < 0.05)
   }
+
+  import SparkSessionFixture.spark.implicits._
+
+  /** Random integer-weighted corpus for the PPS tests: two strata,
+    * one planted mega-doc in "a" whose weight exceeds W/k (must be
+    * selected with certainty and absorb several thresholds). */
+  private lazy val ppsRows: Seq[(String, Long, Long)] = {
+    val rng = new scala.util.Random(7)
+    (1L to 4000L).map { id =>
+      (if (id % 3 == 0) "b" else "a", id, (rng.nextInt(99) + 1).toLong)
+    } :+ (("a", 4001L, 40000L))
+  }
+
+  /** Flat replay of systematic PPS: sort by (skey, id), accumulate
+    * weight, count the thresholds (j+0.5)·W/k inside each row's
+    * interval — the definition systematicPps distributes. */
+  private def brutePps(rows: Seq[(String, Long, Long, Long)],
+      k: Int): Map[(String, Long), Long] =
+    rows.groupBy(_._1).flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      val total = sorted.map(_._4).sum
+      val ts = (0 until k).map(j => (j + 0.5) * total.toDouble / k)
+      var cum = 0L
+      sorted.flatMap { case (g, _, id, w) =>
+        val prev = cum; cum += w
+        val hits = ts.count(t => prev < t && cum >= t)
+        if (hits > 0) Some((g, id) -> hits.toLong) else None
+      }
+    }
+
+  test("systematicPps matches the flat cumsum replay; Σhits per " +
+      "stratum is exactly k; the over-budget doc absorbs >1 threshold") {
+    val k = 25
+    val df = ppsRows.toDF("g", "id", "w")
+    val withKey = df.select(col("g"), col("id"), col("w"),
+        Sampling.portableGate(concat(col("id").cast("string"),
+          lit(":t"))).cast("long").as("skey"))
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(1),
+        r.getLong(2))).toSeq
+    val got = Sampling.systematicPps(df, "g", "id", "w", k, salt = "t")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got === brutePps(withKey, k))
+    val perStratum = got.groupBy(_._1._1).view.mapValues(_.values.sum)
+    assert(perStratum("a") === k && perStratum("b") === k)
+    // mega-doc weight 40000 > W/k ≈ (135k+40k)/25 → certain, multi-hit
+    assert(got(("a", 4001L)) > 1L)
+  }
+
+  test("systematicPps: partitioning-independent, salt re-draws, " +
+      "non-positive/null weights dropped") {
+    val df = ppsRows.toDF("g", "id", "w")
+    val a = Sampling.systematicPps(df, "g", "id", "w", 25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    val b = Sampling.systematicPps(df.repartition(17), "g", "id", "w", 25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    assert(a === b) // pure function of (key, salt, corpus)
+    val c = Sampling.systematicPps(df, "g", "id", "w", 25, salt = "v2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    assert(a !== c) // new salt = a fresh draw
+    // rows with w <= 0 or null never participate (CDF stays monotone)
+    val dirty = df.union(Seq(("a", 9001L, 0L), ("a", 9002L, -5L))
+        .toDF("g", "id", "w"))
+      .union(Seq(("a", Option(9003L), Option.empty[Long]))
+        .toDF("g", "id", "w"))
+    val d = Sampling.systematicPps(dirty, "g", "id", "w", 25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+      .toSet
+    assert(d === a)
+  }
+
+  test("systematicPps: empty input and bad arguments") {
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "id", "w")
+    assert(Sampling.systematicPps(empty, "g", "id", "w", 5).count() === 0)
+    val df = ppsRows.take(10).toDF("g", "id", "w")
+    intercept[IllegalArgumentException] {
+      Sampling.systematicPps(df, "g", "id", "w", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.systematicPps(df, "g", "id", "w", 5, bucketBits = 24)
+    }
+  }
 }
