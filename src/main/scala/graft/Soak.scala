@@ -64,8 +64,10 @@ object Soak {
   def synthesize(s: SparkSession, base: String, out: String, m: Int): Unit = {
     val done = new java.io.File(out, "_SOAK_DONE")
     // the marker alone is not enough: a work dir synthesized before a
-    // table joined the set (orders, r13) would skip-and-miss it
-    if (done.exists() && new java.io.File(out, "orders.parquet").exists())
+    // table joined the set (orders r13, lineitem r15) would
+    // skip-and-miss it
+    if (done.exists() && new java.io.File(out, "orders.parquet").exists()
+        && new java.io.File(out, "lineitem.parquet").exists())
       return
     val docs = s.read.parquet(s"$base/documents.parquet")
     val embs = s.read.parquet(s"$base/embeddings.parquet")
@@ -113,6 +115,21 @@ object Soak {
         col("o_orderpriority"))
     (0 until m).map(ordRep).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    // lineitem: re-keyed replicas with l_extendedprice shifted by r
+    // cents — the quantile queries' value domain must GROW with the
+    // corpus (replicated values would collapse in ExactQuantile's
+    // distinct-value census and understate scaling; real 100 TB
+    // doubles are near-continuous)
+    val lis = s.read.parquet(s"$base/lineitem.parquet")
+    def liRep(r: Int): DataFrame =
+      lis.select((col("l_orderkey") + lit(r * EvStride)).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"),
+        (col("l_extendedprice") + lit(r * 0.01)).as("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    (0 until m).map(liRep).reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     done.createNewFile(): Unit
   }
 
@@ -548,7 +565,8 @@ object Soak {
     "s17_nprobe_sweep", "s18_pq_recall", "s19_adc_rerank",
     "s24_hier_kmeans", "t14_shard_pack", "t27_lm_perplexity",
     "e15_late_data_audit", "e19_stream_outer_join",
-    "q52_zorder_skipping", "t33_cdc_chunking", "m10_scene_cuts")
+    "q52_zorder_skipping", "t33_cdc_chunking", "m10_scene_cuts",
+    "q45_percentile_exact", "q54_weighted_quantile", "t34_pps_sample")
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Verbatim.map(n => n -> SparkEntry.queries(n)) ++

@@ -1332,6 +1332,55 @@ object DedupQueries {
         max("sz").as("largest_cluster"))
     }),
 
+    /** Leakage-safe train/eval split — the reason a pipeline builds
+      * components at all: a doc-keyed split (t07's gate applied per
+      * doc_id) puts near-duplicates of training docs in the eval set,
+      * and eval contamination via near-dup closure is invisible to
+      * exact-match decontamination (t29 catches verbatim overlap, not
+      * a paraphrased twin already in the dup graph). The unit of
+      * assignment must be the CLUSTER: gate each doc by the portable
+      * gate of its component label (its own id if unclustered), so a
+      * cluster lands whole on one side by construction. Fourth
+      * consumer of the shared [[d09Labels]] build (after d09 census,
+      * d17 prune, d25 soft weights): the split itself is one
+      * doc_id-keyed left join against the persisted label table plus
+      * scan-side gate arithmetic — no new shuffle class at 100 TB.
+      * The audit emits BOTH policies: unit-gated straddle count
+      * (structurally 0 — the invariant, proved cross-engine) and the
+      * naive doc-gated straddle count plus the docs inside straddling
+      * clusters (the leak the operator exists to prevent). Oracle =
+      * the shared [[DupGraphCteSql]] ground-truth graph extended with
+      * the identical gate arithmetic. */
+    "d27_leakage_safe_split" -> ((s, d) => {
+      val corpus = d09Corpus(s, d)
+      val labels = d09Labels(s, d)
+      def evalGate(c: Column): Column =
+        when(pmod(graft.operators.Sampling.portableGate(
+          concat(c.cast("string"), lit(":split"))), lit(10)) < 2, 1L)
+          .otherwise(0L)
+      val g = corpus.select(col("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("unit", coalesce(col("lbl"), col("doc_id")))
+        .withColumn("ev_u", evalGate(col("unit")))
+        .withColumn("ev_n", evalGate(col("doc_id")))
+      val su = g.filter(col("lbl").isNotNull).groupBy("lbl")
+        .agg(countDistinct("ev_u").as("du"),
+          countDistinct("ev_n").as("dn"), count(lit(1)).as("sz"))
+      g.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lbl").isNotNull, 1L).otherwise(0L))
+            .as("n_clustered"),
+          sum("ev_u").as("n_eval_unit"),
+          sum("ev_n").as("n_eval_naive"))
+        .crossJoin(su.agg(count(lit(1)).as("n_clusters"),
+          coalesce(sum(when(col("du") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_straddle_unit"),
+          coalesce(sum(when(col("dn") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_straddle_naive"),
+          coalesce(sum(when(col("dn") > 1, col("sz"))), lit(0L))
+            .as("n_docs_leaky_naive")))
+    }),
+
     "d04_ngram_jaccard" -> ((s, d) => {
       // char 5-gram Jaccard inside (lang, length-bucket) blocks, with
       // SIZE-CAPPED blocks: a web-scale corpus puts millions of docs in
@@ -2431,6 +2480,43 @@ object DedupQueries {
         | CAST(sum(ntok * w_e6) AS BIGINT) AS effective_tokens_e6,
         | CAST(max(sz) AS BIGINT) AS largest_cluster
         |FROM wt""".stripMargin,
+
+    // d27: the shared ground-truth graph extended with the portable
+    // gate applied per-unit (component label, own id if unclustered)
+    // vs per-doc — the unit policy's straddle count must be 0 and the
+    // naive policy's leak is counted, both engines computing the
+    // identical gate arithmetic.
+    "d27_leakage_safe_split" ->
+      s"""WITH RECURSIVE
+        |$DupGraphCteSql,
+        | u AS (
+        |  SELECT c.doc_id, lab.lbl,
+        |    coalesce(lab.lbl, c.doc_id) AS unit
+        |  FROM c LEFT JOIN lab ON lab.node = c.doc_id),
+        | g AS (
+        |  SELECT doc_id, lbl, unit,
+        |    CASE WHEN (${graft.operators.Sampling.portableGateSql(
+               "CAST(unit AS VARCHAR) || ':split'")}) % 10 < 2
+        |      THEN 1 ELSE 0 END AS ev_u,
+        |    CASE WHEN (${graft.operators.Sampling.portableGateSql(
+               "CAST(doc_id AS VARCHAR) || ':split'")}) % 10 < 2
+        |      THEN 1 ELSE 0 END AS ev_n
+        |  FROM u),
+        | su AS (
+        |  SELECT lbl, count(DISTINCT ev_u) AS du,
+        |    count(DISTINCT ev_n) AS dn, count(*) AS sz
+        |  FROM g WHERE lbl IS NOT NULL GROUP BY lbl)
+        |SELECT (SELECT count(*) FROM g) AS n_docs,
+        | (SELECT count(*) FROM g WHERE lbl IS NOT NULL) AS n_clustered,
+        | (SELECT CAST(sum(ev_u) AS BIGINT) FROM g) AS n_eval_unit,
+        | (SELECT CAST(sum(ev_n) AS BIGINT) FROM g) AS n_eval_naive,
+        | (SELECT count(*) FROM su) AS n_clusters,
+        | (SELECT CAST(coalesce(sum(CASE WHEN du > 1 THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) FROM su) AS n_straddle_unit,
+        | (SELECT CAST(coalesce(sum(CASE WHEN dn > 1 THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) FROM su) AS n_straddle_naive,
+        | (SELECT CAST(coalesce(sum(CASE WHEN dn > 1 THEN sz END), 0)
+        |    AS BIGINT) FROM su) AS n_docs_leaky_naive""".stripMargin,
 
     // d17: the d09 recursive-CTE replica ([[DupGraphCteSql]]) extended
     // with the keeper rule (node = lbl) and token accounting — ground

@@ -18,7 +18,8 @@ class SoakSpec extends AnyFunSuite {
   }
 
   test("scaled tables have exactly m x the base rows with the base schema") {
-    Seq("documents", "embeddings", "events", "orders").foreach { t =>
+    Seq("documents", "embeddings", "events", "orders",
+      "lineitem").foreach { t =>
       val base = spark.read.parquet(s"$sf0001/$t.parquet")
       val scaled = spark.read.parquet(s"$dir/$t.parquet")
       assert(scaled.count() == 3 * base.count(), t)
@@ -34,6 +35,29 @@ class SoakSpec extends AnyFunSuite {
     assert(evs.select("event_id").distinct().count() == evs.count())
     val ords = spark.read.parquet(s"$dir/orders.parquet")
     assert(ords.select("o_orderkey").distinct().count() == ords.count())
+  }
+
+  test("lineitem replicas grow the VALUE domain m x — replicated " +
+      "prices would collapse in ExactQuantile's distinct-value census " +
+      "and understate quantile scaling") {
+    val base = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val scaled = spark.read.parquet(s"$dir/lineitem.parquet")
+    val nBase = base.select("l_extendedprice").distinct().count()
+    val nScaled = scaled.select("l_extendedprice").distinct().count()
+    // the r-cent shift makes replica domains disjoint unless two base
+    // prices happen to differ by exactly a multiple of 0.01 in double
+    // arithmetic — allow a small overlap margin
+    assert(nScaled > 2.5 * nBase, s"$nScaled vs base $nBase")
+    // the weight column is untouched: quantity census per flag stable
+    val qBase = base.groupBy("l_returnflag").sum("l_quantity")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val qScaled = scaled.groupBy("l_returnflag").sum("l_quantity")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    qBase.foreach { case (k, v) =>
+      // double-sum accumulation order differs between the two scans;
+      // 1e-3 absolute still catches any real weight perturbation
+      assert(math.abs(qScaled(k) - 3 * v) < 1e-3, k)
+    }
   }
 
   test("document replicas share ZERO tokens with the base — naive " +
