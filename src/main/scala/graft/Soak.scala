@@ -566,7 +566,8 @@ object Soak {
     "s24_hier_kmeans", "t14_shard_pack", "t27_lm_perplexity",
     "e15_late_data_audit", "e19_stream_outer_join",
     "q52_zorder_skipping", "t33_cdc_chunking", "m10_scene_cuts",
-    "q45_percentile_exact", "q54_weighted_quantile", "t34_pps_sample")
+    "q45_percentile_exact", "q54_weighted_quantile", "t34_pps_sample",
+    "q55_ks_drift", "q56_weighted_moments", "t35_length_drift")
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Verbatim.map(n => n -> SparkEntry.queries(n)) ++

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.operators.Materialize.MaterializeOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exact two-sample Kolmogorov–Smirnov distance per group
+  * — the continuous-distribution drift monitor (did the price/length/
+  * score distribution of snapshot B move away from snapshot A?) that
+  * complements e13's categorical L1 drift.
+  *
+  * KS = max over v of |F_A(v) − F_B(v)|, attained at a data point, so
+  * it is a function of the empirical CDFs at the distinct observed
+  * values. The naive SQL shape is a running-sum window ordered by v
+  * over EVERY row with only the group as partition key — exactly the
+  * low-cardinality window funnel the roster bans (one task sorts a
+  * whole group; at 100 TB a group is billions of rows). This operator
+  * computes the identical statistic through ExactQuantile's bounded
+  * stages, with one running sum per side:
+  *
+  *  1. per-(group, value) census with per-side counts `(g, v) →
+  *     (ca, cb)` — the only full-data shuffle, map-side combinable;
+  *     identical values collapse BEFORE any window.
+  *  2. per-group `n_a/n_b/lo/hi` broadcast back; census rows get an
+  *     equi-width bucket id over the finite range, NaN/±∞ in sentinel
+  *     buckets at the sort-order edges (same layout as
+  *     [[ExactQuantile]] — the CDF is taken over Spark's double
+  *     ordering, -∞ < finite < +∞ < NaN, which DuckDB shares).
+  *  3. per-(group, bucket) subtotals + exclusive running offsets per
+  *     side — the only group-wide window runs over ≤ buckets+3 rows.
+  *  4. in-bucket running sums partitioned by (group, bucket) turn the
+  *     offsets into exact global CDF counts at every distinct value;
+  *     the deviation `|cum_a·n_b − cum_b·n_a|` stays in integer
+  *     arithmetic (decimal 38,0) so the max and its argmin value are
+  *     exact — no accumulated floating error, and the final
+  *     `ks = d_max / (n_a·n_b)` is ONE double division of exactly-
+  *     converted integers, bit-identical cross-engine.
+  *  5. the maximum and its witness value reduce map-side
+  *     (`max`, then `min(v)` at the max) — no funnel anywhere.
+  *
+  * Returns one row per group: `groupCol`, `n_a`, `n_b` (side row
+  * counts), `ks` (double in [0,1], null when either side is empty),
+  * and `ks_value` (the smallest value attaining the max deviation —
+  * deterministic tie-break, null when ks is null). Rows with null
+  * value or null side are ignored.
+  *
+  * `hinted` mirrors [[ExactQuantile.quantiles]]: the per-group stats
+  * and max rows are broadcast by default (right up to millions of
+  * groups); pass false to shuffle those joins instead when the group
+  * column itself is huge. */
+object KsDrift {
+
+  def ks2(df: DataFrame, groupCol: String, valueCol: String,
+      sideBCol: String, buckets: Int = 4096,
+      hinted: Boolean = true): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def hintSmall(small: DataFrame): DataFrame =
+      if (hinted) broadcast(small) else small
+
+    val rows = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"),
+        when(col(sideBCol).cast("boolean"), 1L).otherwise(0L).as("s"))
+      .filter(col("v").isNotNull && col(sideBCol).isNotNull)
+
+    // 1. two-sided census — the one full-data shuffle
+    val census = rows.groupBy("g", "v")
+      .agg(sum(lit(1L) - col("s")).as("ca"), sum("s").as("cb"))
+      .materialize
+
+    // 2. per-group stats + sentinel-bucketed histogram ids (see
+    //    ExactQuantile for the NaN/±∞ rationale: one stray NaN must
+    //    not collapse the histogram into a single-bucket sort funnel)
+    val finiteV = !isnan(col("v")) &&
+      col("v") =!= Double.PositiveInfinity &&
+      col("v") =!= Double.NegativeInfinity
+    val stats = census.groupBy("g")
+      .agg(sum("ca").as("na"), sum("cb").as("nb"),
+        min(when(finiteV, col("v"))).as("lo"),
+        max(when(finiteV, col("v"))).as("hi"))
+    val withB = census.join(hintSmall(stats), "g")
+      .withColumn("b",
+        when(isnan(col("v")), lit((buckets + 1).toLong))
+          .when(col("v") === Double.PositiveInfinity, lit(buckets.toLong))
+          .when(col("v") === Double.NegativeInfinity, lit(-1L))
+          .when(col("hi").isNull || col("hi") === col("lo"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets),
+            lit((buckets - 1).toLong)).cast("long")))
+
+    // 3. per-bucket subtotals + exclusive base offsets per side
+    val wBucket = Window.partitionBy("g").orderBy("b")
+    val bases = withB.groupBy("g", "b")
+      .agg(sum("ca").as("bca"), sum("cb").as("bcb"))
+      .withColumn("basea", sum("bca").over(wBucket) - col("bca"))
+      .withColumn("baseb", sum("bcb").over(wBucket) - col("bcb"))
+      .select("g", "b", "basea", "baseb")
+
+    // 4. exact CDF counts at every distinct value; deviation in
+    //    integer (decimal) arithmetic. decimal(18,0) casts keep the
+    //    cross products inside decimal(38,0) headroom.
+    val wValue = Window.partitionBy("g", "b").orderBy("v")
+    val dec = "decimal(18,0)"
+    val scored = withB
+      .join(bases, Seq("g", "b"))
+      .withColumn("cuma", col("basea") + sum("ca").over(wValue))
+      .withColumn("cumb", col("baseb") + sum("cb").over(wValue))
+      .withColumn("d",
+        abs(col("cuma").cast(dec) * col("nb").cast(dec) -
+          col("cumb").cast(dec) * col("na").cast(dec)))
+      .select("g", "v", "d")
+      .materialize // two consumers: the max and its witness
+
+    // 5. map-side-combinable max + deterministic witness (min v at max)
+    val dm = scored.groupBy("g").agg(max("d").as("dmax"))
+    val arg = scored.join(hintSmall(dm), "g")
+      .filter(col("d") === col("dmax"))
+      .groupBy("g").agg(min("v").as("ks_value"))
+
+    val bothSides = col("na") > 0 && col("nb") > 0
+    stats.select("g", "na", "nb")
+      .join(hintSmall(dm), Seq("g"), "left")
+      .join(hintSmall(arg), Seq("g"), "left")
+      .select(col("g").as(groupCol),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        when(bothSides, col("dmax").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double"))).as("ks"),
+        when(bothSides, col("ks_value")).as("ks_value"))
+  }
+}

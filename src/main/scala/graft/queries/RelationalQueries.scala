@@ -611,6 +611,118 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    /** Two-sample Kolmogorov–Smirnov drift per group — the
+      * continuous-distribution counterpart of e13's categorical L1
+      * monitor: did this snapshot's price distribution move vs the
+      * last one? Sides = lineitem before/after a mid-corpus shipdate
+      * (the canonical old-crawl/new-crawl framing). The statistic is
+      * exact: [[graft.operators.KsDrift]] computes the CDFs through
+      * ExactQuantile's bounded census→bucket-histogram→in-bucket
+      * stages (never a group-wide sort window) and keeps the max
+      * deviation in integer arithmetic, so `ks` is one double
+      * division of exactly-converted integers — hash-portable without
+      * rounding tricks; `rnd(6)` is applied anyway for display parity.
+      * `drifted` compares the unrounded exact ratio against the
+      * α=0.05 critical value 1.358·√((n_a+n_b)/(n_a·n_b)) — all
+      * fixed-arity IEEE ops on exact integers, bit-identical in
+      * DuckDB. The oracle computes the same statistic with the naive
+      * group-wide window the operator exists to avoid. */
+    "q55_ks_drift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("side_b",
+          col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
+      val ks = graft.operators.KsDrift.ks2(
+        li, "l_returnflag", "l_extendedprice", "side_b")
+      val na = col("n_a").cast("double")
+      val nb = col("n_b").cast("double")
+      ks.select(col("l_returnflag"), col("n_a"), col("n_b"),
+          rnd(col("ks"), 6).as("ks"), col("ks_value"),
+          (col("ks") > lit(1.358) * sqrt((na + nb) / (na * nb)))
+            .as("drifted"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** Weighted central-moment battery (mean / variance / stddev /
+      * skewness) — the weighted-stat family q54's weighted median
+      * opened, as one pass. Spark has no weighted variance/skew
+      * builtin; the textbook shape (`var_pop` over rows exploded by
+      * weight, or a double power-sum agg) is either a row explosion
+      * or order-dependent float accumulation that can never hash
+      * cross-engine. Here every power sum is EXACT integer
+      * arithmetic: price → cents via the portable `floor(x·100+0.5)`
+      * map, quantity → long weight, then S0..S3 = Σw·xᵏ as
+      * decimal(38,0) (DuckDB mirrors in HUGEINT — both exact, so the
+      * sums are order-independent and bit-identical). One map-side-
+      * combinable aggregation, no shuffle beyond the group key — the
+      * shape that survives 100 TB trivially. The moments are then
+      * fixed-arity double expressions over the exactly-converted
+      * sums, spelled with IDENTICAL association in both engines;
+      * skewness is scale-invariant so it needs no cents→dollars
+      * correction. */
+    "q56_weighted_moments" -> ((s, d) => {
+      val x = floor(col("l_extendedprice") * 100 + 0.5).cast("decimal(9,0)")
+      val w = col("l_quantity").cast("long").cast("decimal(3,0)")
+      val sums = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), w.as("w"), x.as("x"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("w")).as("s0"),
+          sum(col("w") * col("x")).as("s1"),
+          sum(col("w") * (col("x") * col("x"))).as("s2"),
+          sum(col("w") * ((col("x") * col("x")) * col("x"))).as("s3"))
+      val s0 = col("s0").cast("double")
+      val m = col("s1").cast("double") / s0
+      val ex2 = col("s2").cast("double") / s0
+      val ex3 = col("s3").cast("double") / s0
+      val varC = ex2 - m * m
+      val stdC = sqrt(varC)
+      val skew = (ex3 - lit(3) * m * ex2 + lit(2) * m * m * m) /
+        (stdC * stdC * stdC)
+      sums.select(col("l_returnflag"),
+          col("s0").cast("long").as("wsum"),
+          rnd(m / 100, 4).as("wmean"),
+          rnd(varC / 10000, 2).as("wvar"),
+          rnd(stdC / 100, 4).as("wstd"),
+          when(varC > 0, rnd(skew, 6)).as("wskew"))
+        .orderBy("l_returnflag")
+    }),
+
+    /** Equi-DEPTH histogram (q46 is equi-width): bucket boundaries at
+      * the k-quantiles so every bucket holds ≈ n/k rows — the
+      * optimizer-statistics / shard-balancing shape, where equi-width
+      * buckets collapse under a skewed value distribution. Boundaries
+      * ride [[graft.operators.ExactQuantile]] (bounded stages, no
+      * per-group value-map buffer), then ONE broadcast join + scan
+      * counts bucket membership — at 100 TB the histogram costs a
+      * census shuffle plus a linear pass. Displayed bucket edges are
+      * the bucket's actual min/max DATA values, not the interpolated
+      * boundaries: data values are exact on both engines, while the
+      * interpolated cut differs in the last bits between Spark's
+      * `(ceil−pos)·vLo + (pos−floor)·vHi` and DuckDB's
+      * `lo + frac·(hi−lo)` association — harmless for membership
+      * (no data value lies strictly between adjacent order
+      * statistics, so a 1-ulp cut difference can't flip a count) but
+      * not displayable at fixed rounding. */
+    "q57_equidepth_hist" -> ((s, d) => {
+      val k = 8
+      val ords = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("g"),
+          col("o_totalprice").cast("double").as("v"))
+      val bounds = graft.operators.ExactQuantile.quantiles(
+        ords, "g", "v", (1 until k).map(i => (s"b$i", i.toDouble / k)))
+      val bucket = (1 until k)
+        .map(i => when(col("v") >= col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      ords.join(broadcast(bounds), "g")
+        .withColumn("bucket", bucket)
+        .groupBy(col("g"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          rnd(min("v"), 2).as("lo_price"),
+          rnd(max("v"), 2).as("hi_price"))
+        .select(col("g").as("o_orderpriority"), col("bucket"),
+          col("n"), col("lo_price"), col("hi_price"))
+        .orderBy("o_orderpriority", "bucket")
+    }),
+
     /** Sketch-based quantiles at scale: `percentile_approx` (a KLL-
       * style mergeable sketch — constant memory per group, one pass,
       * map-side mergeable) vs the exact sort-based percentile. The
@@ -1002,6 +1114,95 @@ object RelationalQueries {
         |  floor(min(CASE WHEN cw >= 0.99*tw THEN v END)*10000+0.5)/10000 AS wp99,
         |  CAST(min(tw) AS BIGINT) AS wsum
         |FROM r GROUP BY g ORDER BY g""".stripMargin,
+
+    // q55: exact two-sample KS. The deviation stays integer
+    // (HUGEINT cross products) so max and argmin are exact; ks and
+    // the drifted test are the identical fixed-arity double ops the
+    // Spark side runs on the same exact integers.
+    "q55_ks_drift" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v,
+        |    CASE WHEN l_shipdate >= TIMESTAMP '1998-06-01' THEN 1
+        |      ELSE 0 END AS s FROM lineitem),
+        |cen AS (SELECT g, v, sum(1-s) AS ca, sum(s) AS cb
+        |  FROM r GROUP BY g, v),
+        |st AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM cen GROUP BY g),
+        |c AS (SELECT g, v,
+        |    sum(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY v) AS cumb FROM cen),
+        |d AS (SELECT c.g, v,
+        |    abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na)
+        |      AS dev, na, nb
+        |  FROM c JOIN st ON st.g = c.g),
+        |m AS (SELECT g, min(na) AS na, min(nb) AS nb,
+        |    max(dev) AS dmax FROM d GROUP BY g),
+        |a AS (SELECT d.g, min(v) AS ks_value
+        |  FROM d JOIN m ON m.g = d.g AND d.dev = m.dmax GROUP BY d.g)
+        |SELECT m.g AS l_returnflag, na AS n_a, nb AS n_b,
+        |  floor(CAST(dmax AS DOUBLE)
+        |    / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))*1e6+0.5)/1e6 AS ks,
+        |  ks_value,
+        |  CAST(dmax AS DOUBLE)/(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))
+        |    > 1.358*sqrt((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE))
+        |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))) AS drifted
+        |FROM m JOIN a ON a.g = m.g ORDER BY m.g""".stripMargin,
+
+    // q56: power sums S0..S3 in exact HUGEINT (mirrors Spark's
+    // decimal(38,0) — both order-independent), then the moment
+    // expressions with IDENTICAL association so the double arithmetic
+    // is bit-compatible before the portable rounding.
+    "q56_weighted_moments" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS BIGINT) AS w,
+        |    CAST(floor(l_extendedprice*100+0.5) AS BIGINT) AS x
+        |  FROM lineitem),
+        |s AS (SELECT g, sum(w) AS s0,
+        |    sum(CAST(w AS HUGEINT)*x) AS s1,
+        |    sum(CAST(w AS HUGEINT)*(CAST(x AS HUGEINT)*x)) AS s2,
+        |    sum(CAST(w AS HUGEINT)*((CAST(x AS HUGEINT)*x)*x)) AS s3
+        |  FROM r GROUP BY g),
+        |m AS (SELECT g, s0,
+        |    CAST(s1 AS DOUBLE)/CAST(s0 AS DOUBLE) AS m,
+        |    CAST(s2 AS DOUBLE)/CAST(s0 AS DOUBLE) AS ex2,
+        |    CAST(s3 AS DOUBLE)/CAST(s0 AS DOUBLE) AS ex3
+        |  FROM s)
+        |SELECT g AS l_returnflag, CAST(s0 AS BIGINT) AS wsum,
+        |  floor(m/100*10000+0.5)/10000 AS wmean,
+        |  floor((ex2 - m*m)/10000*100+0.5)/100 AS wvar,
+        |  floor(sqrt(ex2 - m*m)/100*10000+0.5)/10000 AS wstd,
+        |  CASE WHEN ex2 - m*m > 0 THEN
+        |    floor((ex3 - 3*m*ex2 + 2*m*m*m)
+        |      / (sqrt(ex2 - m*m)*sqrt(ex2 - m*m)*sqrt(ex2 - m*m))
+        |      *1e6+0.5)/1e6 END AS wskew
+        |FROM m ORDER BY g""".stripMargin,
+
+    // q57: quantile_cont boundaries (type-7, same definition as
+    // ExactQuantile), membership counts, and exact data-value edges.
+    // The interpolated cuts themselves are never displayed — see the
+    // query scaladoc for why membership is still deterministic.
+    "q57_equidepth_hist" ->
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |    CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+        |b AS (SELECT g,
+        |    quantile_cont(v, 0.125) AS b1, quantile_cont(v, 0.25) AS b2,
+        |    quantile_cont(v, 0.375) AS b3, quantile_cont(v, 0.5) AS b4,
+        |    quantile_cont(v, 0.625) AS b5, quantile_cont(v, 0.75) AS b6,
+        |    quantile_cont(v, 0.875) AS b7
+        |  FROM o GROUP BY g)
+        |SELECT o.g AS o_orderpriority,
+        |  CAST(CASE WHEN v >= b1 THEN 1 ELSE 0 END
+        |    + CASE WHEN v >= b2 THEN 1 ELSE 0 END
+        |    + CASE WHEN v >= b3 THEN 1 ELSE 0 END
+        |    + CASE WHEN v >= b4 THEN 1 ELSE 0 END
+        |    + CASE WHEN v >= b5 THEN 1 ELSE 0 END
+        |    + CASE WHEN v >= b6 THEN 1 ELSE 0 END
+        |    + CASE WHEN v >= b7 THEN 1 ELSE 0 END AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  floor(min(v)*100+0.5)/100 AS lo_price,
+        |  floor(max(v)*100+0.5)/100 AS hi_price
+        |FROM o JOIN b ON b.g = o.g
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q44: the sketch value is implementation-defined; the rank-error
     // invariant (every approx median inside the exact p45..p55 band,

@@ -1456,6 +1456,73 @@ object TextQueries {
         k = PpsK, salt = "pps42")
         .orderBy("lang", "doc_id")
     }),
+
+    /** Per-language length-distribution drift between two ingestion
+      * pipelines (even- vs odd-numbered sources) — the corpus-side
+      * consumer of [[graft.operators.KsDrift]] beside q55's
+      * snapshot framing: a pipeline that truncates, over-segments, or
+      * boilerplate-strips differently shows up as a shifted n_chars
+      * CDF long before any per-doc quality gate fires, and the KS
+      * statistic is the standard scale-free detector for it. The
+      * operator computes exact CDFs through bounded census →
+      * bucket-histogram stages (never a per-language sort window —
+      * lang is exactly the low-cardinality key that funnels at
+      * 100 TB); the integer max-deviation makes `ks` and its witness
+      * value hash-portable. Oracle = the naive flat window replica. */
+    /** Robust (MAD) length-outlier gate — the median-based cousin of
+      * t19's percentile winsorize: mean/stddev z-scores are themselves
+      * dragged by the outliers they hunt, so corpus pruning uses the
+      * median absolute deviation (consistency constant 1.4826, the
+      * σ-equivalent under normality; gate at the conventional 3σ →
+      * |x − median| > 3·1.4826·MAD). Two chained
+      * [[graft.operators.ExactQuantile]] passes (median of n_chars,
+      * then median of the absolute deviations) — each bounded-stage,
+      * never a per-lang sort window — plus one broadcast-joined gate
+      * scan. On integer-valued n_chars every quantity is EXACTLY
+      * representable (medians end in .0/.5, deviations exact, one
+      * multiply for the threshold), so the gate decisions and counts
+      * hash cross-engine with no rounding games. */
+    "t36_robust_outliers" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars").cast("double").as("v"))
+      val med = graft.operators.ExactQuantile.quantiles(
+        docs, "lang", "v", Seq("med" -> 0.5))
+        .select(col("lang"), col("med"))
+      val dev = docs.join(broadcast(med), "lang")
+        .withColumn("adev", abs(col("v") - col("med")))
+      val mad = graft.operators.ExactQuantile.quantiles(
+        dev.select(col("lang"), col("adev")), "lang", "adev",
+        Seq("mad" -> 0.5))
+        .select(col("lang"), col("mad"))
+      dev.join(broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("adev") > lit(3) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          max(when(col("adev") > lit(3) * lit(1.4826) * col("mad"),
+            col("v"))).as("worst_len"))
+        .select(col("lang"), col("n"), col("med"), col("mad"),
+          col("n_outliers"), col("worst_len").cast("long").as("worst_len"))
+        .orderBy("lang")
+    }),
+
+    "t35_length_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("side_b",
+          substring(col("source"), 4, 10).cast("int") % 2 === 1)
+      val ks = graft.operators.KsDrift.ks2(
+        docs, "lang", "n_chars", "side_b")
+      val na = col("n_a").cast("double")
+      val nb = col("n_b").cast("double")
+      ks.select(col("lang"), col("n_a"), col("n_b"),
+          rnd(col("ks"), 6).as("ks"),
+          col("ks_value").cast("long").as("ks_value"),
+          (col("ks") > lit(1.358) * sqrt((na + nb) / (na * nb)))
+            .as("drifted"))
+        .orderBy("lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2387,6 +2454,56 @@ object TextQueries {
         |  (CAST(sum(in_o * in_s) AS BIGINT) * 10000)
         |    // CAST(sum(in_o) AS BIGINT) AS resync_bp
         |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // t36: quantile_cont medians (type-7 ≡ ExactQuantile); on integer
+    // n_chars every median/deviation is exactly representable, so the
+    // 3·1.4826·MAD gate is bit-identical cross-engine.
+    "t36_robust_outliers" ->
+      """WITH d0 AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents),
+        |m AS (SELECT lang, quantile_cont(v, 0.5) AS med
+        |  FROM d0 GROUP BY lang),
+        |dv AS (SELECT d0.lang, v, med, abs(v - med) AS adev
+        |  FROM d0 JOIN m ON m.lang = d0.lang),
+        |md AS (SELECT lang, quantile_cont(adev, 0.5) AS mad
+        |  FROM dv GROUP BY lang)
+        |SELECT dv.lang, count(*) AS n, min(med) AS med, min(mad) AS mad,
+        |  CAST(sum(CASE WHEN adev > 3*1.4826*mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(max(CASE WHEN adev > 3*1.4826*mad THEN v END)
+        |    AS BIGINT) AS worst_len
+        |FROM dv JOIN md ON md.lang = dv.lang
+        |GROUP BY dv.lang ORDER BY dv.lang""".stripMargin,
+
+    // t35: naive flat-window KS replica of the bounded-stage operator
+    // (same structure as q55's oracle, documents framing).
+    "t35_length_drift" ->
+      """WITH r AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1 THEN 1
+        |      ELSE 0 END AS s FROM documents),
+        |cen AS (SELECT g, v, sum(1-s) AS ca, sum(s) AS cb
+        |  FROM r GROUP BY g, v),
+        |st AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM cen GROUP BY g),
+        |c AS (SELECT g, v,
+        |    sum(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY v) AS cumb FROM cen),
+        |d AS (SELECT c.g, v,
+        |    abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na)
+        |      AS dev, na, nb
+        |  FROM c JOIN st ON st.g = c.g),
+        |m AS (SELECT g, min(na) AS na, min(nb) AS nb,
+        |    max(dev) AS dmax FROM d GROUP BY g),
+        |a AS (SELECT d.g, CAST(min(v) AS BIGINT) AS ks_value
+        |  FROM d JOIN m ON m.g = d.g AND d.dev = m.dmax GROUP BY d.g)
+        |SELECT m.g AS lang, na AS n_a, nb AS n_b,
+        |  floor(CAST(dmax AS DOUBLE)
+        |    / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))*1e6+0.5)/1e6 AS ks,
+        |  ks_value,
+        |  CAST(dmax AS DOUBLE)/(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))
+        |    > 1.358*sqrt((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE))
+        |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))) AS drifted
+        |FROM m JOIN a ON a.g = m.g ORDER BY m.g""".stripMargin,
 
     // t34: the oracle replays systematic PPS as ONE flat window cumsum
     // per language — also witnessing that the operator's bucketed

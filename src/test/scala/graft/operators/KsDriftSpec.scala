@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.SparkSessionFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** KsDrift must be EXACT — the max CDF deviation is integer
+  * arithmetic, so the result is comparable bit-for-bit against a
+  * brute-force reference (and q55's DuckDB hash oracle rides on
+  * that). */
+class KsDriftSpec extends AnyFunSuite {
+  import SparkSessionFixture.spark
+  import spark.implicits._
+
+  /** Brute-force two-sample KS over Spark's double ordering
+    * (-0.0 < 0.0, NaN greatest, NaN == NaN for grouping). */
+  private def brute(rows: Seq[(String, Double, Int)])
+      : Map[String, (Long, Long, Option[Double], Option[Double])] =
+    rows.groupBy(_._1).map { case (g, rs) =>
+      val na = rs.count(_._3 == 0).toLong
+      val nb = rs.count(_._3 == 1).toLong
+      if (na == 0L || nb == 0L) g -> ((na, nb, None, None))
+      else {
+        val sorted = rs.map(_._2)
+          .sortWith(java.lang.Double.compare(_, _) < 0)
+        val distinct = sorted.foldLeft(List.empty[Double]) { (acc, v) =>
+          if (acc.nonEmpty && java.lang.Double.compare(acc.head, v) == 0) acc
+          else v :: acc
+        }.reverse
+        var cuma = 0L; var cumb = 0L
+        var best = BigInt(-1); var bestV = Double.NaN
+        distinct.foreach { v =>
+          cuma += rs.count(r =>
+            java.lang.Double.compare(r._2, v) == 0 && r._3 == 0)
+          cumb += rs.count(r =>
+            java.lang.Double.compare(r._2, v) == 0 && r._3 == 1)
+          val d = (BigInt(cuma) * nb - BigInt(cumb) * na).abs
+          if (d > best) { best = d; bestV = v }
+        }
+        val ks = best.toDouble / (na.toDouble * nb.toDouble)
+        g -> ((na, nb, Some(ks), Some(bestV)))
+      }
+    }
+
+  private def ours(rows: Seq[(String, Double, Int)], buckets: Int = 64,
+      hinted: Boolean = true)
+      : Map[String, (Long, Long, Option[Double], Option[Double])] =
+    KsDrift.ks2(rows.toDF("g", "v", "s"), "g", "v", "s",
+        buckets = buckets, hinted = hinted)
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      }.toMap
+
+  private def assertSame(rows: Seq[(String, Double, Int)],
+      buckets: Int = 64): Unit = {
+    val b = brute(rows)
+    val o = ours(rows, buckets)
+    assert(o.keySet == b.keySet)
+    b.foreach { case (g, (na, nb, ks, kv)) =>
+      val (ona, onb, oks, okv) = o(g)
+      assert(ona == na && onb == nb, s"$g counts")
+      assert(oks == ks, s"$g ks: $oks vs $ks")
+      (okv, kv) match {
+        case (Some(a), Some(e)) =>
+          assert(java.lang.Double.compare(a, e) == 0, s"$g witness")
+        case (a, e) => assert(a == e, s"$g witness")
+      }
+    }
+  }
+
+  test("matches brute force exactly on mixed random data") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 4000).map { i =>
+      val g = s"g${i % 5}"
+      // side B drawn from a shifted distribution for g0/g1 so the
+      // detector has real drift to find; duplicate-heavy draws so the
+      // census fold matters
+      val s = rng.nextInt(2)
+      val base = if (s == 1 && i % 5 <= 1) 3.0 else 0.0
+      val v = if (rng.nextBoolean()) base + rng.nextInt(20).toDouble
+              else base + rng.nextDouble() * 20
+      (g, v, s)
+    }
+    assertSame(rows)
+    assertSame(rows, buckets = 2) // degenerate histogram still exact
+  }
+
+  test("identical sides give ks = 0; disjoint sides give ks = 1") {
+    val same = (1 to 200).flatMap(i =>
+      Seq(("g", i.toDouble % 17, 0), ("g", i.toDouble % 17, 1)))
+    val (_, _, ks0, _) = ours(same)("g")
+    assert(ks0.contains(0.0))
+    val disjoint = (1 to 100).map(i => ("g", i.toDouble, 0)) ++
+      (1 to 100).map(i => ("g", 1000.0 + i, 1))
+    val (_, _, ks1, kv1) = ours(disjoint)("g")
+    assert(ks1.contains(1.0))
+    // witness = the point where F_A = 1 and F_B = 0 first happens
+    assert(kv1.contains(100.0))
+  }
+
+  test("an empty side yields null ks, not a division blowup") {
+    val rows = (1 to 50).map(i => ("g", i.toDouble, 0)) ++
+      Seq(("h", 1.0, 0), ("h", 2.0, 1))
+    val o = ours(rows)
+    assert(o("g") == ((50L, 0L, None, None)))
+    assert(o("h")._3.isDefined)
+  }
+
+  test("NaN and infinities ride the sentinel buckets exactly") {
+    val rng = new scala.util.Random(11)
+    val specials = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity)
+    val rows = (1 to 600).map { i =>
+      val v = if (i % 13 == 0) specials(i % 3)
+              else rng.nextDouble() * 10
+      (s"g${i % 2}", v, rng.nextInt(2))
+    }
+    assertSame(rows)
+  }
+
+  test("hinted = false (shuffled joins) is result-identical") {
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 1000).map(i =>
+      (s"g${i % 3}", rng.nextInt(40).toDouble, rng.nextInt(2)))
+    assert(ours(rows) == ours(rows, hinted = false))
+  }
+}
