@@ -54,6 +54,126 @@ import org.apache.spark.sql.functions._
   * column itself is huge. */
 object KsDrift {
 
+  /** One-vs-rest KS per stratum — the anomaly LEADERBOARD: for every
+    * stratum s (source, domain, shard), the exact KS distance between
+    * s's value distribution and the rest of the corpus, answering
+    * "which source is distributionally anomalous?" in one pass over
+    * two censuses.
+    *
+    * The subtlety vs [[ks2]]: F_rest jumps at values s never takes,
+    * so the max deviation can sit at a rest-only point. Evaluating
+    * the deviation at every (stratum, global value) pair is an
+    * |S|·|V| blowup; instead note D(x) = cum_s(x)·N − cumG(x)·n_s is
+    * monotone in cumG wherever cum_s is constant, so on each interval
+    * between consecutive s-points the extreme sits at one of the two
+    * ends — both computable AT the s-point from (cum_s, c_s, cumG,
+    * c_g) alone: `up = |cum_s·N − cumG·n_s|` (at the point) and
+    * `down = |(cum_s−c_s)·N − (cumG−c_g)·n_s|` (just before it, which
+    * covers every rest-only interior point and the pre-first
+    * interval). No lag window, no per-stratum sort — the candidates
+    * are per-row arithmetic over the stratum census joined to the
+    * global census on the value (the one extra shuffle vs [[ks2]]).
+    *
+    * Output per stratum: `strataCol`, `n_s`, `n_rest`, `ks` (null
+    * when the stratum IS the whole corpus), `ks_value` (the stratum
+    * census value at/just before which the max deviation is attained;
+    * smallest such value on ties). Exactness contract as [[ks2]]:
+    * integer deviations, one double division. */
+  def ksOneVsRest(df: DataFrame, strataCol: String, valueCol: String,
+      buckets: Int = 4096, hinted: Boolean = true): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    def hintSmall(small: DataFrame): DataFrame =
+      if (hinted) broadcast(small) else small
+
+    val rows = df
+      .select(col(strataCol).as("s"), col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("s").isNotNull)
+
+    // stratum census — the full-data shuffle; three consumers (global
+    // census fold, per-stratum sizes, the bucketed cum frame)
+    val census = rows.groupBy("s", "v").agg(count(lit(1)).as("c"))
+      .materialize
+    // global census folds FROM the stratum census (map-side combinable
+    // on v) — the corpus is never re-scanned; two consumers
+    val gcen = census.groupBy("v").agg(sum("c").as("cg")).materialize
+
+    val finiteV = !isnan(col("v")) &&
+      col("v") =!= Double.PositiveInfinity &&
+      col("v") =!= Double.NegativeInfinity
+    val gstats = gcen.agg(sum("cg").as("n"),
+      min(when(finiteV, col("v"))).as("lo"),
+      max(when(finiteV, col("v"))).as("hi"))
+    val sizes = census.groupBy("s").agg(sum("c").as("ns"))
+
+    def bucketed(cdf: DataFrame): DataFrame =
+      cdf.crossJoin(hintSmall(gstats))
+        .withColumn("b",
+          when(isnan(col("v")), lit((buckets + 1).toLong))
+            .when(col("v") === Double.PositiveInfinity, lit(buckets.toLong))
+            .when(col("v") === Double.NegativeInfinity, lit(-1L))
+            .when(col("hi").isNull || col("hi") === col("lo"), lit(0L))
+            .otherwise(least(
+              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets),
+              lit((buckets - 1).toLong)).cast("long")))
+
+    // global CDF counts: ≤ buckets+3 bucket rows, per-bucket windows
+    val gWithB = bucketed(gcen)
+    // one global running sum over ≤ buckets+3 rows — the constant
+    // partition key only silences the unpartitioned-window warning,
+    // the frame is bucket-bounded by construction
+    val gBases = gWithB.groupBy("b").agg(sum("cg").as("bc"))
+      .withColumn("base",
+        sum("bc").over(Window.partitionBy(lit(0)).orderBy("b")) - col("bc"))
+      .select("b", "base")
+    val gCum = gWithB.join(hintSmall(gBases), "b")
+      .withColumn("cumg", col("base") +
+        sum("cg").over(Window.partitionBy("b").orderBy("v")))
+      .select("v", "cg", "cumg")
+
+    // per-stratum CDF counts at the stratum's own census points
+    val sWithB = bucketed(census)
+    val sBases = sWithB.groupBy("s", "b").agg(sum("c").as("bc"))
+      .withColumn("base",
+        sum("bc").over(Window.partitionBy("s").orderBy("b")) - col("bc"))
+      .select("s", "b", "base")
+    val sCum = sWithB.join(sBases, Seq("s", "b"))
+      .withColumn("cums", col("base") +
+        sum("c").over(Window.partitionBy("s", "b").orderBy("v")))
+      .select(col("s"), col("v"), col("c"), col("cums"), col("n"))
+
+    // candidates per stratum point; integer arithmetic throughout
+    val dec = "decimal(18,0)"
+    val scored = sCum.join(gCum, Seq("v"))
+      .join(hintSmall(sizes), "s")
+      .withColumn("up",
+        abs(col("cums").cast(dec) * col("n").cast(dec) -
+          col("cumg").cast(dec) * col("ns").cast(dec)))
+      .withColumn("down",
+        abs((col("cums") - col("c")).cast(dec) * col("n").cast(dec) -
+          (col("cumg") - col("cg")).cast(dec) * col("ns").cast(dec)))
+      .withColumn("d", greatest(col("up"), col("down")))
+
+    val best = scored
+      .groupBy("s")
+      .agg(max(struct(col("d").as("d"),
+        when(isnan(col("v")), 0L).otherwise(1L).as("nr"),
+        when(isnan(col("v")), lit(0.0)).otherwise(-col("v")).as("vn")))
+        .as("m"))
+      .select(col("s"), col("m.d").as("dmax"),
+        when(col("m.nr") === 0, lit(Double.NaN)).otherwise(-col("m.vn"))
+          .as("arg_v"))
+
+    val nRest = col("n") - col("ns")
+    val hasRest = nRest > 0
+    sizes.crossJoin(hintSmall(gstats.select("n")))
+      .join(hintSmall(best), Seq("s"), "left")
+      .select(col("s").as(strataCol),
+        col("ns").as("n_s"), nRest.as("n_rest"),
+        when(hasRest, col("dmax").cast("double") /
+          (col("ns").cast("double") * nRest.cast("double"))).as("ks"),
+        when(hasRest, col("arg_v")).as("ks_value"))
+  }
+
   def ks2(df: DataFrame, groupCol: String, valueCol: String,
       sideBCol: String, buckets: Int = 4096,
       hinted: Boolean = true): DataFrame = {

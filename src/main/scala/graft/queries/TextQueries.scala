@@ -1469,6 +1469,32 @@ object TextQueries {
       * lang is exactly the low-cardinality key that funnels at
       * 100 TB); the integer max-deviation makes `ks` and its witness
       * value hash-portable. Oracle = the naive flat window replica. */
+    /** Source anomaly leaderboard — one-vs-rest KS per source: which
+      * ingestion source's length distribution diverges from the rest
+      * of the corpus? The t35 pairwise framing needs a hypothesis
+      * (which two snapshots to compare); this is the unsupervised
+      * sweep that FINDS the suspect. Rides
+      * [[graft.operators.KsDrift.ksOneVsRest]]: the rest-CDF jumps at
+      * values the source never takes, and the operator covers those
+      * interior extremes with the two per-row candidates (at / just
+      * before each source census point) instead of an |S|·|V|
+      * evaluation grid — per-source cost stays census-sized, the only
+      * extra shuffle vs t35 is the stratum↔global census equi-join on
+      * the value. Exact integer deviations ⇒ hash-portable ks and
+      * witness. */
+    "t37_source_anomaly" -> ((s, d) => {
+      val ks = graft.operators.KsDrift.ksOneVsRest(
+        Tables.documents(s, d), "source", "n_chars")
+      val na = col("n_s").cast("double")
+      val nb = col("n_rest").cast("double")
+      ks.select(col("source"), col("n_s"), col("n_rest"),
+          rnd(col("ks"), 6).as("ks"),
+          col("ks_value").cast("long").as("ks_value"),
+          (col("ks") > lit(1.358) * sqrt((na + nb) / (na * nb)))
+            .as("drifted"))
+        .orderBy("source")
+    }),
+
     /** Robust (MAD) length-outlier gate — the median-based cousin of
       * t19's percentile winsorize: mean/stddev z-scores are themselves
       * dragged by the outliers they hunt, so corpus pruning uses the
@@ -2454,6 +2480,43 @@ object TextQueries {
         |  (CAST(sum(in_o * in_s) AS BIGINT) * 10000)
         |    // CAST(sum(in_o) AS BIGINT) AS resync_bp
         |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // t37: flat-window one-vs-rest replica. The two candidates per
+    // source census point (at / just-before) are the same integer
+    // formulas the operator computes; the dense interior is covered
+    // by monotonicity (see KsDrift.ksOneVsRest).
+    "t37_source_anomaly" ->
+      """WITH r AS (SELECT source AS s, CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents),
+        |cen AS (SELECT s, v, count(*) AS c FROM r GROUP BY s, v),
+        |g AS (SELECT v, CAST(sum(c) AS BIGINT) AS cg
+        |  FROM cen GROUP BY v),
+        |gs AS (SELECT CAST(sum(cg) AS BIGINT) AS n FROM g),
+        |gc AS (SELECT v, cg, sum(cg) OVER (ORDER BY v) AS cumg FROM g),
+        |sz AS (SELECT s, CAST(sum(c) AS BIGINT) AS ns
+        |  FROM cen GROUP BY s),
+        |sc AS (SELECT s, v, c,
+        |    sum(c) OVER (PARTITION BY s ORDER BY v) AS cums FROM cen),
+        |d AS (SELECT sc.s, sc.v,
+        |    greatest(
+        |      abs(CAST(cums AS HUGEINT)*n - CAST(cumg AS HUGEINT)*ns),
+        |      abs(CAST(cums - c AS HUGEINT)*n
+        |        - CAST(cumg - cg AS HUGEINT)*ns)) AS dev, ns, n
+        |  FROM sc JOIN gc ON gc.v = sc.v JOIN sz ON sz.s = sc.s
+        |  CROSS JOIN gs),
+        |m AS (SELECT s, min(ns) AS ns, min(n) AS n, max(dev) AS dmax
+        |  FROM d GROUP BY s),
+        |a AS (SELECT d.s, CAST(min(v) AS BIGINT) AS ks_value
+        |  FROM d JOIN m ON m.s = d.s AND d.dev = m.dmax GROUP BY d.s)
+        |SELECT m.s AS source, ns AS n_s, n - ns AS n_rest,
+        |  floor(CAST(dmax AS DOUBLE)
+        |    / (CAST(ns AS DOUBLE)*CAST(n - ns AS DOUBLE))*1e6+0.5)/1e6
+        |    AS ks,
+        |  ks_value,
+        |  CAST(dmax AS DOUBLE)/(CAST(ns AS DOUBLE)*CAST(n - ns AS DOUBLE))
+        |    > 1.358*sqrt((CAST(ns AS DOUBLE)+CAST(n - ns AS DOUBLE))
+        |      /(CAST(ns AS DOUBLE)*CAST(n - ns AS DOUBLE))) AS drifted
+        |FROM m JOIN a ON a.s = m.s ORDER BY m.s""".stripMargin,
 
     // t36: quantile_cont medians (type-7 ≡ ExactQuantile); on integer
     // n_chars every median/deviation is exactly representable, so the

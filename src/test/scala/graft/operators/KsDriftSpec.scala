@@ -119,6 +119,67 @@ class KsDriftSpec extends AnyFunSuite {
     assertSame(rows)
   }
 
+  /** Dense brute force for one-vs-rest: evaluate the deviation at
+    * EVERY global census point (the thing the operator's two-candidate
+    * trick avoids) — independent of the implementation's shortcut. */
+  private def bruteOvr(rows: Seq[(String, Double)])
+      : Map[String, (Long, Long, Option[Double])] = {
+    val n = rows.size.toLong
+    val globalSorted = rows.map(_._2)
+      .sortWith(java.lang.Double.compare(_, _) < 0)
+      .foldLeft(List.empty[Double]) { (acc, v) =>
+        if (acc.nonEmpty && java.lang.Double.compare(acc.head, v) == 0) acc
+        else v :: acc
+      }.reverse
+    rows.groupBy(_._1).map { case (s, rs) =>
+      val ns = rs.size.toLong
+      val nr = n - ns
+      if (nr == 0L) s -> ((ns, 0L, None))
+      else {
+        var cums = 0L; var cumg = 0L; var best = BigInt(-1)
+        globalSorted.foreach { v =>
+          cums += rs.count(r => java.lang.Double.compare(r._2, v) == 0)
+          cumg += rows.count(r => java.lang.Double.compare(r._2, v) == 0)
+          val d = (BigInt(cums) * n - BigInt(cumg) * ns).abs
+          if (d > best) best = d
+        }
+        s -> ((ns, nr, Some(best.toDouble / (ns.toDouble * nr.toDouble))))
+      }
+    }
+  }
+
+  test("one-vs-rest matches a dense per-global-point brute force") {
+    val rng = new scala.util.Random(31)
+    val rows = (1 to 3000).map { i =>
+      val s = s"src${i % 9}"
+      // src0 drawn shifted so one stratum is genuinely anomalous;
+      // duplicate-heavy so censuses fold
+      val base = if (i % 9 == 0) 5.0 else 0.0
+      (s, base + rng.nextInt(25).toDouble)
+    } ++ (1 to 40).map(i => ("srcNaN", if (i % 4 == 0) Double.NaN
+      else rng.nextInt(25).toDouble))
+    val b = bruteOvr(rows)
+    val got = KsDrift.ksOneVsRest(rows.toDF("s", "v"), "s", "v",
+        buckets = 64)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got.keySet == b.keySet)
+    b.foreach { case (s, e) => assert(got(s) == e, s) }
+    // the two planted anomalies top the leaderboard (the NaN-heavy
+    // stratum is the more extreme of the two)
+    val top2 = got.toSeq.sortBy(-_._2._3.getOrElse(0.0)).take(2)
+      .map(_._1).toSet
+    assert(top2 == Set("srcNaN", "src0"), top2)
+  }
+
+  test("one-vs-rest: a stratum that IS the whole corpus gets null ks") {
+    val rows = (1 to 30).map(i => ("only", i.toDouble))
+    val got = KsDrift.ksOneVsRest(rows.toDF("s", "v"), "s", "v")
+      .collect()
+    assert(got.length == 1 && got(0).isNullAt(3) && got(0).isNullAt(4))
+  }
+
   test("hinted = false (shuffled joins) is result-identical") {
     val rng = new scala.util.Random(23)
     val rows = (1 to 1000).map(i =>
