@@ -174,21 +174,33 @@ object KsDrift {
         when(hasRest, col("arg_v")).as("ks_value"))
   }
 
+  /** `weightCol` (optional): WEIGHTED two-sample KS — the ECDFs carry
+    * row weights (token/byte mass) instead of counts, detecting "the
+    * mass moved" where the unweighted statistic sees identical doc
+    * counts. Pass an integer-typed weight column so the census sums
+    * stay order-independent exact (the q54 rule); rows with null or
+    * non-positive weight are ignored (a weighted CDF must stay
+    * monotone). `n_a`/`n_b` then report total admitted weight. */
   def ks2(df: DataFrame, groupCol: String, valueCol: String,
       sideBCol: String, buckets: Int = 4096,
-      hinted: Boolean = true): DataFrame = {
+      hinted: Boolean = true, weightCol: String = null): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     def hintSmall(small: DataFrame): DataFrame =
       if (hinted) broadcast(small) else small
 
+    val w = Option(weightCol).map(col).getOrElse(lit(1L))
     val rows = df
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"),
-        when(col(sideBCol).cast("boolean"), 1L).otherwise(0L).as("s"))
-      .filter(col("v").isNotNull && col(sideBCol).isNotNull)
+        when(col(sideBCol).cast("boolean"), 1L).otherwise(0L).as("s"),
+        w.cast("long").as("w"))
+      .filter(col("v").isNotNull && col(sideBCol).isNotNull &&
+        col("w").isNotNull && col("w") > 0)
 
-    // 1. two-sided census — the one full-data shuffle
+    // 1. two-sided census — the one full-data shuffle; weighted mass
+    //    when a weight column is given, plain counts otherwise
     val census = rows.groupBy("g", "v")
-      .agg(sum(lit(1L) - col("s")).as("ca"), sum("s").as("cb"))
+      .agg(sum((lit(1L) - col("s")) * col("w")).as("ca"),
+        sum(col("s") * col("w")).as("cb"))
       .materialize
 
     // 2. per-group stats + sentinel-bucketed histogram ids (see

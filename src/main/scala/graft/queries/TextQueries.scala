@@ -1495,6 +1495,38 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    /** Mass-weighted drift — t35's companion asking a different
+      * question: t35's unweighted KS sees WHERE THE DOCS sit on the
+      * length axis; this weights each doc by its character mass, so it
+      * sees WHERE THE BYTES sit — the distribution a token budget
+      * actually samples from. A pipeline that adds a few huge docs
+      * barely moves the doc-count CDF but shifts the mass CDF hard
+      * (and vice versa for many tiny docs). Same
+      * [[graft.operators.KsDrift.ks2]] bounded stages with integer
+      * weight mass in the census (the q54 exactness rule), so the
+      * statistic still hashes cross-engine. */
+    "t38_mass_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("side_b",
+          substring(col("source"), 4, 10).cast("int") % 2 === 1)
+      val ks = graft.operators.KsDrift.ks2(
+        docs, "lang", "n_chars", "side_b", weightCol = "n_chars")
+      val wa = col("n_a").cast("double")
+      val wb = col("n_b").cast("double")
+      ks.select(col("lang"),
+          col("n_a").as("w_a"), col("n_b").as("w_b"),
+          rnd(col("ks"), 6).as("ks"),
+          col("ks_value").cast("long").as("ks_value"),
+          // the classical critical value is a count-based asymptotic;
+          // with unequal weights the effective sample size is the
+          // Kish ratio — out of scope here, so the audit publishes
+          // the raw weighted statistic plus the naive flag computed
+          // from mass totals (documented as indicative only)
+          (col("ks") > lit(1.358) * sqrt((wa + wb) / (wa * wb)))
+            .as("drifted_naive"))
+        .orderBy("lang")
+    }),
+
     /** Robust (MAD) length-outlier gate — the median-based cousin of
       * t19's percentile winsorize: mean/stddev z-scores are themselves
       * dragged by the outliers they hunt, so corpus pruning uses the
@@ -2480,6 +2512,37 @@ object TextQueries {
         |  (CAST(sum(in_o * in_s) AS BIGINT) * 10000)
         |    // CAST(sum(in_o) AS BIGINT) AS resync_bp
         |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // t38: t35's replica with integer char-mass weights in the census.
+    "t38_mass_drift" ->
+      """WITH r AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST(n_chars AS BIGINT) AS wt,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1 THEN 1
+        |      ELSE 0 END AS s FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |cen AS (SELECT g, v, sum((1-s)*wt) AS ca, sum(s*wt) AS cb
+        |  FROM r GROUP BY g, v),
+        |st AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM cen GROUP BY g),
+        |c AS (SELECT g, v,
+        |    sum(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY v) AS cumb FROM cen),
+        |d AS (SELECT c.g, v,
+        |    abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na)
+        |      AS dev, na, nb
+        |  FROM c JOIN st ON st.g = c.g),
+        |m AS (SELECT g, min(na) AS na, min(nb) AS nb,
+        |    max(dev) AS dmax FROM d GROUP BY g),
+        |a AS (SELECT d.g, CAST(min(v) AS BIGINT) AS ks_value
+        |  FROM d JOIN m ON m.g = d.g AND d.dev = m.dmax GROUP BY d.g)
+        |SELECT m.g AS lang, na AS w_a, nb AS w_b,
+        |  floor(CAST(dmax AS DOUBLE)
+        |    / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))*1e6+0.5)/1e6 AS ks,
+        |  ks_value,
+        |  CAST(dmax AS DOUBLE)/(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))
+        |    > 1.358*sqrt((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE))
+        |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))) AS drifted_naive
+        |FROM m JOIN a ON a.g = m.g ORDER BY m.g""".stripMargin,
 
     // t37: flat-window one-vs-rest replica. The two candidates per
     // source census point (at / just-before) are the same integer

@@ -180,6 +180,28 @@ class KsDriftSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).isNullAt(3) && got(0).isNullAt(4))
   }
 
+  test("weighted ks2 equals the unweighted statistic on the " +
+      "weight-exploded rows; non-positive weights are dropped") {
+    val rng = new scala.util.Random(43)
+    val weighted = (1 to 800).map { i =>
+      (s"g${i % 3}", rng.nextInt(30).toDouble, rng.nextInt(2),
+        rng.nextInt(5).toLong - 1L) // weights in -1..3: some dropped
+    }
+    val exploded = weighted.filter(_._4 > 0).flatMap { case (g, v, s, w) =>
+      Seq.fill(w.toInt)((g, v, s))
+    }
+    val gotW = KsDrift.ks2(
+        weighted.toDF("g", "v", "s", "w"), "g", "v", "s",
+        buckets = 64, weightCol = "w")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val gotU = ours(exploded, buckets = 64).map { case (g, (na, nb, ks, kv)) =>
+      g -> ((na, nb, ks.get, kv.get))
+    }
+    assert(gotW == gotU)
+  }
+
   test("hinted = false (shuffled joins) is result-identical") {
     val rng = new scala.util.Random(23)
     val rows = (1 to 1000).map(i =>
