@@ -914,6 +914,83 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    /** Streaming continuous-distribution drift monitor — e13's idea
+      * (day-over-day mix drift) lifted from 5 categories to the full
+      * VALUE distribution, with the census maintained BY THE STREAM:
+      * a windowed (day, value)→count aggregate in update mode, merged
+      * across micro-batches by the engine's state store (three staged
+      * slices prove the merge — each micro-batch touches every day).
+      * The drift tail then runs day-over-day exact KS off the final
+      * census through [[graft.operators.KsDrift.ks2]] with the counts
+      * as integer weights — KsDriftSpec's exploded-rows proof makes
+      * the weighted statistic ≡ event-level KS, so the classical
+      * critical value applies. Census rows explode into at most TWO
+      * pair-groups (own day as current side, next day as previous
+      * side), so the tail costs 2× census, never |days|×census.
+      *
+      * REPLAY HORIZON — the watermark is set wider than the bounded
+      * replay on purpose: slices interleave in event-id order, so a
+      * real 1-day watermark would drop day-w rows arriving in a later
+      * slice and the counts would come up short vs the oracle. A
+      * production monitor sets the real disorder bound and reads only
+      * CLOSED windows; state here is bounded by the replay itself. */
+    "e21_stream_ks_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("value"), col("event_id"))
+      val src = stageReplay("e21", (0 until 3).map(i =>
+        ev.filter(pmod(col("event_id"), lit(3)) === i)))
+      val ss = streamSession(s)
+      val schema = s.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val cen = stream
+        .withWatermark("ts", "3650 days") // no-drop replay horizon
+        .groupBy(window(col("ts"), "1 day").as("win"), col("value"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("win.start").cast("date").as("day"), col("value"),
+          col("c"))
+      val outDir = tempDir("graft_e21_out_")
+      val ckpt = tempDir("graft_e21_ckpt_")
+      val q = cen.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "e21 needs the three staged slices as three micro-batches — " +
+          "the forced arrival order collapsed")
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e21: streaming sink produced zero rows")
+      // update mode re-emits a census key whenever a batch touches it:
+      // the latest batch_id per (day, value) carries the merged count
+      val latest = Window.partitionBy(col("day"), col("value"))
+        .orderBy(col("batch_id").cast("long").desc)
+      val census = out
+        .withColumn("rn", row_number().over(latest))
+        .filter(col("rn") === 1)
+        .select(col("day"), col("value"), col("c"))
+      val pairs = census.select(explode(array(
+          struct(col("day").as("pair_day"), lit(true).as("side_b")),
+          struct(date_add(col("day"), 1).as("pair_day"),
+            lit(false).as("side_b")))).as("p"),
+          col("value"), col("c"))
+        .select(col("p.pair_day").as("day"), col("p.side_b").as("side_b"),
+          col("value"), col("c"))
+      val ks = graft.operators.KsDrift.ks2(
+        pairs, "day", "value", "side_b", weightCol = "c")
+      val na = col("n_a").cast("double")
+      val nb = col("n_b").cast("double")
+      ks.filter(col("n_a") > 0 && col("n_b") > 0)
+        .select(col("day"), col("n_a").as("n_prev"), col("n_b").as("n_cur"),
+          RelationalQueries.rnd(col("ks"), 6).as("ks"), col("ks_value"),
+          (col("ks") > lit(1.358) * sqrt((na + nb) / (na * nb)))
+            .as("drifted"))
+        .orderBy("day")
+    }),
+
     /** Native session-window streaming sessionization — the built-in
       * `session_window` aggregation beside e04's hand-rolled
       * flatMapGroupsWithState: same 1-hour-gap semantics, but state
@@ -1325,6 +1402,46 @@ object EventQueries {
         | CAST(sum(event_id) AS BIGINT) AS first_id_chk,
         | CAST(min(ts_ns) AS BIGINT) AS min_first_ts_ns
         |FROM firsts GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // e21: batch replica of the streamed daily value census, then the
+    // same day-pair explode + flat-window weighted KS (t38's integer
+    // formulas). The stream merges the census across micro-batches;
+    // the oracle recomputes it in one pass — equality certifies the
+    // state-store merge, not just the KS tail.
+    "e21_stream_ks_drift" ->
+      """WITH cen AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    value AS v, count(*) AS c FROM events
+        |  WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT day, 1 AS s, v, c FROM cen
+        |  UNION ALL
+        |  SELECT day + 1 AS day, 0 AS s, v, c FROM cen),
+        |c2 AS (SELECT day AS g, v,
+        |    sum(CASE WHEN s = 0 THEN c ELSE 0 END) AS ca,
+        |    sum(CASE WHEN s = 1 THEN c ELSE 0 END) AS cb
+        |  FROM p GROUP BY 1, 2),
+        |st AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM c2 GROUP BY g),
+        |cc AS (SELECT g, v,
+        |    sum(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY v) AS cumb FROM c2),
+        |d AS (SELECT cc.g, v,
+        |    abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na)
+        |      AS dev, na, nb
+        |  FROM cc JOIN st ON st.g = cc.g),
+        |m AS (SELECT g, min(na) AS na, min(nb) AS nb, max(dev) AS dmax
+        |  FROM d GROUP BY g),
+        |a AS (SELECT d.g, min(v) AS ks_value
+        |  FROM d JOIN m ON m.g = d.g AND d.dev = m.dmax GROUP BY d.g)
+        |SELECT m.g AS day, na AS n_prev, nb AS n_cur,
+        |  floor(CAST(dmax AS DOUBLE)
+        |    / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))*1e6+0.5)/1e6 AS ks,
+        |  ks_value,
+        |  CAST(dmax AS DOUBLE)/(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))
+        |    > 1.358*sqrt((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE))
+        |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))) AS drifted
+        |FROM m JOIN a ON a.g = m.g
+        |WHERE na > 0 AND nb > 0 ORDER BY day""".stripMargin,
 
     // e19: the batch LEFT JOIN with e10's µs-domain range condition;
     // count(purchase_id)/sum(delay_us) skip nulls identically on both
