@@ -80,18 +80,25 @@ object KsDrift {
     * smallest such value on ties). Exactness contract as [[ks2]]:
     * integer deviations, one double division. */
   def ksOneVsRest(df: DataFrame, strataCol: String, valueCol: String,
-      buckets: Int = 4096, hinted: Boolean = true): DataFrame = {
+      buckets: Int = 4096, hinted: Boolean = true,
+      weightCol: String = null): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     def hintSmall(small: DataFrame): DataFrame =
       if (hinted) broadcast(small) else small
 
+    val w = Option(weightCol).map(col).getOrElse(lit(1L))
     val rows = df
-      .select(col(strataCol).as("s"), col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull && col("s").isNotNull)
+      .select(col(strataCol).as("s"), col(valueCol).cast("double").as("v"),
+        w.cast("long").as("w"))
+      .filter(col("v").isNotNull && col("s").isNotNull &&
+        col("w").isNotNull && col("w") > 0)
 
     // stratum census — the full-data shuffle; three consumers (global
-    // census fold, per-stratum sizes, the bucketed cum frame)
-    val census = rows.groupBy("s", "v").agg(count(lit(1)).as("c"))
+    // census fold, per-stratum sizes, the bucketed cum frame).
+    // Weighted mass when a weight column is given (same contract as
+    // ks2: integer weights, non-positive rows dropped, n_s/n_rest
+    // report total admitted weight)
+    val census = rows.groupBy("s", "v").agg(sum("w").as("c"))
       .materialize
     // global census folds FROM the stratum census (map-side combinable
     // on v) — the corpus is never re-scanned; two consumers

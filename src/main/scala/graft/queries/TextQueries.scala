@@ -1511,20 +1511,69 @@ object TextQueries {
           substring(col("source"), 4, 10).cast("int") % 2 === 1)
       val ks = graft.operators.KsDrift.ks2(
         docs, "lang", "n_chars", "side_b", weightCol = "n_chars")
+      // the classical critical value is a count-based asymptotic; with
+      // unequal weights the honest sample size is Kish's
+      // n_eff = (Σw)²/Σw² — both sums exact integers (decimal ≡
+      // HUGEINT), n_eff one fixed-arity double expression. The naive
+      // flag (mass totals as if they were counts) is kept beside it:
+      // the gap between the two IS the lesson this audit teaches.
+      val dec = "decimal(18,0)"
+      val w2 = col("n_chars").cast(dec) * col("n_chars").cast(dec)
+      val kish = docs
+        .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+        .groupBy("lang")
+        .agg(sum(when(!col("side_b"), w2)).as("sa2"),
+          sum(when(col("side_b"), w2)).as("sb2"))
       val wa = col("n_a").cast("double")
       val wb = col("n_b").cast("double")
-      ks.select(col("lang"),
+      val neffA = wa * wa / col("sa2").cast("double")
+      val neffB = wb * wb / col("sb2").cast("double")
+      def crit(x: Column, y: Column): Column =
+        lit(1.358) * sqrt((x + y) / (x * y))
+      ks.join(broadcast(kish), "lang")
+        .select(col("lang"),
           col("n_a").as("w_a"), col("n_b").as("w_b"),
           rnd(col("ks"), 6).as("ks"),
           col("ks_value").cast("long").as("ks_value"),
-          // the classical critical value is a count-based asymptotic;
-          // with unequal weights the effective sample size is the
-          // Kish ratio — out of scope here, so the audit publishes
-          // the raw weighted statistic plus the naive flag computed
-          // from mass totals (documented as indicative only)
-          (col("ks") > lit(1.358) * sqrt((wa + wb) / (wa * wb)))
-            .as("drifted_naive"))
+          rnd(neffA, 2).as("neff_a"), rnd(neffB, 2).as("neff_b"),
+          (col("ks") > crit(wa, wb)).as("drifted_naive"),
+          (col("ks") > crit(neffA, neffB)).as("drifted_kish"))
         .orderBy("lang")
+    }),
+
+    /** Mass-weighted source-anomaly leaderboard — t37 asked "which
+      * source's DOCS are distributionally odd"; this asks "which
+      * source's BYTES are" (the distribution a token budget samples),
+      * via [[graft.operators.KsDrift.ksOneVsRest]] with char-mass
+      * weights in the census. The significance flag uses Kish
+      * effective sample sizes on BOTH sides ((Σw)²/Σw², rest side by
+      * exact subtraction of integer sums) — the classical critical
+      * value with mass totals as counts would declare everything
+      * significant. */
+    "t39_source_mass_anomaly" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ks = graft.operators.KsDrift.ksOneVsRest(
+        docs, "source", "n_chars", weightCol = "n_chars")
+      val dec = "decimal(18,0)"
+      val w2 = col("n_chars").cast(dec) * col("n_chars").cast(dec)
+      val perSrc = docs
+        .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+        .groupBy("source")
+        .agg(sum(w2).as("sw2"))
+      val tot = perSrc.agg(sum("sw2").as("gw2"))
+      val ws = col("n_s").cast("double")
+      val wr = col("n_rest").cast("double")
+      val neffS = ws * ws / col("sw2").cast("double")
+      val neffR = wr * wr / (col("gw2") - col("sw2")).cast("double")
+      ks.join(broadcast(perSrc), "source").crossJoin(broadcast(tot))
+        .select(col("source"),
+          col("n_s").as("w_s"), col("n_rest").as("w_rest"),
+          rnd(col("ks"), 6).as("ks"),
+          col("ks_value").cast("long").as("ks_value"),
+          rnd(neffS, 2).as("neff_s"), rnd(neffR, 2).as("neff_rest"),
+          (col("ks") > lit(1.358) *
+            sqrt((neffS + neffR) / (neffS * neffR))).as("drifted_kish"))
+        .orderBy("source")
     }),
 
     /** Robust (MAD) length-outlier gate — the median-based cousin of
@@ -2513,7 +2562,9 @@ object TextQueries {
         |    // CAST(sum(in_o) AS BIGINT) AS resync_bp
         |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // t38: t35's replica with integer char-mass weights in the census.
+    // t38: t35's replica with integer char-mass weights in the census;
+    // Kish n_eff = (Σw)²/Σw² from exact integer sums, identical
+    // association as the Spark expressions.
     "t38_mass_drift" ->
       """WITH r AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v,
         |    CAST(n_chars AS BIGINT) AS wt,
@@ -2524,6 +2575,10 @@ object TextQueries {
         |  FROM r GROUP BY g, v),
         |st AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
         |    CAST(sum(cb) AS BIGINT) AS nb FROM cen GROUP BY g),
+        |k AS (SELECT g,
+        |    sum(CASE WHEN s = 0 THEN CAST(wt AS HUGEINT)*wt END) AS sa2,
+        |    sum(CASE WHEN s = 1 THEN CAST(wt AS HUGEINT)*wt END) AS sb2
+        |  FROM r GROUP BY g),
         |c AS (SELECT g, v,
         |    sum(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
         |    sum(cb) OVER (PARTITION BY g ORDER BY v) AS cumb FROM cen),
@@ -2534,15 +2589,66 @@ object TextQueries {
         |m AS (SELECT g, min(na) AS na, min(nb) AS nb,
         |    max(dev) AS dmax FROM d GROUP BY g),
         |a AS (SELECT d.g, CAST(min(v) AS BIGINT) AS ks_value
-        |  FROM d JOIN m ON m.g = d.g AND d.dev = m.dmax GROUP BY d.g)
-        |SELECT m.g AS lang, na AS w_a, nb AS w_b,
-        |  floor(CAST(dmax AS DOUBLE)
-        |    / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))*1e6+0.5)/1e6 AS ks,
-        |  ks_value,
-        |  CAST(dmax AS DOUBLE)/(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))
-        |    > 1.358*sqrt((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE))
-        |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))) AS drifted_naive
-        |FROM m JOIN a ON a.g = m.g ORDER BY m.g""".stripMargin,
+        |  FROM d JOIN m ON m.g = d.g AND d.dev = m.dmax GROUP BY d.g),
+        |f AS (SELECT m.g, na, nb, dmax, ks_value, sa2, sb2,
+        |    CAST(dmax AS DOUBLE)/(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))
+        |      AS ksr,
+        |    CAST(na AS DOUBLE)*CAST(na AS DOUBLE)/CAST(sa2 AS DOUBLE)
+        |      AS neffa,
+        |    CAST(nb AS DOUBLE)*CAST(nb AS DOUBLE)/CAST(sb2 AS DOUBLE)
+        |      AS neffb
+        |  FROM m JOIN a ON a.g = m.g JOIN k ON k.g = m.g)
+        |SELECT g AS lang, na AS w_a, nb AS w_b,
+        |  floor(ksr*1e6+0.5)/1e6 AS ks, ks_value,
+        |  floor(neffa*100+0.5)/100 AS neff_a,
+        |  floor(neffb*100+0.5)/100 AS neff_b,
+        |  ksr > 1.358*sqrt((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE))
+        |    /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))) AS drifted_naive,
+        |  ksr > 1.358*sqrt((neffa+neffb)/(neffa*neffb)) AS drifted_kish
+        |FROM f ORDER BY g""".stripMargin,
+
+    // t39: t37's replica with mass weights + Kish flags (rest side by
+    // exact subtraction of the integer Σw² sums).
+    "t39_source_mass_anomaly" ->
+      """WITH r AS (SELECT source AS s, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST(n_chars AS BIGINT) AS wt FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |cen AS (SELECT s, v, sum(wt) AS c FROM r GROUP BY s, v),
+        |g AS (SELECT v, sum(c) AS cg FROM cen GROUP BY v),
+        |gs AS (SELECT CAST(sum(cg) AS BIGINT) AS n FROM g),
+        |gc AS (SELECT v, cg, sum(cg) OVER (ORDER BY v) AS cumg FROM g),
+        |sz AS (SELECT s, CAST(sum(c) AS BIGINT) AS ns
+        |  FROM cen GROUP BY s),
+        |k AS (SELECT s, sum(CAST(wt AS HUGEINT)*wt) AS sw2
+        |  FROM r GROUP BY s),
+        |kg AS (SELECT sum(sw2) AS gw2 FROM k),
+        |sc AS (SELECT s, v, c,
+        |    sum(c) OVER (PARTITION BY s ORDER BY v) AS cums FROM cen),
+        |d AS (SELECT sc.s, sc.v,
+        |    greatest(
+        |      abs(CAST(cums AS HUGEINT)*n - CAST(cumg AS HUGEINT)*ns),
+        |      abs(CAST(cums - c AS HUGEINT)*n
+        |        - CAST(cumg - cg AS HUGEINT)*ns)) AS dev, ns, n
+        |  FROM sc JOIN gc ON gc.v = sc.v JOIN sz ON sz.s = sc.s
+        |  CROSS JOIN gs),
+        |m AS (SELECT s, min(ns) AS ns, min(n) AS n, max(dev) AS dmax
+        |  FROM d GROUP BY s),
+        |a AS (SELECT d.s, CAST(min(v) AS BIGINT) AS ks_value
+        |  FROM d JOIN m ON m.s = d.s AND d.dev = m.dmax GROUP BY d.s),
+        |f AS (SELECT m.s, ns, n, dmax, ks_value, sw2, gw2,
+        |    CAST(dmax AS DOUBLE)
+        |      /(CAST(ns AS DOUBLE)*CAST(n - ns AS DOUBLE)) AS ksr,
+        |    CAST(ns AS DOUBLE)*CAST(ns AS DOUBLE)/CAST(sw2 AS DOUBLE)
+        |      AS neffs,
+        |    CAST(n - ns AS DOUBLE)*CAST(n - ns AS DOUBLE)
+        |      /CAST(gw2 - sw2 AS DOUBLE) AS neffr
+        |  FROM m JOIN a ON a.s = m.s JOIN k ON k.s = m.s CROSS JOIN kg)
+        |SELECT s AS source, ns AS w_s, n - ns AS w_rest,
+        |  floor(ksr*1e6+0.5)/1e6 AS ks, ks_value,
+        |  floor(neffs*100+0.5)/100 AS neff_s,
+        |  floor(neffr*100+0.5)/100 AS neff_rest,
+        |  ksr > 1.358*sqrt((neffs+neffr)/(neffs*neffr)) AS drifted_kish
+        |FROM f ORDER BY s""".stripMargin,
 
     // t37: flat-window one-vs-rest replica. The two candidates per
     // source census point (at / just-before) are the same integer

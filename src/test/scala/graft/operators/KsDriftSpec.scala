@@ -180,6 +180,26 @@ class KsDriftSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).isNullAt(3) && got(0).isNullAt(4))
   }
 
+  test("weighted one-vs-rest equals the unweighted statistic on the " +
+      "weight-exploded rows") {
+    val rng = new scala.util.Random(47)
+    val weighted = (1 to 600).map(i =>
+      (s"src${i % 5}", rng.nextInt(20).toDouble, rng.nextInt(4).toLong))
+    val exploded = weighted.filter(_._3 > 0).flatMap { case (s, v, w) =>
+      Seq.fill(w.toInt)((s, v))
+    }
+    def run(df: org.apache.spark.sql.DataFrame, wc: String) =
+      KsDrift.ksOneVsRest(df, "s", "v", buckets = 64, weightCol = wc)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    val gotW = run(weighted.toDF("s", "v", "w"), "w")
+    val gotU = run(exploded.map(t => (t._1, t._2, 1L)).toDF("s", "v", "w"),
+      null)
+    assert(gotW == gotU)
+  }
+
   test("weighted ks2 equals the unweighted statistic on the " +
       "weight-exploded rows; non-positive weights are dropped") {
     val rng = new scala.util.Random(43)
