@@ -148,9 +148,14 @@ object KsDrift {
         sum("c").over(Window.partitionBy("s", "b").orderBy("v")))
       .select(col("s"), col("v"), col("c"), col("cums"), col("n"))
 
-    // candidates per stratum point; integer arithmetic throughout
+    // candidates per stratum point; integer arithmetic throughout.
+    // The stratum↔global census join is merge-PINNED: neither side is
+    // broadcastable at scale (both grow with the value domain), and
+    // leaving the choice to AQE coin-flips broadcast-vs-shuffle on
+    // near-threshold roster data and flaps the plan digest (the d12
+    // artifact class, PLAN_DIGESTS.md r15)
     val dec = "decimal(18,0)"
-    val scored = sCum.join(gCum, Seq("v"))
+    val scored = sCum.join(gCum.hint("merge"), Seq("v"))
       .join(hintSmall(sizes), "s")
       .withColumn("up",
         abs(col("cums").cast(dec) * col("n").cast(dec) -
