@@ -567,7 +567,9 @@ object Soak {
     "e15_late_data_audit", "e19_stream_outer_join",
     "q52_zorder_skipping", "t33_cdc_chunking", "m10_scene_cuts",
     "q45_percentile_exact", "q54_weighted_quantile", "t34_pps_sample",
-    "q55_ks_drift", "q56_weighted_moments", "t35_length_drift")
+    "q55_ks_drift", "q56_weighted_moments", "t35_length_drift",
+    "t37_source_anomaly", "t39_source_mass_anomaly",
+    "e21_stream_ks_drift")
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Verbatim.map(n => n -> SparkEntry.queries(n)) ++
