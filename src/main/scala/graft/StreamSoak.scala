@@ -90,6 +90,12 @@ object StreamSoak {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+      // timeQuery sums metrics from q.recentProgress AFTER the run; the
+      // buffer defaults to 100 entries, and maxFilesPerTrigger=1 at a
+      // large scale produces more micro-batches than that — a silent
+      // undercount of n_in/rows_updated. Builder-level so the
+      // newSession() clones in streamSession inherit it.
+      .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -39,10 +39,9 @@ object CsvSource {
     * Spark's CSV scan yields null for an empty cell no matter how
     * `nullValue` is set (the univocity replacement round-trips back to
     * null); Go's csv reader yields `""` — restored by the trailing
-    * `na.fill("")` — Go's csv reader yields empty strings
-    * (the reference's `""→NULL` decision happens later, per target
-    * nullability — `common/val_mapper.go:33-42`), while Spark's default
-    * maps empty→null at scan time. */
+    * `na.fill("")`. The reference's `""→NULL` decision happens later,
+    * per target nullability (`common/val_mapper.go:33-42`), so the scan
+    * must preserve empty strings as-is. */
   def read(spark: SparkSession, path: String, opts: CsvOptions,
       schema: StructType): DataFrame =
     spark.read

@@ -39,11 +39,23 @@ import org.apache.spark.sql.functions._
   *     counts into global rank spans, and the order statistic is the
   *     value whose span contains the target rank. The sort funnel is
   *     one bucket's distinct values — 1/buckets of the value RANGE —
-  *     instead of the whole group. (A value-mass pathology inside one
+  *     instead of the whole group. A value-mass pathology inside one
   *     bucket collapses first through the census — identical values
-  *     are one row — and can be split further by recursing the same
-  *     bucket trick; one level suffices for any data this engine has
-  *     met.)
+  *     are one row — and a DISTINCT-value pathology (billions of
+  *     distinct values inside one equi-width bucket, e.g. one outlier
+  *     stretching [lo, hi] to 10^6× the data's real spread) is closed
+  *     by an ADAPTIVE second level: a scalar probe over the
+  *     already-materialized census reads the widest bucket's
+  *     distinct-value count, and only when it exceeds
+  *     `maxBucketSort` do the targeted buckets re-bucket over their
+  *     OWN [min, max] (which collapses the outlier-stretched range)
+  *     before the rank-select window runs per (group, bucket,
+  *     sub-bucket). The probe keeps the common-case plan byte-
+  *     identical (no digest churn, no extra stages) at the cost of
+  *     one tiny aggregation job; if a sub-bucket STILL exceeds the
+  *     bound — distinct values concentrated in under 1/buckets² of
+  *     the bucket's own spread — the operator fails loudly with both
+  *     numbers instead of silently funneling one task.
   *  6. interpolation mirrors `Percentile.getPercentile` exactly —
   *     `(ceil(pos) − pos)·vLo + (pos − floor(pos))·vHi`, degenerate
   *     cases returning vLo — so results are bit-compatible with the
@@ -75,13 +87,56 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantile {
 
+  /** Widest in-bucket sort the rank-select window may face before the
+    * adaptive second bucketing level kicks in (distinct CENSUS rows
+    * per bucket — duplicates already collapsed). 2^20 distinct doubles
+    * sort in one task in well under a second and fit any sane executor;
+    * override per call when an operator knows better. */
+  val DefaultMaxBucketSort: Int = 1 << 20
+
+  /** Scalar probe: the widest per-(g, b) distinct-value count in a
+    * bucketed census frame (None on empty input). One tiny map-side-
+    * combinable aggregation job over the already-materialized census. */
+  private def widestBucket(withB: DataFrame, cols: String*): Option[Long] =
+    Option(withB.groupBy(cols.map(col): _*).agg(count(lit(1)).as("nv"))
+      .agg(max("nv")).head().get(0)).map(_.asInstanceOf[Long])
+
+  /** Second-level bucket ids for targeted-bucket census rows: re-bucket
+    * each (g, b) over its OWN finite [min, max] — the outlier that
+    * stretched the level-1 range is in some other bucket by
+    * construction, so the sub-buckets see the data's true local spread.
+    * A single-valued (or NaN-sentinel, where min = max = NaN and Spark
+    * SQL's NaN = NaN is true) bucket lands whole in sub-bucket 0. */
+  private def subBucketed(sub: DataFrame, buckets: Int,
+      hintSmall: DataFrame => DataFrame): DataFrame = {
+    val stats2 = sub.groupBy("g", "b")
+      .agg(min("v").as("lo2"), max("v").as("hi2"))
+    sub.join(hintSmall(stats2), Seq("g", "b"))
+      .withColumn("b2",
+        when(col("hi2") === col("lo2"), lit(0L))
+          .otherwise(least(
+            floor((col("v") - col("lo2")) / (col("hi2") - col("lo2")) * buckets),
+            lit((buckets - 1).toLong)).cast("long")))
+      .drop("lo2", "hi2")
+  }
+
+  private def failOversized(what: String, widest: Long, bound: Int): Unit =
+    throw new IllegalStateException(
+      s"ExactQuantile: a targeted $what still holds $widest distinct " +
+        s"values after the adaptive second bucketing level (bound " +
+        s"$bound): the group's distinct values concentrate in under " +
+        s"1/buckets² of their own spread. Raise maxBucketSort if one " +
+        s"task may sort that many rows, or raise `buckets`.")
+
   def quantiles(df: DataFrame, groupCol: String, valueCol: String,
       fractions: Seq[(String, Double)], buckets: Int = 4096,
-      hinted: Boolean = true): DataFrame = {
+      hinted: Boolean = true,
+      maxBucketSort: Int = DefaultMaxBucketSort): DataFrame = {
     require(fractions.nonEmpty, "at least one fraction")
     require(fractions.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
       s"fractions must be in [0,1]: $fractions")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(maxBucketSort >= 1, s"maxBucketSort must be >= 1")
     def hintSmall(small: DataFrame): DataFrame =
       if (hinted) broadcast(small) else small
 
@@ -144,15 +199,50 @@ object ExactQuantile {
       .filter(col("r") > col("base") && col("r") <= col("cum"))
       .select("g", "qi", "pos", "which", "r", "b", "base")
 
-    // 5. in-bucket rank select over targeted buckets only
-    val wValue = Window.partitionBy("g", "b").orderBy("v")
-    val spans = withB
-      .join(hintSmall(targets.select("g", "b").distinct()),
-        Seq("g", "b"), "left_semi")
-      .withColumn("cumv", sum("c").over(wValue))
-    val stat = spans.join(hintSmall(targets), Seq("g", "b"))
-      .filter(col("r") > col("base") + col("cumv") - col("c") &&
-        col("r") <= col("base") + col("cumv"))
+    // 5. in-bucket rank select over targeted buckets only. The scalar
+    //    probe (one tiny agg over the materialized census) keeps this
+    //    single-level — the common-case plan unchanged — unless some
+    //    bucket's DISTINCT-value census would make the rank-select
+    //    window a one-task sort funnel; then targeted buckets
+    //    re-bucket over their own [min, max] first (see scaladoc §5).
+    val oversized = widestBucket(withB, "g", "b").exists(_ > maxBucketSort)
+    val stat = if (!oversized) {
+      val wValue = Window.partitionBy("g", "b").orderBy("v")
+      val spans = withB
+        .join(hintSmall(targets.select("g", "b").distinct()),
+          Seq("g", "b"), "left_semi")
+        .withColumn("cumv", sum("c").over(wValue))
+      spans.join(hintSmall(targets), Seq("g", "b"))
+        .filter(col("r") > col("base") + col("cumv") - col("c") &&
+          col("r") <= col("base") + col("cumv"))
+    } else {
+      val sub = subBucketed(
+        withB.join(hintSmall(targets.select("g", "b").distinct()),
+          Seq("g", "b"), "left_semi"),
+        buckets, hintSmall).materialize
+      widestBucket(sub, "g", "b", "b2")
+        .filter(_ > maxBucketSort)
+        .foreach(w => failOversized("sub-bucket", w, maxBucketSort))
+      // sub-bucket histogram + exclusive offsets WITHIN the bucket
+      // (≤ buckets rows per (g, b)), then locate each target's
+      // sub-bucket by its in-bucket rank r − base
+      val wB2 = Window.partitionBy("g", "b").orderBy("b2")
+      val bases2 = sub.groupBy("g", "b", "b2").agg(sum("c").as("bc2"))
+        .withColumn("cum2", sum("bc2").over(wB2))
+        .withColumn("base2", col("cum2") - col("bc2"))
+      val targets2 = hintSmall(targets).join(bases2, Seq("g", "b"))
+        .filter(col("r") - col("base") > col("base2") &&
+          col("r") - col("base") <= col("cum2"))
+        .select("g", "qi", "pos", "which", "r", "b", "base", "b2", "base2")
+      val wValue2 = Window.partitionBy("g", "b", "b2").orderBy("v")
+      val spans2 = sub
+        .join(hintSmall(targets2.select("g", "b", "b2").distinct()),
+          Seq("g", "b", "b2"), "left_semi")
+        .withColumn("cumv", sum("c").over(wValue2))
+      spans2.join(hintSmall(targets2), Seq("g", "b", "b2"))
+        .filter(col("r") > col("base") + col("base2") + col("cumv") - col("c") &&
+          col("r") <= col("base") + col("base2") + col("cumv"))
+    }
 
     // 6. Percentile-identical interpolation, then one column per name
     val interp = stat.groupBy("g", "qi", "pos").agg(
@@ -197,11 +287,13 @@ object ExactQuantile {
     * long, and its DuckDB oracle computes the identical multiply). */
   def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       weightCol: String, fractions: Seq[(String, Double)],
-      buckets: Int = 4096, hinted: Boolean = true): DataFrame = {
+      buckets: Int = 4096, hinted: Boolean = true,
+      maxBucketSort: Int = DefaultMaxBucketSort): DataFrame = {
     require(fractions.nonEmpty, "at least one fraction")
     require(fractions.forall { case (_, f) => f >= 0.0 && f <= 1.0 },
       s"fractions must be in [0,1]: $fractions")
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(maxBucketSort >= 1, s"maxBucketSort must be >= 1")
     def hintSmall(small: DataFrame): DataFrame =
       if (hinted) broadcast(small) else small
 
@@ -258,16 +350,52 @@ object ExactQuantile {
 
     // 5. in-bucket crossing: the first v whose running mass reaches t.
     //    The t ≤ 0 disjunct admits the group's very first value for
-    //    f = 0, where `previous < t` can never hold.
-    val wValue = Window.partitionBy("g", "b").orderBy("v")
-    val spans = withB
-      .join(hintSmall(targets.select("g", "b").distinct()),
-        Seq("g", "b"), "left_semi")
-      .withColumn("cumv", sum("c").over(wValue))
-    val prev = col("base") + col("cumv") - col("c")
-    val stat = spans.join(hintSmall(targets), Seq("g", "b"))
-      .filter(col("base") + col("cumv") >= col("t") &&
-        (prev < col("t") || (col("t") <= 0 && prev <= 0)))
+    //    f = 0, where `previous < t` can never hold. Same adaptive
+    //    second level as [[quantiles]] §5: the probe counts DISTINCT
+    //    census rows per bucket (the sort size — mass concentration
+    //    already collapsed through the census), and only a bucket
+    //    with too many distinct values triggers the re-bucketing.
+    val oversized = widestBucket(withB, "g", "b").exists(_ > maxBucketSort)
+    val stat = if (!oversized) {
+      val wValue = Window.partitionBy("g", "b").orderBy("v")
+      val spans = withB
+        .join(hintSmall(targets.select("g", "b").distinct()),
+          Seq("g", "b"), "left_semi")
+        .withColumn("cumv", sum("c").over(wValue))
+      val prev = col("base") + col("cumv") - col("c")
+      spans.join(hintSmall(targets), Seq("g", "b"))
+        .filter(col("base") + col("cumv") >= col("t") &&
+          (prev < col("t") || (col("t") <= 0 && prev <= 0)))
+    } else {
+      val sub = subBucketed(
+        withB.join(hintSmall(targets.select("g", "b").distinct()),
+          Seq("g", "b"), "left_semi"),
+        buckets, hintSmall).materialize
+      widestBucket(sub, "g", "b", "b2")
+        .filter(_ > maxBucketSort)
+        .foreach(w => failOversized("sub-bucket", w, maxBucketSort))
+      // sub-bucket mass histogram + exclusive offsets within the
+      // bucket, then the crossing SUB-bucket per target: min b2 with
+      // base + cum2 ≥ t (mirrors the level-1 crossing-bucket location)
+      val wB2 = Window.partitionBy("g", "b").orderBy("b2")
+      val bases2 = sub.groupBy("g", "b", "b2").agg(sum("c").as("bc2"))
+        .withColumn("cum2", sum("bc2").over(wB2))
+        .withColumn("base2", col("cum2") - col("bc2"))
+      val tb2 = hintSmall(targets).join(bases2, Seq("g", "b"))
+        .filter(col("base") + col("cum2") >= col("t"))
+        .groupBy("g", "qi", "t", "b", "base").agg(min("b2").as("b2"))
+      val targets2 = hintSmall(tb2)
+        .join(bases2.select("g", "b", "b2", "base2"), Seq("g", "b", "b2"))
+      val wValue2 = Window.partitionBy("g", "b", "b2").orderBy("v")
+      val spans2 = sub
+        .join(hintSmall(targets2.select("g", "b", "b2").distinct()),
+          Seq("g", "b", "b2"), "left_semi")
+        .withColumn("cumv", sum("c").over(wValue2))
+      val prev2 = col("base") + col("base2") + col("cumv") - col("c")
+      spans2.join(hintSmall(targets2), Seq("g", "b", "b2"))
+        .filter(col("base") + col("base2") + col("cumv") >= col("t") &&
+          (prev2 < col("t") || (col("t") <= 0 && prev2 <= 0)))
+    }
 
     // 6. one column per named fraction + the group's admitted weight
     val picked = stat.groupBy("g", "qi").agg(min("v").as("q"))

@@ -153,8 +153,11 @@ object KsDrift {
     // broadcastable at scale (both grow with the value domain), and
     // leaving the choice to AQE coin-flips broadcast-vs-shuffle on
     // near-threshold roster data and flaps the plan digest (the d12
-    // artifact class, PLAN_DIGESTS.md r15)
-    val dec = "decimal(18,0)"
+    // artifact class, PLAN_DIGESTS.md r15).
+    // decimal(19,0) holds ANY long (no silent overflow-to-null on a
+    // cumulative mass above 10^18); the 19×19 product still fits the
+    // decimal(38,0) cross-product headroom.
+    val dec = "decimal(19,0)"
     val scored = sCum.join(gCum.hint("merge"), Seq("v"))
       .join(hintSmall(sizes), "s")
       .withColumn("up",
@@ -201,12 +204,16 @@ object KsDrift {
       if (hinted) broadcast(small) else small
 
     val w = Option(weightCol).map(col).getOrElse(lit(1L))
+    // the side filter runs on the boolean CAST, not the raw column: a
+    // marker whose boolean cast is null (e.g. a non-boolean string) is
+    // dropped, never silently misattributed to side A
+    val sideB = col(sideBCol).cast("boolean")
     val rows = df
+      .filter(col(valueCol).cast("double").isNotNull && sideB.isNotNull &&
+        w.cast("long").isNotNull && w.cast("long") > 0)
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"),
-        when(col(sideBCol).cast("boolean"), 1L).otherwise(0L).as("s"),
+        when(sideB, 1L).otherwise(0L).as("s"),
         w.cast("long").as("w"))
-      .filter(col("v").isNotNull && col(sideBCol).isNotNull &&
-        col("w").isNotNull && col("w") > 0)
 
     // 1. two-sided census — the one full-data shuffle; weighted mass
     //    when a weight column is given, plain counts otherwise
@@ -244,10 +251,11 @@ object KsDrift {
       .select("g", "b", "basea", "baseb")
 
     // 4. exact CDF counts at every distinct value; deviation in
-    //    integer (decimal) arithmetic. decimal(18,0) casts keep the
-    //    cross products inside decimal(38,0) headroom.
+    //    integer (decimal) arithmetic. decimal(19,0) holds ANY long
+    //    cumulative mass (no overflow-to-null above 10^18) and the
+    //    19×19 cross products stay inside decimal(38,0) headroom.
     val wValue = Window.partitionBy("g", "b").orderBy("v")
-    val dec = "decimal(18,0)"
+    val dec = "decimal(19,0)"
     val scored = withB
       .join(bases, Seq("g", "b"))
       .withColumn("cuma", col("basea") + sum("ca").over(wValue))

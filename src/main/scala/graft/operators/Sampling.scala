@@ -141,15 +141,18 @@ object Sampling {
     *
     * Engine-portable by the same rules as
     * [[graft.operators.ExactQuantile.weightedQuantiles]]: integer
-    * weight sums are order-independent exact, and each threshold is the
-    * one chained `(j+0.5) × W ÷ k` double expression — ×, ÷ are
-    * correctly rounded, so any engine computes bit-identical
-    * thresholds (t34's DuckDB oracle hash-matches every per-row hit
-    * count). No `rand()`, no transcendentals — the A-Res/A-ExpJ
-    * weighted-reservoir family needs `u^(1/w)` or `ln(u)/w`, and `pow`/
-    * `ln` are NOT correctly rounded, so their selections are
-    * engine-ambiguous at the ulp; systematic PPS is the variant with an
-    * exact cross-engine witness.
+    * weight sums are order-independent exact, and every threshold
+    * crossing is decided in INTEGER arithmetic — `cw ≥ (j+0.5)·W/k` is
+    * tested as `2k·cw ≥ (2j+1)·W` in decimal, so there is no floating
+    * point anywhere in the selection (t34's DuckDB oracle hash-matches
+    * every per-row hit count via the same integer comparison). In
+    * particular there is NO 2^53 bound: a stratum whose total weight
+    * exceeds double's integer range (byte-mass weights at 100 TB) still
+    * selects exactly. No `rand()`, no transcendentals — the
+    * A-Res/A-ExpJ weighted-reservoir family needs `u^(1/w)` or
+    * `ln(u)/w`, and `pow`/`ln` are NOT correctly rounded, so their
+    * selections are engine-ambiguous at the ulp; systematic PPS is the
+    * variant with an exact cross-engine witness.
     *
     * Scale shape (the ExactQuantile stages, keyed by shuffle order
     * instead of value): the gate is uniform over 24 bits, so bucket
@@ -193,23 +196,28 @@ object Sampling {
       .withColumn("base", col("cum") - col("bw"))
     val totals = bases.groupBy("g").agg(sum("bw").as("tw"))
 
-    // k systematic thresholds per stratum: t_j = (j+0.5)·W/k ∈ (0, W)
+    // k systematic thresholds per stratum: t_j = (j+0.5)·W/k ∈ (0, W),
+    // carried as the INTEGER pair 2k·cw vs t2 = (2j+1)·W so every
+    // crossing test is exact decimal arithmetic — no double conversion,
+    // so no 2^53 total-weight ceiling (cw ≥ (2j+1)W/(2k) ⟺ 2k·cw ≥ t2)
+    val dec = "decimal(19,0)"
+    val twoK = lit(2L * k).cast(dec)
     val thresholds = totals
       .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
-      .withColumn("t", (col("j").cast("double") + lit(0.5))
-        * col("tw").cast("double") / lit(k.toDouble))
+      .withColumn("t2", (col("j").cast(dec) * lit(2L) + lit(1L))
+        * col("tw").cast(dec))
 
-    // crossing bucket per threshold: min b with cum ≥ t. Both sides
+    // crossing bucket per threshold: min b with 2k·cum ≥ t2. Both sides
     // are small (k·strata vs ≤2^bucketBits·strata rows) — hint the
     // build side explicitly so AQE's size race can't flip it
     // run-to-run (the d12 plan-digest artifact class).
     val tb = hintSmall(thresholds).join(bases.select("g", "b", "cum"),
         Seq("g"))
-      .filter(col("cum") >= col("t"))
-      .groupBy("g", "j", "t").agg(min("b").as("b"))
+      .filter(col("cum").cast(dec) * twoK >= col("t2"))
+      .groupBy("g", "j", "t2").agg(min("b").as("b"))
     val targets = hintSmall(tb).join(bases.select("g", "b", "base"),
         Seq("g", "b"))
-      .select("g", "j", "t", "b", "base")
+      .select("g", "j", "t2", "b", "base")
 
     // in-bucket running mass over (skey, key); a row absorbs every
     // threshold inside its (prev, cw] interval
@@ -218,9 +226,9 @@ object Sampling {
       .join(hintSmall(targets.select("g", "b").distinct()),
         Seq("g", "b"), "left_semi")
       .withColumn("cumv", sum("w").over(wV))
-    val cw = col("base") + col("cumv")
+    val cw = (col("base") + col("cumv")).cast(dec) * twoK
     val hit = spans.join(hintSmall(targets), Seq("g", "b"))
-      .filter(cw >= col("t") && cw - col("w") < col("t"))
+      .filter(cw >= col("t2") && cw - col("w").cast(dec) * twoK < col("t2"))
 
     hit.groupBy("g", "kk", "w").agg(count(lit(1)).as("hits"))
       .select(col("g").as(strataCol), col("kk").as(keyCol),

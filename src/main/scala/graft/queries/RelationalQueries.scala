@@ -1094,7 +1094,7 @@ object RelationalQueries {
         | floor(quantile_cont(l_extendedprice, 0.5)*10000+0.5)/10000 AS p50,
         | floor(quantile_cont(l_extendedprice, 0.9)*10000+0.5)/10000 AS p90,
         | floor(quantile_cont(l_extendedprice, 0.99)*10000+0.5)/10000 AS p99,
-        | count(*) AS n
+        | count(l_extendedprice) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q54: type-1 weighted quantile = min v with cum_weight >= f*W.

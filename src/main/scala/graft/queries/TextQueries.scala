@@ -1442,8 +1442,8 @@ object TextQueries {
       * usual weighted-reservoir algorithms (A-Res/A-ExpJ) rank by
       * `u^(1/w)` — `pow`/`ln` are not correctly rounded, so their
       * selections are engine-ambiguous at the ulp. Systematic
-      * thresholds keep every op in the correctly-rounded set (integer
-      * cumsums, one ×/÷ chain per threshold), so each per-document hit
+      * thresholds keep every op INTEGER (cumsums plus the exact
+      * `2k·cw ≥ (2j+1)·W` crossing test), so each per-document hit
       * count is hash-checked against DuckDB's flat window-cumsum
       * replay — which also witnesses that the operator's distributed
       * bucket decomposition reproduces the flat global order. Output is
@@ -2740,8 +2740,9 @@ object TextQueries {
     // t34: the oracle replays systematic PPS as ONE flat window cumsum
     // per language — also witnessing that the operator's bucketed
     // decomposition reproduces the flat global (skey, doc_id) order.
-    // Integer cum weights are exact; each threshold is the identical
-    // correctly-rounded (j+0.5)*W/k double chain in both engines.
+    // The crossing test cw ≥ (j+0.5)·W/k runs as the exact INTEGER
+    // comparison 2k·cw ≥ (2j+1)·W in both engines (hugeint here,
+    // decimal there) — no floating point, no 2^53 ceiling.
     "t34_pps_sample" ->
       s"""WITH d AS (
         |  SELECT lang, doc_id, n_chars AS w,
@@ -2754,13 +2755,13 @@ object TextQueries {
         |    sum(w) OVER (PARTITION BY lang) AS tw
         |  FROM d),
         | t AS (
-        |  SELECT lang,
-        |    (CAST(j AS DOUBLE) + 0.5) * CAST(tw AS DOUBLE) / $PpsK.0 AS t
+        |  SELECT lang, (2*j + 1) * CAST(tw AS HUGEINT) AS t2
         |  FROM (SELECT DISTINCT lang, tw FROM r), range($PpsK) AS js(j))
         |SELECT r.lang, r.doc_id, CAST(r.w AS BIGINT) AS n_chars,
         |  count(*) AS hits
         |FROM r JOIN t ON t.lang = r.lang
-        |  AND r.cw >= t.t AND r.cw - r.w < t.t
+        |  AND 2*$PpsK*CAST(r.cw AS HUGEINT) >= t.t2
+        |  AND 2*$PpsK*CAST(r.cw - r.w AS HUGEINT) < t.t2
         |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
   )
 }

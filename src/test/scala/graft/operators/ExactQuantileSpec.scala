@@ -198,4 +198,74 @@ class ExactQuantileSpec extends AnyFunSuite {
       ExactQuantile.quantiles(df, "g", "v", Seq("p" -> 0.5), buckets = 1)
     }
   }
+
+  // ---- adaptive second bucketing level (the one-level-bound closure) ----
+
+  /** One outlier stretches [lo, hi] 10^9× past the data's real spread,
+    * so every real value lands in level-1 bucket 0 — the exact
+    * distinct-value pathology the r15 verdict flagged. With buckets=8
+    * and maxBucketSort=100, the 500-distinct bucket MUST take the
+    * second level (500 > 100) and the sub-buckets over the bucket's
+    * own [0,1) spread hold ~63 each — bounded, and bit-equal to the
+    * built-in. */
+  private def outlierStretched(n: Int): DataFrame = {
+    val rng = new scala.util.Random(99)
+    ((1 to n).map(i => ("hot", rng.nextDouble())) :+ ("hot", 1e9))
+      .toDF("g", "v")
+  }
+
+  test("adaptive second level: outlier-stretched bucket matches the " +
+      "built-in bit-for-bit with a bounded in-bucket sort") {
+    val df = outlierStretched(500)
+    val got = ExactQuantile.quantiles(df, "g", "v", fracs,
+      buckets = 8, maxBucketSort = 100)
+      .collect().map { r =>
+        r.getString(r.fieldIndex("g")) ->
+          fracs.map { case (nm, _) => r.getDouble(r.fieldIndex(nm)) }
+      }.toMap
+    assert(got === builtin(df, "g", "v"))
+  }
+
+  test("adaptive second level: weightedQuantiles on the stretched " +
+      "bucket matches brute force") {
+    val rng = new scala.util.Random(13)
+    val rows = ((1 to 400).map(i =>
+      ("hot", rng.nextDouble(), (rng.nextInt(9) + 1).toLong)) :+
+      ("hot", 1e9, 2L))
+    val fs = Seq(0.0, 0.5, 0.9, 1.0)
+    val got = ExactQuantile.weightedQuantiles(
+      rows.toDF("g", "v", "w"), "g", "v", "w",
+      fs.zipWithIndex.map { case (f, i) => s"q$i" -> f },
+      buckets = 8, maxBucketSort = 80)
+      .collect().map { r =>
+        r.getString(r.fieldIndex("g")) ->
+          fs.indices.map(i => r.getDouble(r.fieldIndex(s"q$i")))
+      }.toMap
+    assert(got === bruteWeighted(rows, fs))
+  }
+
+  test("adaptive second level fails LOUDLY when distinct values " +
+      "concentrate in under 1/buckets² of their own spread") {
+    // 400 distinct values within [0, 1e-12] plus one at 1.0 share a
+    // level-1 bucket (outlier at 1e9 stretches the range); the second
+    // level re-buckets over [0, 1.0] and the cluster still fits one
+    // sub-bucket — the operator must refuse the one-task sort, not
+    // run it silently.
+    val df = ((1 to 400).map(i => ("hot", i * 1e-15)) ++
+      Seq(("hot", 1.0), ("hot", 1e9))).toDF("g", "v")
+    val e = intercept[IllegalStateException] {
+      ExactQuantile.quantiles(df, "g", "v", Seq("p50" -> 0.5),
+        buckets = 8, maxBucketSort = 100).collect()
+    }
+    assert(e.getMessage.contains("maxBucketSort") ||
+      e.getMessage.contains("distinct"))
+  }
+
+  test("the probe leaves ordinary data on the single-level plan " +
+      "(same results, default bound untouched)") {
+    // sanity companion: with the default maxBucketSort nothing in a
+    // small frame can trigger level 2, and results equal the built-in
+    val df = outlierStretched(300)
+    assert(ours(df, "g", "v") === builtin(df, "g", "v"))
+  }
 }
