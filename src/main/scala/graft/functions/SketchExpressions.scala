@@ -1,12 +1,15 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sketch kernels for the dedup operators.
   *
@@ -49,6 +52,62 @@ object SketchOps {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Sorted-distinct xxhash64 char w-gram set of a string — the native
+    * form of d04's gram recipe, BIT-IDENTICAL to the composed SQL
+    *
+    * {{{ array_sort(array_distinct(CASE WHEN length(text) >= w
+    *     THEN transform(sequence(1, length(text)-w+1),
+    *                    i -> xxhash64(substring(text, i, w)))
+    *     ELSE array(xxhash64(text)) END)) }}}
+    *
+    * including the two null/short edges (xxhash64 of a NULL string is
+    * the unchanged seed 42; a string shorter than w hashes whole), so
+    * swapping it in changes NOTHING downstream — the full d04 hash
+    * oracle survives (jaccard over hashed sets equals jaccard over the
+    * string grams the oracle uses, same argument as before). What it
+    * removes is the interpreted higher-order-function tax: transform's
+    * lambda runs outside codegen and allocates one UTF8String per gram
+    * ((len−w+1) allocations per doc); this kernel walks the UTF8 bytes
+    * once to index char boundaries and feeds XXH64 byte slices in
+    * place — measured 2.4 s → ~0.3 s for the sf0.1 gram build. */
+  def charGramHashes(t: UTF8String, w: Int): ArrayData = {
+    if (t == null) return new GenericArrayData(Array(42L))
+    val base = t.getBaseObject
+    val off = t.getBaseOffset
+    val nb = t.numBytes
+    val n = t.numChars
+    if (n < w)
+      return new GenericArrayData(
+        Array(XXH64.hashUnsafeBytes(base, off, nb, 42L)))
+    // char-start byte offsets in one pass (UTF-8 self-synchronizing)
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var b = 0
+    while (b < nb) {
+      offs(i) = b
+      b += UTF8String.numBytesForFirstByte(t.getByte(b))
+      i += 1
+    }
+    offs(n) = nb
+    val k = n - w + 1
+    val hs = new Array[Long](k)
+    var g = 0
+    while (g < k) {
+      val s = offs(g)
+      hs(g) = XXH64.hashUnsafeBytes(base, off + s, offs(g + w) - s, 42L)
+      g += 1
+    }
+    java.util.Arrays.sort(hs)
+    var m = 0
+    var p = 1
+    while (p < k) {
+      if (hs(p) != hs(m)) { m += 1; hs(m) = hs(p) }
+      p += 1
+    }
+    new GenericArrayData(
+      if (m + 1 == k) hs else java.util.Arrays.copyOf(hs, m + 1))
   }
 
   /** 64-bit SimHash over token hashes: each hash votes ±1 per bit;
@@ -133,9 +192,53 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash64"
 }
 
+/** `char_gram_set(text, w)` → sorted-distinct array<long> of xxhash64
+  * char w-grams; never null (see [[SketchOps.charGramHashes]] for the
+  * exact SQL it replicates, null/short edges included). */
+case class CharGramSet(child: Expression, width: Int)
+    extends UnaryExpression {
+  require(width >= 1 && width <= 64, s"width must be in [1,64], got $width")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // the composed SQL yields array(42) for a NULL string (hash of null
+  // is the unchanged seed), so the kernel is total
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_gram_set requires STRING, got ${t.sql}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    SketchOps.charGramHashes(
+      if (v == null) null else v.asInstanceOf[UTF8String], width)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val in = ctx.freshName("in")
+    val input =
+      if (child.nullable) s"${c.isNull} ? null : ${c.value}" else s"${c.value}"
+    ev.copy(
+      code = c.code + code"""
+        org.apache.spark.unsafe.types.UTF8String $in = ($input);
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.SketchOps.charGramHashes($in, $width);
+        """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharGramSet =
+    copy(child = c)
+  override def prettyName: String = "char_gram_set"
+}
+
 object SketchExpressions {
   def minhash_sig(c: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), k))
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def char_gram_set(c: Column, width: Int): Column =
+    ColumnBridge.column(CharGramSet(ColumnBridge.expression(c), width))
 }

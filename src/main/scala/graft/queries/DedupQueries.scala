@@ -119,12 +119,15 @@ object DedupQueries {
     // the strings absent 64-bit collisions (the d02/d06/DupGraphCteSql
     // precedent).
     // sorted: the downstream pair jaccard is the merge-count kernel
-    // (functions.SetOps.jaccardSorted), which needs ascending inputs
-    val grams = array_sort(array_distinct(expr(
-      """CASE WHEN length(text) >= 5
-        | THEN transform(sequence(1, length(text)-4),
-        |                i -> xxhash64(substring(text, i, 5)))
-        | ELSE array(xxhash64(text)) END""".stripMargin)))
+    // (functions.SetOps.jaccardSorted), which needs ascending inputs.
+    // The kernel is the NATIVE form of array_sort(array_distinct(
+    // transform(..., i -> xxhash64(substring(text, i, 5))))) —
+    // bit-identical values (SketchOps.charGramHashes pins the edges),
+    // so the full hash oracle survives; what it drops is the
+    // interpreted-lambda + per-gram-UTF8String-allocation tax of the
+    // higher-order function (2.4 s -> ~0.3 s at sf0.1).
+    val grams = graft.functions.SketchExpressions
+      .char_gram_set(col("text"), 5)
     // the one engine-portable hash recipe, shared with the verified
     // split (keep in sync with its DuckDB replica below)
     val pint = graft.operators.Sampling.portableGate(substring(col("text"), 1, 32))
@@ -881,8 +884,11 @@ object DedupQueries {
       .agg(min("doc_id").as("doc_id"), min("text").as("text"),
         count(lit(1)).as("gsize"))
       .select("doc_id", "lang", "lbucket", "text", "gsize").materialize
+    // materialized: BOTH self-join sides read salted, and without the
+    // barrier each side re-runs the whole gram build (the d02 shingle
+    // precedent; measured 6.0 s -> 2.0 s on the sf0.1 pair stage)
     val salted = d04Blocked(g0.select(col("doc_id"), col("lang"),
-      (col("lbucket") * 64).as("n_chars"), col("text")))
+      (col("lbucket") * 64).as("n_chars"), col("text"))).materialize
     val a = salted.select(col("lang"), col("lbucket"), col("sub"),
       col("doc_id").as("doc_a"), col("g").as("g_a"))
     val b = salted.select(col("lang"), col("lbucket"), col("sub"),

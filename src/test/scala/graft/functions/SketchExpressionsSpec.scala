@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.SparkSessionFixture
-import graft.functions.SketchExpressions.{minhash_sig, simhash64}
+import graft.functions.SketchExpressions.{char_gram_set, minhash_sig, simhash64}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -57,5 +57,47 @@ class SketchExpressionsSpec extends AnyFunSuite {
       .filter(size(col("sig")) === 8 && col("sim") =!= 0L)
       .count()
     assert(n == 500)
+  }
+
+  /** The composed-SQL gram recipe char_gram_set must replicate
+    * BIT-identically — d04's full hash oracle rides on the swap being
+    * value-invisible. */
+  private def composedGrams(w: Int) = array_sort(array_distinct(expr(
+    s"""CASE WHEN length(text) >= $w
+       | THEN transform(sequence(1, length(text)-${w - 1}),
+       |                i -> xxhash64(substring(text, i, $w)))
+       | ELSE array(xxhash64(text)) END""".stripMargin)))
+
+  test("char_gram_set is bit-identical to the composed xxhash64 " +
+      "substring SQL, multibyte and edge strings included") {
+    val rng = new scala.util.Random(5)
+    val alphabets = Seq("abcde ", "αβγδε", "日本語中文한국", "a€𝄞z")
+    val random = (1 to 300).map { i =>
+      val al = alphabets(i % alphabets.size)
+      (1 to (rng.nextInt(40) + 1))
+        .map(_ => al(rng.nextInt(al.length))).mkString
+    }
+    val edges = Seq("", "a", "abcd", "abcde", "aaaaaaaaaa", "€€€€€€",
+      "𝄞𝄞𝄞𝄞𝄞𝄞𝄞", "tab\tand\nnewline")
+    val df = (random ++ edges).toDF("text")
+    Seq(3, 5).foreach { w =>
+      val mismatch = df
+        .select(char_gram_set(col("text"), w).as("native"),
+          composedGrams(w).as("sql"))
+        .filter(col("native") =!= col("sql"))
+        .count()
+      assert(mismatch === 0, s"w=$w native kernel diverged from SQL")
+    }
+  }
+
+  test("char_gram_set null edge: NULL text yields array(42) like the " +
+      "composed SQL (hash of null = unchanged seed)") {
+    val df = Seq(Option.empty[String], Some("x")).toDF("text")
+    val got = df.select(char_gram_set(col("text"), 5).as("g"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val sql = df.select(composedGrams(5).as("g"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(got === sql)
+    assert(got.head === Seq(42L))
   }
 }
