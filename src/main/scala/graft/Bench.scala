@@ -52,6 +52,12 @@ object Bench {
       // belt-and-suspenders with scrub(): even if a provider stays loaded,
       // the maintenance cycle never fires inside the measured window
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
+      // exchange reuse stays ON here (Spark default): it is the only
+      // mechanism that makes self-joins one-shuffle (d13's cluster
+      // pairwise scan reuses the embedding shuffle — measured +0.7 s
+      // at sf0.1 without it, and at 100 TB a second full corpus
+      // shuffle). The digest session differs on exactly this conf —
+      // see PlanDigest.session for why that delta is sound.
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

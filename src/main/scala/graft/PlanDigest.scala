@@ -246,6 +246,19 @@ object PlanDigest {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // THE ONE deliberate divergence from Bench's session: exchange/
+      // stage reuse OFF. AQE's stage-reuse cache races its own
+      // concurrent materialization, so two identical broadcast
+      // subtrees print ReusedExchange on one run and a fresh subtree
+      // on another (the d03 1-in-5 manifest flap, r15) — run-to-run
+      // nondeterminism that poisons the manifest's purpose. With reuse
+      // off the digest is deterministic, and the delta vs the benched
+      // plan is EXACTLY the reuse-node class: reuse only dedups
+      // identical subtrees, never changes join strategies, exchanges,
+      // scans, or pushed filters — the things a perf drift needs
+      // adjudicated. (Bench keeps reuse: it is what makes self-joins
+      // one-shuffle, e.g. d13's embedding pairwise scan.)
+      .config("spark.sql.exchange.reuse", "false")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -325,14 +338,21 @@ object PlanDigest {
          |shared-JVM jitter by construction; a real plan change is a
          |one-line diff here and adjudicates itself.
          |
-         |Known-bimodal: d03_simhash rarely (1 in 5 r15 sweeps) prints
-         |with AQE's broadcast-stage reuse racing under the materialized
-         |sketch's four consumers — the loser run prints a fresh
-         |Project+Scan subtree instead of referencing the sibling's
-         |nodes (78ab7acfaf6e709bf124627e1ec8e7d4 common,
-         |c0e5ab45d8b70e249bb530896684b9aa raced). Same operators, same
-         |shape; adjudicate a d03 flap by dump+diff
-         |(SPARK_GRAFT_DIGEST_DUMP) before reading anything into it.
+         |Since r16 the digest session sets
+         |`spark.sql.exchange.reuse=false` — the ONE deliberate
+         |divergence from Bench's session (see PlanDigest.session).
+         |AQE's stage-reuse cache races its own concurrent
+         |materialization, so identical broadcast subtrees printed
+         |ReusedExchange on one run and a fresh subtree on another
+         |(r15's known-bimodal d03 flap, 1 in 5 sweeps; d02/d04/d13
+         |carried the same latent class). With reuse off every sweep
+         |prints the expanded subtrees — 5/5 identical d03 digests at
+         |the switch — and the delta vs the benched plan is exactly
+         |the reuse-node class, which dedups identical subtrees
+         |without changing join strategies, exchanges, scans, or
+         |pushed filters. Bench keeps reuse ON: it makes self-joins
+         |one-shuffle (d13's embedding pairwise scan measured +0.7 s
+         |at sf0.1 without it).
          |
          || query | plan_digest |
          ||---|---|

@@ -991,6 +991,93 @@ object EventQueries {
         .orderBy("day")
     }),
 
+    /** e21's PRODUCTION shape — the closed-window append-mode leg its
+      * scaladoc promises: a real monitor sets the watermark to the
+      * true disorder bound and reads only CLOSED windows, instead of
+      * e21's no-drop replay horizon + update-mode latest-batch dedup.
+      * The replay is staged as three TIME-CONTIGUOUS slices (split at
+      * day boundaries, so batch N's rows are all newer than batch
+      * N−1's maximum and a 1-hour watermark drops nothing), then the
+      * e15 flush discipline: two far-future sentinel rows advance the
+      * watermark so append mode flushes every real window — the second
+      * sentinel flushes what the first closes; the sentinels' own
+      * windows never close and never reach the sink. Each (day, value)
+      * census key is emitted EXACTLY ONCE at window close, so the sink
+      * is the census with no per-key latest-batch window — and the
+      * closed-window completeness contract is asserted row-exactly:
+      * Σc == total event count. The drift tail is e21's day-over-day
+      * weighted KS off the emitted census, unchanged. At scale this is
+      * the monitor a streaming ingest actually runs: state is
+      * watermark-bounded to open windows only, sink traffic is
+      * closed-windows-only, and the KS tail costs 2× census per day
+      * transition. */
+    "e22_stream_ks_closed" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select(col("ts"), col("value"))
+      val day = col("ts").cast("date")
+      val d10 = lit("2024-01-10").cast("date")
+      val d20 = lit("2024-01-20").cast("date")
+      val src = stageReplay("e22", Seq(
+        ev.filter(day <= d10),
+        ev.filter(day > d10 && day <= d20),
+        ev.filter(day > d20),
+        Seq(("2024-12-01 00:00:00", 0.0)).toDF("ts", "value")
+          .select(col("ts").cast("timestamp").as("ts"), col("value")),
+        Seq(("2024-12-31 00:00:00", 0.0)).toDF("ts", "value")
+          .select(col("ts").cast("timestamp").as("ts"), col("value"))))
+      val ss = streamSession(s)
+      val schema = s.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val cen = stream
+        .withWatermark("ts", "1 hour") // the REAL disorder bound
+        .groupBy(window(col("ts"), "1 day").as("win"), col("value"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("win.start").cast("date").as("day"), col("value"),
+          col("c"))
+      val outDir = tempDir("graft_e22_out_")
+      val ckpt = tempDir("graft_e22_ckpt_")
+      val q = cen.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 5,
+        "e22 needs the five staged files as five micro-batches — " +
+          "the forced arrival order collapsed")
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e22: streaming sink produced zero rows")
+      // closed-window completeness: every real event is in exactly one
+      // emitted window (time-contiguous slices → zero watermark drops;
+      // sentinel windows never close → never emitted)
+      val emitted = out.agg(sum("c")).head().getLong(0)
+      val nTotal = ev.count()
+      require(emitted == nTotal,
+        s"e22: closed windows carry $emitted rows, expected $nTotal — " +
+          "the watermark dropped data or a window never flushed")
+      val census = out.select(col("day"), col("value"), col("c"))
+      val pairs = census.select(explode(array(
+          struct(col("day").as("pair_day"), lit(true).as("side_b")),
+          struct(date_add(col("day"), 1).as("pair_day"),
+            lit(false).as("side_b")))).as("p"),
+          col("value"), col("c"))
+        .select(col("p.pair_day").as("day"), col("p.side_b").as("side_b"),
+          col("value"), col("c"))
+      val ks = graft.operators.KsDrift.ks2(
+        pairs, "day", "value", "side_b", weightCol = "c")
+      val na = col("n_a").cast("double")
+      val nb = col("n_b").cast("double")
+      ks.filter(col("n_a") > 0 && col("n_b") > 0)
+        .select(col("day"), col("n_a").as("n_prev"), col("n_b").as("n_cur"),
+          RelationalQueries.rnd(col("ks"), 6).as("ks"), col("ks_value"),
+          (col("ks") > lit(1.358) * sqrt((na + nb) / (na * nb)))
+            .as("drifted"))
+        .orderBy("day")
+    }),
+
     /** Native session-window streaming sessionization — the built-in
       * `session_window` aggregation beside e04's hand-rolled
       * flatMapGroupsWithState: same 1-hour-gap semantics, but state
@@ -1409,6 +1496,46 @@ object EventQueries {
     // the oracle recomputes it in one pass — equality certifies the
     // state-store merge, not just the KS tail.
     "e21_stream_ks_drift" ->
+      """WITH cen AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    value AS v, count(*) AS c FROM events
+        |  WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (
+        |  SELECT day, 1 AS s, v, c FROM cen
+        |  UNION ALL
+        |  SELECT day + 1 AS day, 0 AS s, v, c FROM cen),
+        |c2 AS (SELECT day AS g, v,
+        |    sum(CASE WHEN s = 0 THEN c ELSE 0 END) AS ca,
+        |    sum(CASE WHEN s = 1 THEN c ELSE 0 END) AS cb
+        |  FROM p GROUP BY 1, 2),
+        |st AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM c2 GROUP BY g),
+        |cc AS (SELECT g, v,
+        |    sum(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY v) AS cumb FROM c2),
+        |d AS (SELECT cc.g, v,
+        |    abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na)
+        |      AS dev, na, nb
+        |  FROM cc JOIN st ON st.g = cc.g),
+        |m AS (SELECT g, min(na) AS na, min(nb) AS nb, max(dev) AS dmax
+        |  FROM d GROUP BY g),
+        |a AS (SELECT d.g, min(v) AS ks_value
+        |  FROM d JOIN m ON m.g = d.g AND d.dev = m.dmax GROUP BY d.g)
+        |SELECT m.g AS day, na AS n_prev, nb AS n_cur,
+        |  floor(CAST(dmax AS DOUBLE)
+        |    / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))*1e6+0.5)/1e6 AS ks,
+        |  ks_value,
+        |  CAST(dmax AS DOUBLE)/(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))
+        |    > 1.358*sqrt((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE))
+        |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))) AS drifted
+        |FROM m JOIN a ON a.g = m.g
+        |WHERE na > 0 AND nb > 0 ORDER BY day""".stripMargin,
+
+    // e22: the SAME oracle recipe as e21 — a closed-window append
+    // replay over time-contiguous slices admits every row (asserted
+    // row-exactly in the query), so its census equals the batch
+    // census; equality certifies the append-mode eviction/flush
+    // discipline end-to-end, not just the KS tail.
+    "e22_stream_ks_closed" ->
       """WITH cen AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         |    value AS v, count(*) AS c FROM events
         |  WHERE value IS NOT NULL GROUP BY 1, 2),

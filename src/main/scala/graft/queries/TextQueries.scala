@@ -41,6 +41,13 @@ object TextQueries {
   /** t34 sample budget: exactly this many PPS hits per language. */
   val PpsK = 40
 
+  /** t40 permutation count: R = 19 random relabelings beside the
+    * observed one, so the achievable p floor is exactly
+    * 1/(R+1) = 0.05 — the smallest R whose floor meets the
+    * conventional gate (raise for finer p resolution; cost is one
+    * extra census-mass multiple per permutation). */
+  val PermR = 19
+
   /** t33 content-defined chunking: target average chunk length — a
     * token closes a chunk when the 24-bit portable gate of its trailing
     * 3-token window ≡ 0 (mod this), so boundaries fire at rate 1/A. */
@@ -1576,6 +1583,81 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    /** Permutation calibration of the Kish significance gate —
+      * t38's weighted-KS critical value runs the classical asymptotic
+      * on Kish effective sample sizes, which is a HEURISTIC (the
+      * asymptotic is derived for unweighted ECDFs); the honest
+      * reference is a randomization test that needs no distribution
+      * theory: under H0 the side label is exchangeable, so re-drawing
+      * labels [[PermR]] times and ranking the observed weighted KS
+      * among the replicas gives an exact-level p-value,
+      * p = (1 + #{KS_perm ≥ KS_obs}) / (R+1). Labels are re-drawn by
+      * the PORTABLE GATE (parity of md5-gate(doc_id:permN)) — a
+      * deterministic Bernoulli(1/2) relabeling (the random-split form
+      * of the randomization test), so every replica reproduces
+      * bit-for-bit in DuckDB and the whole audit hash-oracles,
+      * including exactly where `drifted_kish` and `drifted_perm`
+      * disagree — that disagreement set IS the calibration lesson.
+      *
+      * Scale shape: ONE pass — the doc stream explodes ×(R+1) into the
+      * same [[graft.operators.KsDrift.ks2]] bounded census stages with
+      * (lang, perm) as the group, so the only full-data shuffle is the
+      * R+1-fold census (map-side combinable; R is a fixed audit knob,
+      * not data-scaled), and every window stays per-(group, bucket).
+      * No per-permutation job, no driver loop. A replica whose drawn
+      * side is empty yields null KS and never counts as ≥ (a
+      * conservative tick toward smaller n_ge — impossible at corpus
+      * group sizes). */
+    "t40_perm_drift_test" -> ((s, d) => {
+      val R = PermR
+      val docs = Tables.documents(s, d)
+        .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          (substring(col("source"), 4, 10).cast("int") % 2 === 1)
+            .as("side_real"))
+      val perms = docs
+        .withColumn("perm", explode(sequence(lit(0), lit(R))))
+        .withColumn("side",
+          when(col("perm") === 0, col("side_real"))
+            .otherwise(pmod(graft.operators.Sampling.portableGate(
+              concat(col("doc_id").cast("string"), lit(":perm"),
+                col("perm").cast("string"))), lit(2)) === 1))
+        .withColumn("gp", concat_ws("|", col("lang"), col("perm")))
+      val ks = graft.operators.KsDrift.ks2(
+          perms, "gp", "n_chars", "side", weightCol = "n_chars")
+        .withColumn("lang", substring_index(col("gp"), "|", 1))
+        .withColumn("perm",
+          substring_index(col("gp"), "|", -1).cast("int"))
+      val obs = ks.filter(col("perm") === 0)
+        .select(col("lang"), col("n_a"), col("n_b"),
+          col("ks").as("ks_obs"))
+      val nGe = ks.filter(col("perm") >= 1)
+        .join(broadcast(obs.select("lang", "ks_obs")), "lang")
+        .groupBy("lang")
+        .agg(sum(when(col("ks") >= col("ks_obs"), 1L).otherwise(0L))
+          .as("n_ge"))
+      // the Kish flag on the REAL labels, t38's exact-integer recipe
+      val dec = "decimal(19,0)"
+      val w2 = col("n_chars").cast(dec) * col("n_chars").cast(dec)
+      val kish = docs.groupBy("lang")
+        .agg(sum(when(!col("side_real"), w2)).as("sa2"),
+          sum(when(col("side_real"), w2)).as("sb2"))
+      val wa = col("n_a").cast("double")
+      val wb = col("n_b").cast("double")
+      val neffA = wa * wa / col("sa2").cast("double")
+      val neffB = wb * wb / col("sb2").cast("double")
+      val p = (col("n_ge") + lit(1L)).cast("double") / lit((R + 1).toDouble)
+      obs.join(broadcast(nGe), "lang").join(broadcast(kish), "lang")
+        .select(col("lang"),
+          col("n_a").as("w_a"), col("n_b").as("w_b"),
+          rnd(col("ks_obs"), 6).as("ks"),
+          col("n_ge"), rnd(p, 6).as("p_perm"),
+          (col("ks_obs") > lit(1.358) *
+            sqrt((neffA + neffB) / (neffA * neffB))).as("drifted_kish"),
+          (col("n_ge") === 0).as("drifted_perm"))
+        .orderBy("lang")
+    }),
+
     /** Robust (MAD) length-outlier gate — the median-based cousin of
       * t19's percentile winsorize: mean/stddev z-scores are themselves
       * dragged by the outliers they hunt, so corpus pruning uses the
@@ -2605,6 +2687,63 @@ object TextQueries {
         |  ksr > 1.358*sqrt((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE))
         |    /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))) AS drifted_naive,
         |  ksr > 1.358*sqrt((neffa+neffb)/(neffa*neffb)) AS drifted_kish
+        |FROM f ORDER BY g""".stripMargin,
+
+    // t40: the permutation audit replicates end-to-end — gate-parity
+    // relabelings, per-(lang, perm) weighted-KS flat windows, the
+    // rank-derived p, and the Kish flag — so the disagreement set
+    // between the two gates is itself hash-verified.
+    "t40_perm_drift_test" ->
+      s"""WITH r AS (SELECT lang AS g, doc_id,
+        |    CAST(n_chars AS DOUBLE) AS v, CAST(n_chars AS BIGINT) AS wt,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 1 THEN 1
+        |      ELSE 0 END AS s0
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |pr AS (SELECT g, v, wt, perm,
+        |    CASE WHEN perm = 0 THEN s0
+        |      WHEN (${graft.operators.Sampling.portableGateSql(
+             "CAST(doc_id AS VARCHAR) || ':perm' || CAST(perm AS VARCHAR)")})
+        |        % 2 = 1 THEN 1 ELSE 0 END AS s
+        |  FROM r, range(0, ${PermR + 1}) AS ps(perm)),
+        |cen AS (SELECT g, perm, v, sum((1-s)*wt) AS ca, sum(s*wt) AS cb
+        |  FROM pr GROUP BY 1, 2, 3),
+        |st AS (SELECT g, perm, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM cen GROUP BY 1, 2),
+        |c AS (SELECT g, perm, v,
+        |    sum(ca) OVER (PARTITION BY g, perm ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY g, perm ORDER BY v) AS cumb
+        |  FROM cen),
+        |d AS (SELECT c.g, c.perm,
+        |    abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na)
+        |      AS dev, na, nb
+        |  FROM c JOIN st ON st.g = c.g AND st.perm = c.perm),
+        |m AS (SELECT g, perm, min(na) AS na, min(nb) AS nb,
+        |    max(dev) AS dmax FROM d GROUP BY 1, 2),
+        |kr AS (SELECT g, perm, na, nb,
+        |    CASE WHEN na > 0 AND nb > 0 THEN CAST(dmax AS DOUBLE)
+        |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)) END AS ksr
+        |  FROM m),
+        |o AS (SELECT g, na, nb, ksr AS ks0 FROM kr WHERE perm = 0),
+        |ng AS (SELECT kr.g,
+        |    CAST(sum(CASE WHEN kr.ksr >= o.ks0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ge
+        |  FROM kr JOIN o ON o.g = kr.g WHERE kr.perm >= 1 GROUP BY 1),
+        |k AS (SELECT g,
+        |    sum(CASE WHEN s0 = 0 THEN CAST(wt AS HUGEINT)*wt END) AS sa2,
+        |    sum(CASE WHEN s0 = 1 THEN CAST(wt AS HUGEINT)*wt END) AS sb2
+        |  FROM r GROUP BY 1),
+        |f AS (SELECT o.g, o.na, o.nb, o.ks0, ng.n_ge,
+        |    CAST(o.na AS DOUBLE)*CAST(o.na AS DOUBLE)
+        |      /CAST(k.sa2 AS DOUBLE) AS neffa,
+        |    CAST(o.nb AS DOUBLE)*CAST(o.nb AS DOUBLE)
+        |      /CAST(k.sb2 AS DOUBLE) AS neffb
+        |  FROM o JOIN ng ON ng.g = o.g JOIN k ON k.g = o.g)
+        |SELECT g AS lang, na AS w_a, nb AS w_b,
+        |  floor(ks0*1e6+0.5)/1e6 AS ks, n_ge,
+        |  floor(CAST(n_ge + 1 AS DOUBLE)/${PermR + 1}.0*1e6+0.5)/1e6
+        |    AS p_perm,
+        |  ks0 > 1.358*sqrt((neffa+neffb)/(neffa*neffb)) AS drifted_kish,
+        |  n_ge = 0 AS drifted_perm
         |FROM f ORDER BY g""".stripMargin,
 
     // t39: t37's replica with mass weights + Kish flags (rest side by
