@@ -413,6 +413,102 @@ object SimilarityQueries {
         .orderBy("q_id", "rank")
     }),
 
+    /** EMBEDDING-distribution drift — the drift family's missing
+      * modality (q55/t35/t37–t40/e21/e22 all watch scalars; the LLM
+      * pipeline's other continuous distribution is the embedding
+      * corpus, and an embedding-model version bump, a re-normalization
+      * bug, or a contaminated shard moves it long before any scalar
+      * gate fires). Multivariate two-sample testing reduces to exact
+      * scalar KS over k FIXED portable PROJECTIONS (the classical
+      * random-projection reduction; a mean shift in any direction with
+      * a component along some projection moves that projection's CDF):
+      * 4 raw coordinates + 4 sign-pattern window dots, every value
+      * integerized (the s22 coordinate-sign/integer-dot discipline —
+      * `floor(x·1e6 + 0.5)` per coordinate, then ±1·int sums, so
+      * projections are order-independent exact integers in both
+      * engines) and every statistic riding [[graft.operators.KsDrift
+      * .ks2]] UNCHANGED with (projection) as the group.
+      *
+      * Ground truth is PLANTED: snapshot B re-embeds a portable-gated
+      * 20% of the corpus with +0.25 (2 coordinate σ) added to dims
+      * 0–15 — the partial-pipeline model-bump scenario. Projections
+      * touching the shifted window (coords 0/5; dots over dims 0–15)
+      * must flag drifted at sf0.01+ (KS ≈ 0.2·(Φ(1)−Φ(−1)) ≈ 0.13 >
+      * crit 0.086 at n=500); disjoint projections (coords 32/47, dots
+      * over 32–47) see IDENTICAL paired samples and read KS = 0
+      * exactly. `expect_drift` publishes the plant so detection is
+      * auditable per row; `is_max` marks the max-over-projections
+      * witness (smallest projection id on ties).
+      *
+      * Scale shape: one corpus pass explodes each vector into 8×2
+      * integer (projection, value, side) rows — map-side combinable
+      * into ks2's census, the only full-data shuffle; k is a fixed
+      * audit knob, the vectors themselves never shuffle. The dot
+      * signs are derived ONCE from the portable gate (a driver-side
+      * 4-row job; the literals land in the plan, the oracle re-derives
+      * them from the same md5 arithmetic). */
+    "s26_embed_drift" -> ((s, d) => {
+      val coordIdx = Seq(0, 5, 32, 47)
+      val expect = Seq(true, true, false, false, true, true, false, false)
+      // ±1 signs per (dot projection, window position) from the gate
+      val signs: Map[Long, Seq[Long]] = s.range(4).select(col("id"),
+          transform(sequence(lit(0), lit(15)), i =>
+            when(pmod(graft.operators.Sampling.portableGate(
+              concat(lit("eproj:"), col("id").cast("string"), lit(":"),
+                i.cast("string"))), lit(2)) === 1, 1L).otherwise(-1L))
+            .as("sgn"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val emb = Tables.embeddings(s, d)
+      val gated = pmod(graft.operators.Sampling.portableGate(
+        concat(lit("edrift:"), col("vec_id").cast("string"))), lit(5)) === 0
+      val vecA = transform(col("embedding"), x => x.cast("double"))
+      val vecB = transform(col("embedding"), (x, i) =>
+        when(gated && i < lit(16), x.cast("double") + lit(0.25))
+          .otherwise(x.cast("double")))
+      def xi6(c: Column): Column =
+        floor(c * lit(1e6) + lit(0.5)).cast("long")
+      def projs(vec: Column): Seq[Column] = {
+        val coords = coordIdx.zipWithIndex.map { case (ci, p) =>
+          struct(lit(p).as("proj"), xi6(element_at(vec, ci + 1)).as("pval"))
+        }
+        val dots = (0 until 4).map { p =>
+          val w = if (p < 2) 0 else 32
+          val sgn = array(signs(p.toLong).map(lit): _*)
+          struct(lit(p + 4).as("proj"),
+            aggregate(zip_with(slice(vec, w + 1, 16), sgn,
+              (x, sg) => sg * xi6(x)), lit(0L), (a, b) => a + b).as("pval"))
+        }
+        coords ++ dots
+      }
+      def sideRows(vec: Column, sb: Boolean): DataFrame =
+        emb.select(explode(array(projs(vec): _*)).as("x"))
+          .select(col("x.proj").as("proj"), col("x.pval").as("pval"),
+            lit(sb).as("side_b"))
+      val rows = sideRows(vecA, sb = false)
+        .unionByName(sideRows(vecB, sb = true))
+      val ks = graft.operators.KsDrift.ks2(rows, "proj", "pval", "side_b")
+      val na = col("n_a").cast("double")
+      val nb = col("n_b").cast("double")
+      val flagged = ks.select(col("proj"), col("n_a"), col("n_b"),
+        RelationalQueries.rnd(col("ks"), 6).as("ks"),
+        col("ks_value").cast("long").as("ks_value"),
+        (col("ks") > lit(1.358) * sqrt((na + nb) / (na * nb)))
+          .as("drifted"))
+      // max-over-projections witness on the rounded (portable) ks,
+      // smallest projection id on ties
+      val top = flagged
+        .agg(min(struct((-col("ks")).as("nk"), col("proj").as("p"))).as("m"))
+        .select(col("m.p").as("mproj"))
+      flagged.crossJoin(broadcast(top))
+        .select(col("proj").cast("long").as("proj"),
+          col("n_a"), col("n_b"), col("ks"),
+          col("ks_value"), col("drifted"),
+          element_at(array(expect.map(lit): _*), col("proj") + 1)
+            .as("expect_drift"),
+          (col("proj") === col("mproj")).as("is_max"))
+        .orderBy("proj")
+    }),
+
     /** Query-driven LSH top-k on the PORTABLE axis-sign family
       * ([[signPatternSignature]]) — bucketing, candidate dedup, cosine
       * scoring, and the rank all replicate in DuckDB, so the ANN
@@ -1762,6 +1858,83 @@ object SimilarityQueries {
       |    FROM ts) WHERE trn <= 10)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // s26: full replica — gate-derived ±1 signs and the gated +0.25
+    // shift, integerized coordinate/window-dot projections, the
+    // t38-style flat-window KS per projection, crit flag, planted
+    // expectation map, max-over-projections witness. Every projection
+    // is an exact integer, so the whole multivariate audit hashes.
+    "s26_embed_drift" ->
+      s"""WITH sg AS (SELECT p, i,
+        |    CASE WHEN (${graft.operators.Sampling.portableGateSql(
+             "'eproj:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")})
+        |      % 2 = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM range(4) ps(p), range(16) js(i)),
+        |e AS (SELECT vec_id, embedding,
+        |    (${graft.operators.Sampling.portableGateSql(
+             "'edrift:' || CAST(vec_id AS VARCHAR)")}) % 5 = 0 AS gated
+        |  FROM embeddings),
+        |cx AS (SELECT vec_id, gated, CAST(ix.i AS INT) AS idx,
+        |    CAST(embedding[CAST(ix.i + 1 AS INT)] AS DOUBLE) AS xd
+        |  FROM e, range(64) ix(i)),
+        |c6 AS (SELECT vec_id, idx,
+        |    CAST(floor(xd*1e6+0.5) AS BIGINT) AS a6,
+        |    CAST(floor((CASE WHEN gated AND idx < 16 THEN xd + 0.25
+        |      ELSE xd END)*1e6+0.5) AS BIGINT) AS b6
+        |  FROM cx),
+        |cidx(proj, cix) AS (VALUES (0, 0), (1, 5), (2, 32), (3, 47)),
+        |rc AS (
+        |  SELECT proj, 0 AS s, a6 AS pval FROM c6
+        |    JOIN cidx ON cidx.cix = c6.idx
+        |  UNION ALL
+        |  SELECT proj, 1 AS s, b6 AS pval FROM c6
+        |    JOIN cidx ON cidx.cix = c6.idx),
+        |rd AS (
+        |  SELECT 4 + sg.p AS proj, 0 AS s, c6.vec_id,
+        |      sum(sg.sgn * c6.a6) AS pval
+        |  FROM c6 JOIN sg
+        |    ON c6.idx = sg.i + CASE WHEN sg.p < 2 THEN 0 ELSE 32 END
+        |  GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT 4 + sg.p AS proj, 1 AS s, c6.vec_id,
+        |      sum(sg.sgn * c6.b6) AS pval
+        |  FROM c6 JOIN sg
+        |    ON c6.idx = sg.i + CASE WHEN sg.p < 2 THEN 0 ELSE 32 END
+        |  GROUP BY 1, 2, 3),
+        |allr AS (SELECT proj, s, pval FROM rc
+        |  UNION ALL SELECT proj, s, pval FROM rd),
+        |cen AS (SELECT proj AS g, CAST(pval AS DOUBLE) AS v,
+        |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM allr GROUP BY 1, 2),
+        |st AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM cen GROUP BY g),
+        |cc AS (SELECT g, v,
+        |    sum(ca) OVER (PARTITION BY g ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY g ORDER BY v) AS cumb FROM cen),
+        |dd AS (SELECT cc.g, v,
+        |    abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na)
+        |      AS dev, na, nb
+        |  FROM cc JOIN st ON st.g = cc.g),
+        |m AS (SELECT g, min(na) AS na, min(nb) AS nb, max(dev) AS dmax
+        |  FROM dd GROUP BY g),
+        |aw AS (SELECT dd.g, CAST(min(v) AS BIGINT) AS ks_value
+        |  FROM dd JOIN m ON m.g = dd.g AND dd.dev = m.dmax GROUP BY dd.g),
+        |f AS (SELECT m.g, na, nb, ks_value,
+        |    floor(CAST(dmax AS DOUBLE)
+        |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))*1e6+0.5)/1e6 AS ks,
+        |    CAST(dmax AS DOUBLE)/(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))
+        |      > 1.358*sqrt((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE))
+        |        /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))) AS drifted
+        |  FROM m JOIN aw ON aw.g = m.g),
+        |ex(proj, expect_drift) AS (VALUES (0, true), (1, true),
+        |  (2, false), (3, false), (4, true), (5, true),
+        |  (6, false), (7, false))
+        |SELECT f.g AS proj, na AS n_a, nb AS n_b, ks, ks_value, drifted,
+        |  ex.expect_drift,
+        |  f.g = (SELECT min(g) FROM f f2
+        |         WHERE f2.ks = (SELECT max(ks) FROM f)) AS is_max
+        |FROM f JOIN ex ON ex.proj = f.g ORDER BY proj""".stripMargin,
+
     // d05/s02's hyperplane constants aren't portable to SQL → rows-only.
     // d07 closes the gap for d05: the same Spark pipeline runs on a
     // planted-duplicate corpus whose ground-truth pair counts DuckDB
