@@ -24,6 +24,12 @@ import org.apache.spark.sql.SparkSession
   *  - `--log-level` maps to `SparkContext.setLogLevel` levels rather
   *    than logrus levels.
   *
+  * A dotted `--table` value resolves schema-qualified exactly like the
+  * reference (`load_config.go:22-27`: first part = schema, last part =
+  * table): [[graft.engine.sink.JdbcTableSink]] filters its JDBC metadata
+  * lookups by both parts; the managed sink maps schema → catalog
+  * database.
+  *
   * Parsing is hand-rolled (zero new dependencies) and PURE —
   * [[LoaderCli.parseArgs]] / [[LoaderCli.resolveConfig]] return data,
   * so AuxSpec exercises the full surface without a process boundary;
@@ -51,6 +57,30 @@ object LoaderCli {
       table: String,
       cfg: Loader.LoadConfig)
 
+  /** `--help` text (ref: urfave/cli auto-generates one from the flag
+    * table, `main.go:10-19`). Kept in one place so the spec can assert
+    * every flag is documented. */
+  val helpText: String =
+    """usage: csv2db [flags]
+      |
+      |Load a CSV file into a database table.
+      |
+      |  -t,  --table NAME        target table (schema.table resolves schema-qualified); required
+      |  -i,  --input-file PATH   CSV file to load, or -- for stdin; required
+      |       --url JDBC_URL      jdbc: url; omit to target the session catalog
+      |  -m,  --table-mode MODE   create | drop-and-create | truncate | delete-all | as-is
+      |  -hh, --has-header        first row is a header
+      |  -d,  --delimiter CHAR    field delimiter (single char; default ,)
+      |  -e,  --encoding CHARSET  input charset (default UTF-8)
+      |  -p,  --preset NAME       load missing flags from a stored preset
+      |  -s,  --store-preset NAME store the merged config under NAME
+      |  -l,  --log-level LEVEL   spark log level (ERROR|WARN|INFO|DEBUG)
+      |  -h,  --help              show this help
+      |""".stripMargin
+
+  /** Raised by `--help`; `main` prints [[helpText]] and exits 0. */
+  final class HelpRequested extends RuntimeException("help")
+
   def parseArgs(args: Seq[String]): CliArgs = {
     def bad(msg: String) = throw new IllegalArgumentException(msg)
     @annotation.tailrec
@@ -58,7 +88,15 @@ object LoaderCli {
       case Nil => acc
       // boolean flag, no value (ref `cli.BoolFlag`)
       case ("--has-header" | "-hh") :: t => go(t, acc.copy(header = Some(true)))
+      case ("--help" | "-h") :: _ => throw new HelpRequested
       case flag :: value :: t =>
+        // A '-'-prefixed "value" is a following flag, i.e. the value is
+        // missing — fail loudly instead of swallowing the next flag
+        // (urfave/cli does the same). One carve-out: the literal `--`
+        // stdin sentinel for --input-file (S2).
+        if (value.startsWith("-") &&
+            !(value == "--" && (flag == "--input-file" || flag == "-i")))
+          bad(s"flag $flag needs a value")
         flag match {
           case "--url"                  => go(t, acc.copy(url = Some(value)))
           case "--table" | "-t"         => go(t, acc.copy(table = Some(value)))
@@ -130,7 +168,35 @@ object LoaderCli {
     Loader.perform(spark, resolved.cfg, sinkFor(spark, resolved))
   }
 
+  /** One-line message for a load-time failure: the root cause of a
+    * SparkException chain (a FAILFAST parse error or a JDBC refusal
+    * surfaces as 3–5 nested wrappers), first line only — the reference
+    * `log.Fatalf`s the error and exits 1 (`csv2db.go:84-86`), it never
+    * prints a stack trace. */
+  def rootMessage(e: Throwable): String = {
+    var cur = e
+    while (cur.getCause != null && (cur.getCause ne cur)) cur = cur.getCause
+    val msg = Option(cur.getMessage).getOrElse(cur.getClass.getSimpleName)
+    msg.linesIterator.nextOption().getOrElse(msg)
+  }
+
+  /** `main`'s failure policy as data, so the spec can assert exit codes
+    * without a process boundary: usage errors → 2, load-time failures
+    * → 1 with the one-line root cause (ref `log.Fatalf` = exit 1,
+    * `csv2db.go:84-86` — never a stack trace). */
+  def classify(e: Throwable): (Int, String) = e match {
+    case iae: IllegalArgumentException => (2, s"csv2db: ${iae.getMessage}")
+    case other                         => (1, s"csv2db: ${rootMessage(other)}")
+  }
+
   def main(args: Array[String]): Unit = {
+    // --help short-circuits before a session is built (parse is pure)
+    try parseArgs(args.toSeq)
+    catch {
+      case _: HelpRequested => println(helpText); return
+      case e: IllegalArgumentException =>
+        System.err.println(s"csv2db: ${e.getMessage}"); sys.exit(2)
+    }
     val spark = graft.Sessions.tune(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.shuffle.partitions",
@@ -143,9 +209,10 @@ object LoaderCli {
       println(s"""{"rows_loaded":${res.rowsLoaded},""" +
         s""""created_table":${res.createdTable}}""")
     } catch {
-      case e: IllegalArgumentException =>
-        System.err.println(s"csv2db: ${e.getMessage}")
-        sys.exit(2)
+      case scala.util.control.NonFatal(e) =>
+        val (code, msg) = classify(e)
+        System.err.println(msg)
+        sys.exit(code)
     } finally spark.stop()
   }
 }

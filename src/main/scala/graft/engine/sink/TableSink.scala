@@ -92,6 +92,16 @@ final class JdbcTableSink(
 
   if (url.startsWith("jdbc:derby")) GraftDerbyDialect.register()
 
+  // Schema-qualified names (ref `load_config.go:22-27`): a dotted table
+  // splits into (schema = first part, table = last part) — metadata
+  // lookups must filter by BOTH, or `exists()`/`schema()` on
+  // "sales.orders" silently never match (as-is mode fails, create mode
+  // re-creates). SQL text keeps the full dotted name; the dialect quotes.
+  private val nameParts = table.split('.')
+  private val tablePlain: String = nameParts.last
+  private val schemaPlain: Option[String] =
+    if (nameParts.length > 1) Some(nameParts.head) else None
+
   private def props: Properties = {
     val p = new Properties()
     user.foreach(p.setProperty("user", _))
@@ -114,7 +124,8 @@ final class JdbcTableSink(
   }
 
   override def exists(): Boolean = withConn { conn =>
-    val rs = conn.getMetaData.getTables(null, null, fold(conn, table), null)
+    val rs = conn.getMetaData.getTables(null,
+      schemaPlain.map(fold(conn, _)).orNull, fold(conn, tablePlain), null)
     try rs.next() finally rs.close()
   }
 
@@ -123,7 +134,8 @@ final class JdbcTableSink(
     * Spark marks every JDBC relation field nullable, losing exactly the
     * bit that drives the reference's `""→NULL` vs fail-on-empty split. */
   override def schema(): StructType = withConn { conn =>
-    val rs = conn.getMetaData.getColumns(null, null, fold(conn, table), null)
+    val rs = conn.getMetaData.getColumns(null,
+      schemaPlain.map(fold(conn, _)).orNull, fold(conn, tablePlain), null)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, StructField)]
     try {
       while (rs.next()) {

@@ -467,25 +467,27 @@ object SimilarityQueries {
           .otherwise(x.cast("double")))
       def xi6(c: Column): Column =
         floor(c * lit(1e6) + lit(0.5)).cast("long")
-      def projs(vec: Column): Seq[Column] = {
+      // both sides' 8 projections ride ONE explode — a true single
+      // corpus pass (the r16 version unioned two sideRows scans)
+      def projs(vec: Column, sb: Boolean): Seq[Column] = {
         val coords = coordIdx.zipWithIndex.map { case (ci, p) =>
-          struct(lit(p).as("proj"), xi6(element_at(vec, ci + 1)).as("pval"))
+          struct(lit(p).as("proj"), xi6(element_at(vec, ci + 1)).as("pval"),
+            lit(sb).as("side_b"))
         }
         val dots = (0 until 4).map { p =>
           val w = if (p < 2) 0 else 32
           val sgn = array(signs(p.toLong).map(lit): _*)
           struct(lit(p + 4).as("proj"),
             aggregate(zip_with(slice(vec, w + 1, 16), sgn,
-              (x, sg) => sg * xi6(x)), lit(0L), (a, b) => a + b).as("pval"))
+              (x, sg) => sg * xi6(x)), lit(0L), (a, b) => a + b).as("pval"),
+            lit(sb).as("side_b"))
         }
         coords ++ dots
       }
-      def sideRows(vec: Column, sb: Boolean): DataFrame =
-        emb.select(explode(array(projs(vec): _*)).as("x"))
-          .select(col("x.proj").as("proj"), col("x.pval").as("pval"),
-            lit(sb).as("side_b"))
-      val rows = sideRows(vecA, sb = false)
-        .unionByName(sideRows(vecB, sb = true))
+      val rows = emb.select(explode(array(
+          projs(vecA, sb = false) ++ projs(vecB, sb = true): _*)).as("x"))
+        .select(col("x.proj").as("proj"), col("x.pval").as("pval"),
+          col("x.side_b").as("side_b"))
       val ks = graft.operators.KsDrift.ks2(rows, "proj", "pval", "side_b")
       val na = col("n_a").cast("double")
       val nb = col("n_b").cast("double")

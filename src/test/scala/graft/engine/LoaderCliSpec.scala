@@ -32,6 +32,86 @@ class LoaderCliSpec extends AnyFunSuite {
     }
   }
 
+  test("parseArgs: a '-'-prefixed value means the value is missing — " +
+      "fail loudly, don't swallow the next flag") {
+    val e = intercept[IllegalArgumentException] {
+      LoaderCli.parseArgs(Seq("-t", "-hh", "file.csv"))
+    }
+    assert(e.getMessage.contains("needs a value"))
+    // the one carve-out: the literal stdin sentinel for --input-file
+    assert(LoaderCli.parseArgs(Seq("-t", "x", "-i", "--"))
+      .input.contains("--"))
+    // but '--' is NOT a value for any other flag
+    intercept[IllegalArgumentException] {
+      LoaderCli.parseArgs(Seq("-d", "--"))
+    }
+  }
+
+  test("--help raises HelpRequested; helpText documents every flag") {
+    intercept[LoaderCli.HelpRequested] { LoaderCli.parseArgs(Seq("--help")) }
+    intercept[LoaderCli.HelpRequested] {
+      LoaderCli.parseArgs(Seq("-t", "x", "-h"))
+    }
+    for (f <- Seq("--table", "--input-file", "--url", "--table-mode",
+        "--has-header", "--delimiter", "--encoding", "--preset",
+        "--store-preset", "--log-level", "--help"))
+      assert(LoaderCli.helpText.contains(f), s"helpText missing $f")
+  }
+
+  test("classify: usage errors exit 2, load-time failures exit 1 with " +
+      "the one-line root cause — never a stack trace (ref log.Fatalf)") {
+    // usage error → 2
+    val (c2, m2) = LoaderCli.classify(
+      intercept[IllegalArgumentException] {
+        LoaderCli.resolveConfig(LoaderCli.parseArgs(Seq("-i", "x")),
+          Files.createTempFile("graft-cli-p4", ".properties"))
+      })
+    assert(c2 == 2 && m2.startsWith("csv2db:") && m2.contains("--table"))
+
+    // malformed CSV under FAILFAST → 1, single line
+    val bad = Files.createTempFile("graft-cli-bad", ".csv")
+    Files.write(bad, "a,b\n\"unclosed,2\n".getBytes("UTF-8"))
+    val presets = Files.createTempFile("graft-cli-p5", ".properties")
+    val eCsv = intercept[Throwable] {
+      LoaderCli.run(Seq("-t", "cli_failfast_t", "-m", "create",
+        "-i", bad.toString, "-hh"), spark, presets)
+    }
+    val (c1, m1) = LoaderCli.classify(eCsv)
+    assert(c1 == 1, s"expected exit 1, got $c1 for $eCsv")
+    assert(m1.startsWith("csv2db:") && !m1.contains("\n") &&
+      !m1.contains("\tat "), s"not a one-liner: $m1")
+    spark.sql("DROP TABLE IF EXISTS cli_failfast_t")
+
+    // bogus JDBC url → 1, single line
+    val ok = Files.createTempFile("graft-cli-ok", ".csv")
+    Files.write(ok, "a,b\n1,2\n".getBytes("UTF-8"))
+    val eJdbc = intercept[Throwable] {
+      LoaderCli.run(Seq("--url", "jdbc:nosuchdb://nowhere/db",
+        "-t", "t", "-m", "create", "-i", ok.toString, "-hh"),
+        spark, presets)
+    }
+    val (cj, mj) = LoaderCli.classify(eJdbc)
+    assert(cj == 1 && mj.startsWith("csv2db:") && !mj.contains("\n"))
+  }
+
+  test("dotted --table resolves schema-qualified (ref load_config.go:" +
+      "22-27): JDBC metadata lookups filter by both parts") {
+    val url = "jdbc:derby:memory:cliDotted;create=true"
+    val sink = new graft.engine.sink.JdbcTableSink(spark, url, "APP.dotted_t")
+    assert(!sink.exists())
+    sink.createAllString(Seq("x", "y"))
+    assert(sink.exists(), "dotted-name exists() must match via " +
+      "(schema, table) metadata filters")
+    assert(sink.schema().fieldNames.toSeq == Seq("x", "y"))
+    // the same physical table is visible through the unqualified name
+    // (APP is Derby's default schema) — proves the split didn't fork
+    // the identity
+    val plain = new graft.engine.sink.JdbcTableSink(spark, url, "dotted_t")
+    assert(plain.exists())
+    sink.drop()
+    assert(!sink.exists() && !plain.exists())
+  }
+
   test("resolveConfig: preset fills gaps, cli wins, store persists " +
       "the MERGED config; validation mirrors the reference (A4)") {
     val presets = Files.createTempFile("graft-cli-presets", ".properties")
