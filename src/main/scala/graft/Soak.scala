@@ -570,7 +570,8 @@ object Soak {
     "q55_ks_drift", "q56_weighted_moments", "t35_length_drift",
     "t37_source_anomaly", "t39_source_mass_anomaly",
     "e21_stream_ks_drift", "t40_perm_drift_test",
-    "e22_stream_ks_closed", "s26_embed_drift")
+    "e22_stream_ks_closed", "s26_embed_drift",
+    "t41_perm_source_anomaly")
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Verbatim.map(n => n -> SparkEntry.queries(n)) ++

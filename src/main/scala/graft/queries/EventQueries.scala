@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1082,6 +1082,143 @@ object EventQueries {
         .orderBy("day")
     }),
 
+    /** STREAMING embedding-distribution drift — s26's multivariate
+      * census maintained BY THE STREAM, the production question being
+      * "did yesterday's ingest move the embedding distribution?"
+      * (an embedding-model version bump mid-ingest is invisible to
+      * every scalar monitor e03–e22 runs). The fixture synthesizes an
+      * ingest timeline over the embeddings corpus — day = vec_id mod
+      * 10, 01:00 into the day — and PLANTS the model bump: from day 7
+      * onward the s26 portable-gated 20% of vectors arrive re-embedded
+      * (+0.25 on dims 0–15), so the day 6→7 transition must flag on
+      * the projections that touch the shifted window while 7→8/8→9
+      * compare two equally-bumped days and stay quiet.
+      *
+      * The monitor itself is the e22 discipline verbatim, with s26's
+      * 8-projection explode as the ingest featurizer: each arriving
+      * vector explodes into 8 exact-integer (proj, pval) observations
+      * INSIDE the stream (the integerized coordinates + gate-signed
+      * window dots — the sign literals derive once, driver-side, from
+      * the same 4-row portable-gate job as s26, and land in the
+      * streaming plan), then a 1-day windowed (proj, pval) census in
+      * APPEND mode behind a true 1-hour watermark over three
+      * time-contiguous day slices; the e15 two-sentinel flush closes
+      * every real window exactly once, completeness asserted
+      * row-exactly (Σc = 8 × vectors). The drift tail is e21/e22's
+      * day-pair weighted KS off the emitted census with (day, proj)
+      * as the group. At scale: state is watermark-bounded to open
+      * windows of an 8×-exploded integer census (map-side combinable,
+      * vectors never shuffle), sink traffic is closed-windows-only,
+      * and the KS tail costs 2× census per day transition per
+      * projection. */
+    "e23_stream_embed_drift" -> ((s, d) => {
+      // ±1 signs per (dot projection, window position) — s26's gate
+      // derivation, verbatim (a 4-row driver job; literals in the plan)
+      val signs: Map[Long, Seq[Long]] = s.range(4).select(col("id"),
+          transform(sequence(lit(0), lit(15)), i =>
+            when(pmod(graft.operators.Sampling.portableGate(
+              concat(lit("eproj:"), col("id").cast("string"), lit(":"),
+                i.cast("string"))), lit(2)) === 1, 1L).otherwise(-1L))
+            .as("sgn"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val coordIdx = Seq(0, 5, 32, 47)
+      val emb = Tables.embeddings(s, d)
+      val gated = pmod(graft.operators.Sampling.portableGate(
+        concat(lit("edrift:"), col("vec_id").cast("string"))), lit(5)) === 0
+      val dayIdx = pmod(col("vec_id"), lit(10L))
+      // 2024-03-01 00:00 UTC = epoch 1709251200; ingest at 01:00
+      val ts = (lit(1709251200L + 3600L) + dayIdx * lit(86400L))
+        .cast("timestamp").as("ts")
+      // the staged snapshot IS the drifted ingest: the bump is applied
+      // to the data, the stream only featurizes
+      val vec = transform(col("embedding"), (x, i) =>
+        when(gated && dayIdx >= 7 && i < lit(16),
+          x.cast("double") + lit(0.25)).otherwise(x.cast("double")))
+      val staged = emb.select(ts, vec.as("v64"))
+      val day = col("ts").cast("date")
+      val d3 = lit("2024-03-04").cast("date") // days 0-3
+      val d6 = lit("2024-03-07").cast("date") // days 4-6
+      val zeroVec = array_repeat(lit(0.0), 64)
+      def sentinel(t: String): DataFrame =
+        s.range(1).select(lit(t).cast("timestamp").as("ts"),
+          zeroVec.as("v64"))
+      val src = stageReplay("e23", Seq(
+        staged.filter(day <= d3),
+        staged.filter(day > d3 && day <= d6),
+        staged.filter(day > d6),
+        sentinel("2024-12-01 00:00:00"),
+        sentinel("2024-12-31 00:00:00")))
+      val ss = streamSession(s)
+      val schema = s.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      def xi6(c: Column): Column =
+        floor(c * lit(1e6) + lit(0.5)).cast("long")
+      val projs: Seq[Column] = coordIdx.zipWithIndex.map { case (ci, p) =>
+        struct(lit(p).as("proj"),
+          xi6(element_at(col("v64"), ci + 1)).as("pval"))
+      } ++ (0 until 4).map { p =>
+        val w = if (p < 2) 0 else 32
+        val sgn = array(signs(p.toLong).map(lit): _*)
+        struct(lit(p + 4).as("proj"),
+          aggregate(zip_with(slice(col("v64"), w + 1, 16), sgn,
+            (x, sg) => sg * xi6(x)), lit(0L), (a, b) => a + b).as("pval"))
+      }
+      val cen = stream
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), explode(array(projs: _*)).as("x"))
+        .groupBy(window(col("ts"), "1 day").as("win"),
+          col("x.proj").as("proj"), col("x.pval").as("pval"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("win.start").cast("date").as("day"), col("proj"),
+          col("pval"), col("c"))
+      val outDir = tempDir("graft_e23_out_")
+      val ckpt = tempDir("graft_e23_ckpt_")
+      val q = cen.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 5,
+        "e23 needs the five staged files as five micro-batches — " +
+          "the forced arrival order collapsed")
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e23: streaming sink produced zero rows")
+      // closed-window completeness: every vector contributes exactly 8
+      // projection observations to exactly one emitted window
+      val emitted = out.agg(sum("c")).head().getLong(0)
+      val nVec = emb.count()
+      require(emitted == 8 * nVec,
+        s"e23: closed windows carry $emitted observations, expected " +
+          s"${8 * nVec} (8 per vector) — the watermark dropped data or " +
+          "a window never flushed")
+      val census = out.select(col("day"), col("proj"), col("pval"),
+        col("c"))
+      val pairs = census.select(explode(array(
+          struct(col("day").as("pair_day"), lit(true).as("side_b")),
+          struct(date_add(col("day"), 1).as("pair_day"),
+            lit(false).as("side_b")))).as("p"),
+          col("proj"), col("pval"), col("c"))
+        .select(concat_ws("|", col("p.pair_day"), col("proj")).as("gp"),
+          col("p.side_b").as("side_b"), col("pval"), col("c"))
+      val ks = graft.operators.KsDrift.ks2(
+        pairs, "gp", "pval", "side_b", weightCol = "c")
+      val na = col("n_a").cast("double")
+      val nb = col("n_b").cast("double")
+      ks.filter(col("n_a") > 0 && col("n_b") > 0)
+        .select(substring_index(col("gp"), "|", 1).cast("date").as("day"),
+          substring_index(col("gp"), "|", -1).cast("long").as("proj"),
+          col("n_a").as("n_prev"), col("n_b").as("n_cur"),
+          RelationalQueries.rnd(col("ks"), 6).as("ks"),
+          col("ks_value").cast("long").as("ks_value"),
+          (col("ks") > lit(1.358) * sqrt((na + nb) / (na * nb)))
+            .as("drifted"))
+        .orderBy("day", "proj")
+    }),
+
     /** Native session-window streaming sessionization — the built-in
       * `session_window` aggregation beside e04's hand-rolled
       * flatMapGroupsWithState: same 1-hour-gap semantics, but state
@@ -1573,6 +1710,76 @@ object EventQueries {
         |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))) AS drifted
         |FROM m JOIN a ON a.g = m.g
         |WHERE na > 0 AND nb > 0 ORDER BY day""".stripMargin,
+
+    // e23: the streaming embedding-drift monitor replicates as the
+    // batch census it must equal — s26's gate-derived signs and
+    // integerized projections with the day-7 model bump, a (day, proj,
+    // pval) census, then e22's day-pair weighted-KS tail with
+    // (day, proj) as the group.
+    "e23_stream_embed_drift" ->
+      s"""WITH sg AS (SELECT p, i,
+        |    CASE WHEN (${graft.operators.Sampling.portableGateSql(
+             "'eproj:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")})
+        |      % 2 = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM range(4) ps(p), range(16) js(i)),
+        |e AS (SELECT vec_id, embedding,
+        |    (${graft.operators.Sampling.portableGateSql(
+             "'edrift:' || CAST(vec_id AS VARCHAR)")}) % 5 = 0 AS gated,
+        |    CAST(vec_id % 10 AS INT) AS dayi
+        |  FROM embeddings),
+        |cx AS (SELECT vec_id, dayi, CAST(ix.i AS INT) AS idx,
+        |    CAST(embedding[CAST(ix.i + 1 AS INT)] AS DOUBLE) AS xd, gated
+        |  FROM e, range(64) ix(i)),
+        |c6 AS (SELECT vec_id, dayi, idx,
+        |    CAST(floor((CASE WHEN gated AND dayi >= 7 AND idx < 16
+        |      THEN xd + 0.25 ELSE xd END)*1e6+0.5) AS BIGINT) AS x6
+        |  FROM cx),
+        |cidx(proj, cix) AS (VALUES (0, 0), (1, 5), (2, 32), (3, 47)),
+        |rc AS (SELECT dayi, proj, x6 AS pval FROM c6
+        |  JOIN cidx ON cidx.cix = c6.idx),
+        |rd AS (SELECT dayi, 4 + sg.p AS proj, c6.vec_id,
+        |    sum(sg.sgn * c6.x6) AS pval
+        |  FROM c6 JOIN sg
+        |    ON c6.idx = sg.i + CASE WHEN sg.p < 2 THEN 0 ELSE 32 END
+        |  GROUP BY 1, 2, 3),
+        |allr AS (SELECT dayi, proj, pval FROM rc
+        |  UNION ALL SELECT dayi, proj, pval FROM rd),
+        |cen AS (SELECT DATE '2024-03-01' + dayi AS day, proj,
+        |    CAST(pval AS DOUBLE) AS v, count(*) AS c
+        |  FROM allr GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT day, proj, 1 AS sdx, v, c FROM cen
+        |  UNION ALL
+        |  SELECT day + 1 AS day, proj, 0 AS sdx, v, c FROM cen),
+        |c2 AS (SELECT day, proj, v,
+        |    sum(CASE WHEN sdx = 0 THEN c ELSE 0 END) AS ca,
+        |    sum(CASE WHEN sdx = 1 THEN c ELSE 0 END) AS cb
+        |  FROM p GROUP BY 1, 2, 3),
+        |st AS (SELECT day, proj, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM c2 GROUP BY 1, 2),
+        |cc AS (SELECT day, proj, v,
+        |    sum(ca) OVER (PARTITION BY day, proj ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY day, proj ORDER BY v) AS cumb
+        |  FROM c2),
+        |d AS (SELECT cc.day, cc.proj, v,
+        |    abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na)
+        |      AS dev, na, nb
+        |  FROM cc JOIN st ON st.day = cc.day AND st.proj = cc.proj),
+        |m AS (SELECT day, proj, min(na) AS na, min(nb) AS nb,
+        |    max(dev) AS dmax FROM d GROUP BY 1, 2),
+        |a AS (SELECT d.day, d.proj, CAST(min(v) AS BIGINT) AS ks_value
+        |  FROM d JOIN m ON m.day = d.day AND m.proj = d.proj
+        |    AND d.dev = m.dmax GROUP BY 1, 2)
+        |SELECT m.day AS day, CAST(m.proj AS BIGINT) AS proj,
+        |  na AS n_prev, nb AS n_cur,
+        |  floor(CAST(dmax AS DOUBLE)
+        |    / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))*1e6+0.5)/1e6 AS ks,
+        |  ks_value,
+        |  CAST(dmax AS DOUBLE)/(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))
+        |    > 1.358*sqrt((CAST(na AS DOUBLE)+CAST(nb AS DOUBLE))
+        |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))) AS drifted
+        |FROM m JOIN a ON a.day = m.day AND a.proj = m.proj
+        |WHERE na > 0 AND nb > 0 ORDER BY day, proj""".stripMargin,
 
     // e19: the batch LEFT JOIN with e10's µs-domain range condition;
     // count(purchase_id)/sum(delay_us) skip nulls identically on both

@@ -723,6 +723,39 @@ object RelationalQueries {
         .orderBy("o_orderpriority", "bucket")
     }),
 
+    /** q45 under a RANGE-STRETCHING outlier — the roster witness that
+      * [[graft.operators.ExactQuantile]]'s adaptive second bucketing
+      * level computes (not just spec-asserts) correctly end-to-end.
+      * One planted 10^15 price per return flag stretches every
+      * group's equi-width level-1 range ~10^10×, so ALL real prices
+      * collapse into bucket 0 — exactly the distinct-value pathology
+      * the r15 verdict flagged as a one-task sort funnel. With
+      * `maxBucketSort = 512` (audit knob; the production default is
+      * 2^20) the scalar probe sees the overfull bucket and the
+      * targeted buckets re-bucket over their OWN [min, max] — the
+      * outlier sits in bucket `buckets-1` by construction, so the
+      * sub-buckets see the data's true spread and each sorts ≤ ~50
+      * distinct values even at sf0.1. Results are bit-equal to the
+      * single-level path by construction (ExactQuantileSpec pins it);
+      * this row proves the level-2 PLAN hash-matches the oracle too.
+      * The oracle is q45's `quantile_cont` over the same
+      * outlier-unioned rows — it never sees bucketing at all. */
+    "q58_outlier_quantiles" -> ((s, d) => {
+      val base = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("double").as("v"))
+      val outliers = base.select("g").distinct()
+        .withColumn("v", lit(1.0e15))
+      graft.operators.ExactQuantile.quantiles(
+        base.unionByName(outliers), "g", "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99),
+        maxBucketSort = 512)
+        .select(col("g").as("l_returnflag"),
+          rnd(col("p50"), 4).as("p50"), rnd(col("p90"), 4).as("p90"),
+          rnd(col("p99"), 4).as("p99"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
     /** Sketch-based quantiles at scale: `percentile_approx` (a KLL-
       * style mergeable sketch — constant memory per group, one pass,
       * map-side mergeable) vs the exact sort-based percentile. The
@@ -1096,6 +1129,22 @@ object RelationalQueries {
         | floor(quantile_cont(l_extendedprice, 0.99)*10000+0.5)/10000 AS p99,
         | count(l_extendedprice) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q58: quantile_cont over the outlier-unioned rows — the oracle
+    // computes the statistic directly; only the Spark side routes
+    // through the adaptive sub-bucket plan, and must agree anyway.
+    "q58_outlier_quantiles" ->
+      """WITH src AS (
+        |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT DISTINCT l_returnflag, 1e15 FROM lineitem)
+        |SELECT l_returnflag,
+        | floor(quantile_cont(v, 0.5)*10000+0.5)/10000 AS p50,
+        | floor(quantile_cont(v, 0.9)*10000+0.5)/10000 AS p90,
+        | floor(quantile_cont(v, 0.99)*10000+0.5)/10000 AS p99,
+        | count(v) AS n
+        |FROM src GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q54: type-1 weighted quantile = min v with cum_weight >= f*W.
     // Integer weight sums (BIGINT) are order-independent exact; the

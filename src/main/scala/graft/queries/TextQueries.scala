@@ -1658,6 +1658,91 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    /** Permutation calibration of the ONE-VS-REST Kish gate — t40
+      * calibrates t38's two-sample gate; this calibrates t39's
+      * leaderboard gate, the shape a production anomaly sweep actually
+      * runs (for every source: is THIS source's byte mass
+      * distributionally anomalous against the rest?). Under H0 the
+      * source partition is exchangeable across docs, so each source's
+      * membership indicator re-draws as a portable Bernoulli(cnt_s/N):
+      * `gate(doc:src:perm) mod L · N < cnt_s · L` with L = 2^20 — an
+      * all-integer comparison (the r16 PPS rule: no 2^53 ceiling, no
+      * float rounding), doc-count-based because DOCS are the
+      * exchangeable units even though the statistic weighs their char
+      * MASS. The observed leaderboard rides
+      * [[graft.operators.KsDrift.ksOneVsRest]] UNCHANGED (t39's exact
+      * shape); each replica's stratum-vs-rest KS is definitionally the
+      * two-sample KS between the drawn stratum and its complement, so
+      * the R replicas ride [[graft.operators.KsDrift.ks2]] with
+      * (source, perm) as the group — same bounded census stages, no
+      * per-permutation job, no driver loop. p = (1 + #{KS_perm ≥
+      * KS_obs}) / (R+1) at exact level 1/(R+1) = 0.05; the
+      * `drifted_kish` / `drifted_perm` disagreement set is the
+      * calibration lesson and is itself hash-verified.
+      *
+      * Scale shape: the replica pass explodes the doc census ×S·R
+      * (S = #sources, R = [[PermR]] — both fixed audit knobs, not
+      * data-scaled); the census stays the only full-data shuffle and
+      * is map-side combinable, every window per-(group, bucket). A
+      * replica whose drawn stratum is empty (or full) yields null KS
+      * and conservatively never counts toward n_ge. */
+    "t41_perm_source_anomaly" -> ((s, d) => {
+      val R = PermR
+      val L = 1048576L // 2^20 gate modulus — see scaladoc
+      val docs = Tables.documents(s, d)
+        .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      // observed leaderboard: t39's mass-weighted one-vs-rest, unchanged
+      val obs = graft.operators.KsDrift.ksOneVsRest(
+          docs, "source", "n_chars", weightCol = "n_chars")
+        .select(col("source"), col("n_s").as("w_s"),
+          col("n_rest").as("w_rest"), col("ks").as("ks_obs"),
+          col("ks_value"))
+      // per-source doc counts drive the Bernoulli numerators
+      val cnts = docs.groupBy(col("source").as("s2"))
+        .agg(count(lit(1)).as("cs"))
+      val totCnt = cnts.agg(sum("cs").as("cn")) // N stays in-plan
+      val perms = docs
+        .crossJoin(broadcast(cnts))
+        .crossJoin(broadcast(totCnt))
+        .withColumn("perm", explode(sequence(lit(1), lit(R))))
+        .withColumn("side",
+          pmod(graft.operators.Sampling.portableGate(
+            concat(col("doc_id").cast("string"), lit(":"), col("s2"),
+              lit(":perm"), col("perm").cast("string"))), lit(L)) *
+            col("cn") < col("cs") * lit(L))
+        .withColumn("gp", concat_ws("|", col("s2"), col("perm")))
+      val ksPerm = graft.operators.KsDrift.ks2(
+          perms, "gp", "n_chars", "side", weightCol = "n_chars")
+        .withColumn("source", substring_index(col("gp"), "|", 1))
+      val nGe = ksPerm
+        .join(broadcast(obs.select("source", "ks_obs")), "source")
+        .groupBy("source")
+        .agg(sum(when(col("ks") >= col("ks_obs"), 1L).otherwise(0L))
+          .as("n_ge"))
+      // t39's Kish flag on the REAL labels (rest Σw² by exact
+      // subtraction of integer sums)
+      val dec = "decimal(18,0)"
+      val w2 = col("n_chars").cast(dec) * col("n_chars").cast(dec)
+      val perSrc = docs.groupBy("source").agg(sum(w2).as("sw2"))
+      val tot = perSrc.agg(sum("sw2").as("gw2"))
+      val ws = col("w_s").cast("double")
+      val wr = col("w_rest").cast("double")
+      val neffS = ws * ws / col("sw2").cast("double")
+      val neffR = wr * wr / (col("gw2") - col("sw2")).cast("double")
+      val p = (col("n_ge") + lit(1L)).cast("double") / lit((R + 1).toDouble)
+      obs.join(broadcast(nGe), "source")
+        .join(broadcast(perSrc), "source").crossJoin(broadcast(tot))
+        .select(col("source"), col("w_s"), col("w_rest"),
+          rnd(col("ks_obs"), 6).as("ks"),
+          col("ks_value").cast("long").as("ks_value"),
+          col("n_ge"), rnd(p, 6).as("p_perm"),
+          (col("ks_obs") > lit(1.358) *
+            sqrt((neffS + neffR) / (neffS * neffR))).as("drifted_kish"),
+          (col("n_ge") === 0).as("drifted_perm"))
+        .orderBy("source")
+    }),
+
     /** Robust (MAD) length-outlier gate — the median-based cousin of
       * t19's percentile winsorize: mean/stddev z-scores are themselves
       * dragged by the outliers they hunt, so corpus pruning uses the
@@ -2787,6 +2872,87 @@ object TextQueries {
         |  floor(neffs*100+0.5)/100 AS neff_s,
         |  floor(neffr*100+0.5)/100 AS neff_rest,
         |  ksr > 1.358*sqrt((neffs+neffr)/(neffs*neffr)) AS drifted_kish
+        |FROM f ORDER BY s""".stripMargin,
+
+    // t41: the one-vs-rest permutation audit replicates end-to-end —
+    // the t39 observed leaderboard, the Bernoulli(cs/cn) all-integer
+    // membership redraws, per-(source, perm) weighted-KS flat windows,
+    // the rank-derived p, and the Kish flag — so the gate-vs-gate
+    // disagreement set is itself hash-verified.
+    "t41_perm_source_anomaly" ->
+      s"""WITH r AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST(n_chars AS BIGINT) AS wt FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |cen AS (SELECT source AS s, v, sum(wt) AS c FROM r GROUP BY 1, 2),
+        |g AS (SELECT v, sum(c) AS cg FROM cen GROUP BY v),
+        |gs AS (SELECT CAST(sum(cg) AS BIGINT) AS n FROM g),
+        |gc AS (SELECT v, cg, sum(cg) OVER (ORDER BY v) AS cumg FROM g),
+        |sz AS (SELECT s, CAST(sum(c) AS BIGINT) AS ns
+        |  FROM cen GROUP BY s),
+        |sc AS (SELECT s, v, c,
+        |    sum(c) OVER (PARTITION BY s ORDER BY v) AS cums FROM cen),
+        |d AS (SELECT sc.s, sc.v,
+        |    greatest(
+        |      abs(CAST(cums AS HUGEINT)*n - CAST(cumg AS HUGEINT)*ns),
+        |      abs(CAST(cums - c AS HUGEINT)*n
+        |        - CAST(cumg - cg AS HUGEINT)*ns)) AS dev, ns, n
+        |  FROM sc JOIN gc ON gc.v = sc.v JOIN sz ON sz.s = sc.s
+        |  CROSS JOIN gs),
+        |m AS (SELECT s, min(ns) AS ns, min(n) AS n, max(dev) AS dmax
+        |  FROM d GROUP BY s),
+        |a AS (SELECT d.s, CAST(min(v) AS BIGINT) AS ks_value
+        |  FROM d JOIN m ON m.s = d.s AND d.dev = m.dmax GROUP BY d.s),
+        |o AS (SELECT m.s, ns, n, dmax, ks_value,
+        |    CAST(dmax AS DOUBLE)
+        |      /(CAST(ns AS DOUBLE)*CAST(n - ns AS DOUBLE)) AS ks0
+        |  FROM m JOIN a ON a.s = m.s),
+        |cnt AS (SELECT source AS s2, CAST(count(*) AS BIGINT) AS cs
+        |  FROM r GROUP BY 1),
+        |cnn AS (SELECT CAST(count(*) AS BIGINT) AS cn FROM r),
+        |pr AS (SELECT c.s2, ps.perm, r.v, r.wt,
+        |    CASE WHEN (${graft.operators.Sampling.portableGateSql(
+             "CAST(doc_id AS VARCHAR) || ':' || c.s2 || ':perm' || " +
+               "CAST(perm AS VARCHAR)")})
+        |        % 1048576 * cn < cs * 1048576 THEN 1 ELSE 0 END AS sd
+        |  FROM r CROSS JOIN cnt c CROSS JOIN cnn,
+        |    range(1, ${PermR + 1}) AS ps(perm)),
+        |pc AS (SELECT s2, perm, v, sum((1-sd)*wt) AS ca,
+        |    sum(sd*wt) AS cb FROM pr GROUP BY 1, 2, 3),
+        |pst AS (SELECT s2, perm, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM pc GROUP BY 1, 2),
+        |pcm AS (SELECT s2, perm, v,
+        |    sum(ca) OVER (PARTITION BY s2, perm ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY s2, perm ORDER BY v) AS cumb
+        |  FROM pc),
+        |pd AS (SELECT pcm.s2, pcm.perm,
+        |    abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na)
+        |      AS dev, na, nb
+        |  FROM pcm JOIN pst ON pst.s2 = pcm.s2 AND pst.perm = pcm.perm),
+        |pm AS (SELECT s2, perm, min(na) AS na, min(nb) AS nb,
+        |    max(dev) AS dmax FROM pd GROUP BY 1, 2),
+        |kr AS (SELECT s2, perm,
+        |    CASE WHEN na > 0 AND nb > 0 THEN CAST(dmax AS DOUBLE)
+        |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)) END AS ksr
+        |  FROM pm),
+        |ng AS (SELECT o.s,
+        |    CAST(sum(CASE WHEN kr.ksr >= o.ks0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ge
+        |  FROM kr JOIN o ON o.s = kr.s2 GROUP BY 1),
+        |k AS (SELECT source AS s, sum(CAST(wt AS HUGEINT)*wt) AS sw2
+        |  FROM r GROUP BY 1),
+        |kg AS (SELECT sum(sw2) AS gw2 FROM k),
+        |f AS (SELECT o.s, o.ns, o.n, o.ks0, o.ks_value, ng.n_ge,
+        |    CAST(o.ns AS DOUBLE)*CAST(o.ns AS DOUBLE)
+        |      /CAST(k.sw2 AS DOUBLE) AS neffs,
+        |    CAST(o.n - o.ns AS DOUBLE)*CAST(o.n - o.ns AS DOUBLE)
+        |      /CAST(kg.gw2 - k.sw2 AS DOUBLE) AS neffr
+        |  FROM o JOIN ng ON ng.s = o.s JOIN k ON k.s = o.s CROSS JOIN kg)
+        |SELECT s AS source, ns AS w_s, n - ns AS w_rest,
+        |  floor(ks0*1e6+0.5)/1e6 AS ks, ks_value, n_ge,
+        |  floor(CAST(n_ge + 1 AS DOUBLE)/${PermR + 1}.0*1e6+0.5)/1e6
+        |    AS p_perm,
+        |  ks0 > 1.358*sqrt((neffs+neffr)/(neffs*neffr)) AS drifted_kish,
+        |  n_ge = 0 AS drifted_perm
         |FROM f ORDER BY s""".stripMargin,
 
     // t37: flat-window one-vs-rest replica. The two candidates per
