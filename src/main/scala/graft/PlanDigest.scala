@@ -354,6 +354,22 @@ object PlanDigest {
          |one-shuffle (d13's embedding pairwise scan measured +0.7 s
          |at sf0.1 without it).
          |
+         |Known-multimodal (r17): q54_weighted_quantile prints with
+         |THREE observed digests under the reuse-off session
+         |(53c7341f… 4/7 runs, 2f4f5bb4… 2/7 incl. the full sweep,
+         |d55f457c… 1/7 — also the r16 manifest value). Dump+diff
+         |(SPARK_GRAFT_DIGEST_DUMP) shows the only delta is ±1
+         |`Scan ExistingRDD + Filter` pair: the materialized census
+         |is ONE DataFrame object with several consumers, and the
+         |formatted plan sometimes prints a consumer's scan as a
+         |shared-instance reference instead of an expanded subtree —
+         |object-identity print sharing, not a plan change (same
+         |joins, exchanges, pushed filters; the 7th session-history
+         |artifact class, surviving reuse=false because it is not
+         |exchange reuse). Adjudicate a q54 flap by dump+diff before
+         |reading anything into it; the ExactQuantile r16 probe makes
+         |q45/q58 latent carriers of the same class.
+         |
          || query | plan_digest |
          ||---|---|
          |""".stripMargin
