@@ -1488,7 +1488,11 @@ object TextQueries {
       * evaluation grid — per-source cost stays census-sized, the only
       * extra shuffle vs t35 is the stratum↔global census equi-join on
       * the value. Exact integer deviations ⇒ hash-portable ks and
-      * witness. */
+      * witness. t37's `drifted` flag is the classical count-based
+      * critical value (honest here — unweighted ECDFs are its exact
+      * regime); when a calibration-grade gate is needed, t41's
+      * Bernoulli(cnt_s/N) randomization applies to this unweighted
+      * leaderboard verbatim (drop the weightCol). */
     "t37_source_anomaly" -> ((s, d) => {
       val ks = graft.operators.KsDrift.ksOneVsRest(
         Tables.documents(s, d), "source", "n_chars")
