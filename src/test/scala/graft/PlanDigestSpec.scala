@@ -214,4 +214,34 @@ class PlanDigestSpec extends AnyFunSuite {
     assert(PlanDigest.digest("BroadcastHashJoin [k#1]") !=
       PlanDigest.digest("SortMergeJoin [k#1]"))
   }
+
+  test("normalize folds duplicate operator-instance detail blocks and " +
+      "blanks positional ordinals (8th artifact class: q54 printed 40 " +
+      "vs 41 checkpoint-scan blocks across same-code runs)") {
+    // same header tree; run B prints the shared census scan's detail
+    // block under two instance ids, run A under one — q54's real shape
+    val header = Seq(
+      "Sort (9)",
+      "+- HashAggregate (8)",
+      "   +- Scan ExistingRDD (7)").mkString("\n")
+    def scanBlock(n: Int) = Seq(
+      s"($n) Scan ExistingRDD",
+      "Output [3]: [c#1L, g#2, v#3]",
+      "Arguments: [c#1L, g#2, v#3], RDD[x] at x at x.scala:x, " +
+        "ExistingRDD, UnknownPartitioning(0)").mkString("\n")
+    val runA = header + "\n\n" + scanBlock(7)
+    val runB = header + "\n\n" + scanBlock(7) + "\n\n" + scanBlock(12)
+    assert(PlanDigest.normalize(runA) == PlanDigest.normalize(runB))
+    // subquery hosting references are instance ids too
+    assert(PlanDigest.normalize("Hosting operator id = 215") ==
+      PlanDigest.normalize("Hosting operator id = 217"))
+    // a DIFFERENT detail block (other schema) must NOT fold away
+    val other = scanBlock(12).replace("v#3", "w#3")
+    assert(PlanDigest.normalize(runA + "\n\n" + other) !=
+      PlanDigest.normalize(runA))
+    // and an extra occurrence in the HEADER TREE still flips the digest
+    val header2 = header + "\n      +- Scan ExistingRDD (6)"
+    assert(PlanDigest.normalize(header2 + "\n\n" + scanBlock(7)) !=
+      PlanDigest.normalize(runA))
+  }
 }
