@@ -168,6 +168,14 @@ object PlanDigest {
       .replaceAll("(?m)^\\(\\d+\\) ", "(x) ")
       .replaceAll("(?m) \\(\\d+\\)$", " (x)")
       .replaceAll("Hosting operator id = \\d+", "Hosting operator id = x")
+      // a detail header's `[codegen id : x]` tag rides the same flap:
+      // whether the shared instance's block prints with the tag follows
+      // which consumer's codegen region planned it (t41's census scan
+      // printed tagged in one run, untagged in another — near-twin
+      // blocks that dedup could not fold). Codegen-region STRUCTURE
+      // stays pinned by the header tree's `*` markers and
+      // WholeStageCodegen nodes; only the detail tag is dropped.
+      .replaceAll("(?m)^\\(x\\) (.+?) \\[codegen id : x\\]$", "(x) $1")
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     deord.split("\n\n", -1).foreach(seen += _)
     seen.mkString("\n\n")

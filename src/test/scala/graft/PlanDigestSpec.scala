@@ -243,5 +243,12 @@ class PlanDigestSpec extends AnyFunSuite {
     val header2 = header + "\n      +- Scan ExistingRDD (6)"
     assert(PlanDigest.normalize(header2 + "\n\n" + scanBlock(7)) !=
       PlanDigest.normalize(runA))
+    // the `[codegen id : N]` detail-header tag follows which consumer's
+    // codegen region planned the shared instance — near-twin blocks
+    // differing only in the tag must fold (t41's census scan flapped
+    // exactly this way across same-code sweeps)
+    val tagged = runA.replace("(7) Scan ExistingRDD",
+      "(7) Scan ExistingRDD [codegen id : 3]")
+    assert(PlanDigest.normalize(tagged) == PlanDigest.normalize(runA))
   }
 }
