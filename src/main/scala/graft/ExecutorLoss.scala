@@ -61,7 +61,14 @@ object ExecutorLoss {
       graft.queries.DedupQueries.labelPropagateCollapsed(
         Soak.plantedDocsForHarness(s, sfDir))),
     "s24_hier_kmeans" -> ((s: SparkSession) =>
-      SparkEntry.queries("s24_hier_kmeans")(s, sfDir)))
+      SparkEntry.queries("s24_hier_kmeans")(s, sfDir)),
+    // r17: ExactQuantile's adaptive level-2 path adds a SECOND
+    // checkpoint site (the targeted sub-bucket census) plus two
+    // driver-side probe actions between checkpoints — q58 forces that
+    // branch at every SF, so a kill after the first checkpoint write
+    // exercises recovery across the probe/sub-bucket stages too
+    "q58_subbucket_quantile" -> ((s: SparkSession) =>
+      SparkEntry.queries("q58_outlier_quantiles")(s, sfDir)))
 
   private def session(master: String, mode: String, ckDir: String,
       extraCp: String): SparkSession = {
