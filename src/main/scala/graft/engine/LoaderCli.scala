@@ -175,7 +175,12 @@ object LoaderCli {
     * prints a stack trace. */
   def rootMessage(e: Throwable): String = {
     var cur = e
-    while (cur.getCause != null && (cur.getCause ne cur)) cur = cur.getCause
+    var depth = 0
+    // depth cap: a cyclic cause chain (a→b→a) must not hang the CLI's
+    // error path; 32 levels is far past any real Spark wrapper stack
+    while (cur.getCause != null && (cur.getCause ne cur) && depth < 32) {
+      cur = cur.getCause; depth += 1
+    }
     val msg = Option(cur.getMessage).getOrElse(cur.getClass.getSimpleName)
     msg.linesIterator.nextOption().getOrElse(msg)
   }

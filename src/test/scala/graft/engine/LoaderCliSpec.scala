@@ -92,6 +92,12 @@ class LoaderCliSpec extends AnyFunSuite {
     }
     val (cj, mj) = LoaderCli.classify(eJdbc)
     assert(cj == 1 && mj.startsWith("csv2db:") && !mj.contains("\n"))
+
+    // a cyclic cause chain must not hang the error path
+    val a = new RuntimeException("outer")
+    val b = new RuntimeException("inner", a)
+    a.initCause(b)
+    assert(LoaderCli.rootMessage(a).nonEmpty)
   }
 
   test("dotted --table resolves schema-qualified (ref load_config.go:" +
