@@ -76,25 +76,76 @@ object LoaderCli {
       |  -s,  --store-preset NAME store the merged config under NAME
       |  -l,  --log-level LEVEL   spark log level (ERROR|WARN|INFO|DEBUG)
       |  -h,  --help              show this help
+      |  -v,  --version           print the version
       |""".stripMargin
+
+  /** Version line (ref: urfave/cli auto-registers `--version, -v` and
+    * prints `NAME version VERSION`). */
+  val versionText: String = "csv2db (graft) version 0.1.0"
 
   /** Raised by `--help`; `main` prints [[helpText]] and exits 0. */
   final class HelpRequested extends RuntimeException("help")
 
+  /** Raised by `--version`; `main` prints [[versionText]] and exits 0. */
+  final class VersionRequested extends RuntimeException("version")
+
+  /** A pre-session usage error (bad argv, unresolvable config, wrong
+    * url scheme) — `main` exits 2 with the message. Distinct from the
+    * plain IllegalArgumentExceptions the JVM throws DURING a load
+    * (UnsupportedCharsetException from a bad `--encoding` surfaces at
+    * read time and subclasses IAE): those take the exit-1 load-failure
+    * path, matching the reference's log.Fatalf (`csv2db.go:84-86`). */
+  final class UsageError(msg: String) extends IllegalArgumentException(msg)
+
+  /** Every flag the parser knows, for unknown-flag suggestions. */
+  private val knownFlags: Seq[String] = Seq(
+    "--url", "--table", "-t", "--table-mode", "-m", "--input-file", "-i",
+    "--has-header", "-hh", "--delimiter", "-d", "--encoding", "-e",
+    "--preset", "-p", "--store-preset", "-s", "--log-level", "-l",
+    "--help", "-h", "--version", "-v")
+
+  /** Plain Levenshtein over flag strings — inputs are <20 chars. */
+  private def editDistance(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  /** "did you mean --x?" for a near-miss flag (urfave/cli prints the
+    * usage text; a targeted suggestion is strictly more helpful and
+    * the spec pins it). */
+  private def suggest(flag: String): String = {
+    val best = knownFlags.minBy(editDistance(flag, _))
+    if (editDistance(flag, best) <= 2) s" (did you mean $best?)" else ""
+  }
+
   def parseArgs(args: Seq[String]): CliArgs = {
-    def bad(msg: String) = throw new IllegalArgumentException(msg)
+    def bad(msg: String) = throw new UsageError(msg)
     @annotation.tailrec
     def go(rest: List[String], acc: CliArgs): CliArgs = rest match {
       case Nil => acc
       // boolean flag, no value (ref `cli.BoolFlag`)
       case ("--has-header" | "-hh") :: t => go(t, acc.copy(header = Some(true)))
       case ("--help" | "-h") :: _ => throw new HelpRequested
+      case ("--version" | "-v") :: _ => throw new VersionRequested
       case flag :: value :: t =>
-        // A '-'-prefixed "value" is a following flag, i.e. the value is
-        // missing — fail loudly instead of swallowing the next flag
-        // (urfave/cli does the same). One carve-out: the literal `--`
+        // A '-'-prefixed "value" is almost always a following flag,
+        // i.e. the value is missing — fail loudly instead of silently
+        // swallowing the next flag. DELIBERATE SAFETY DIVERGENCE from
+        // the reference: urfave/cli v1 (Go stdlib flag) consumes the
+        // next argument unconditionally as a non-boolean flag's value.
+        // Two carve-outs keep the legitimate cases: a lone `-` is a
+        // real value (e.g. `--delimiter -`), and the literal `--`
         // stdin sentinel for --input-file (S2).
-        if (value.startsWith("-") &&
+        if (value.startsWith("-") && value != "-" &&
             !(value == "--" && (flag == "--input-file" || flag == "-i")))
           bad(s"flag $flag needs a value")
         flag match {
@@ -107,7 +158,7 @@ object LoaderCli {
           case "--preset" | "-p"        => go(t, acc.copy(preset = Some(value)))
           case "--store-preset" | "-s"  => go(t, acc.copy(storePreset = Some(value)))
           case "--log-level" | "-l"     => go(t, acc.copy(logLevel = Some(value)))
-          case other                    => bad(s"unknown flag: $other")
+          case other                    => bad(s"unknown flag: $other${suggest(other)}")
         }
       case lone :: _ => bad(s"flag $lone needs a value")
     }
@@ -125,7 +176,7 @@ object LoaderCli {
     * persists the MERGED config (ref `setPreset` stores the filled
     * config, not the raw argv). Input `--` stages stdin (S2). */
   def resolveConfig(cli: CliArgs, presetPath: Path,
-      stdin: () => java.io.InputStream = () => System.in): Resolved = {
+      stdin: () => java.io.InputStream = () => System.in): Resolved = try {
     val asPreset = Presets.Preset(cli.url, cli.table, cli.mode,
       cli.delimiter, cli.header, cli.encoding)
     val loaded = Presets.load(presetPath, cli.preset.getOrElse("default"))
@@ -134,9 +185,9 @@ object LoaderCli {
     cli.storePreset.foreach(name => Presets.save(presetPath, name, merged))
 
     val table = merged.table.getOrElse(
-      throw new IllegalArgumentException("--table is required"))
+      throw new UsageError("--table is required"))
     val input = cli.input.getOrElse(
-      throw new IllegalArgumentException("--input-file is required"))
+      throw new UsageError("--input-file is required"))
     val path =
       if (input == "--") CsvSource.stageStream(stdin()).toString else input
     val csv = CsvOptions(
@@ -145,6 +196,12 @@ object LoaderCli {
       encoding = merged.encoding.getOrElse("UTF-8"))
     Resolved(merged.url, table,
       Loader.LoadConfig(path, csv, TableMode.parse(merged.mode.getOrElse(""))))
+  } catch {
+    // everything thrown during RESOLUTION is a usage error (bad
+    // delimiter / table-mode validation throws plain IAE from its own
+    // module); load-time IAEs never pass through here
+    case e: IllegalArgumentException if !e.isInstanceOf[UsageError] =>
+      throw new UsageError(e.getMessage)
   }
 
   /** Sink selection (A5): a `jdbc:` url runs the JDBC sink with the
@@ -154,7 +211,7 @@ object LoaderCli {
       val creds = Auth.resolveDefault(u)
       new JdbcTableSink(spark, u, r.table,
         user = creds.map(_.user), password = creds.map(_.password))
-    case Some(u) => throw new IllegalArgumentException(
+    case Some(u) => throw new UsageError(
       s"--url must be a jdbc: url (got '$u'); omit it for a managed table")
     case None => new ManagedTableSink(spark, r.table)
   }
@@ -188,18 +245,23 @@ object LoaderCli {
   /** `main`'s failure policy as data, so the spec can assert exit codes
     * without a process boundary: usage errors → 2, load-time failures
     * → 1 with the one-line root cause (ref `log.Fatalf` = exit 1,
-    * `csv2db.go:84-86` — never a stack trace). */
+    * `csv2db.go:84-86` — never a stack trace). Only [[UsageError]]
+    * (thrown by parse/resolve, pre-session) exits 2 — a plain
+    * IllegalArgumentException can be a LOAD failure (the JVM's charset
+    * exceptions subclass it) and must take the exit-1 path. */
   def classify(e: Throwable): (Int, String) = e match {
-    case iae: IllegalArgumentException => (2, s"csv2db: ${iae.getMessage}")
-    case other                         => (1, s"csv2db: ${rootMessage(other)}")
+    case ue: UsageError => (2, s"csv2db: ${ue.getMessage}")
+    case other          => (1, s"csv2db: ${rootMessage(other)}")
   }
 
   def main(args: Array[String]): Unit = {
-    // --help short-circuits before a session is built (parse is pure)
+    // --help/--version short-circuit before a session is built (parse
+    // is pure)
     try parseArgs(args.toSeq)
     catch {
       case _: HelpRequested => println(helpText); return
-      case e: IllegalArgumentException =>
+      case _: VersionRequested => println(versionText); return
+      case e: UsageError =>
         System.err.println(s"csv2db: ${e.getMessage}"); sys.exit(2)
     }
     val spark = graft.Sessions.tune(SparkSession.builder()

@@ -123,10 +123,49 @@ final class JdbcTableSink(
     else name
   }
 
+  /** `getTables`/`getColumns` treat their schema/table arguments as SQL
+    * LIKE patterns, so a name containing `_` (any `my_table`) matches
+    * any character in that position — exists() could return a false
+    * positive for a DIFFERENT table (`my_t` matches `myXt`) and as-is
+    * mode would proceed against it. Escape the wildcards with the
+    * driver's declared escape string — and because some drivers honor
+    * NO escape at all (Derby's getSearchStringEscape is "", and a
+    * backslash is matched literally), every metadata row is ALSO
+    * post-filtered by exact folded-name equality ([[sameIdentifier]]). */
+  private def escapeLike(conn: java.sql.Connection, name: String): String = {
+    val esc = Option(conn.getMetaData.getSearchStringEscape).getOrElse("")
+    if (esc.isEmpty) name
+    else name.replace(esc, esc + esc)
+      .replace("_", esc + "_").replace("%", esc + "%")
+  }
+
+  private def foldPattern(conn: java.sql.Connection, name: String): String =
+    escapeLike(conn, fold(conn, name))
+
+  /** Exact-match check for a metadata result row: the driver-reported
+    * identifier vs our folded literal name. */
+  private def sameIdentifier(conn: java.sql.Connection,
+      reported: String, plain: String): Boolean =
+    reported == fold(conn, plain)
+
+  /** Does this metadata row belong to OUR (schema, table) — not a
+    * LIKE-wildcard near-miss? Unqualified names accept any schema
+    * (the connection default decides visibility, as before). */
+  private def rowMatches(conn: java.sql.Connection,
+      rs: java.sql.ResultSet): Boolean =
+    sameIdentifier(conn, rs.getString("TABLE_NAME"), tablePlain) &&
+      schemaPlain.forall(s =>
+        sameIdentifier(conn, Option(rs.getString("TABLE_SCHEM")).getOrElse(""), s))
+
   override def exists(): Boolean = withConn { conn =>
     val rs = conn.getMetaData.getTables(null,
-      schemaPlain.map(fold(conn, _)).orNull, fold(conn, tablePlain), null)
-    try rs.next() finally rs.close()
+      schemaPlain.map(foldPattern(conn, _)).orNull,
+      foldPattern(conn, tablePlain), null)
+    try {
+      var found = false
+      while (!found && rs.next()) found = rowMatches(conn, rs)
+      found
+    } finally rs.close()
   }
 
   /** Catalog introspection via JDBC metadata (ref S6/S7,
@@ -135,10 +174,11 @@ final class JdbcTableSink(
     * bit that drives the reference's `""→NULL` vs fail-on-empty split. */
   override def schema(): StructType = withConn { conn =>
     val rs = conn.getMetaData.getColumns(null,
-      schemaPlain.map(fold(conn, _)).orNull, fold(conn, tablePlain), null)
+      schemaPlain.map(foldPattern(conn, _)).orNull,
+      foldPattern(conn, tablePlain), null)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, StructField)]
     try {
-      while (rs.next()) {
+      while (rs.next()) if (rowMatches(conn, rs)) {
         val name = rs.getString("COLUMN_NAME")
         val jdbcType = rs.getInt("DATA_TYPE")
         val nullable = rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls

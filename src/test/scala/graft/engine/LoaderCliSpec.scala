@@ -38,13 +38,42 @@ class LoaderCliSpec extends AnyFunSuite {
       LoaderCli.parseArgs(Seq("-t", "-hh", "file.csv"))
     }
     assert(e.getMessage.contains("needs a value"))
-    // the one carve-out: the literal stdin sentinel for --input-file
+    // carve-out 1: the literal stdin sentinel for --input-file
     assert(LoaderCli.parseArgs(Seq("-t", "x", "-i", "--"))
       .input.contains("--"))
     // but '--' is NOT a value for any other flag
     intercept[IllegalArgumentException] {
       LoaderCli.parseArgs(Seq("-d", "--"))
     }
+    // carve-out 2: a lone '-' is a real value (a legitimate single-char
+    // delimiter; urfave/cli would accept it too since it consumes the
+    // next argument unconditionally)
+    assert(LoaderCli.parseArgs(Seq("-t", "x", "-i", "y", "-d", "-"))
+      .delimiter.contains("-"))
+  }
+
+  test("--version raises VersionRequested; unknown flags get a " +
+      "did-you-mean suggestion") {
+    intercept[LoaderCli.VersionRequested] {
+      LoaderCli.parseArgs(Seq("--version"))
+    }
+    intercept[LoaderCli.VersionRequested] {
+      LoaderCli.parseArgs(Seq("-t", "x", "-v"))
+    }
+    assert(LoaderCli.versionText.contains("csv2db") &&
+      LoaderCli.versionText.contains("0.1.0"))
+    assert(LoaderCli.helpText.contains("--version"))
+    val near = intercept[IllegalArgumentException] {
+      LoaderCli.parseArgs(Seq("--tabel", "x"))
+    }
+    assert(near.getMessage.contains("did you mean --table?"),
+      s"no suggestion in: ${near.getMessage}")
+    // a far miss gets no bogus suggestion
+    val far = intercept[IllegalArgumentException] {
+      LoaderCli.parseArgs(Seq("--frobnicate-widget", "x"))
+    }
+    assert(!far.getMessage.contains("did you mean"),
+      s"spurious suggestion in: ${far.getMessage}")
   }
 
   test("--help raises HelpRequested; helpText documents every flag") {
@@ -98,6 +127,23 @@ class LoaderCliSpec extends AnyFunSuite {
     val b = new RuntimeException("inner", a)
     a.initCause(b)
     assert(LoaderCli.rootMessage(a).nonEmpty)
+
+    // a bad --encoding surfaces DURING the read as a charset exception
+    // that subclasses IllegalArgumentException — it is a LOAD failure
+    // (exit 1, ref log.Fatalf), not a usage error: only UsageError from
+    // parse/resolve takes the exit-2 path
+    val okCsv = Files.createTempFile("graft-cli-enc", ".csv")
+    Files.write(okCsv, "a,b\n1,2\n".getBytes("UTF-8"))
+    val eEnc = intercept[Throwable] {
+      LoaderCli.run(Seq("-t", "cli_enc_t", "-m", "create",
+        "-i", okCsv.toString, "-hh", "-e", "NO-SUCH-CHARSET"),
+        spark, presets)
+    }
+    val (ce, me) = LoaderCli.classify(eEnc)
+    assert(ce == 1, s"bad charset must exit 1 (load failure), got $ce " +
+      s"for $eEnc")
+    assert(me.startsWith("csv2db:") && !me.contains("\n"))
+    spark.sql("DROP TABLE IF EXISTS cli_enc_t")
   }
 
   test("dotted --table resolves schema-qualified (ref load_config.go:" +
@@ -116,6 +162,23 @@ class LoaderCliSpec extends AnyFunSuite {
     assert(plain.exists())
     sink.drop()
     assert(!sink.exists() && !plain.exists())
+  }
+
+  test("exists()/schema() escape LIKE wildcards: my_t must not match " +
+      "a table named myXt (JDBC metadata args are patterns)") {
+    val url = "jdbc:derby:memory:cliLike;create=true"
+    val other = new graft.engine.sink.JdbcTableSink(spark, url, "myXt")
+    other.createAllString(Seq("a"))
+    val underscored = new graft.engine.sink.JdbcTableSink(spark, url, "my_t")
+    assert(!underscored.exists(),
+      "unescaped '_' in the name pattern matched a different table")
+    // schema() must not leak the other table's columns either — for a
+    // missing table it throws (same as any not-found table)
+    intercept[IllegalArgumentException] { underscored.schema() }
+    underscored.createAllString(Seq("b", "c"))
+    assert(underscored.exists() &&
+      underscored.schema().fieldNames.toSeq == Seq("b", "c"))
+    underscored.drop(); other.drop()
   }
 
   test("resolveConfig: preset fills gaps, cli wins, store persists " +
