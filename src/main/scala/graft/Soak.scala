@@ -571,7 +571,8 @@ object Soak {
     "t37_source_anomaly", "t39_source_mass_anomaly",
     "e21_stream_ks_drift", "t40_perm_drift_test",
     "e22_stream_ks_closed", "s26_embed_drift",
-    "t41_perm_source_anomaly", "e23_stream_embed_drift")
+    "t41_perm_source_anomaly", "e23_stream_embed_drift",
+    "t42_bpe_learn")
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Verbatim.map(n => n -> SparkEntry.queries(n)) ++

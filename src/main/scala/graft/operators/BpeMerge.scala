@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning (Sennrich et al. 2016, arXiv:1508.07909) as a
+  * fixed-round distributed loop over a (word, freq) vocabulary frame —
+  * the corpus→tokenizer build stage of a training-data pipeline
+  * (roster witness: t42).
+  *
+  * Representation: a word's symbol sequence rides a double-delimited
+  * string `"##l##o##w##"`. The merge rewrite
+  * `replace('#l##r#' → '#lr#')` takes only ONE `#` from each outer
+  * boundary, so adjacent matches never share characters and a plain
+  * left-to-right non-overlapping `replace` IS greedy BPE:
+  * `"a a a a"` + merge (a,a) → `[aa, aa]`, not `[aa, a, a]`. Spark and
+  * DuckDB `replace()` share these semantics, which is what lets an
+  * ITERATIVE learner hash-oracle end to end (t42's oracle unrolls the
+  * same rounds in SQL).
+  *
+  * Scale shape: every round is (1) one map-side-combinable
+  * adjacent-pair census over the vocabulary (explode factor = symbols
+  * per word), (2) a 1-row TakeOrdered winner with the engine-neutral
+  * total order (pair_n desc, pair asc), (3) a broadcast crossJoin
+  * rewrite. No self-joins, no corpus re-scan (the corpus is folded to
+  * (word, freq) once, by the caller), no driver-side data loop;
+  * per-round [[Materialize]] cuts the replayed lineage (the d13/d21
+  * fixpoint discipline). Production learners iterate to a vocab-size
+  * target; fixed rounds keep the strict oracle. */
+object BpeMerge {
+  import Materialize.MaterializeOps
+
+  /** `"low"` → `"##l##o##w##"`: the boundary encoding above. */
+  def toSymbols(word: Column): Column =
+    concat(lit("##"), regexp_replace(word, "(.)", "$1##"))
+
+  private def symbols(sy: Column): Column =
+    filter(split(sy, "##"), x => x =!= "")
+
+  /** Learn `rounds` merges from a (word, freq) vocabulary.
+    *
+    * @param words columns `w` (string, no spaces) and `freq` (long)
+    * @return one row per round: merge_round, l_sym, r_sym, pair_n,
+    *         tokens_after (Σ freq·|symbols| after the merge),
+    *         vocab_after (distinct symbol types after the merge) */
+  def learn(words: DataFrame, rounds: Int): DataFrame = {
+    var vocab = words
+      .select(toSymbols(col("w")).as("sy"), col("freq"))
+      .materialize
+    val perRound = (1 to rounds).map { r =>
+      val census = vocab
+        .withColumn("a", symbols(col("sy")))
+        // size-1 words have no pairs; the guard matters because
+        // sequence(0, -1) DESCENDS in Spark instead of being empty
+        .select(col("freq"), explode(expr(
+          """CASE WHEN size(a) >= 2
+            | THEN transform(sequence(0, size(a)-2),
+            |                i -> concat(a[i], ' ', a[i+1]))
+            | ELSE CAST(array() AS array<string>) END""".stripMargin))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("pair_n"))
+      val winner = census
+        .orderBy(col("pair_n").desc, col("pair"))
+        .limit(1)
+        .select(substring_index(col("pair"), " ", 1).as("l_sym"),
+          substring_index(col("pair"), " ", -1).as("r_sym"),
+          col("pair_n"))
+        .materialize
+      vocab = vocab.crossJoin(broadcast(winner.select("l_sym", "r_sym")))
+        .select(expr("replace(sy, '#' || l_sym || '##' || r_sym || '#'," +
+          " '#' || l_sym || r_sym || '#')").as("sy"), col("freq"))
+        .materialize
+      val stats = vocab
+        .select(col("freq"), explode(symbols(col("sy"))).as("sym"))
+        .agg(sum("freq").as("tokens_after"),
+          countDistinct("sym").as("vocab_after"))
+      winner.crossJoin(stats)
+        .select(lit(r).as("merge_round"), col("l_sym"), col("r_sym"),
+          col("pair_n"), col("tokens_after"), col("vocab_after"))
+    }
+    perRound.reduce(_ unionByName _).orderBy("merge_round")
+  }
+}

@@ -53,6 +53,11 @@ object TextQueries {
     * 3-token window ≡ 0 (mod this), so boundaries fire at rate 1/A. */
   val CdcAvgChunk = 8
 
+  /** t42 merge-learning rounds: fixed N (the d21/s07 unrolled-round
+    * discipline) so the whole iterative build keeps a strict hash
+    * oracle. A production build iterates to a vocab-size target. */
+  val BpeRounds = 8
+
   /** Whitespace tokens, Go-/DuckDB-compatible splitting (consecutive
     * separators produce empty tokens in both engines; filtered out). */
   private def tokens: Column =
@@ -1801,9 +1806,87 @@ object TextQueries {
             .as("drifted"))
         .orderBy("lang")
     }),
+
+    /** Learned-tokenizer build — BPE merge learning (Sennrich et al.
+      * 2016, arXiv:1508.07909), the corpus→tokenizer stage every
+      * training-data pipeline runs and the one the roster only
+      * AUDITED until now (t05 splits with a fixed regex, t30 measures
+      * fertility of a GIVEN tokenizer; nothing learned a vocabulary).
+      * [[BpeRounds]] unrolled top-1 merge rounds, each: ONE
+      * map-side-combinable adjacent-pair census over the word
+      * VOCABULARY — (word, freq) built once from the corpus, so every
+      * iteration is vocabulary-sized, never corpus-sized — a 1-row
+      * winner broadcast back, and a scan-side literal re-pair.
+      *
+      * Symbol sequences ride a double-delimited string ("##a##b##"):
+      * the merge rewrite replace('#l##r#' → '#lr#') takes only ONE
+      * '#' from each outer boundary, so adjacent matches never share
+      * characters and a left-to-right non-overlapping replace IS
+      * greedy BPE ("a a a a" + merge (a,a) → [aa, aa], not
+      * [aa, a, a]) — the same replace() semantics in Spark and DuckDB,
+      * which is what lets the iterative build hash end-to-end. All
+      * counts integer; the winner total order (pair_n desc, pair asc)
+      * is engine-independent; tokens_after/vocab_after publish the
+      * compression trajectory per round, each an exact census.
+      *
+      * Scale shape: the corpus is touched ONCE (combinable
+      * groupBy(word)); each round is one exploded pair census
+      * (explode factor = word length, vocab-sized input), a 1-row
+      * TakeOrdered winner, and a broadcast crossJoin rewrite — no
+      * self-join, no per-round corpus scan, no driver loop over data.
+      * The loop itself is [[graft.operators.BpeMerge.learn]] (unit-
+      * tested on synthetic words, incl. the overlap edge case); this
+      * query folds the corpus to the vocabulary and publishes the
+      * learned merge table. */
+    "t42_bpe_learn" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(tokens).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      graft.operators.BpeMerge.learn(words, BpeRounds)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // t42: the SAME unrolled merge rounds as the Spark side (generated
+    // by one loop so the two can never desynchronize on N); greedy
+    // re-pair replicates via the shared '#'-boundary replace trick —
+    // see the query scaladoc. Sums cast to BIGINT (DuckDB sums to
+    // HUGEINT).
+    "t42_bpe_learn" -> {
+      val rounds = (1 to BpeRounds).map { r =>
+        val p = r - 1
+        s"""c$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_n FROM (
+           |   SELECT freq, unnest(list_transform(range(1, len(a)),
+           |            i -> a[i] || ' ' || a[i+1])) AS pair
+           |   FROM (SELECT list_filter(string_split(sy, '##'), x -> x <> '') AS a,
+           |                freq FROM v$p)) GROUP BY 1),
+           | m$r AS (SELECT string_split(pair, ' ')[1] AS l_sym,
+           |          string_split(pair, ' ')[2] AS r_sym, pair_n
+           |        FROM c$r ORDER BY pair_n DESC, pair LIMIT 1),
+           | v$r AS (SELECT replace(v$p.sy,
+           |                 '#' || m$r.l_sym || '##' || m$r.r_sym || '#',
+           |                 '#' || m$r.l_sym || m$r.r_sym || '#') AS sy, freq
+           |        FROM v$p, m$r),
+           | s$r AS (SELECT CAST(sum(freq) AS BIGINT) AS tokens_after,
+           |               count(DISTINCT sym) AS vocab_after FROM (
+           |          SELECT freq, unnest(list_filter(string_split(sy, '##'),
+           |                   x -> x <> '')) AS sym FROM v$r)),
+           | o$r AS (SELECT $r AS merge_round, l_sym, r_sym, pair_n,
+           |               tokens_after, vocab_after FROM m$r, s$r)""".stripMargin
+      }
+      val selects = (1 to BpeRounds)
+        .map(r => s"SELECT * FROM o$r").mkString("\n", "\nUNION ALL ", "")
+      s"""WITH words AS (
+        |  SELECT w, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents) GROUP BY 1),
+        | v0 AS (SELECT '##' || regexp_replace(w, '(.)', '\\1##', 'g') AS sy,
+        |               freq FROM words),
+        | ${rounds.mkString(",\n ")}
+        |$selects
+        |ORDER BY merge_round""".stripMargin
+    },
+
     // t22: the composed funnel replicates stage by stage — t13 gate
     // formulas, d01 keeper rule, t16 uniform-gate downsample — so the
     // chained pipeline is verified end-to-end.
