@@ -165,14 +165,23 @@ object CentroidBuild {
     * executor to hold the full fine table regardless of size — exactly
     * the broadcast cliff this hierarchy exists to close. */
   def nearestGrouped(df: DataFrame, cents: DataFrame, groupCol: String,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String): DataFrame =
+    nearestGroupedK(df, cents, groupCol, idCol, vecCol, 1).drop("rn")
+
+  /** [[nearestGrouped]] keeping the top-`k` fine centroids per row with
+    * their rank (`rn`) — rank 1 is the home cluster, rank 2 the
+    * second-nearest (s27 uses it for cross-cluster graph edges). Same
+    * window spec as the k=1 assignment, so rank-1 rows are identical
+    * to [[nearestGrouped]]'s by construction. */
+  def nearestGroupedK(df: DataFrame, cents: DataFrame, groupCol: String,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val sims = df.join(cents, groupCol)
       .select(col(idCol), col(groupCol), col("fid"),
         rnd6(graft.functions.VectorExpressions.array_cosine(
           col(vecCol), col("fvec"))).as("csim"))
     val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("fid"))
     sims.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+      .filter(col("rn") <= k)
   }
 
   /** Per-group Lloyd — [[lloyd]] run simultaneously inside every group of

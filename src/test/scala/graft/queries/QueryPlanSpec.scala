@@ -515,6 +515,57 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(!coarsePlan.contains("CartesianProduct"), coarsePlan.take(3000))
   }
 
+  test("s27: the graph build's pair join is equi-keyed on (cell, fid) " +
+      "— bounded per-cluster frames, never all-pairs; the beam " +
+      "expansion broadcasts the frontier against the slim edge frame; " +
+      "the final plan keeps the audit semi-join and never " +
+      "cartesian-products") {
+    val plan = planOf("s27_graph_beam")
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the committed query localCheckpoints the routed table and every
+    // beam round, truncating the build from the final plan (the
+    // s24/d13 situation) — rebuild the pre-checkpoint frames and pin
+    // each shape where it is visible
+    import graft.operators.{CentroidBuild => CB}
+    import org.apache.spark.sql.functions.transform
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val coarse = CB.lloyd(emb, "vec_id", "vec", k = 5, rounds = 1)
+    val cells = CB.nearest(
+        CB.similarities(emb, coarse, "vec_id", "vec"), "vec_id")
+      .withColumnRenamed("cl_id", "cell")
+    val embCell = emb.join(cells, "vec_id")
+    val fine = CB.lloydGrouped(embCell, "cell", "vec_id", "vec", 5,
+      rounds = 1)
+    val home = CB.nearestGroupedK(embCell, fine, "cell", "vec_id", "vec", 1)
+    val pairs = home.select(col("vec_id").as("src"), col("cell"), col("fid"))
+      .join(home.select(col("vec_id").as("dst"), col("cell"), col("fid")),
+        Seq("cell", "fid"))
+      .filter(col("src") =!= col("dst"))
+    pairs.collect()
+    val pairPlan = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!pairPlan.contains("CartesianProduct"), pairPlan.take(3000))
+    assert(pairPlan.linesIterator.exists(l =>
+      l.contains("Left keys") && l.contains("cell") && l.contains("fid")),
+      pairPlan.take(3000))
+    // one beam round: the q-row frontier meets the edge frame in a
+    // broadcast hash join on src — the edge frame itself never shuffles
+    val frontier = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("vec_id"))
+    val expanded = frontier.join(pairs.select("src", "dst"),
+      frontier("vec_id") === col("src"))
+    expanded.collect()
+    val beamPlan = expanded.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // (the rebuilt frame inlines the whole un-checkpointed build, so
+    // only the top join shape is asserted — the committed query's
+    // materialize calls truncate everything below it)
+    assert(beamPlan.contains("BroadcastHashJoin"), beamPlan.take(3000))
+  }
+
   test("d13: both hierarchy levels assign by broadcast (coarse BNLJ, " +
       "fine equi-keyed BHJ on cell), and the dup-pair join is " +
       "equi-keyed on (cl_id, sub) — the hierarchical-build shape " +
