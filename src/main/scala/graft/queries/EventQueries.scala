@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -145,6 +146,59 @@ object EventQueries {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     scratchDirs.add(p)
     p.toString
+  }
+
+  /** e23/e24 shared featurizer — ONE definition so the streaming
+    * monitor (e23) and the batch leaderboard over its census (e24) can
+    * never desynchronize on the projection family or the planted bump.
+    *
+    * ±1 signs per (dot projection, window position): s26's gate
+    * derivation, verbatim (a 4-row driver job; literals in the plan). */
+  private def e23Signs(s: SparkSession): Map[Long, Seq[Long]] =
+    s.range(4).select(col("id"),
+        transform(sequence(lit(0), lit(15)), i =>
+          when(pmod(graft.operators.Sampling.portableGate(
+            concat(lit("eproj:"), col("id").cast("string"), lit(":"),
+              i.cast("string"))), lit(2)) === 1, 1L).otherwise(-1L))
+          .as("sgn"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  /** Coordinate projections sampled by the s26/e23 census. */
+  private val E23CoordIdx = Seq(0, 5, 32, 47)
+
+  /** The synthesized ingest timeline over the embeddings corpus with
+    * the PLANTED day-7 model bump applied to the data (day = vec_id
+    * mod 10, ingest at 01:00; from day 7 the portable-gated 20% of
+    * vectors arrive re-embedded, +0.25 on dims 0–15). Returns
+    * (dayi, ts, v64). */
+  private def e23Staged(s: SparkSession, d: String): DataFrame = {
+    val gated = pmod(graft.operators.Sampling.portableGate(
+      concat(lit("edrift:"), col("vec_id").cast("string"))), lit(5)) === 0
+    val dayIdx = pmod(col("vec_id"), lit(10L))
+    // 2024-03-01 00:00 UTC = epoch 1709251200; ingest at 01:00
+    val ts = (lit(1709251200L + 3600L) + dayIdx * lit(86400L))
+      .cast("timestamp").as("ts")
+    val vec = transform(col("embedding"), (x, i) =>
+      when(gated && dayIdx >= 7 && i < lit(16),
+        x.cast("double") + lit(0.25)).otherwise(x.cast("double")))
+    Tables.embeddings(s, d).select(dayIdx.as("dayi"), ts, vec.as("v64"))
+  }
+
+  /** The 8 exact-integer projections of a `v64` vector: 4 integerized
+    * coordinates + 4 gate-signed 16-dim window dots. */
+  private def e23Projs(signs: Map[Long, Seq[Long]]): Seq[Column] = {
+    def xi6(c: Column): Column =
+      floor(c * lit(1e6) + lit(0.5)).cast("long")
+    E23CoordIdx.zipWithIndex.map { case (ci, p) =>
+      struct(lit(p).as("proj"),
+        xi6(element_at(col("v64"), ci + 1)).as("pval"))
+    } ++ (0 until 4).map { p =>
+      val w = if (p < 2) 0 else 32
+      val sgn = array(signs(p.toLong).map(lit): _*)
+      struct(lit(p + 4).as("proj"),
+        aggregate(zip_with(slice(col("v64"), w + 1, 16), sgn,
+          (x, sg) => sg * xi6(x)), lit(0L), (a, b) => a + b).as("pval"))
+    }
   }
 
   /** Forced-arrival-order replay staging — ONE shared utility (e15/e18/
@@ -1112,29 +1166,8 @@ object EventQueries {
       * and the KS tail costs 2× census per day transition per
       * projection. */
     "e23_stream_embed_drift" -> ((s, d) => {
-      // ±1 signs per (dot projection, window position) — s26's gate
-      // derivation, verbatim (a 4-row driver job; literals in the plan)
-      val signs: Map[Long, Seq[Long]] = s.range(4).select(col("id"),
-          transform(sequence(lit(0), lit(15)), i =>
-            when(pmod(graft.operators.Sampling.portableGate(
-              concat(lit("eproj:"), col("id").cast("string"), lit(":"),
-                i.cast("string"))), lit(2)) === 1, 1L).otherwise(-1L))
-            .as("sgn"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-      val coordIdx = Seq(0, 5, 32, 47)
-      val emb = Tables.embeddings(s, d)
-      val gated = pmod(graft.operators.Sampling.portableGate(
-        concat(lit("edrift:"), col("vec_id").cast("string"))), lit(5)) === 0
-      val dayIdx = pmod(col("vec_id"), lit(10L))
-      // 2024-03-01 00:00 UTC = epoch 1709251200; ingest at 01:00
-      val ts = (lit(1709251200L + 3600L) + dayIdx * lit(86400L))
-        .cast("timestamp").as("ts")
-      // the staged snapshot IS the drifted ingest: the bump is applied
-      // to the data, the stream only featurizes
-      val vec = transform(col("embedding"), (x, i) =>
-        when(gated && dayIdx >= 7 && i < lit(16),
-          x.cast("double") + lit(0.25)).otherwise(x.cast("double")))
-      val staged = emb.select(ts, vec.as("v64"))
+      val signs = e23Signs(s)
+      val staged = e23Staged(s, d).select(col("ts"), col("v64"))
       val day = col("ts").cast("date")
       val d3 = lit("2024-03-04").cast("date") // days 0-3
       val d6 = lit("2024-03-07").cast("date") // days 4-6
@@ -1152,21 +1185,9 @@ object EventQueries {
       val schema = s.read.parquet(src).schema
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
-      def xi6(c: Column): Column =
-        floor(c * lit(1e6) + lit(0.5)).cast("long")
-      val projs: Seq[Column] = coordIdx.zipWithIndex.map { case (ci, p) =>
-        struct(lit(p).as("proj"),
-          xi6(element_at(col("v64"), ci + 1)).as("pval"))
-      } ++ (0 until 4).map { p =>
-        val w = if (p < 2) 0 else 32
-        val sgn = array(signs(p.toLong).map(lit): _*)
-        struct(lit(p + 4).as("proj"),
-          aggregate(zip_with(slice(col("v64"), w + 1, 16), sgn,
-            (x, sg) => sg * xi6(x)), lit(0L), (a, b) => a + b).as("pval"))
-      }
       val cen = stream
         .withWatermark("ts", "1 hour")
-        .select(col("ts"), explode(array(projs: _*)).as("x"))
+        .select(col("ts"), explode(array(e23Projs(signs): _*)).as("x"))
         .groupBy(window(col("ts"), "1 day").as("win"),
           col("x.proj").as("proj"), col("x.pval").as("pval"))
         .agg(count(lit(1)).as("c"))
@@ -1190,7 +1211,7 @@ object EventQueries {
       // closed-window completeness: every vector contributes exactly 8
       // projection observations to exactly one emitted window
       val emitted = out.agg(sum("c")).head().getLong(0)
-      val nVec = emb.count()
+      val nVec = Tables.embeddings(s, d).count()
       require(emitted == 8 * nVec,
         s"e23: closed windows carry $emitted observations, expected " +
           s"${8 * nVec} (8 per vector) — the watermark dropped data or " +
@@ -1217,6 +1238,79 @@ object EventQueries {
           (col("ks") > lit(1.358) * sqrt((na + nb) / (na * nb)))
             .as("drifted"))
         .orderBy("day", "proj")
+    }),
+
+    /** Projection drift LEADERBOARD over e23's census — the page a
+      * fleet actually reads: e23 flags per (day-pair, projection);
+      * the weekly on-call question is "which PROJECTION moved most
+      * this week". One weighted KS per projection (early half, days
+      * 0–4, vs late half, days 5–9, of the ingest window — the
+      * planted day-7 bump sits in the late half), permutation-
+      * calibrated at the DAY level: the exchangeable unit of an
+      * ingest timeline is the day, not the observation (t40/t41
+      * permute rows because docs are exchangeable; here a
+      * row-level permutation would break within-day correlation and
+      * overstate significance — the classic block-permutation rule),
+      * so R=19 replicas redraw a BALANCED 5/5 day split by ranking
+      * portable gates (no degenerate empty-side replicas, exact null
+      * p floor 1/20), all replicas riding ONE ks2 pass with
+      * (proj, perm) groups, the t41 shape.
+      *
+      * INPUT is the census e23's stream maintains: a deployment reads
+      * the monitor's sink table; roster queries are self-contained, so
+      * this one rebuilds the identical census batch-side (same shared
+      * featurizer, so the equality e23 asserts row-exactly — Σc =
+      * 8×vectors — holds by construction; no streaming fixture cost
+      * repeated). Expect projections 0,1 (coords 0,5 < dim 16) and
+      * 4,5 (window dots over dims 0–15) to lead the board — the bump
+      * touches only dims 0–15. Scale: census-sized input throughout;
+      * the permutation multiplier is ×R on the census, not the
+      * corpus; the board rank is an 8-row global window. */
+    "e24_proj_leaderboard" -> ((s, d) => {
+      val R = 19
+      val signs = e23Signs(s)
+      val census = e23Staged(s, d)
+        .select(col("dayi"), explode(array(e23Projs(signs): _*)).as("x"))
+        .groupBy(col("dayi"), col("x.proj").as("proj"),
+          col("x.pval").as("pval"))
+        .agg(count(lit(1)).as("c"))
+        .materialize // consumed by the observed KS, the perm KS, and days
+      val obs = graft.operators.KsDrift.ks2(
+          census.withColumn("side_b", col("dayi") >= 5),
+          "proj", "pval", "side_b", weightCol = "c")
+        .select(col("proj"), col("n_a").as("w_early"),
+          col("n_b").as("w_late"), col("ks").as("ks_obs"), col("ks_value"))
+      // balanced 5/5 day relabelings: rank each replica's gates
+      val days = census.select("dayi").distinct()
+      val perms = days
+        .withColumn("perm", explode(sequence(lit(1), lit(R))))
+        .withColumn("g", graft.operators.Sampling.portableGate(
+          concat(lit("e24p:"), col("dayi").cast("string"), lit(":"),
+            col("perm").cast("string"))))
+      val wP = Window.partitionBy("perm").orderBy(col("g"), col("dayi"))
+      val sides = perms.withColumn("rn", row_number().over(wP))
+        .select(col("dayi"), col("perm"), (col("rn") <= 5).as("side_perm"))
+      val ksPerm = graft.operators.KsDrift.ks2(
+          census.join(broadcast(sides), "dayi")
+            .withColumn("gp", concat_ws("|", col("proj"), col("perm"))),
+          "gp", "pval", "side_perm", weightCol = "c")
+        .withColumn("proj", substring_index(col("gp"), "|", 1).cast("long"))
+      val nGe = ksPerm
+        .join(broadcast(obs.select("proj", "ks_obs")), "proj")
+        .groupBy("proj")
+        .agg(sum(when(col("ks") >= col("ks_obs"), 1L).otherwise(0L))
+          .as("n_ge"))
+      val p = (col("n_ge") + lit(1L)).cast("double") / lit((R + 1).toDouble)
+      // global window — benign: it ranks the 8-projection board
+      val wB = Window.orderBy(col("ks_obs").desc, col("proj"))
+      obs.join(broadcast(nGe), "proj")
+        .withColumn("board_rank", row_number().over(wB))
+        .select(col("board_rank"), col("proj"), col("w_early"),
+          col("w_late"), RelationalQueries.rnd(col("ks_obs"), 6).as("ks"),
+          col("ks_value").cast("long").as("ks_value"), col("n_ge"),
+          RelationalQueries.rnd(p, 6).as("p_perm"),
+          (col("n_ge") === 0).as("drifted_perm"))
+        .orderBy("board_rank")
     }),
 
     /** Native session-window streaming sessionization — the built-in
@@ -1780,6 +1874,102 @@ object EventQueries {
         |      /(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))) AS drifted
         |FROM m JOIN a ON a.day = m.day AND a.proj = m.proj
         |WHERE na > 0 AND nb > 0 ORDER BY day, proj""".stripMargin,
+
+    // e24: the e23 census replica (same featurizer CTEs), then one
+    // weighted KS per projection over the week halves, R=19 balanced
+    // day relabelings via ranked portable gates, and the ranked board.
+    "e24_proj_leaderboard" ->
+      s"""WITH sg AS (SELECT p, i,
+        |    CASE WHEN (${graft.operators.Sampling.portableGateSql(
+             "'eproj:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")})
+        |      % 2 = 1 THEN 1 ELSE -1 END AS sgn
+        |  FROM range(4) ps(p), range(16) js(i)),
+        |e AS (SELECT vec_id, embedding,
+        |    (${graft.operators.Sampling.portableGateSql(
+             "'edrift:' || CAST(vec_id AS VARCHAR)")}) % 5 = 0 AS gated,
+        |    CAST(vec_id % 10 AS INT) AS dayi
+        |  FROM embeddings),
+        |cx AS (SELECT vec_id, dayi, CAST(ix.i AS INT) AS idx,
+        |    CAST(embedding[CAST(ix.i + 1 AS INT)] AS DOUBLE) AS xd, gated
+        |  FROM e, range(64) ix(i)),
+        |c6 AS (SELECT vec_id, dayi, idx,
+        |    CAST(floor((CASE WHEN gated AND dayi >= 7 AND idx < 16
+        |      THEN xd + 0.25 ELSE xd END)*1e6+0.5) AS BIGINT) AS x6
+        |  FROM cx),
+        |cidx(proj, cix) AS (VALUES (0, 0), (1, 5), (2, 32), (3, 47)),
+        |rc AS (SELECT dayi, proj, x6 AS pval FROM c6
+        |  JOIN cidx ON cidx.cix = c6.idx),
+        |rd AS (SELECT dayi, 4 + sg.p AS proj, c6.vec_id,
+        |    sum(sg.sgn * c6.x6) AS pval
+        |  FROM c6 JOIN sg
+        |    ON c6.idx = sg.i + CASE WHEN sg.p < 2 THEN 0 ELSE 32 END
+        |  GROUP BY 1, 2, 3),
+        |allr AS (SELECT dayi, proj, pval FROM rc
+        |  UNION ALL SELECT dayi, proj, pval FROM rd),
+        |cen AS (SELECT dayi, proj, CAST(pval AS DOUBLE) AS v, count(*) AS c
+        |  FROM allr GROUP BY 1, 2, 3),
+        |o2 AS (SELECT proj, v,
+        |    sum(CASE WHEN dayi < 5 THEN c ELSE 0 END) AS ca,
+        |    sum(CASE WHEN dayi >= 5 THEN c ELSE 0 END) AS cb
+        |  FROM cen GROUP BY 1, 2),
+        |ost AS (SELECT proj, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM o2 GROUP BY 1),
+        |occ AS (SELECT proj, v,
+        |    sum(ca) OVER (PARTITION BY proj ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY proj ORDER BY v) AS cumb
+        |  FROM o2),
+        |od AS (SELECT occ.proj, v,
+        |    abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na) AS dev,
+        |    na, nb
+        |  FROM occ JOIN ost ON ost.proj = occ.proj),
+        |om AS (SELECT proj, min(na) AS na, min(nb) AS nb, max(dev) AS dmax
+        |  FROM od GROUP BY 1),
+        |oa AS (SELECT od.proj, CAST(min(v) AS BIGINT) AS ks_value
+        |  FROM od JOIN om ON om.proj = od.proj AND od.dev = om.dmax
+        |  GROUP BY 1),
+        |ob AS (SELECT om.proj, na, nb,
+        |    CAST(dmax AS DOUBLE)/(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))
+        |      AS ks_obs, ks_value
+        |  FROM om JOIN oa ON oa.proj = om.proj),
+        |dg AS (SELECT d.dayi, p.perm,
+        |    (${graft.operators.Sampling.portableGateSql(
+             "'e24p:' || CAST(dayi AS VARCHAR) || ':' || CAST(perm AS VARCHAR)")})
+        |      AS g
+        |  FROM (SELECT DISTINCT dayi FROM cen) d, range(1, 20) p(perm)),
+        |dp AS (SELECT dayi, perm,
+        |    row_number() OVER (PARTITION BY perm ORDER BY g, dayi) <= 5
+        |      AS sideb
+        |  FROM dg),
+        |p2 AS (SELECT cen.proj, dp.perm, v,
+        |    sum(CASE WHEN NOT sideb THEN c ELSE 0 END) AS ca,
+        |    sum(CASE WHEN sideb THEN c ELSE 0 END) AS cb
+        |  FROM cen JOIN dp ON dp.dayi = cen.dayi GROUP BY 1, 2, 3),
+        |pst AS (SELECT proj, perm, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM p2 GROUP BY 1, 2),
+        |pcc AS (SELECT proj, perm, v,
+        |    sum(ca) OVER (PARTITION BY proj, perm ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY proj, perm ORDER BY v) AS cumb
+        |  FROM p2),
+        |pd AS (SELECT pcc.proj, pcc.perm,
+        |    abs(CAST(cuma AS HUGEINT)*nb - CAST(cumb AS HUGEINT)*na) AS dev,
+        |    na, nb
+        |  FROM pcc JOIN pst ON pst.proj = pcc.proj AND pst.perm = pcc.perm),
+        |pm AS (SELECT proj, perm,
+        |    CAST(max(dev) AS DOUBLE)
+        |      /(CAST(min(na) AS DOUBLE)*CAST(min(nb) AS DOUBLE)) AS ksp
+        |  FROM pd GROUP BY 1, 2),
+        |ng AS (SELECT ob.proj,
+        |    CAST(sum(CASE WHEN pm.ksp >= ob.ks_obs THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ge
+        |  FROM pm JOIN ob ON ob.proj = pm.proj GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY ob.ks_obs DESC, ob.proj)
+        |    AS INTEGER) AS board_rank,
+        | CAST(ob.proj AS BIGINT) AS proj, na AS w_early, nb AS w_late,
+        | floor(ob.ks_obs*1e6+0.5)/1e6 AS ks, ks_value, ng.n_ge,
+        | floor(((ng.n_ge + 1)/20.0)*1e6+0.5)/1e6 AS p_perm,
+        | ng.n_ge = 0 AS drifted_perm
+        |FROM ob JOIN ng ON ng.proj = ob.proj
+        |ORDER BY board_rank""".stripMargin,
 
     // e19: the batch LEFT JOIN with e10's µs-domain range condition;
     // count(purchase_id)/sum(delay_us) skip nulls identically on both
