@@ -739,9 +739,20 @@ object RelationalQueries {
       * single-level path by construction (ExactQuantileSpec pins it);
       * this row proves the level-2 PLAN hash-matches the oracle too.
       * The oracle is q45's `quantile_cont` over the same
-      * outlier-unioned rows — it never sees bucketing at all. */
+      * outlier-unioned rows — it never sees bucketing at all.
+      *
+      * The witness rides an SF-INDEPENDENT capped frame
+      * (l_orderkey < 6000, a pushed-down scan predicate): the plan
+      * pathology is knob-vs-distinct-count, not volume — the cap
+      * keeps 2k–8k distinct prices per group at every SF (≥ 3.8× the
+      * 512 knob, so level 2 always engages; the full sf0.001 frame by
+      * construction at the smallest SF) while shedding the ~3 s the
+      * r17 close run paid to re-prove the same plan on 600k rows
+      * (q45 already prices the level-1 pipeline at full volume, and
+      * SOAK's q45 row covers quantile scaling). */
     "q58_outlier_quantiles" -> ((s, d) => {
       val base = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 6000)
         .select(col("l_returnflag").as("g"),
           col("l_extendedprice").cast("double").as("v"))
       val outliers = base.select("g").distinct()
@@ -1134,11 +1145,13 @@ object RelationalQueries {
     // computes the statistic directly; only the Spark side routes
     // through the adaptive sub-bucket plan, and must agree anyway.
     "q58_outlier_quantiles" ->
-      """WITH src AS (
+      """WITH li AS (SELECT l_returnflag, l_extendedprice FROM lineitem
+        |            WHERE l_orderkey < 6000),
+        | src AS (
         |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v
-        |  FROM lineitem
+        |  FROM li
         |  UNION ALL
-        |  SELECT DISTINCT l_returnflag, 1e15 FROM lineitem)
+        |  SELECT DISTINCT l_returnflag, 1e15 FROM li)
         |SELECT l_returnflag,
         | floor(quantile_cont(v, 0.5)*10000+0.5)/10000 AS p50,
         | floor(quantile_cont(v, 0.9)*10000+0.5)/10000 AS p90,
