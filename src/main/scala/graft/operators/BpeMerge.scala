@@ -43,9 +43,27 @@ object BpeMerge {
     * @return one row per round: merge_round, l_sym, r_sym, pair_n,
     *         tokens_after (Σ freq·|symbols| after the merge),
     *         vocab_after (distinct symbol types after the merge) */
-  def learn(words: DataFrame, rounds: Int): DataFrame = {
+  def learn(words: DataFrame, rounds: Int): DataFrame =
+    run(words, rounds, Nil)._2
+
+  /** Learn AND apply: the same loop, with `carry` columns riding the
+    * vocabulary rows untouched (e.g. lang, the word itself), returning
+    * the final encoded frame (carry..., freq, sy). The pair census
+    * ignores the carry columns, so the learned merge sequence is
+    * identical to [[learn]] on the carry-collapsed vocabulary by
+    * construction (winner totals are sums over the same (word, freq)
+    * mass) — the apply step can never use a different tokenizer than
+    * the learn step published (t42/t43). The per-round leaderboard
+    * frames are built lazily and never execute when the caller only
+    * consumes the encoded frame. */
+  def encode(words: DataFrame, rounds: Int, carry: Seq[String]): DataFrame =
+    run(words, rounds, carry)._1
+
+  private def run(words: DataFrame, rounds: Int, carry: Seq[String])
+      : (DataFrame, DataFrame) = {
     var vocab = words
-      .select(toSymbols(col("w")).as("sy"), col("freq"))
+      .select(carry.map(col) ++
+        Seq(toSymbols(col("w")).as("sy"), col("freq")): _*)
       .materialize
     val perRound = (1 to rounds).map { r =>
       val census = vocab
@@ -67,8 +85,9 @@ object BpeMerge {
           col("pair_n"))
         .materialize
       vocab = vocab.crossJoin(broadcast(winner.select("l_sym", "r_sym")))
-        .select(expr("replace(sy, '#' || l_sym || '##' || r_sym || '#'," +
-          " '#' || l_sym || r_sym || '#')").as("sy"), col("freq"))
+        .select(carry.map(col) ++ Seq(
+          expr("replace(sy, '#' || l_sym || '##' || r_sym || '#'," +
+            " '#' || l_sym || r_sym || '#')").as("sy"), col("freq")): _*)
         .materialize
       val stats = vocab
         .select(col("freq"), explode(symbols(col("sy"))).as("sym"))
@@ -78,6 +97,9 @@ object BpeMerge {
         .select(lit(r).as("merge_round"), col("l_sym"), col("r_sym"),
           col("pair_n"), col("tokens_after"), col("vocab_after"))
     }
-    perRound.reduce(_ unionByName _).orderBy("merge_round")
+    (vocab, perRound.reduce(_ unionByName _).orderBy("merge_round"))
   }
+
+  /** Post-encode symbol array of an encode() row, for audits. */
+  def symbolsOf(syCol: Column): Column = symbols(syCol)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1844,47 +1845,137 @@ object TextQueries {
         .groupBy("w").agg(count(lit(1)).as("freq"))
       graft.operators.BpeMerge.learn(words, BpeRounds)
     }),
+
+    /** Learned-tokenizer APPLICATION — the other half of the t42
+      * lifecycle (learn → apply → audit): encode the corpus with the
+      * merges t42 learns and publish the per-language fertility table
+      * a tokenizer owner reads before shipping the vocabulary (t30's
+      * audit, but of the LEARNED tokenizer instead of a given one —
+      * fragmenting languages show fertility ≫ 1 and low
+      * chars_per_token). [[graft.operators.BpeMerge.encode]] runs the
+      * SAME loop as the learner with (lang, word) riding the
+      * vocabulary rows: the pair census ignores the carry columns, so
+      * the merge sequence is t42's by construction — the apply step
+      * structurally cannot use a different tokenizer than the learn
+      * step published (the s10 shared-pipeline discipline, tokenizer
+      * edition). Audit = integer sums (words, chars, post-encode
+      * tokens, distinct symbol types) per language with two final
+      * divisions; everything vocabulary-sized after the one corpus
+      * fold. */
+    "t43_bpe_apply" -> ((s, d) => {
+      val wordsL = Tables.documents(s, d)
+        .select(col("lang"), explode(tokens).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+      val enc = graft.operators.BpeMerge
+        .encode(wordsL, BpeRounds, Seq("lang", "w"))
+        .materialize // consumed by the audit aggregate AND the vocab census
+      val agg = enc
+        .withColumn("nt",
+          size(graft.operators.BpeMerge.symbolsOf(col("sy"))).cast("long"))
+        .groupBy("lang")
+        .agg(sum("freq").as("n_words"),
+          sum(col("freq") * length(col("w")).cast("long")).as("n_chars"),
+          sum(col("freq") * col("nt")).as("n_tokens"))
+      val vocabPerLang = enc
+        .select(col("lang"),
+          explode(graft.operators.BpeMerge.symbolsOf(col("sy"))).as("sym"))
+        .groupBy("lang").agg(countDistinct("sym").as("n_vocab"))
+      agg.join(broadcast(vocabPerLang), "lang")
+        .select(col("lang"), col("n_words"), col("n_chars"),
+          col("n_tokens"), col("n_vocab"),
+          rnd(col("n_tokens").cast("double") / col("n_words"), 4)
+            .as("fertility"),
+          rnd(col("n_chars").cast("double") / col("n_tokens"), 4)
+            .as("chars_per_token"))
+        .orderBy("lang")
+    }),
   )
 
+  /** Shared DuckDB replica of the BPE merge learner (t42/t43): the
+    * corpus-wide (word, freq) fold, the boundary-string encoding, and
+    * [[BpeRounds]] unrolled census→winner→re-pair rounds — generated
+    * by ONE loop with the Spark side's constants so learner and apply
+    * oracles can never desynchronize on N. Sums cast to BIGINT
+    * (DuckDB sums to HUGEINT); DuckDB prunes unreferenced CTEs, so a
+    * consumer pays only the chain it reads. */
+  private def bpeCteSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val p = r - 1
+      s"""c$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_n FROM (
+         |   SELECT freq, unnest(list_transform(range(1, len(a)),
+         |            i -> a[i] || ' ' || a[i+1])) AS pair
+         |   FROM (SELECT list_filter(string_split(sy, '##'), x -> x <> '') AS a,
+         |                freq FROM v$p)) GROUP BY 1),
+         | m$r AS (SELECT string_split(pair, ' ')[1] AS l_sym,
+         |          string_split(pair, ' ')[2] AS r_sym, pair_n
+         |        FROM c$r ORDER BY pair_n DESC, pair LIMIT 1),
+         | v$r AS (SELECT replace(v$p.sy,
+         |                 '#' || m$r.l_sym || '##' || m$r.r_sym || '#',
+         |                 '#' || m$r.l_sym || m$r.r_sym || '#') AS sy, freq
+         |        FROM v$p, m$r),
+         | s$r AS (SELECT CAST(sum(freq) AS BIGINT) AS tokens_after,
+         |               count(DISTINCT sym) AS vocab_after FROM (
+         |          SELECT freq, unnest(list_filter(string_split(sy, '##'),
+         |                   x -> x <> '')) AS sym FROM v$r)),
+         | o$r AS (SELECT $r AS merge_round, l_sym, r_sym, pair_n,
+         |               tokens_after, vocab_after FROM m$r, s$r)""".stripMargin
+    }
+    s"""words AS (
+      |  SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |    FROM documents) GROUP BY 1),
+      | v0 AS (SELECT '##' || regexp_replace(w, '(.)', '\\1##', 'g') AS sy,
+      |               freq FROM words),
+      | ${rounds.mkString(",\n ")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    // t42: the SAME unrolled merge rounds as the Spark side (generated
-    // by one loop so the two can never desynchronize on N); greedy
-    // re-pair replicates via the shared '#'-boundary replace trick —
-    // see the query scaladoc. Sums cast to BIGINT (DuckDB sums to
-    // HUGEINT).
+    // t42: the shared unrolled merge-round replica; greedy re-pair
+    // replicates via the '#'-boundary replace trick — see the query
+    // scaladoc.
     "t42_bpe_learn" -> {
-      val rounds = (1 to BpeRounds).map { r =>
-        val p = r - 1
-        s"""c$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_n FROM (
-           |   SELECT freq, unnest(list_transform(range(1, len(a)),
-           |            i -> a[i] || ' ' || a[i+1])) AS pair
-           |   FROM (SELECT list_filter(string_split(sy, '##'), x -> x <> '') AS a,
-           |                freq FROM v$p)) GROUP BY 1),
-           | m$r AS (SELECT string_split(pair, ' ')[1] AS l_sym,
-           |          string_split(pair, ' ')[2] AS r_sym, pair_n
-           |        FROM c$r ORDER BY pair_n DESC, pair LIMIT 1),
-           | v$r AS (SELECT replace(v$p.sy,
-           |                 '#' || m$r.l_sym || '##' || m$r.r_sym || '#',
-           |                 '#' || m$r.l_sym || m$r.r_sym || '#') AS sy, freq
-           |        FROM v$p, m$r),
-           | s$r AS (SELECT CAST(sum(freq) AS BIGINT) AS tokens_after,
-           |               count(DISTINCT sym) AS vocab_after FROM (
-           |          SELECT freq, unnest(list_filter(string_split(sy, '##'),
-           |                   x -> x <> '')) AS sym FROM v$r)),
-           | o$r AS (SELECT $r AS merge_round, l_sym, r_sym, pair_n,
-           |               tokens_after, vocab_after FROM m$r, s$r)""".stripMargin
-      }
       val selects = (1 to BpeRounds)
-        .map(r => s"SELECT * FROM o$r").mkString("\n", "\nUNION ALL ", "")
-      s"""WITH words AS (
-        |  SELECT w, count(*) AS freq FROM (
-        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-        |    FROM documents) GROUP BY 1),
-        | v0 AS (SELECT '##' || regexp_replace(w, '(.)', '\\1##', 'g') AS sy,
-        |               freq FROM words),
-        | ${rounds.mkString(",\n ")}
+        .map(r => s"SELECT * FROM o$r").mkString("\nUNION ALL ")
+      s"""WITH $bpeCteSql
         |$selects
         |ORDER BY merge_round""".stripMargin
+    },
+
+    // t43: the same merge CTEs (m1..mN), applied in learned order to
+    // the per-(lang, word) vocabulary; the audit is integer sums with
+    // two final divisions.
+    "t43_bpe_apply" -> {
+      val applies = (1 to BpeRounds).map { r =>
+        val p = r - 1
+        s"""e$r AS (SELECT lang, w, freq,
+           |          replace(e$p.sy, '#' || m$r.l_sym || '##' || m$r.r_sym || '#',
+           |                  '#' || m$r.l_sym || m$r.r_sym || '#') AS sy
+           |        FROM e$p, m$r)""".stripMargin
+      }
+      s"""WITH $bpeCteSql,
+        | wl AS (SELECT lang, w, count(*) AS freq FROM (
+        |    SELECT lang,
+        |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents) GROUP BY 1, 2),
+        | e0 AS (SELECT lang, w, freq,
+        |          '##' || regexp_replace(w, '(.)', '\\1##', 'g') AS sy
+        |        FROM wl),
+        | ${applies.mkString(",\n ")},
+        | enc AS (SELECT lang, w, freq,
+        |           list_filter(string_split(sy, '##'), x -> x <> '') AS a
+        |         FROM e$BpeRounds),
+        | agg AS (SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+        |           CAST(sum(freq * length(w)) AS BIGINT) AS n_chars,
+        |           CAST(sum(freq * len(a)) AS BIGINT) AS n_tokens
+        |         FROM enc GROUP BY 1),
+        | vv AS (SELECT lang, count(DISTINCT sym) AS n_vocab FROM (
+        |          SELECT lang, unnest(a) AS sym FROM enc) GROUP BY 1)
+        |SELECT agg.lang, n_words, n_chars, n_tokens, vv.n_vocab,
+        | floor(CAST(n_tokens AS DOUBLE)/n_words*10000+0.5)/10000 AS fertility,
+        | floor(CAST(n_chars AS DOUBLE)/n_tokens*10000+0.5)/10000
+        |   AS chars_per_token
+        |FROM agg JOIN vv ON vv.lang = agg.lang
+        |ORDER BY agg.lang""".stripMargin
     },
 
     // t22: the composed funnel replicates stage by stage — t13 gate

@@ -65,6 +65,36 @@ class BpeMergeSpec extends AnyFunSuite {
     assert(out(0)._5 == 6L && out(0)._6 == 2L)
   }
 
+  test("encode(carry): the apply step uses exactly the learned merge " +
+      "sequence — carry-split vocabularies produce identical encodings " +
+      "and the same global token total as learn reports") {
+    val words = Seq(("lower", 2L), ("newer", 6L), ("wider", 3L))
+    val learned = BpeMerge.learn(words.toDF("w", "freq"), 2).collect()
+    val tokensAfter = learned.last.getLong(4)
+    // the same mass split across two carry groups (lower's freq 2 = 1+1)
+    val carried = Seq(
+      ("a", "lower", 1L), ("b", "lower", 1L),
+      ("a", "newer", 6L), ("b", "wider", 3L))
+    val enc = BpeMerge.encode(carried.toDF("g", "w", "freq"), 2,
+      Seq("g", "w"))
+    val rows = enc.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // identical word → identical encoding, regardless of carry group
+    val lowers = rows.filter(_._2 == "lower").map(_._3).distinct
+    assert(lowers.length == 1, s"carry split changed the encoding: $rows")
+    // global token mass matches the learner's own trajectory
+    val total = enc
+      .select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("freq") *
+          org.apache.spark.sql.functions.size(
+            BpeMerge.symbolsOf(org.apache.spark.sql.functions.col("sy")))
+            .cast("long")))
+      .collect()(0).getLong(0)
+    assert(total == tokensAfter,
+      s"encode total $total != learn tokens_after $tokensAfter")
+  }
+
   test("merged symbols compose across rounds (multi-char symbols " +
       "merge further, the m+er shape)") {
     val words = Seq(("mer", 4L), ("er", 1L))
