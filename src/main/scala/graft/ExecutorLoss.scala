@@ -68,7 +68,14 @@ object ExecutorLoss {
     // branch at every SF, so a kill after the first checkpoint write
     // exercises recovery across the probe/sub-bucket stages too
     "q58_subbucket_quantile" -> ((s: SparkSession) =>
-      SparkEntry.queries("q58_outlier_quantiles")(s, sfDir)))
+      SparkEntry.queries("q58_outlier_quantiles")(s, sfDir)),
+    // r18: s27's graph beam search — the checkpoint-densest pipeline
+    // on the roster (routed table, symmetrized edge frame, seed set,
+    // and one checkpoint per beam round) with broadcast-join stages
+    // between the sites; a kill mid-walk proves an iterative GRAPH
+    // TRAVERSAL recovers, not just aggregation fixpoints
+    "s27_graph_beam" -> ((s: SparkSession) =>
+      SparkEntry.queries("s27_graph_beam")(s, sfDir)))
 
   private def session(master: String, mode: String, ckDir: String,
       extraCp: String): SparkSession = {
