@@ -572,7 +572,8 @@ object Soak {
     "e21_stream_ks_drift", "t40_perm_drift_test",
     "e22_stream_ks_closed", "s26_embed_drift",
     "t41_perm_source_anomaly", "e23_stream_embed_drift",
-    "t42_bpe_learn", "s27_graph_beam", "t43_bpe_apply")
+    "t42_bpe_learn", "s27_graph_beam", "t43_bpe_apply",
+    "e24_proj_leaderboard")
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Verbatim.map(n => n -> SparkEntry.queries(n)) ++
