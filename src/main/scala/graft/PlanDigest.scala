@@ -146,6 +146,27 @@ object PlanDigest {
     def |>[B](f: A => B): B = f(a)
   }
 
+  /** 9th artifact class (r18) — KNOWN RESIDUAL, documented rather than
+    * normalized: an AQE BroadcastHashJoin between two NEAR-EQUAL tiny
+    * query stages can flip BuildLeft/BuildRight run-to-run. The
+    * planner picks the smaller measured side, and a stage's measured
+    * size is its compressed shuffle/RDD bytes, which jitter by a few
+    * bytes with task-order-dependent row order — a near-tie flips.
+    * Observed once each on m09 (r18 close sweep) and d13 (a probe
+    * sweep) across four full r18 sweeps; both are report-tail joins of
+    * two census frames where either side broadcasting is equally
+    * correct, so the semantic impact is zero. NOT folded by the
+    * normalizer: the build side of a broadcast join is usually a real
+    * plan property (most roster joins pair a corpus side with a hinted
+    * small side), and canonicalizing child order of an indented plan
+    * tree would blind the digest to genuine join-order changes.
+    * Protocol when a manifest row flaps with no code motive: re-run
+    * (tools/plan_digests.sh — round_close now always dumps normalized
+    * plans), diff the dumps; a pure BuildLeft/BuildRight mirror of one
+    * BHJ subtree is this class — commit the majority value. If a site
+    * recurs, pin it by construction with an explicit broadcast() hint
+    * on the intended side. */
+
   /** 8th artifact class (r17): formatted explain prints ONE detail
     * block per operator INSTANCE — and whether a plan fragment with
     * several consumers is planned into a shared instance or separate

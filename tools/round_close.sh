@@ -61,7 +61,14 @@ cp BENCH_LAST.json "BENCH_r${ROUND}_native.json"
 echo "snapshotted BENCH_r${ROUND}_native.json"
 
 echo "== round_close 2/5: plan digest manifest =="
-sh tools/plan_digests.sh "$SF_DIR" > /dev/null
+# always dump the normalized plans beside the manifest: when a digest
+# flaps (r18: m09 read a never-reproduced value in one sweep), the
+# adjudication protocol needs the flapped PLAN TEXT, which a
+# digest-only run discards
+dump_dir="/tmp/graft_digest_dump_r${ROUND}"
+mkdir -p "$dump_dir"
+SPARK_GRAFT_DIGEST_DUMP="$dump_dir" sh tools/plan_digests.sh "$SF_DIR" > /dev/null
+echo "(normalized plans dumped to $dump_dir)"
 git diff --stat PLAN_DIGESTS.md || true
 
 echo "== round_close 3/5: bench history gate =="
