@@ -493,9 +493,197 @@ object MultimodalQueries {
           expr("(n_frames * 100) div n_scenes"))
         .orderBy("source")
     }),
+
+    /** Interleaved multimodal document assembly — the MMC4 placement
+      * stage (Zhu et al. 2023, arXiv:2304.06939): given a text corpus
+      * and a pool of images, place each image at the most similar
+      * text chunk of its document, at most one image per chunk — the
+      * step that turns (docs, image pool) into interleaved
+      * image-text pretraining records. The matching is GREEDY
+      * BIPARTITE per document (MMC4 uses bipartite assignment on CLIP
+      * scores): [[M11Rounds]] unrolled rounds, each round ONE
+      * doc-keyed window picking the best still-free (image, chunk)
+      * pair per doc (integer e6 score, (img, chunk) id tie-break)
+      * followed by two anti-joins that retire the picked image and
+      * chunk — the d21/s27 fixed-round discipline applied to
+      * MATCHING, so the whole assignment hash-oracles.
+      *
+      * Scoring is the m08 stub discipline: the image side compresses
+      * its 64-dim embedding to 16 integer block sums (e6-frozen), the
+      * text side is a 16-letter census of the chunk (+1 smoothing so
+      * no zero vector), similarity = e6-floored cosine of the two
+      * integer vectors — a portable stand-in for CLIP image-text
+      * scores; a real deployment swaps the two featurizers and
+      * nothing about the matching machinery changes.
+      *
+      * Scale shape: pairs are per-doc bounded (images/doc × chunks/doc
+      * — both capped by upstream sharding in a deployment), every
+      * window is doc-keyed, the anti-joins are equi-keyed on
+      * (doc, id), and rounds move assignment-sized frames only. The
+      * published per-source table (placed/unplaced, round histogram,
+      * exact score mass) is what a curation run reads to see whether
+      * the pool actually interleaves or piles up unplaced. */
+    "m11_interleave_match" -> ((s, d) => {
+      import graft.operators.Materialize.MaterializeOps
+      val W = org.apache.spark.sql.expressions.Window
+      def xi6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6) + lit(0.5)).cast("long")
+      // image pool: every vector, routed to a doc by id (a deployment
+      // has a real (doc, image) pairing table; the modulus keeps
+      // images-per-doc bounded at every SF)
+      val img16 = array((0 until 16).map(j =>
+        (1 to 4).map(k => xi6(element_at(col("embedding"), 4 * j + k)
+          .cast("double"))).reduce(_ + _).cast("double")): _*)
+      val images = Tables.embeddings(s, d)
+        .select(col("vec_id").as("img_id"),
+          pmod(col("vec_id"), lit(200L)).as("doc_id"), img16.as("iv"))
+      // text side: 16-token chunks of the 200 image-bearing docs,
+      // 16-letter census vector (+1 smoothing — never a zero vector)
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("source"),
+          filter(split(col("text"), " "), x => x =!= "").as("tk"))
+        .materialize // consumed by chunks + both per-source censuses
+      val chunks = docs
+        .select(col("doc_id"), col("source"), posexplode(expr(
+          """transform(sequence(0, CAST(ceil(size(tk) / 16.0) AS INT) - 1),
+            |          i -> array_join(slice(tk, i * 16 + 1, 16), ' '))"""
+            .stripMargin)))
+        .select(col("doc_id"), col("source"), col("pos").as("cidx"),
+          col("col").as("cs"))
+        .withColumn("cv", array((0 until 16).map { j =>
+          val ch = ('a' + j).toChar
+          (length(col("cs")) -
+            length(regexp_replace(col("cs"), ch.toString, "")) + lit(1))
+            .cast("double")
+        }: _*))
+        .select("doc_id", "source", "cidx", "cv")
+      val pairs = chunks
+        .join(images, "doc_id")
+        .withColumn("s6", floor(
+          graft.functions.VectorExpressions.array_cosine(col("iv"), col("cv"))
+            * lit(1e6) + lit(0.5)).cast("long"))
+        .select("doc_id", "source", "img_id", "cidx", "s6")
+      var free = pairs.materialize
+      var assigned: DataFrame = null
+      for (r <- 1 to M11Rounds) {
+        val wD = W.partitionBy("doc_id")
+          .orderBy(col("s6").desc, col("img_id"), col("cidx"))
+        val pick = free.withColumn("rn", row_number().over(wD))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("source"), col("img_id"), col("cidx"),
+            col("s6"), lit(r).as("rnd"))
+          .materialize
+        assigned = if (assigned == null) pick
+                   else assigned.unionByName(pick)
+        free = free
+          .join(pick.select("doc_id", "img_id"), Seq("doc_id", "img_id"),
+            "left_anti")
+          .join(pick.select("doc_id", "cidx"), Seq("doc_id", "cidx"),
+            "left_anti")
+          .materialize
+      }
+      val imgCensus = images.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_imgs"))
+      val chunkCensus = chunks.groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"))
+      val placed = assigned.groupBy("source")
+        .agg(count(lit(1)).as("n_placed"),
+          sum(when(col("rnd") === 1, 1L).otherwise(0L)).as("placed_r1"),
+          sum(when(col("rnd") === 2, 1L).otherwise(0L)).as("placed_r2"),
+          sum(when(col("rnd") === 3, 1L).otherwise(0L)).as("placed_r3"),
+          sum("s6").as("sum_score_e6"))
+      imgCensus
+        .join(broadcast(chunkCensus), "source")
+        .join(broadcast(placed), Seq("source"), "left")
+        .select(col("source"), col("n_imgs"), col("n_chunks"),
+          coalesce(col("n_placed"), lit(0L)).as("n_placed"),
+          (col("n_imgs") - coalesce(col("n_placed"), lit(0L)))
+            .as("n_unplaced"),
+          coalesce(col("placed_r1"), lit(0L)).as("placed_r1"),
+          coalesce(col("placed_r2"), lit(0L)).as("placed_r2"),
+          coalesce(col("placed_r3"), lit(0L)).as("placed_r3"),
+          coalesce(col("sum_score_e6"), lit(0L)).as("sum_score_e6"))
+        .orderBy("source")
+    }),
   )
 
+  /** m11 greedy-matching rounds (= max images placed per doc; chunks
+    * cap it anyway at these doc lengths). Fixed so the oracle unrolls. */
+  val M11Rounds = 3
+
   val oracleSql: Map[String, String] = Map(
+    // m11: the full matching replica — image block sums, chunk letter
+    // census, e6 cosine scores, and the unrolled greedy rounds
+    // (generated by one loop with the Spark side's constant).
+    "m11_interleave_match" -> {
+      val rounds = (1 to M11Rounds).map { r =>
+        val p = r - 1
+        s"""a$r AS (SELECT doc_id, source, img_id, cidx, s6, $r AS rnd FROM (
+           |   SELECT *, row_number() OVER (PARTITION BY doc_id
+           |       ORDER BY s6 DESC, img_id, cidx) AS rn
+           |   FROM p$p) WHERE rn = 1),
+           | p$r AS (SELECT p.doc_id, p.source, p.img_id, p.cidx, p.s6
+           |        FROM p$p p
+           |        LEFT JOIN a$r x ON x.doc_id = p.doc_id
+           |             AND x.img_id = p.img_id
+           |        LEFT JOIN a$r y ON y.doc_id = p.doc_id
+           |             AND y.cidx = p.cidx
+           |        WHERE x.img_id IS NULL AND y.cidx IS NULL)""".stripMargin
+      }
+      val asgUnion = (1 to M11Rounds)
+        .map(r => s"SELECT * FROM a$r").mkString(" UNION ALL ")
+      s"""WITH iv AS (SELECT vec_id AS img_id, vec_id % 200 AS doc_id,
+        |    list_transform(range(0, 16), j ->
+        |      CAST(floor(CAST(embedding[CAST(4*j+1 AS INT)] AS DOUBLE)*1e6+0.5)
+        |         + floor(CAST(embedding[CAST(4*j+2 AS INT)] AS DOUBLE)*1e6+0.5)
+        |         + floor(CAST(embedding[CAST(4*j+3 AS INT)] AS DOUBLE)*1e6+0.5)
+        |         + floor(CAST(embedding[CAST(4*j+4 AS INT)] AS DOUBLE)*1e6+0.5)
+        |        AS DOUBLE)) AS img16
+        |  FROM embeddings),
+        | dt AS (SELECT doc_id, source,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents WHERE doc_id < 200),
+        | ch AS (SELECT doc_id, source, CAST(i AS INT) AS cidx,
+        |          array_to_string(tk[(CAST(i AS INT)*16+1):
+        |            ((CAST(i AS INT)+1)*16)], ' ') AS cs
+        |        FROM dt, unnest(range(0,
+        |          CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS u(i)),
+        | cv AS (SELECT doc_id, source, cidx,
+        |          list_transform(range(0, 16), j -> CAST(
+        |            length(cs) - length(replace(cs, chr(CAST(97+j AS INT)), ''))
+        |            + 1 AS DOUBLE)) AS cv16
+        |        FROM ch),
+        | p0 AS (SELECT cv.doc_id, cv.source, iv.img_id, cv.cidx,
+        |          CAST(floor(list_cosine_similarity(iv.img16, cv.cv16)
+        |            *1e6+0.5) AS BIGINT) AS s6
+        |        FROM cv JOIN iv ON iv.doc_id = cv.doc_id),
+        | ${rounds.mkString(",\n ")},
+        | asg AS ($asgUnion),
+        | ic AS (SELECT dt.source, count(*) AS n_imgs FROM iv
+        |        JOIN dt ON dt.doc_id = iv.doc_id GROUP BY 1),
+        | cc AS (SELECT source, count(*) AS n_chunks FROM ch GROUP BY 1),
+        | pl AS (SELECT source, count(*) AS n_placed,
+        |          CAST(sum(CASE WHEN rnd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS placed_r1,
+        |          CAST(sum(CASE WHEN rnd = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS placed_r2,
+        |          CAST(sum(CASE WHEN rnd = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS placed_r3,
+        |          CAST(sum(s6) AS BIGINT) AS sum_score_e6
+        |        FROM asg GROUP BY 1)
+        |SELECT ic.source, ic.n_imgs, cc.n_chunks,
+        | coalesce(pl.n_placed, 0) AS n_placed,
+        | ic.n_imgs - coalesce(pl.n_placed, 0) AS n_unplaced,
+        | coalesce(pl.placed_r1, 0) AS placed_r1,
+        | coalesce(pl.placed_r2, 0) AS placed_r2,
+        | coalesce(pl.placed_r3, 0) AS placed_r3,
+        | coalesce(pl.sum_score_e6, 0) AS sum_score_e6
+        |FROM ic JOIN cc ON cc.source = ic.source
+        |        LEFT JOIN pl ON pl.source = ic.source
+        |ORDER BY ic.source""".stripMargin
+    },
+
     // m09: full replica of the stub pHash + banding. Byte values come
     // from hex(encode(text)) pairs via strpos on a zero-less hex
     // alphabet (strpos returns 0 for '0', 1-15 for the rest — exactly

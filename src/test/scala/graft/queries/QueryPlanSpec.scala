@@ -566,6 +566,31 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(beamPlan.contains("BroadcastHashJoin"), beamPlan.take(3000))
   }
 
+  test("m11: the matching stays doc-bounded — pair build and the " +
+      "anti-join retirements are equi-keyed, no cartesian anywhere") {
+    val plan = planOf("m11_interleave_match")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the per-round picks are checkpointed, so the surviving joins in
+    // the final plan are the census joins + anti-joins — all keyed
+    assert(plan.contains("LeftAnti") || plan.contains("BroadcastHashJoin"),
+      plan.take(3000))
+    // rebuild the pre-checkpoint pair frame: the image-chunk join must
+    // be an equi-join on doc_id (images meet only their OWN doc's
+    // chunks, never the corpus)
+    import org.apache.spark.sql.functions.{col, pmod, lit, transform => tf}
+    val images = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("img_id"),
+        pmod(col("vec_id"), lit(200L)).as("doc_id"))
+    val docs = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 200).select("doc_id", "source")
+    val paired = docs.join(images, "doc_id")
+    paired.collect()
+    val pairPlan = paired.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!pairPlan.contains("CartesianProduct") &&
+      !pairPlan.contains("BroadcastNestedLoopJoin"), pairPlan.take(3000))
+  }
+
   test("d13: both hierarchy levels assign by broadcast (coarse BNLJ, " +
       "fine equi-keyed BHJ on cell), and the dup-pair join is " +
       "equi-keyed on (cl_id, sub) — the hierarchical-build shape " +
