@@ -163,9 +163,18 @@ object PlanDigest {
     * Protocol when a manifest row flaps with no code motive: re-run
     * (tools/plan_digests.sh — round_close now always dumps normalized
     * plans), diff the dumps; a pure BuildLeft/BuildRight mirror of one
-    * BHJ subtree is this class — commit the majority value. If a site
-    * recurs, pin it by construction with an explicit broadcast() hint
-    * on the intended side. */
+    * BHJ subtree is this class — commit the majority value.
+    *
+    * Why the sites are deliberately NOT pinned with broadcast() hints:
+    * the flapping joins sit between DERIVED frames (checkpointed
+    * census/rep tables) that are tiny on the audit corpus but grow
+    * with the corpus — d13's rep frame is corpus-sized at 100 TB. A
+    * hard hint would force the driver to collect that side at every
+    * scale, exactly the broadcast cliff the nearestGrouped scaladoc
+    * documents leaving to Catalyst. The residual digest jitter on a
+    * handful of near-tie rows is the price of keeping the scale-
+    * correct "let AQE choose" posture; the majority-value manifest +
+    * always-dumped plans keep it auditable. */
 
   /** 8th artifact class (r17): formatted explain prints ONE detail
     * block per operator INSTANCE — and whether a plan fragment with
