@@ -30,7 +30,12 @@ import org.apache.spark.sql.functions._
 object BpeMerge {
   import Materialize.MaterializeOps
 
-  /** `"low"` → `"##l##o##w##"`: the boundary encoding above. */
+  /** `"low"` → `"##l##o##w##"`: the boundary encoding above.
+    *
+    * Assumes words never contain `#` (true of whitespace-split roster
+    * text; both engines run the identical string ops, so even a
+    * violating corpus stays hash-consistent — it just merges wrong).
+    * A production corpus remaps the delimiter or pre-filters. */
   def toSymbols(word: Column): Column =
     concat(lit("##"), regexp_replace(word, "(.)", "$1##"))
 

@@ -544,11 +544,15 @@ object MultimodalQueries {
         .select(col("doc_id"), col("source"),
           filter(split(col("text"), " "), x => x =!= "").as("tk"))
         .materialize // consumed by chunks + both per-source censuses
+      // empty-text guard (the t42 rule): sequence(0, -1) DESCENDS in
+      // Spark while the oracle's range(0, 0) is empty — an unguarded
+      // empty doc would emit two phantom chunks here and none there
       val chunks = docs
         .select(col("doc_id"), col("source"), posexplode(expr(
-          """transform(sequence(0, CAST(ceil(size(tk) / 16.0) AS INT) - 1),
-            |          i -> array_join(slice(tk, i * 16 + 1, 16), ' '))"""
-            .stripMargin)))
+          """CASE WHEN size(tk) >= 1
+            | THEN transform(sequence(0, CAST(ceil(size(tk) / 16.0) AS INT) - 1),
+            |                i -> array_join(slice(tk, i * 16 + 1, 16), ' '))
+            | ELSE CAST(array() AS array<string>) END""".stripMargin)))
         .select(col("doc_id"), col("source"), col("pos").as("cidx"),
           col("col").as("cs"))
         .withColumn("cv", array((0 until 16).map { j =>
