@@ -153,17 +153,28 @@ object PlanDigest {
     * size is its compressed shuffle/RDD bytes, which jitter by a few
     * bytes with task-order-dependent row order — a near-tie flips.
     * Observed once each on m09 (r18 close sweep) and d13 (a probe
-    * sweep) across four full r18 sweeps; both are report-tail joins of
-    * two census frames where either side broadcasting is equally
-    * correct, so the semantic impact is zero. NOT folded by the
-    * normalizer: the build side of a broadcast join is usually a real
-    * plan property (most roster joins pair a corpus side with a hinted
-    * small side), and canonicalizing child order of an indented plan
-    * tree would blind the digest to genuine join-order changes.
-    * Protocol when a manifest row flaps with no code motive: re-run
-    * (tools/plan_digests.sh — round_close now always dumps normalized
-    * plans), diff the dumps; a pure BuildLeft/BuildRight mirror of one
-    * BHJ subtree is this class — commit the majority value.
+    * sweep) across four full r18 sweeps — d13 then landed minority-side
+    * in 3 of 7 total r18 sweeps (a near-fair coin); both are
+    * report-tail joins of two census frames where either side
+    * broadcasting is equally correct, so the semantic impact is zero.
+    * NOT folded by the normalizer: the build side of a broadcast join
+    * is usually a real plan property (most roster joins pair a corpus
+    * side with a hinted small side), and canonicalizing child order of
+    * an indented plan tree would blind the digest to genuine
+    * join-order changes.
+    *
+    * Adjudicated sites instead carry an ACCEPTED-ALTERNATES manifest
+    * row (see [[AcceptedAlternates]]): the row lists every adjudicated
+    * digest state, any regeneration landing on a member writes the
+    * SAME (stable) row, and a third, never-adjudicated value fails the
+    * `--all` run loudly — so the round close needs zero manual edits
+    * regardless of which state the coin lands on, while a planted or
+    * accidental plan change still aborts the close. Protocol when a
+    * NEW row flaps with no code motive: re-run (tools/plan_digests.sh —
+    * round_close always dumps normalized plans), diff the dumps; a
+    * pure BuildLeft/BuildRight mirror of one BHJ subtree is this
+    * class — add BOTH values to [[AcceptedAlternates]] with the
+    * adjudication reference.
     *
     * Why the sites are deliberately NOT pinned with broadcast() hints:
     * the flapping joins sit between DERIVED frames (checkpointed
@@ -171,10 +182,51 @@ object PlanDigest {
     * with the corpus — d13's rep frame is corpus-sized at 100 TB. A
     * hard hint would force the driver to collect that side at every
     * scale, exactly the broadcast cliff the nearestGrouped scaladoc
-    * documents leaving to Catalyst. The residual digest jitter on a
-    * handful of near-tie rows is the price of keeping the scale-
-    * correct "let AQE choose" posture; the majority-value manifest +
-    * always-dumped plans keep it auditable. */
+    * documents leaving to Catalyst. The residual digest bistability on
+    * a handful of near-tie rows is the price of keeping the scale-
+    * correct "let AQE choose" posture; the alternates manifest + the
+    * always-dumped plans keep it auditable and hands-off. */
+  private[graft] val AcceptedAlternates: Map[String, (Set[String], String)] =
+    Map(
+      // d13's report-tail BHJ near-tie (9th class, BENCH_NOTES r18):
+      // canonical pre-r18 state first, the BuildLeft/BuildRight mirror
+      // second — 4:3 over seven r18 sweeps, both dump states
+      // byte-identical within their class.
+      // full minority value captured r19 via SPARK_GRAFT_DIGEST_REPEAT=14
+      // (3/14 reps; prefix matches the seven r18 sweeps' `7f49…`)
+      "d13_semantic_dedup" -> ((Set(
+        "2eed34c4c3c3c276f9ca8b8aca0f7feb",
+        "7f4910edff3320a0828dbb3dc3a6741b"),
+        "9th-class BHJ near-tie, BENCH_NOTES r18")),
+      // m09: the other r18-adjudicated 9th-class site, quantified r19
+      // (5:7 over 12 single-query reps — a near-fair coin like d13);
+      // the two per-state dumps diff as EXACTLY one
+      // `BroadcastHashJoin Inner BuildLeft/BuildRight` line with its
+      // two child subtrees swapped (BENCH_NOTES r19).
+      "m09_phash_neardup" -> ((Set(
+        "bd355fa9c25eb3ef0fbfdecc39694b87",
+        "b8ad109ddb4a92cb9feee7ee1e018a6f"),
+        "9th-class BHJ near-tie, BENCH_NOTES r19"))
+    )
+
+  /** Render one manifest cell: plain digest for ordinary rows; the
+    * sorted accepted set (stable regardless of which member this sweep
+    * observed) for adjudicated-alternates rows. Returns Left(cell) for
+    * a pass, Right(error) when an alternates query lands OUTSIDE its
+    * accepted set — the caller fails the run. */
+  private[graft] def manifestCell(
+      name: String, observed: String): Either[String, String] =
+    AcceptedAlternates.get(name) match {
+      case None => Left(observed)
+      case Some((accepted, note)) =>
+        if (accepted.contains(observed))
+          Left(s"{${accepted.toSeq.sorted.mkString(", ")}} ($note)")
+        else Right(
+          s"$name digest $observed is NOT in its accepted-alternates set " +
+            s"{${accepted.toSeq.sorted.mkString(", ")}} ($note) — " +
+            "a real plan change or an unadjudicated new state; diff the " +
+            "SPARK_GRAFT_DIGEST_DUMP plans and adjudicate before closing")
+    }
 
   /** 8th artifact class (r17): formatted explain prints ONE detail
     * block per operator INSTANCE — and whether a plan fragment with
@@ -340,17 +392,25 @@ object PlanDigest {
     df.collect() // materialize so AQE's final (re-optimized) plan is digested
     val normalized = normalize(df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
-    // diagnostic: SPARK_GRAFT_DIGEST_DUMP=<dir> keeps every normalized
-    // plan for diffing two runs when a digest is unstable
-    sys.env.get("SPARK_GRAFT_DIGEST_DUMP").foreach { dirPath =>
-      val dir = java.nio.file.Paths.get(dirPath)
-      if (java.nio.file.Files.isDirectory(dir))
-        java.nio.file.Files.write(dir.resolve(s"$name.txt"),
-          normalized.getBytes("UTF-8"))
-    }
-    java.security.MessageDigest.getInstance("MD5")
+    val d = java.security.MessageDigest.getInstance("MD5")
       .digest(normalized.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+    // diagnostic: SPARK_GRAFT_DIGEST_DUMP=<dir> keeps every normalized
+    // plan for diffing two runs when a digest is unstable. Two files
+    // per query: <name>.txt (latest run, the round_close default) and
+    // <name>.<digest8>.txt — one per DISTINCT state, so a
+    // SPARK_GRAFT_DIGEST_REPEAT loop over a bistable row leaves BOTH
+    // plan texts on disk for the 9th-class mirror diff.
+    sys.env.get("SPARK_GRAFT_DIGEST_DUMP").foreach { dirPath =>
+      val dir = java.nio.file.Paths.get(dirPath)
+      if (java.nio.file.Files.isDirectory(dir)) {
+        java.nio.file.Files.write(dir.resolve(s"$name.txt"),
+          normalized.getBytes("UTF-8"))
+        java.nio.file.Files.write(dir.resolve(s"$name.${d.take(8)}.txt"),
+          normalized.getBytes("UTF-8"))
+      }
+    }
+    d
   }
 
   def main(args: Array[String]): Unit = {
@@ -382,19 +442,32 @@ object PlanDigest {
     // diagnostic loop can never clobber PLAN_DIGESTS.md.
     val only = sys.env.get("SPARK_GRAFT_DIGEST_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // diagnostic: SPARK_GRAFT_DIGEST_REPEAT=N digests each (subset)
+    // query N times in ONE JVM with the bench scrub between — for
+    // quantifying a bistable row (the 9th-class protocol) without
+    // paying N full sbt launches. Repeat runs never write the manifest.
+    val repeat = sys.env.get("SPARK_GRAFT_DIGEST_REPEAT")
+      .map(_.toInt).getOrElse(1).max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val rows = names.map { name =>
-      val d =
-        try digestOf(spark, name, sfDir)
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[digest] $name FAILED: ${e.getMessage}")
-          "FAILED"
-        }
-      Bench.scrub(spark)
-      println(s"""{"query":"$name","plan_digest":"$d"}""")
-      (name, d)
+    val rows = names.flatMap { name =>
+      (1 to repeat).map { rep =>
+        val d =
+          try digestOf(spark, name, sfDir)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[digest] $name FAILED: ${e.getMessage}")
+            "FAILED"
+          }
+        Bench.scrub(spark)
+        println(s"""{"query":"$name","plan_digest":"$d"${
+          if (repeat > 1) s""","rep":$rep""" else ""}}""")
+        (name, d)
+      }
     }
+    val (cells, violations) = rows.map { case (n, d) =>
+      manifestCell(n, d).fold(c => ((n, c), None),
+        err => ((n, d), Some(err)))
+    }.unzip match { case (cs, vs) => (cs, vs.flatten) }
     val header =
       s"""# Plan digests (${sfDir.split('/').last}, local[${
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}])
@@ -442,17 +515,40 @@ object PlanDigest {
          |digest through the header tree, which keeps every operator
          |occurrence.
          |
+         |r19: rows adjudicated as the 9th artifact class (AQE
+         |build-side near-tie — a bistable BuildLeft/BuildRight mirror
+         |of ONE near-tie BroadcastHashJoin, see
+         |`PlanDigest.AcceptedAlternates`) print their full accepted
+         |set `{digestA, digestB} (note)` instead of a single value:
+         |any regeneration landing on a member reproduces the SAME row
+         |(zero diff, zero manual edits at close), and a third,
+         |never-adjudicated value fails the `--all` run with a non-zero
+         |exit, aborting round_close. Registered sites: d13_semantic_dedup
+         |(4:3 over seven r18 sweeps) and m09_phash_neardup (5:7 over
+         |twelve r19 reps); both states' dumps are byte-identical within
+         |their class and diff across classes as exactly one
+         |BuildLeft/BuildRight mirror (BENCH_NOTES r18/r19).
+         |
          || query | plan_digest |
          ||---|---|
          |""".stripMargin
-    val body = rows.map { case (n, d) => s"| $n | $d |" }.mkString("\n")
-    if (only.isEmpty) {
+    val body = cells.map { case (n, c) => s"| $n | $c |" }.mkString("\n")
+    if (only.isEmpty && repeat == 1) {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (header + body + "\n").getBytes("UTF-8"))
-      println(s"[digest] wrote ${rows.size} digests to $outPath" +
-        (if (rows.exists(_._2 == "FAILED")) " (WITH FAILURES)" else ""))
-    } else println(s"[digest] subset run (${rows.size} digests) — " +
+      println(s"[digest] wrote ${cells.size} digests to $outPath" +
+        (if (cells.exists(_._2 == "FAILED")) " (WITH FAILURES)" else ""))
+    } else println(s"[digest] subset/repeat run (${cells.size} digests) — " +
       "manifest NOT written")
     spark.stop()
+    // an alternates violation fails the run AFTER the manifest is
+    // written (the bad value is visible in the diff) — sbt runMain
+    // propagates the thrown failure as a non-zero exit, which aborts
+    // round_close step 2 (set -e)
+    if (violations.nonEmpty) {
+      violations.foreach(v => System.err.println(s"[digest] VIOLATION: $v"))
+      throw new IllegalStateException(
+        s"${violations.size} accepted-alternates violation(s) — see above")
+    }
   }
 }

@@ -59,6 +59,16 @@ object TextQueries {
     * oracle. A production build iterates to a vocab-size target. */
   val BpeRounds = 8
 
+  /** t44/t45 learned-quality-classifier config: perceptron rounds
+    * (training error hits zero by round 6 on the planted corpus at all
+    * three SFs — measured, see the t44 scaladoc) and the planted
+    * negative: every doc_id % 5 == 0 doc's text is replaced by the
+    * [[BoilerHeader]] banner repeated [[QcBannerReps]] times — the
+    * template-noise document a quality model must learn to reject
+    * (type-token ratio 8/48 ≈ 0.17, below the corpus minimum 0.28). */
+  val QcRounds = 8
+  val QcBannerReps = 6
+
   /** Whitespace tokens, Go-/DuckDB-compatible splitting (consecutive
     * separators produce empty tokens in both engines; filtered out). */
   private def tokens: Column =
@@ -74,6 +84,47 @@ object TextQueries {
     "es" -> Seq("el", "los", "que"),
     "fr" -> Seq("le", "les", "une"),
     "zh" -> Seq("de5", "shi4", "le5"))
+
+  /** t44/t45 shared feature pass: plant the negatives, then one corpus
+    * scan producing the e4 fixed-point feature vector per doc (see
+    * [[graft.operators.QualityPerceptron]] for the arithmetic
+    * portability argument) plus the carry columns the audit reads
+    * (source, y, pass_t13 — the t13 heuristic verdict on the SAME
+    * planted corpus, for the disagreement census). Caller materializes:
+    * the learner re-reads this frame once per round. */
+  private def qcFeatures(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat_ws(" ", (1 to QcBannerReps).map(_ => lit(BoilerHeader)): _*))
+          .otherwise(col("text")))
+    val base = planted
+      .withColumn("toks", tokens)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("ns",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("nstop", size(array_intersect(array_distinct(col("toks")),
+        array(StopWords.map(lit): _*))))
+      .withColumn("digit_frac",
+        size(filter(col("toks"), t => t.rlike("[0-9]"))).cast("double") /
+          col("n"))
+    def ratio(num: Column): Column =
+      when(col("n") > 0, floor(num)).otherwise(0L).cast("long")
+    base.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 5 === 0, -1L).otherwise(1L).as("y"),
+      (least(col("n"), lit(100L)) * 100L).as("x1"),
+      ratio(lit(10000.0) * size(array_distinct(col("toks"))) / col("n"))
+        .as("x2"),
+      ratio(lit(10000.0) *
+        size(filter(col("toks"), t => t.isin(StopWords: _*))) / col("n"))
+        .as("x3"),
+      ratio(least(col("ns").cast("double") / col("n"), lit(10.0)) * 1000.0)
+        .as("x4"),
+      lit(10000L).as("x5"),
+      (col("n").between(20, 1000) &&
+        (col("ns").cast("double") / col("n")).between(3.0, 10.0) &&
+        col("nstop") >= 2 && col("digit_frac") <= 0.2).as("pass_t13"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1889,6 +1940,61 @@ object TextQueries {
             .as("chars_per_token"))
         .orderBy("lang")
     }),
+
+    /** Learned quality classifier, TRAINING stage — the model-based
+      * filtering pass (CCNet / fastText-style) every modern pipeline
+      * runs between t13's hand-written gates and t26's DSIR: a linear
+      * model trained to reject template noise, here a fixed-round batch
+      * perceptron in e4 fixed-point integers
+      * ([[graft.operators.QualityPerceptron]] — the t42/BpeMerge
+      * iterative-learner discipline with a gradient instead of a
+      * merge). Planted labels: doc_id % 5 == 0 docs become the t17
+      * license banner repeated [[QcBannerReps]] times (negatives);
+      * everything else is a positive. Published: the weight vector
+      * after every round plus the pre-update mistake count — the
+      * training curve a filtering owner reads to see the learner
+      * actually converged (zero training errors by round 6 at all
+      * three SFs) rather than trusting an opaque final model. Scale:
+      * one corpus scan builds the feature frame (materialized);
+      * each round is one combinable gradient aggregate against
+      * broadcast 1-row weights. */
+    "t44_quality_learn" -> ((s, d) => {
+      import graft.operators.Materialize.MaterializeOps
+      val feats = qcFeatures(s, d).materialize
+      graft.operators.QualityPerceptron.learn(feats, QcRounds)._2
+    }),
+
+    /** Learned quality classifier, SCORING stage — the corpus census a
+      * data owner reads before turning the model on: per source, how
+      * many docs the final t44 weights flag (margin <= 0), the
+      * planted-label confusion (tp = planted docs correctly flagged,
+      * fp = clean docs flagged — the collateral damage column), the
+      * t13 heuristic verdict on the same corpus, and the DISAGREEMENT
+      * count (model-keep != t13-keep) — the review queue where the
+      * learned model and the hand rules differ, which is exactly the
+      * set a migration from heuristic to learned filtering audits by
+      * hand. The learner is re-run via the same
+      * [[graft.operators.QualityPerceptron.learn]] loop (the t43
+      * shared-pipeline discipline: the scorer structurally cannot use
+      * different weights than t44 published). One extra broadcast-join
+      * corpus pass over the materialized features. */
+    "t45_quality_audit" -> ((s, d) => {
+      import graft.operators.Materialize.MaterializeOps
+      val feats = qcFeatures(s, d).materialize
+      val (wFinal, _) =
+        graft.operators.QualityPerceptron.learn(feats, QcRounds)
+      def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      graft.operators.QualityPerceptron.score(feats, wFinal)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          cnt(col("y") === -1L).as("n_planted"),
+          cnt(col("margin") <= 0).as("n_flagged"),
+          cnt(col("y") === -1L && col("margin") <= 0).as("tp"),
+          cnt(col("y") === 1L && col("margin") <= 0).as("fp"),
+          cnt(col("pass_t13")).as("n_pass_t13"),
+          cnt((col("margin") > 0) =!= col("pass_t13")).as("n_disagree"))
+        .orderBy("source")
+    }),
   )
 
   /** Shared DuckDB replica of the BPE merge learner (t42/t43): the
@@ -1929,7 +2035,102 @@ object TextQueries {
       | ${rounds.mkString(",\n ")}""".stripMargin
   }
 
+  /** Shared DuckDB replica of the t44/t45 perceptron: the planted
+    * corpus, the e4 fixed-point feature pass, and [[QcRounds]]
+    * unrolled gradient→update rounds — ONE generator loop with the
+    * Spark side's constants (the bpeCteSql discipline) so the learn
+    * and audit oracles can never desynchronize on rounds, features,
+    * or the plant. All gradient sums are exact integer arithmetic;
+    * the one double op per weight (floor(g/denominator)) is
+    * correctly-rounded IEEE in both engines. */
+  private def qcCteSql: String = {
+    val plantedText = Seq.fill(QcBannerReps)(BoilerHeader).mkString(" ")
+    val xs = (1 to 5).map(i => s"x$i")
+    val marginSql = xs.zipWithIndex
+      .map { case (x, i) => s"w${i + 1}*$x" }.mkString(" + ")
+    val rounds = (1 to QcRounds).map { r =>
+      val p = r - 1
+      val step = 1L << (r - 1)
+      val gsums = (1 to 5).map(i =>
+        s"CAST(coalesce(sum(y*x$i), 0) AS BIGINT) AS gx$i").mkString(",\n   ")
+      val wups = (1 to 5).map(i =>
+        s"w$i + CAST(floor(CAST(gx$i AS DOUBLE) / (greatest(nm, 1) * $step))" +
+          s" AS BIGINT) AS w$i").mkString(",\n   ")
+      s"""gg$r AS (SELECT count(*) AS nm,
+         |   $gsums
+         | FROM f, ww$p WHERE y * ($marginSql) <= 0),
+         | ww$r AS (SELECT
+         |   $wups
+         | FROM ww$p, gg$r),
+         | oo$r AS (SELECT $r AS learn_round, w1, w2, w3, w4, w5,
+         |   nm AS n_mistakes FROM ww$r, gg$r)""".stripMargin
+    }
+    s"""qdocs AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 5 = 0 THEN '$plantedText' ELSE text END AS text
+      |  FROM documents),
+      | f0 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 5 = 0 THEN CAST(-1 AS BIGINT)
+      |         ELSE CAST(1 AS BIGINT) END AS y,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS ns
+      |  FROM qdocs),
+      | f AS (
+      |  SELECT doc_id, source, y,
+      |    CAST(least(len(toks), 100) * 100 AS BIGINT) AS x1,
+      |    CAST(CASE WHEN len(toks) > 0 THEN
+      |      floor(10000.0 * len(list_distinct(toks)) / len(toks))
+      |      ELSE 0 END AS BIGINT) AS x2,
+      |    CAST(CASE WHEN len(toks) > 0 THEN
+      |      floor(10000.0 * len(list_filter(toks,
+      |        t -> t IN ('the','a','of','and','to','in'))) / len(toks))
+      |      ELSE 0 END AS BIGINT) AS x3,
+      |    CAST(CASE WHEN len(toks) > 0 THEN
+      |      floor(least(CAST(ns AS DOUBLE) / len(toks), 10.0) * 1000)
+      |      ELSE 0 END AS BIGINT) AS x4,
+      |    CAST(10000 AS BIGINT) AS x5,
+      |    (len(toks) BETWEEN 20 AND 1000
+      |      AND CAST(ns AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
+      |      AND len(list_intersect(list_distinct(toks),
+      |            ['the','a','of','and','to','in'])) >= 2
+      |      AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[0-9]')))
+      |            AS DOUBLE) / len(toks) <= 0.2) AS pass_t13
+      |  FROM f0),
+      | ww0 AS (SELECT ${(1 to 5)
+        .map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ")}),
+      | ${rounds.mkString(",\n ")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // t44/t45: the shared unrolled perceptron replica — see qcCteSql.
+    "t44_quality_learn" -> {
+      val selects = (1 to QcRounds)
+        .map(r => s"SELECT * FROM oo$r").mkString("\nUNION ALL ")
+      s"""WITH $qcCteSql
+        |$selects
+        |ORDER BY learn_round""".stripMargin
+    },
+
+    "t45_quality_audit" -> {
+      val marginSql = (1 to 5).map(i => s"w$i*x$i").mkString(" + ")
+      s"""WITH $qcCteSql,
+        | sc AS (SELECT f.*, ($marginSql) AS margin FROM f, ww$QcRounds)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+        | CAST(sum(CASE WHEN margin <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_flagged,
+        | CAST(sum(CASE WHEN y = -1 AND margin <= 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS tp,
+        | CAST(sum(CASE WHEN y = 1 AND margin <= 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS fp,
+        | CAST(sum(CASE WHEN pass_t13 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_pass_t13,
+        | CAST(sum(CASE WHEN (margin > 0) <> pass_t13 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_disagree
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // t42: the shared unrolled merge-round replica; greedy re-pair
     // replicates via the '#'-boundary replace trick — see the query
     // scaladoc.

@@ -251,4 +251,24 @@ class PlanDigestSpec extends AnyFunSuite {
       "(7) Scan ExistingRDD [codegen id : 3]")
     assert(PlanDigest.normalize(tagged) == PlanDigest.normalize(runA))
   }
+
+  test("accepted-alternates manifest rows: any member renders the same " +
+    "stable cell; a third value is a violation (9th artifact class)") {
+    val (accepted, note) = PlanDigest.AcceptedAlternates("d13_semantic_dedup")
+    assert(accepted.size == 2)
+    // both adjudicated states produce the IDENTICAL cell — a close
+    // sweep landing on either writes a diff-free manifest row
+    val cells = accepted.toSeq.map(d =>
+      PlanDigest.manifestCell("d13_semantic_dedup", d))
+    assert(cells.distinct.size == 1)
+    val cell = cells.head.toOption.get
+    accepted.foreach(d => assert(cell.contains(d)))
+    assert(cell.contains(note))
+    // a never-adjudicated third value fails loudly
+    val bad = PlanDigest.manifestCell("d13_semantic_dedup", "deadbeef")
+    assert(bad.isLeft == false)
+    assert(bad.swap.toOption.get.contains("deadbeef"))
+    // ordinary rows pass through verbatim
+    assert(PlanDigest.manifestCell("q01_agg_battery", "abc") == Left("abc"))
+  }
 }
