@@ -75,7 +75,14 @@ object ExecutorLoss {
     // between the sites; a kill mid-walk proves an iterative GRAPH
     // TRAVERSAL recovers, not just aggregation fixpoints
     "s27_graph_beam" -> ((s: SparkSession) =>
-      SparkEntry.queries("s27_graph_beam")(s, sfDir)))
+      SparkEntry.queries("s27_graph_beam")(s, sfDir)),
+    // r19: t44's fixed-round perceptron — the feature frame plus a
+    // 1-row gradient and weight checkpoint per round with a full
+    // feature-scan aggregate between them; a kill mid-training proves
+    // an iterative LEARNER recovers (the BpeMerge-class loop shape
+    // under loss, complementing s27's graph-walk leg)
+    "t44_quality_learn" -> ((s: SparkSession) =>
+      SparkEntry.queries("t44_quality_learn")(s, sfDir)))
 
   private def session(master: String, mode: String, ckDir: String,
       extraCp: String): SparkSession = {

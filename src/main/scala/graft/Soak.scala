@@ -573,7 +573,14 @@ object Soak {
     "e22_stream_ks_closed", "s26_embed_drift",
     "t41_perm_source_anomaly", "e23_stream_embed_drift",
     "t42_bpe_learn", "s27_graph_beam", "t43_bpe_apply",
-    "e24_proj_leaderboard")
+    "e24_proj_leaderboard",
+    // r19: m11 (r18 advice — landed without a soak row) + the six new
+    // operators (two iterative learners, the incremental graph index,
+    // the streaming fertility drift, the span excision, the token
+    // mixture)
+    "m11_interleave_match", "t44_quality_learn", "t45_quality_audit",
+    "t46_token_mixture", "s28_graph_incremental", "e25_fertility_drift",
+    "d28_verbatim_removal")
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Verbatim.map(n => n -> SparkEntry.queries(n)) ++

@@ -107,4 +107,32 @@ object BpeMerge {
 
   /** Post-encode symbol array of an encode() row, for audits. */
   def symbolsOf(syCol: Column): Column = symbols(syCol)
+
+  /** Learn and COLLECT the merge table — [[learn]] + an ordered 8-row
+    * driver read (the bounded scalar-read discipline of the
+    * sign-derivation sites: BpeRounds rows, never corpus-sized). For
+    * consumers that apply a FROZEN tokenizer without re-running the
+    * vocabulary loop per row group: the merges fold into a static
+    * [[applyMerges]] replace chain, one narrow pass instead of
+    * `rounds` materialized rewrites. Same learner, same corpus fold —
+    * the apply still cannot desynchronize from what [[learn]]
+    * publishes (t46/e25). */
+  def collectMerges(words: DataFrame, rounds: Int): Seq[(String, String)] =
+    learn(words, rounds)
+      .orderBy("merge_round")
+      .select("l_sym", "r_sym")
+      .collect()
+      .toSeq
+      .map(r => (r.getString(0), r.getString(1)))
+
+  /** Apply a collected merge list to a word column: the same
+    * boundary-string greedy replace as [[encode]]'s rounds, folded
+    * into one static expression chain (codegen-friendly, stream-safe —
+    * no join, no state). Returns the encoded symbol string. */
+  def applyMerges(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(toSymbols(word)) { case (c, (l, r)) =>
+      org.apache.spark.sql.functions.replace(
+        c, org.apache.spark.sql.functions.lit(s"#$l##$r#"),
+        org.apache.spark.sql.functions.lit(s"#$l$r#"))
+    }
 }

@@ -1867,6 +1867,78 @@ object DedupQueries {
       seg(2).unionByName(seg(4)).unionByName(seg(8))
         .orderBy("r", "j_decile")
     }),
+
+    /** Verbatim-span REMOVAL — d14 detects repeated spans; this is the
+      * production excision Lee et al. 2022 actually ship (ExactSubstr
+      * dedup removes the duplicated substrings from the corpus, it
+      * does not just count them). Same detection pipeline as d14
+      * (positioned md5 8-grams, cross-doc df ≥ 2, the planted banner
+      * prepended to every doc_id % 5 == 0 doc at arbitrary alignment),
+      * then the REWRITE: per doc, the union of repeated [i, i+8) spans
+      * becomes a covered-position set and the kept tokens reassemble
+      * in order into the cleaned text. Published census per lang:
+      * docs rewritten / emptied, token mass before / removed / after,
+      * the planted-banner ground truth (n_banner_before counts docs
+      * whose planted text contains the banner; n_banner_after is its
+      * post-removal frequency — RosterSpec pins it to ZERO while
+      * sum_tokens_after stays positive, i.e. the banner vanishes
+      * everywhere and unique text survives), and min/max md5 of the
+      * cleaned text so reassembly ORDER is oracle-verified.
+      *
+      * Shape at 100 TB: detection is d14's (gram census map-side
+      * combinable; the repeated-set join allowed to shuffle). The
+      * rewrite adds ONE repeated-start-sized groupBy (collect the
+      * per-doc start list — bounded by n_tokens per doc) and one
+      * corpus-sized equi-join back to the token arrays; the excision
+      * itself is row-local array math (covered set ∩ positions), so
+      * unlike a position-explode rewrite nothing token-level ever
+      * shuffles. The cleaned corpus in production writes straight out
+      * partitioned by lang; here it folds to the census + md5 pins. */
+    "d28_verbatim_removal" -> ((s, d) => {
+      val W = 8
+      val banner = TextQueries.BoilerHeader
+      val planted = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(lit(banner + " "), col("text")))
+          .otherwise(col("text")))
+      val toked = planted.select(col("doc_id"), col("lang"), col("text"),
+          toks.as("tk"))
+        .withColumn("n", size(col("tk")))
+      val grams = toked.filter(col("n") >= W)
+        .withColumn("i", explode(expr(s"sequence(0, n - $W)")))
+        .select(col("doc_id"), col("i"),
+          md5(concat_ws(" ", expr(s"slice(tk, i + 1, $W)"))).as("gm"))
+      val rep = grams.groupBy("gm")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2).select("gm")
+      val starts = grams.join(rep, "gm")
+        .groupBy("doc_id").agg(collect_list("i").as("starts"))
+      val cleaned = toked.join(starts, Seq("doc_id"), "left")
+        .withColumn("covered", array_distinct(flatten(transform(
+          coalesce(col("starts"), expr("CAST(array() AS array<int>)")),
+          st => sequence(st, st + (W - 1))))))
+        // the m11 empty/short-doc guard: sequence(0, n-1) DESCENDS for
+        // n = 0 in Spark while the oracle's range(0, n) is empty
+        .withColumn("kept", expr(
+          """CASE WHEN n >= 1
+            | THEN transform(filter(sequence(0, n - 1),
+            |        i -> NOT array_contains(covered, i)), i -> tk[i])
+            | ELSE CAST(array() AS array<string>) END""".stripMargin))
+        .withColumn("cleaned_text", concat_ws(" ", col("kept")))
+      def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      cleaned.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          cnt(size(col("covered")) > 0).as("n_docs_rewritten"),
+          cnt(size(col("covered")) > 0 && size(col("kept")) === 0)
+            .as("n_docs_emptied"),
+          sum(col("n").cast("long")).as("sum_tokens_before"),
+          sum(size(col("covered")).cast("long")).as("sum_tokens_removed"),
+          sum(size(col("kept")).cast("long")).as("sum_tokens_after"),
+          cnt(col("text").contains(banner)).as("n_banner_before"),
+          cnt(col("cleaned_text").contains(banner)).as("n_banner_after"),
+          min(md5(col("cleaned_text"))).as("min_cleaned_md5"),
+          max(md5(col("cleaned_text"))).as("max_cleaned_md5"))
+        .orderBy("lang")
+    }),
   )
 
   /** Shared DuckDB ground-truth prefix for the d09 component family:
@@ -2375,6 +2447,62 @@ object DedupQueries {
         | floor((CAST(sum(masked) AS DOUBLE) / CAST(sum(n) AS DOUBLE))
         |       * 10000 + 0.5) / 10000 AS masked_frac
         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // d28: d14's detection CTEs + the excision — per-doc repeated-start
+    // list, covered-position set (range(st, st+8) half-open = Spark's
+    // inclusive sequence(st, st+7)), kept tokens re-indexed 1-based
+    // (tk[i+1] here, 0-based tk[i] in Spark), reassembly pinned by
+    // min/max md5 and the banner's post-removal frequency.
+    "d28_verbatim_removal" ->
+      s"""WITH pl AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '${TextQueries.BoilerHeader} ' || text ELSE text END AS text
+        |  FROM documents),
+        | m AS (SELECT doc_id, lang, text,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+        |       FROM pl),
+        | g2 AS (SELECT doc_id, i,
+        |          md5(array_to_string(list_slice(tk, i + 1, i + 8), ' ')) AS gm
+        |        FROM (SELECT doc_id, tk, unnest(range(0, n - 7)) AS i
+        |              FROM m WHERE n >= 8)),
+        | rep AS (SELECT gm FROM (
+        |           SELECT gm, count(DISTINCT doc_id) AS df
+        |           FROM g2 GROUP BY gm) WHERE df >= 2),
+        | st AS (SELECT doc_id, list(i) AS starts FROM g2
+        |        WHERE gm IN (SELECT gm FROM rep) GROUP BY doc_id),
+        | cl AS (SELECT m.lang, m.text, m.n,
+        |          list_distinct(flatten(list_transform(
+        |            coalesce(st.starts, []), s -> range(s, s + 8))))
+        |            AS covered
+        |        FROM m LEFT JOIN st USING (doc_id)),
+        | cl2 AS (SELECT lang, text, n, covered,
+        |           list_transform(list_filter(range(0, n),
+        |             i -> NOT list_contains(covered, i)), i -> tk2[i + 1])
+        |             AS kept
+        |         FROM (SELECT *, list_filter(string_split(text, ' '),
+        |                 x -> x <> '') AS tk2 FROM cl)),
+        | fin AS (SELECT lang, text, n,
+        |           len(covered) AS n_cov, len(kept) AS n_kept,
+        |           array_to_string(kept, ' ') AS cleaned_text
+        |         FROM cl2)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN n_cov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_docs_rewritten,
+        | CAST(sum(CASE WHEN n_cov > 0 AND n_kept = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_docs_emptied,
+        | CAST(sum(n) AS BIGINT) AS sum_tokens_before,
+        | CAST(sum(n_cov) AS BIGINT) AS sum_tokens_removed,
+        | CAST(sum(n_kept) AS BIGINT) AS sum_tokens_after,
+        | CAST(sum(CASE WHEN contains(text, '${TextQueries.BoilerHeader}')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_banner_before,
+        | CAST(sum(CASE WHEN contains(cleaned_text,
+        |   '${TextQueries.BoilerHeader}') THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_banner_after,
+        | min(md5(cleaned_text)) AS min_cleaned_md5,
+        | max(md5(cleaned_text)) AS max_cleaned_md5
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin,
 
     "d01_exact_dedup" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper

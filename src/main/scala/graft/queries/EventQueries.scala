@@ -25,6 +25,13 @@ object EventQueries {
     * DuckDB `epoch(ts)` of the same file exactly. */
   private def epochSec = col("ts").cast("double")
 
+  /** e25 synthetic day axis: documents stream in as day = doc_id %
+    * FertDays; the LAST day carries the planted word-reversal drift.
+    * 6 days keeps ≥ ~80 docs per (day, lang) window at sf0.001, far
+    * above the fertility-noise floor for the 1.08× drift gate (the
+    * measured planted ratio is ~1.16×, clean days ~1.00×). */
+  val FertDays = 6
+
   /** e12's complete-mode precondition, asserted loudly: a complete-mode
     * sink's final batch is only THE answer when the bounded replay
     * arrived as a single micro-batch. Multiple batch ids mean the
@@ -1687,6 +1694,118 @@ object EventQueries {
           "of this query) went unexercised")
       res
     }),
+
+    /** Streaming FERTILITY DRIFT under the learned tokenizer — the
+      * operational question after shipping t42's vocabulary: is
+      * incoming data drifting away from it (fertility creep means the
+      * tokenizer fragments new text into more pieces, inflating
+      * training cost and degrading the token budget)? The corpus
+      * streams through the e22 append/watermark discipline as word
+      * events on a synthetic day axis (day = doc_id % [[FertDays]]);
+      * each micro-batch's words are encoded with t42's FROZEN merge
+      * table — learned batch-side by the SAME
+      * [[graft.operators.BpeMerge.learn]] loop on the SAME corpus
+      * fold, then collected (BpeRounds = 8 rows, the bounded scalar
+      * read the sign-derivation sites use) and folded into a static
+      * replace chain, so no re-learning and no per-batch join happens
+      * in-stream. The plant: day [[FertDays]]−1 docs arrive with every
+      * word REVERSED — pair statistics invert, the frozen merges stop
+      * firing, fertility jumps ~1.16× (measured at sf0.01; clean-day
+      * ratios sit at ~1.00) — the canonical "new data, old tokenizer"
+      * drift. Post-hoc, each closed (day, lang) window compares its
+      * fertility to the lang's day-0 baseline by INTEGER cross-
+      * multiplication (tokens·base_words·100 > base_tokens·words·108 —
+      * exact in both engines; the census is day×lang-sized so the
+      * products stay far below 2^63), flagging ratios above 1.08.
+      *
+      * Scale: stream state is watermark-bounded day×lang counters
+      * (two integer sums per window); the merge table is 8 rows
+      * frozen into the plan; the post-hoc audit is census-sized. The
+      * oracle replays the same plant + t43-style carry-column apply
+      * over the (day, lang, word) fold — the streaming path and the
+      * batch replica share the merge CTEs with t42/t43 by
+      * construction. */
+    "e25_fertility_drift" -> ((s, d) => {
+      import graft.operators.BpeMerge
+      val days = FertDays
+      val toks = filter(split(col("text"), " "), t => t =!= "")
+      // t42's exact learner on t42's exact corpus fold
+      val corpusWords = Tables.documents(s, d)
+        .select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      val merges = BpeMerge.collectMerges(
+        corpusWords, graft.queries.TextQueries.BpeRounds)
+      def encodedLen(w: Column): Column =
+        size(BpeMerge.symbolsOf(BpeMerge.applyMerges(w, merges)))
+          .cast("long")
+      val dayi = (col("doc_id") % days).cast("int")
+      val events = Tables.documents(s, d)
+        .withColumn("dayi", dayi)
+        // the plant: the last day's docs arrive word-reversed
+        .withColumn("w0", explode(toks))
+        .select(
+          date_add(lit("2024-01-01").cast("date"), col("dayi"))
+            .cast("timestamp").as("ts"),
+          col("lang"),
+          when(col("dayi") === days - 1, reverse(col("w0")))
+            .otherwise(col("w0")).as("w"))
+      import s.implicits._
+      val sentinel = (ts: String) =>
+        Seq((ts, "zz", "x")).toDF("ts", "lang", "w")
+          .select(col("ts").cast("timestamp").as("ts"), col("lang"), col("w"))
+      val src = stageReplay("e25", Seq(
+        events.filter(col("ts") < lit("2024-01-03").cast("date")),
+        events.filter(col("ts") >= lit("2024-01-03").cast("date") &&
+          col("ts") < lit("2024-01-05").cast("date")),
+        events.filter(col("ts") >= lit("2024-01-05").cast("date")),
+        sentinel("2024-12-01 00:00:00"),
+        sentinel("2024-12-31 00:00:00")))
+      val ss = streamSession(s)
+      val schema = s.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val cen = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("win"), col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(encodedLen(col("w"))).as("n_tokens"))
+        .select(datediff(col("win.start").cast("date"),
+          lit("2024-01-01").cast("date")).as("dayi"),
+          col("lang"), col("n_words"), col("n_tokens"))
+      val outDir = tempDir("graft_e25_out_")
+      val ckpt = tempDir("graft_e25_ckpt_")
+      val q = cen.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 5,
+        "e25 needs the five staged files as five micro-batches — " +
+          "the forced arrival order collapsed")
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e25: streaming sink produced zero rows")
+      // closed-window completeness (the e22 proof): every word of every
+      // real doc is counted in exactly one emitted window
+      val emitted = out.agg(sum("n_words")).head().getLong(0)
+      val nTotal = events.count()
+      require(emitted == nTotal,
+        s"e25: closed windows carry $emitted words, expected $nTotal — " +
+          "the watermark dropped data or a window never flushed")
+      val base = out.filter(col("dayi") === 0)
+        .select(col("lang"), col("n_words").as("b_words"),
+          col("n_tokens").as("b_tokens"))
+      out.join(broadcast(base), "lang")
+        .select(col("dayi"), col("lang"), col("n_words"), col("n_tokens"),
+          RelationalQueries.rnd(
+            col("n_tokens").cast("double") / col("n_words"), 4)
+            .as("fertility"),
+          (col("n_tokens") * col("b_words") * lit(100L) >
+            col("b_tokens") * col("n_words") * lit(108L)).as("drifted"))
+        .orderBy("dayi", "lang")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2302,5 +2421,53 @@ object EventQueries {
         |SELECT user_id, n_events, dur_sec, first_event, last_event
         |FROM agg WHERE sidx < max_sidx
         |ORDER BY user_id, first_event""".stripMargin,
+
+    // e25: the streaming path reduces to a batch day-census (the e22
+    // argument: contiguous staged slices + 1h watermark = zero drops,
+    // sentinel windows never emit). Merge table = TextQueries.bpeCteSql
+    // (t42's m1..mN verbatim — the oracle and the stream cannot learn
+    // different tokenizers); the plant, the (day, lang, word) fold, a
+    // t43-style carry-column apply, and the integer cross-multiplied
+    // 1.08× drift gate against each lang's day-0 baseline.
+    "e25_fertility_drift" -> {
+      val rounds = graft.queries.TextQueries.BpeRounds
+      val days = FertDays
+      val applies = (1 to rounds).map { r =>
+        val p = r - 1
+        s"""fe$r AS (SELECT dayi, lang, w, freq,
+           |          replace(fe$p.sy, '#' || m$r.l_sym || '##' || m$r.r_sym || '#',
+           |                  '#' || m$r.l_sym || m$r.r_sym || '#') AS sy
+           |        FROM fe$p, m$r)""".stripMargin
+      }
+      s"""WITH ${graft.queries.TextQueries.bpeCteSql},
+        | ev AS (SELECT CAST(doc_id % $days AS INTEGER) AS dayi, lang,
+        |          CASE WHEN doc_id % $days = ${days - 1}
+        |               THEN reverse(w0) ELSE w0 END AS w
+        |        FROM (SELECT doc_id, lang,
+        |                unnest(list_filter(string_split(text, ' '),
+        |                  x -> x <> '')) AS w0
+        |              FROM documents)),
+        | wf AS (SELECT dayi, lang, w, count(*) AS freq
+        |        FROM ev GROUP BY 1, 2, 3),
+        | fe0 AS (SELECT dayi, lang, w, freq,
+        |           '##' || regexp_replace(w, '(.)', '\\1##', 'g') AS sy
+        |         FROM wf),
+        | ${applies.mkString(",\n ")},
+        | fenc AS (SELECT dayi, lang, freq,
+        |            len(list_filter(string_split(sy, '##'), x -> x <> ''))
+        |              AS nt
+        |          FROM fe$rounds),
+        | cen AS (SELECT dayi, lang, CAST(sum(freq) AS BIGINT) AS n_words,
+        |           CAST(sum(freq * nt) AS BIGINT) AS n_tokens
+        |         FROM fenc GROUP BY 1, 2),
+        | b AS (SELECT lang, n_words AS b_words, n_tokens AS b_tokens
+        |       FROM cen WHERE dayi = 0)
+        |SELECT cen.dayi, cen.lang, n_words, n_tokens,
+        | floor((CAST(n_tokens AS DOUBLE) / n_words)*10000+0.5)/10000
+        |   AS fertility,
+        | (n_tokens * b_words * 100 > b_tokens * n_words * 108) AS drifted
+        |FROM cen JOIN b ON b.lang = cen.lang
+        |ORDER BY cen.dayi, cen.lang""".stripMargin
+    },
   )
 }

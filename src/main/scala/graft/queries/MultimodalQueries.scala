@@ -591,23 +591,25 @@ object MultimodalQueries {
         .groupBy("source").agg(count(lit(1)).as("n_imgs"))
       val chunkCensus = chunks.groupBy("source")
         .agg(count(lit(1)).as("n_chunks"))
+      // per-round histogram columns generated from (1 to M11Rounds) on
+      // BOTH sides (r18 advice: hardcoded placed_r1..r3 would silently
+      // desync from a bumped round constant while still hash-matching)
       val placed = assigned.groupBy("source")
         .agg(count(lit(1)).as("n_placed"),
-          sum(when(col("rnd") === 1, 1L).otherwise(0L)).as("placed_r1"),
-          sum(when(col("rnd") === 2, 1L).otherwise(0L)).as("placed_r2"),
-          sum(when(col("rnd") === 3, 1L).otherwise(0L)).as("placed_r3"),
-          sum("s6").as("sum_score_e6"))
+          (1 to M11Rounds).map(r =>
+            sum(when(col("rnd") === r, 1L).otherwise(0L))
+              .as(s"placed_r$r")) :+
+            sum("s6").as("sum_score_e6"): _*)
       imgCensus
         .join(broadcast(chunkCensus), "source")
         .join(broadcast(placed), Seq("source"), "left")
-        .select(col("source"), col("n_imgs"), col("n_chunks"),
+        .select(Seq(col("source"), col("n_imgs"), col("n_chunks"),
           coalesce(col("n_placed"), lit(0L)).as("n_placed"),
           (col("n_imgs") - coalesce(col("n_placed"), lit(0L)))
-            .as("n_unplaced"),
-          coalesce(col("placed_r1"), lit(0L)).as("placed_r1"),
-          coalesce(col("placed_r2"), lit(0L)).as("placed_r2"),
-          coalesce(col("placed_r3"), lit(0L)).as("placed_r3"),
-          coalesce(col("sum_score_e6"), lit(0L)).as("sum_score_e6"))
+            .as("n_unplaced")) ++
+          (1 to M11Rounds).map(r =>
+            coalesce(col(s"placed_r$r"), lit(0L)).as(s"placed_r$r")) :+
+          coalesce(col("sum_score_e6"), lit(0L)).as("sum_score_e6"): _*)
         .orderBy("source")
     }),
   )
@@ -668,20 +670,17 @@ object MultimodalQueries {
         |        JOIN dt ON dt.doc_id = iv.doc_id GROUP BY 1),
         | cc AS (SELECT source, count(*) AS n_chunks FROM ch GROUP BY 1),
         | pl AS (SELECT source, count(*) AS n_placed,
-        |          CAST(sum(CASE WHEN rnd = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |            AS placed_r1,
-        |          CAST(sum(CASE WHEN rnd = 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |            AS placed_r2,
-        |          CAST(sum(CASE WHEN rnd = 3 THEN 1 ELSE 0 END) AS BIGINT)
-        |            AS placed_r3,
+        |          ${(1 to M11Rounds).map(r =>
+             s"CAST(sum(CASE WHEN rnd = $r THEN 1 ELSE 0 END) AS BIGINT)" +
+               s" AS placed_r$r").mkString(",\n          ")},
         |          CAST(sum(s6) AS BIGINT) AS sum_score_e6
         |        FROM asg GROUP BY 1)
         |SELECT ic.source, ic.n_imgs, cc.n_chunks,
         | coalesce(pl.n_placed, 0) AS n_placed,
         | ic.n_imgs - coalesce(pl.n_placed, 0) AS n_unplaced,
-        | coalesce(pl.placed_r1, 0) AS placed_r1,
-        | coalesce(pl.placed_r2, 0) AS placed_r2,
-        | coalesce(pl.placed_r3, 0) AS placed_r3,
+        | ${(1 to M11Rounds).map(r =>
+             s"coalesce(pl.placed_r$r, 0) AS placed_r$r")
+             .mkString(",\n ")},
         | coalesce(pl.sum_score_e6, 0) AS sum_score_e6
         |FROM ic JOIN cc ON cc.source = ic.source
         |        LEFT JOIN pl ON pl.source = ic.source

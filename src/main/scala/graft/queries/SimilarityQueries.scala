@@ -970,7 +970,6 @@ object SimilarityQueries {
       * under a strict hash oracle (the d21 fixed-round discipline
       * applied to search instead of scoring). */
     "s27_graph_beam" -> ((s, d) => {
-      import graft.operators.{CentroidBuild => CB}
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), embD(col("embedding")).as("vec"))
       // planted twins (the s05/d07 pattern): ×1.001 copies of the 3
@@ -983,111 +982,18 @@ object SimilarityQueries {
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("vec"), x => x * lit(1.001)).as("vec"))
       val emb = base.unionByName(twins)
-      val n = emb.count() // bounded scalar read — the s07/q47 discipline
-      val k = math.ceil(math.sqrt(n.toDouble)).toInt
-      val kc = math.ceil(math.sqrt(k.toDouble)).toInt
-      val kf = (k + kc - 1) / kc
-      val coarse = CB.lloyd(emb, "vec_id", "vec", kc, rounds = 1)
-      val cells = CB.nearest(
-          CB.similarities(emb, coarse, "vec_id", "vec"), "vec_id")
-        .withColumnRenamed("cl_id", "cell")
-        .materialize
-      val embCell = emb.join(cells, "vec_id")
-      val fine = CB.lloydGrouped(embCell, "cell", "vec_id", "vec", kf,
-        rounds = 1)
-      // route keeping rank 1 (home) and rank 2 (cross-edge target):
-      // (vec_id, cell, fid, csim, rn) — 3 consumers, checkpointed
-      val routed = CB.nearestGroupedK(embCell, fine, "cell", "vec_id",
-        "vec", 2).materialize
-      val home = routed.filter(col("rn") === 1)
-      val second = routed.filter(col("rn") === 2)
-      // entry point per cluster: best-routed member, id tie-break
-      val wE = Window.partitionBy("cell", "fid")
-        .orderBy(col("csim").desc, col("vec_id"))
-      val entries = home.withColumn("ern", row_number().over(wE))
-        .filter(col("ern") === 1)
-        .select(col("cell"), col("fid"), col("vec_id").as("entry"))
-      // (a) within-cluster kNN edges over the bounded per-cluster frames
-      val pairs = home.select(col("vec_id").as("src"), col("cell"), col("fid"))
-        .join(home.select(col("vec_id").as("dst"), col("cell"), col("fid")),
-          Seq("cell", "fid"))
-        .filter(col("src") =!= col("dst"))
-        .join(emb.select(col("vec_id").as("src"), col("vec").as("sv")), "src")
-        .join(emb.select(col("vec_id").as("dst"), col("vec").as("dv")), "dst")
-        .withColumn("c6", RelationalQueries.rnd(cosine(col("sv"), col("dv")), 6))
-      val wN = Window.partitionBy("src").orderBy(col("c6").desc, col("dst"))
-      val nbEdges = pairs.withColumn("nrn", row_number().over(wN))
-        .filter(col("nrn") <= GraphM).select("src", "dst")
-      // (b) cross-cluster shortcut: second-home cluster's entry point
-      val crossEdges = second.join(entries, Seq("cell", "fid"))
-        .filter(col("entry") =!= col("vec_id"))
-        .select(col("vec_id").as("src"), col("entry").as("dst"))
-      // symmetrize (the NSG/HNSW discipline): a vector close to few
-      // others can still be SOMEONE's top neighbor — without the
-      // reverse edges such nodes are unreachable and the walk stalls
-      // (measured: the planted twin of one sf0.001 query escaped a
-      // directed-only graph)
-      val directed = nbEdges.unionByName(crossEdges)
-      val edges = directed
-        .unionByName(directed.select(col("dst").as("src"),
-          col("src").as("dst")))
-        .distinct().materialize
-      // seeding: hierarchy descent to GraphSeedF entry points
+      // build → graph → seed → walk, via the s27/s28 shared machinery
+      // (hierRoute/graphEdges/hierSeeds/beamTopK — extracted r19 for
+      // s28's incremental-maintenance reuse; plan-identical)
+      val idx = hierRoute(emb)
+      val edges = graphEdges(emb, idx)
       val qs = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
-      val pc = qs.crossJoin(broadcast(coarse.select(
-          col("cl_id").as("cell"), col("cvec"))))
-        .withColumn("c6", RelationalQueries.rnd(
-          cosine(col("q_vec"), col("cvec")), 6))
-      val wPc = Window.partitionBy("q_id").orderBy(col("c6").desc, col("cell"))
-      val probedCells = pc.withColumn("prn", row_number().over(wPc))
-        .filter(col("prn") <= 2).select("q_id", "q_vec", "cell")
-      val pf = probedCells.join(fine, "cell")
-        .withColumn("f6", RelationalQueries.rnd(
-          cosine(col("q_vec"), col("fvec")), 6))
-      val wPf = Window.partitionBy("q_id")
-        .orderBy(col("f6").desc, col("cell"), col("fid"))
       // seeds feed the beam AND the n_seed census — checkpoint once
-      val seeds = pf.withColumn("frn", row_number().over(wPf))
-        .filter(col("frn") <= GraphSeedF)
-        .join(entries, Seq("cell", "fid"))
-        .select(col("q_id"), col("entry").as("vec_id"))
-        .distinct()
-        .materialize
-      var beam = seeds
-      for (_ <- 1 to GraphRounds) {
-        val expanded = beam.join(edges, beam("vec_id") === edges("src"))
-          .select(col("q_id"), col("dst").as("vec_id"))
-        val cand = beam.unionByName(expanded).distinct()
-        val scored = cand
-          .join(emb, "vec_id")
-          .join(broadcast(qs), "q_id")
-          .withColumn("c6", RelationalQueries.rnd(
-            cosine(col("q_vec"), col("vec")), 6))
-        val wB = Window.partitionBy("q_id")
-          .orderBy(col("c6").desc, col("vec_id"))
-        beam = scored.withColumn("brn", row_number().over(wB))
-          .filter(col("brn") <= GraphB).select("q_id", "vec_id")
-          .materialize
-      }
-      // final answer: beam minus the query itself, top-K re-rank
-      val finScored = beam.filter(col("vec_id") =!= col("q_id"))
-        .join(emb, "vec_id")
-        .join(broadcast(qs), "q_id")
-        .withColumn("c6", RelationalQueries.rnd(
-          cosine(col("q_vec"), col("vec")), 6))
-      val wF = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
-      val approx = finScored.withColumn("arn", row_number().over(wF))
-        .filter(col("arn") <= GraphK).select("q_id", "vec_id")
+      val seeds = hierSeeds(qs, idx)
+      val approx = beamTopK(qs, emb, edges, seeds)
       // brute truth on the identical ranking rule (the s10 audit)
-      val truthScored = emb
-        .join(broadcast(qs), col("q_id") =!= col("vec_id"))
-        .withColumn("c6", RelationalQueries.rnd(
-          cosine(col("q_vec"), col("vec")), 6))
-      val wT = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
-      val truth = truthScored.withColumn("trn", row_number().over(wT))
-        .filter(col("trn") <= GraphK).select(col("q_id"), col("vec_id"))
-        .materialize
+      val truth = bruteTruth(qs, emb)
       val hits = truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
         .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
       val planted = approx.filter(col("vec_id") === col("q_id") + 100000)
@@ -1104,6 +1010,122 @@ object SimilarityQueries {
           col("n_hit").cast("double") / col("n_truth"), 4))
         .select("q_id", "n_seed", "n_truth", "n_hit", "recall_at_k",
           "found_planted")
+        .orderBy("q_id")
+    }),
+
+    /** INCREMENTAL graph-index maintenance — the production property
+      * s27 lacks: a deployed graph index absorbs inserts WITHOUT a
+      * rebuild (HNSW's insert procedure; FreshDiskANN, Singh et al.
+      * 2021). Base epoch: s27's hierarchy + edge set built over the
+      * ORGANIC corpus only. Insert batch (the d12/d26 maintenance
+      * shape): the 3 planted ×1.001 twins arrive later; each routes
+      * through the FROZEN hierarchy (coarse then fine centroids — no
+      * re-clustering), takes its top-[[GraphM]] edges against the
+      * EXISTING members of its home cluster only, one cross-cluster
+      * shortcut to its rank-2 cluster's (stale) entry point, and the
+      * new edges symmetrize LOCALLY — per-insert work is bounded by
+      * its home-cluster size (~√n), never corpus-sized, and the base
+      * edge set is untouched.
+      *
+      * PUBLISHED, per query: the MUST-FIND (is the freshly-inserted
+      * twin found by the SAME beam query on the maintained graph —
+      * the reason incremental maintenance exists) and the STALENESS
+      * AUDIT: recall@[[GraphK]] on the maintained graph vs on a full
+      * s27-style rebuild over the union corpus, same brute truth,
+      * same beam knobs — the number an index owner watches to decide
+      * when accumulated inserts justify the next full rebuild. Plus
+      * the maintenance census (n_inserts, distinct new directed
+      * edges). Entry points and centroids stay deliberately STALE —
+      * that is the trade being measured.
+      *
+      * Scale: the two builds are one-time index costs (the s27
+      * argument, twice — witness machinery: production maintains ONE
+      * graph and pays only the insert routing, which here is a
+      * 3-row × cluster-size frame); beams stay frontier-sized;
+      * nothing all-pairs. Every stage rnd6 + id tie-breaks, so the
+      * maintained walk, the rebuilt walk, and both recalls hash-match
+      * the DuckDB replica end to end. */
+    "s28_graph_incremental" -> ((s, d) => {
+      import graft.operators.{CentroidBuild => CB}
+      val organic = Tables.embeddings(s, d)
+        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val inserts = organic.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("vec"), x => x * lit(1.001)).as("vec"))
+      val embU = organic.unionByName(inserts)
+      // BASE EPOCH: hierarchy + graph over the organic corpus only
+      val idxB = hierRoute(organic)
+      val edgesB = graphEdges(organic, idxB)
+      // insert routing through the FROZEN hierarchy
+      val insCells = CB.nearest(
+          CB.similarities(inserts, idxB.coarse, "vec_id", "vec"), "vec_id")
+        .withColumnRenamed("cl_id", "cell")
+      val insCell = inserts.join(insCells.select("vec_id", "cell"), "vec_id")
+      val insRouted = CB.nearestGroupedK(insCell, idxB.fine, "cell",
+        "vec_id", "vec", 2).materialize
+      val insHome = insRouted.filter(col("rn") === 1)
+      val insSecond = insRouted.filter(col("rn") === 2)
+      val homeB = idxB.routed.filter(col("rn") === 1)
+      // top-M edges vs the EXISTING home-cluster members only —
+      // per-insert work bounded by cluster size
+      val newNb = insHome
+        .select(col("vec_id").as("src"), col("cell"), col("fid"))
+        .join(homeB.select(col("vec_id").as("dst"), col("cell"), col("fid")),
+          Seq("cell", "fid"))
+        .join(inserts.select(col("vec_id").as("src"), col("vec").as("sv")),
+          "src")
+        .join(organic.select(col("vec_id").as("dst"), col("vec").as("dv")),
+          "dst")
+        .withColumn("c6",
+          RelationalQueries.rnd(cosine(col("sv"), col("dv")), 6))
+      val wN = Window.partitionBy("src").orderBy(col("c6").desc, col("dst"))
+      val newEdges = newNb.withColumn("nrn", row_number().over(wN))
+        .filter(col("nrn") <= GraphM).select("src", "dst")
+      val newCross = insSecond.join(idxB.entries, Seq("cell", "fid"))
+        .filter(col("entry") =!= col("vec_id"))
+        .select(col("vec_id").as("src"), col("entry").as("dst"))
+      val newDirected = newEdges.unionByName(newCross).distinct().materialize
+      val edgesM = edgesB
+        .unionByName(newDirected)
+        .unionByName(newDirected.select(col("dst").as("src"),
+          col("src").as("dst")))
+        .distinct().materialize
+      val qs = organic.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      // maintained-path query: frozen seeding (stale entry points)
+      val apprM = beamTopK(qs, embU, edgesM, hierSeeds(qs, idxB))
+      // staleness control: the full s27 rebuild over the union corpus
+      val idxR = hierRoute(embU)
+      val apprR =
+        beamTopK(qs, embU, graphEdges(embU, idxR), hierSeeds(qs, idxR))
+      val truth = bruteTruth(qs, embU)
+      def hitsOf(appr: DataFrame, tag: String): DataFrame =
+        truth.join(appr, Seq("q_id", "vec_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as(s"${tag}_hit"))
+      def plantedOf(appr: DataFrame, tag: String): DataFrame =
+        appr.filter(col("vec_id") === col("q_id") + 100000)
+          .select(col("q_id"), lit(true).as(s"${tag}_found_planted"))
+      val census = inserts.agg(count(lit(1)).as("n_inserts"))
+        .crossJoin(newDirected.agg(count(lit(1)).as("n_new_edges")))
+      truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+        .join(hitsOf(apprM, "maint"), Seq("q_id"), "left")
+        .join(broadcast(plantedOf(apprM, "maint")), Seq("q_id"), "left")
+        .join(hitsOf(apprR, "rebuilt"), Seq("q_id"), "left")
+        .join(broadcast(plantedOf(apprR, "rebuilt")), Seq("q_id"), "left")
+        .crossJoin(broadcast(census))
+        .withColumn("maint_hit", coalesce(col("maint_hit"), lit(0L)))
+        .withColumn("rebuilt_hit", coalesce(col("rebuilt_hit"), lit(0L)))
+        .withColumn("maint_found_planted",
+          coalesce(col("maint_found_planted"), lit(false)))
+        .withColumn("rebuilt_found_planted",
+          coalesce(col("rebuilt_found_planted"), lit(false)))
+        .withColumn("maint_recall", RelationalQueries.rnd(
+          col("maint_hit").cast("double") / col("n_truth"), 4))
+        .withColumn("rebuilt_recall", RelationalQueries.rnd(
+          col("rebuilt_hit").cast("double") / col("n_truth"), 4))
+        .select("q_id", "n_truth", "maint_hit", "maint_recall",
+          "maint_found_planted", "rebuilt_hit", "rebuilt_recall",
+          "rebuilt_found_planted", "n_inserts", "n_new_edges")
         .orderBy("q_id")
     }),
 
@@ -1854,6 +1876,139 @@ object SimilarityQueries {
     }),
   )
 
+  /** s27/s28 shared graph-ANN machinery (extracted r19, plan-identical
+    * to s27's original inline body — design rationale in the s27
+    * scaladoc). The index: [[hierRoute]] builds the s24 two-level
+    * hierarchy and routes every vector (rank-1 home + rank-2 cross
+    * target + per-cluster entry points); [[graphEdges]] materializes
+    * the symmetrized top-[[GraphM]]-within-cluster + cross-shortcut
+    * edge set. The query: [[hierSeeds]] descends the hierarchy to
+    * [[GraphSeedF]] entry points; [[beamTopK]] runs [[GraphRounds]]
+    * unrolled frontier⋈edges expansions and the final
+    * top-[[GraphK]] re-rank; [[bruteTruth]] is the s10-style exact
+    * control on the identical rnd6 ranking rule. */
+  private case class HierIndex(coarse: DataFrame, fine: DataFrame,
+      routed: DataFrame, entries: DataFrame)
+
+  private def hierRoute(emb: DataFrame): HierIndex = {
+    import graft.operators.{CentroidBuild => CB}
+    val n = emb.count() // bounded scalar read — the s07/q47 discipline
+    val k = math.ceil(math.sqrt(n.toDouble)).toInt
+    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kf = (k + kc - 1) / kc
+    val coarse = CB.lloyd(emb, "vec_id", "vec", kc, rounds = 1)
+    val cells = CB.nearest(
+        CB.similarities(emb, coarse, "vec_id", "vec"), "vec_id")
+      .withColumnRenamed("cl_id", "cell")
+      .materialize
+    val embCell = emb.join(cells, "vec_id")
+    val fine = CB.lloydGrouped(embCell, "cell", "vec_id", "vec", kf,
+      rounds = 1)
+    // route keeping rank 1 (home) and rank 2 (cross-edge target):
+    // (vec_id, cell, fid, csim, rn) — 3 consumers, checkpointed
+    val routed = CB.nearestGroupedK(embCell, fine, "cell", "vec_id",
+      "vec", 2).materialize
+    // entry point per cluster: best-routed member, id tie-break
+    val wE = Window.partitionBy("cell", "fid")
+      .orderBy(col("csim").desc, col("vec_id"))
+    val entries = routed.filter(col("rn") === 1)
+      .withColumn("ern", row_number().over(wE))
+      .filter(col("ern") === 1)
+      .select(col("cell"), col("fid"), col("vec_id").as("entry"))
+    HierIndex(coarse, fine, routed, entries)
+  }
+
+  private def graphEdges(emb: DataFrame, idx: HierIndex): DataFrame = {
+    val home = idx.routed.filter(col("rn") === 1)
+    val second = idx.routed.filter(col("rn") === 2)
+    // (a) within-cluster kNN edges over the bounded per-cluster frames
+    val pairs = home.select(col("vec_id").as("src"), col("cell"), col("fid"))
+      .join(home.select(col("vec_id").as("dst"), col("cell"), col("fid")),
+        Seq("cell", "fid"))
+      .filter(col("src") =!= col("dst"))
+      .join(emb.select(col("vec_id").as("src"), col("vec").as("sv")), "src")
+      .join(emb.select(col("vec_id").as("dst"), col("vec").as("dv")), "dst")
+      .withColumn("c6", RelationalQueries.rnd(cosine(col("sv"), col("dv")), 6))
+    val wN = Window.partitionBy("src").orderBy(col("c6").desc, col("dst"))
+    val nbEdges = pairs.withColumn("nrn", row_number().over(wN))
+      .filter(col("nrn") <= GraphM).select("src", "dst")
+    // (b) cross-cluster shortcut: second-home cluster's entry point
+    val crossEdges = second.join(idx.entries, Seq("cell", "fid"))
+      .filter(col("entry") =!= col("vec_id"))
+      .select(col("vec_id").as("src"), col("entry").as("dst"))
+    // symmetrize (the NSG/HNSW discipline): a vector close to few
+    // others can still be SOMEONE's top neighbor — without the
+    // reverse edges such nodes are unreachable and the walk stalls
+    // (measured: the planted twin of one sf0.001 query escaped a
+    // directed-only graph)
+    val directed = nbEdges.unionByName(crossEdges)
+    directed
+      .unionByName(directed.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct().materialize
+  }
+
+  private def hierSeeds(qs: DataFrame, idx: HierIndex): DataFrame = {
+    val pc = qs.crossJoin(broadcast(idx.coarse.select(
+        col("cl_id").as("cell"), col("cvec"))))
+      .withColumn("c6", RelationalQueries.rnd(
+        cosine(col("q_vec"), col("cvec")), 6))
+    val wPc = Window.partitionBy("q_id").orderBy(col("c6").desc, col("cell"))
+    val probedCells = pc.withColumn("prn", row_number().over(wPc))
+      .filter(col("prn") <= 2).select("q_id", "q_vec", "cell")
+    val pf = probedCells.join(idx.fine, "cell")
+      .withColumn("f6", RelationalQueries.rnd(
+        cosine(col("q_vec"), col("fvec")), 6))
+    val wPf = Window.partitionBy("q_id")
+      .orderBy(col("f6").desc, col("cell"), col("fid"))
+    pf.withColumn("frn", row_number().over(wPf))
+      .filter(col("frn") <= GraphSeedF)
+      .join(idx.entries, Seq("cell", "fid"))
+      .select(col("q_id"), col("entry").as("vec_id"))
+      .distinct()
+      .materialize
+  }
+
+  private def beamTopK(qs: DataFrame, emb: DataFrame, edges: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    var beam = seeds
+    for (_ <- 1 to GraphRounds) {
+      val expanded = beam.join(edges, beam("vec_id") === edges("src"))
+        .select(col("q_id"), col("dst").as("vec_id"))
+      val cand = beam.unionByName(expanded).distinct()
+      val scored = cand
+        .join(emb, "vec_id")
+        .join(broadcast(qs), "q_id")
+        .withColumn("c6", RelationalQueries.rnd(
+          cosine(col("q_vec"), col("vec")), 6))
+      val wB = Window.partitionBy("q_id")
+        .orderBy(col("c6").desc, col("vec_id"))
+      beam = scored.withColumn("brn", row_number().over(wB))
+        .filter(col("brn") <= GraphB).select("q_id", "vec_id")
+        .materialize
+    }
+    // final answer: beam minus the query itself, top-K re-rank
+    val finScored = beam.filter(col("vec_id") =!= col("q_id"))
+      .join(emb, "vec_id")
+      .join(broadcast(qs), "q_id")
+      .withColumn("c6", RelationalQueries.rnd(
+        cosine(col("q_vec"), col("vec")), 6))
+    val wF = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+    finScored.withColumn("arn", row_number().over(wF))
+      .filter(col("arn") <= GraphK).select("q_id", "vec_id")
+  }
+
+  private def bruteTruth(qs: DataFrame, emb: DataFrame): DataFrame = {
+    val truthScored = emb
+      .join(broadcast(qs), col("q_id") =!= col("vec_id"))
+      .withColumn("c6", RelationalQueries.rnd(
+        cosine(col("q_vec"), col("vec")), 6))
+    val wT = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
+    truthScored.withColumn("trn", row_number().over(wT))
+      .filter(col("trn") <= GraphK).select(col("q_id"), col("vec_id"))
+      .materialize
+  }
+
   /** Shared DuckDB replica of the hierarchical two-level k-means build
     * — coarse md5-seeded Lloyd round, routed cells, per-cell md5-seeded
     * fine round, routed final assignment — parameterized by the name of
@@ -1865,67 +2020,153 @@ object SimilarityQueries {
     * scalars (k=⌈√n⌉, kc=⌈√k⌉, kf=⌈k/kc⌉) and
     * fin(vec_id, cell, fid, csim) — 1 coarse + 1 fine round, the
     * shipped configuration. */
-  private def hierBuildCteSql(c: String): String =
-    s"""kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM $c),
-      | kcq AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM kk),
-      | kfq AS (SELECT CAST(ceil(CAST(k AS DOUBLE) / kc) AS BIGINT) AS kf
-      |         FROM kk, kcq),
-      | sd AS (SELECT vec,
+  private def hierBuildCteSql(c: String, p: String = ""): String =
+    s"""${p}kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM $c),
+      | ${p}kcq AS (SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM ${p}kk),
+      | ${p}kfq AS (SELECT CAST(ceil(CAST(k AS DOUBLE) / kc) AS BIGINT) AS kf
+      |         FROM ${p}kk, ${p}kcq),
+      | ${p}sd AS (SELECT vec,
       |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
       |            AS rn
       |        FROM $c),
-      | c0 AS (SELECT rn AS cl_id, vec AS cvec FROM sd
-      |        WHERE rn <= (SELECT kc FROM kcq)),
-      | s1 AS (SELECT t.vec_id, q.cl_id, t.vec,
+      | ${p}c0 AS (SELECT rn AS cl_id, vec AS cvec FROM ${p}sd
+      |        WHERE rn <= (SELECT kc FROM ${p}kcq)),
+      | ${p}s1 AS (SELECT t.vec_id, q.cl_id, t.vec,
       |          floor(list_cosine_similarity(t.vec, q.cvec)*1000000+0.5)
       |            /1000000 AS csim
-      |        FROM $c t CROSS JOIN c0 q),
-      | a1 AS (SELECT vec_id, cl_id, vec FROM (
+      |        FROM $c t CROSS JOIN ${p}c0 q),
+      | ${p}a1 AS (SELECT vec_id, cl_id, vec FROM (
       |          SELECT vec_id, cl_id, vec, row_number()
       |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
-      |          FROM s1) WHERE rn = 1),
-      | x1 AS (SELECT cl_id, unnest(vec) AS v,
-      |               generate_subscripts(vec, 1) AS i FROM a1),
-      | m1 AS (SELECT cl_id, i, floor(avg(v)*1000000+0.5)/1000000 AS m
-      |        FROM x1 GROUP BY cl_id, i),
-      | c1 AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM m1
+      |          FROM ${p}s1) WHERE rn = 1),
+      | ${p}x1 AS (SELECT cl_id, unnest(vec) AS v,
+      |               generate_subscripts(vec, 1) AS i FROM ${p}a1),
+      | ${p}m1 AS (SELECT cl_id, i, floor(avg(v)*1000000+0.5)/1000000 AS m
+      |        FROM ${p}x1 GROUP BY cl_id, i),
+      | ${p}c1 AS (SELECT cl_id, list(m ORDER BY i) AS cvec FROM ${p}m1
       |        GROUP BY cl_id),
-      | s2 AS (SELECT t.vec_id, q.cl_id, t.vec,
+      | ${p}s2 AS (SELECT t.vec_id, q.cl_id, t.vec,
       |          floor(list_cosine_similarity(t.vec, q.cvec)*1000000+0.5)
       |            /1000000 AS csim
-      |        FROM $c t CROSS JOIN c1 q),
-      | cel AS (SELECT vec_id, cl_id AS cell, vec FROM (
+      |        FROM $c t CROSS JOIN ${p}c1 q),
+      | ${p}cel AS (SELECT vec_id, cl_id AS cell, vec FROM (
       |          SELECT vec_id, cl_id, vec, row_number()
       |            OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
-      |          FROM s2) WHERE rn = 1),
-      | fsd AS (SELECT cell, vec, row_number()
+      |          FROM ${p}s2) WHERE rn = 1),
+      | ${p}fsd AS (SELECT cell, vec, row_number()
       |           OVER (PARTITION BY cell
       |                 ORDER BY md5(CAST(vec_id AS VARCHAR))) AS fid
-      |         FROM cel),
-      | f0 AS (SELECT cell, fid, vec AS fvec FROM fsd
-      |        WHERE fid <= (SELECT kf FROM kfq)),
-      | fs1 AS (SELECT g.vec_id, g.cell, f.fid, g.vec,
+      |         FROM ${p}cel),
+      | ${p}f0 AS (SELECT cell, fid, vec AS fvec FROM ${p}fsd
+      |        WHERE fid <= (SELECT kf FROM ${p}kfq)),
+      | ${p}fs1 AS (SELECT g.vec_id, g.cell, f.fid, g.vec,
       |           floor(list_cosine_similarity(g.vec, f.fvec)*1000000+0.5)
       |             /1000000 AS csim
-      |         FROM cel g JOIN f0 f ON g.cell = f.cell),
-      | fa1 AS (SELECT vec_id, cell, fid, vec FROM (
+      |         FROM ${p}cel g JOIN ${p}f0 f ON g.cell = f.cell),
+      | ${p}fa1 AS (SELECT vec_id, cell, fid, vec FROM (
       |           SELECT vec_id, cell, fid, vec, row_number()
       |             OVER (PARTITION BY vec_id ORDER BY csim DESC, fid) AS rn
-      |           FROM fs1) WHERE rn = 1),
-      | fx1 AS (SELECT cell, fid, unnest(vec) AS v,
-      |                generate_subscripts(vec, 1) AS i FROM fa1),
-      | fm1 AS (SELECT cell, fid, i, floor(avg(v)*1000000+0.5)/1000000 AS m
-      |         FROM fx1 GROUP BY cell, fid, i),
-      | f1 AS (SELECT cell, fid, list(m ORDER BY i) AS fvec FROM fm1
+      |           FROM ${p}fs1) WHERE rn = 1),
+      | ${p}fx1 AS (SELECT cell, fid, unnest(vec) AS v,
+      |                generate_subscripts(vec, 1) AS i FROM ${p}fa1),
+      | ${p}fm1 AS (SELECT cell, fid, i, floor(avg(v)*1000000+0.5)/1000000 AS m
+      |         FROM ${p}fx1 GROUP BY cell, fid, i),
+      | ${p}f1 AS (SELECT cell, fid, list(m ORDER BY i) AS fvec FROM ${p}fm1
       |        GROUP BY cell, fid),
-      | fs2 AS (SELECT g.vec_id, g.cell, f.fid,
+      | ${p}fs2 AS (SELECT g.vec_id, g.cell, f.fid,
       |           floor(list_cosine_similarity(g.vec, f.fvec)*1000000+0.5)
       |             /1000000 AS csim
-      |         FROM cel g JOIN f1 f ON g.cell = f.cell),
-      | fin AS (SELECT vec_id, cell, fid, csim FROM (
+      |         FROM ${p}cel g JOIN ${p}f1 f ON g.cell = f.cell),
+      | ${p}fin AS (SELECT vec_id, cell, fid, csim FROM (
       |           SELECT vec_id, cell, fid, csim, row_number()
       |             OVER (PARTITION BY vec_id ORDER BY csim DESC, fid) AS rn
-      |           FROM fs2) WHERE rn = 1)""".stripMargin
+      |           FROM ${p}fs2) WHERE rn = 1)""".stripMargin
+
+  private def c6Sql(x: String) = s"floor(($x)*1000000+0.5)/1000000"
+
+  /** Graph-build replica over a prefix-`p` [[hierBuildCteSql]] chain:
+    * rank-2 routing, per-cluster entry points, within-cluster
+    * top-[[GraphM]] kNN edges, cross-cluster shortcuts, symmetrized
+    * edge set — emits ${p}rt2 / ${p}ent / ${p}nb / ${p}xe / ${p}dr /
+    * ${p}ed over corpus CTE `c`. ONE generator shared by the s27 and
+    * s28 oracles (and s28 instantiates it twice), so the replicas can
+    * never desynchronize on the graph rule. */
+  private def graphCteSql(c: String, p: String): String =
+    s"""${p}rt2 AS (SELECT vec_id, cell, fid FROM (
+      |    SELECT vec_id, cell, fid, row_number()
+      |      OVER (PARTITION BY vec_id ORDER BY csim DESC, fid) AS rn
+      |    FROM ${p}fs2) WHERE rn = 2),
+      | ${p}ent AS (SELECT cell, fid, vec_id AS entry FROM (
+      |    SELECT cell, fid, vec_id, row_number()
+      |      OVER (PARTITION BY cell, fid ORDER BY csim DESC, vec_id) AS rn
+      |    FROM ${p}fin) WHERE rn = 1),
+      | ${p}nb AS (SELECT src, dst FROM (
+      |    SELECT a.vec_id AS src, b.vec_id AS dst, row_number()
+      |      OVER (PARTITION BY a.vec_id
+      |            ORDER BY ${c6Sql("list_cosine_similarity(ea.vec, eb.vec)")} DESC,
+      |                     b.vec_id) AS rn
+      |    FROM ${p}fin a JOIN ${p}fin b ON a.cell = b.cell AND a.fid = b.fid
+      |         AND a.vec_id <> b.vec_id
+      |    JOIN $c ea ON ea.vec_id = a.vec_id
+      |    JOIN $c eb ON eb.vec_id = b.vec_id) WHERE rn <= $GraphM),
+      | ${p}xe AS (SELECT r2.vec_id AS src, ent.entry AS dst
+      |        FROM ${p}rt2 r2 JOIN ${p}ent ent
+      |          ON ent.cell = r2.cell AND ent.fid = r2.fid
+      |        WHERE ent.entry <> r2.vec_id),
+      | ${p}dr AS (SELECT src, dst FROM ${p}nb
+      |        UNION ALL SELECT src, dst FROM ${p}xe),
+      | ${p}ed AS (SELECT src, dst FROM ${p}dr
+      |        UNION SELECT dst AS src, src AS dst FROM ${p}dr)""".stripMargin
+
+  /** Seeding + unrolled beam + final top-K replica: hierarchy descent
+    * over the prefix-`hp` centroids (nprobe=2 coarse, [[GraphSeedF]]
+    * fine) to entry CTE `entCte`, [[GraphRounds]] expansions against
+    * edge CTE `edCte` scored on corpus `c` for query CTE `q` — emits
+    * ${p}pc / ${p}pf / ${p}fr0 / ${p}ex{r} / ${p}fr{r} / ${p}appr.
+    * Separate `entCte`/`edCte` params are what let s28's maintained
+    * path seed from the FROZEN base hierarchy while walking the
+    * maintained edge set. */
+  private def seedBeamCteSql(c: String, hp: String, entCte: String,
+      edCte: String, p: String): String = {
+    val beamRounds = (1 to GraphRounds).map { r =>
+      val pr = r - 1
+      s"""${p}ex$r AS (
+         |  SELECT f.q_id, ed.dst AS vec_id
+         |  FROM ${p}fr$pr f JOIN $edCte ed ON ed.src = f.vec_id
+         |  UNION
+         |  SELECT q_id, vec_id FROM ${p}fr$pr),
+         | ${p}fr$r AS (SELECT q_id, vec_id FROM (
+         |    SELECT c.q_id, c.vec_id, row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY ${c6Sql("list_cosine_similarity(q.q_vec, e2.vec)")} DESC,
+         |                 c.vec_id) AS rn
+         |    FROM ${p}ex$r c JOIN $c e2 ON e2.vec_id = c.vec_id
+         |         JOIN q ON q.q_id = c.q_id) WHERE rn <= $GraphB)""".stripMargin
+    }
+    s"""${p}pc AS (SELECT q_id, cell FROM (
+      |    SELECT q.q_id, c.cl_id AS cell, row_number()
+      |      OVER (PARTITION BY q.q_id
+      |            ORDER BY ${c6Sql("list_cosine_similarity(q.q_vec, c.cvec)")} DESC,
+      |                     c.cl_id) AS rn
+      |    FROM q CROSS JOIN ${hp}c1 c) WHERE rn <= 2),
+      | ${p}pf AS (SELECT q_id, cell, fid FROM (
+      |    SELECT pc.q_id, f.cell, f.fid, row_number()
+      |      OVER (PARTITION BY pc.q_id
+      |            ORDER BY ${c6Sql("list_cosine_similarity(q.q_vec, f.fvec)")} DESC,
+      |                     f.cell, f.fid) AS rn
+      |    FROM ${p}pc pc JOIN ${hp}f1 f ON f.cell = pc.cell
+      |         JOIN q ON q.q_id = pc.q_id) WHERE rn <= $GraphSeedF),
+      | ${p}fr0 AS (SELECT DISTINCT pf.q_id, ent.entry AS vec_id
+      |         FROM ${p}pf pf JOIN $entCte ent
+      |           ON ent.cell = pf.cell AND ent.fid = pf.fid),
+      | ${beamRounds.mkString(",\n ")},
+      | ${p}appr AS (SELECT q_id, vec_id FROM (
+      |    SELECT c.q_id, c.vec_id, row_number() OVER (PARTITION BY c.q_id
+      |        ORDER BY ${c6Sql("list_cosine_similarity(q.q_vec, e2.vec)")} DESC,
+      |                 c.vec_id) AS rn
+      |    FROM ${p}fr$GraphRounds c JOIN $c e2 ON e2.vec_id = c.vec_id
+      |         JOIN q ON q.q_id = c.q_id
+      |    WHERE c.vec_id <> c.q_id) WHERE rn <= $GraphK)""".stripMargin
+  }
 
   /** Shared DuckDB replica of the IVF-PQ ADC pipeline (corpus,
     * rnd6 centroids, assignment, residuals, md5-seeded codebook,
@@ -2758,21 +2999,6 @@ object SimilarityQueries {
     // s10-style brute-truth recall — the full iterative search under
     // one hash oracle.
     "s27_graph_beam" -> {
-      def c6(x: String) = s"floor(($x)*1000000+0.5)/1000000"
-      val beamRounds = (1 to GraphRounds).map { r =>
-        val p = r - 1
-        s"""ex$r AS (
-           |  SELECT f.q_id, ed.dst AS vec_id
-           |  FROM fr$p f JOIN ed ON ed.src = f.vec_id
-           |  UNION
-           |  SELECT q_id, vec_id FROM fr$p),
-           | fr$r AS (SELECT q_id, vec_id FROM (
-           |    SELECT c.q_id, c.vec_id, row_number() OVER (PARTITION BY c.q_id
-           |        ORDER BY ${c6("list_cosine_similarity(q.q_vec, e2.vec)")} DESC,
-           |                 c.vec_id) AS rn
-           |    FROM ex$r c JOIN e e2 ON e2.vec_id = c.vec_id
-           |         JOIN q ON q.q_id = c.q_id) WHERE rn <= $GraphB)""".stripMargin
-      }
       s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec
         |              FROM embeddings),
         | tw AS (SELECT vec_id + 100000 AS vec_id,
@@ -2780,55 +3006,11 @@ object SimilarityQueries {
         |        FROM base WHERE vec_id < 3),
         | e AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
         | ${hierBuildCteSql("e")},
-        | rt2 AS (SELECT vec_id, cell, fid FROM (
-        |    SELECT vec_id, cell, fid, row_number()
-        |      OVER (PARTITION BY vec_id ORDER BY csim DESC, fid) AS rn
-        |    FROM fs2) WHERE rn = 2),
-        | ent AS (SELECT cell, fid, vec_id AS entry FROM (
-        |    SELECT cell, fid, vec_id, row_number()
-        |      OVER (PARTITION BY cell, fid ORDER BY csim DESC, vec_id) AS rn
-        |    FROM fin) WHERE rn = 1),
-        | nb AS (SELECT src, dst FROM (
-        |    SELECT a.vec_id AS src, b.vec_id AS dst, row_number()
-        |      OVER (PARTITION BY a.vec_id
-        |            ORDER BY ${c6("list_cosine_similarity(ea.vec, eb.vec)")} DESC,
-        |                     b.vec_id) AS rn
-        |    FROM fin a JOIN fin b ON a.cell = b.cell AND a.fid = b.fid
-        |         AND a.vec_id <> b.vec_id
-        |    JOIN e ea ON ea.vec_id = a.vec_id
-        |    JOIN e eb ON eb.vec_id = b.vec_id) WHERE rn <= $GraphM),
-        | xe AS (SELECT r2.vec_id AS src, ent.entry AS dst
-        |        FROM rt2 r2 JOIN ent ON ent.cell = r2.cell AND ent.fid = r2.fid
-        |        WHERE ent.entry <> r2.vec_id),
-        | dr AS (SELECT src, dst FROM nb UNION ALL SELECT src, dst FROM xe),
-        | ed AS (SELECT src, dst FROM dr
-        |        UNION SELECT dst AS src, src AS dst FROM dr),
+        | ${graphCteSql("e", "")},
         | q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 3),
-        | pc AS (SELECT q_id, cell FROM (
-        |    SELECT q.q_id, c.cl_id AS cell, row_number()
-        |      OVER (PARTITION BY q.q_id
-        |            ORDER BY ${c6("list_cosine_similarity(q.q_vec, c.cvec)")} DESC,
-        |                     c.cl_id) AS rn
-        |    FROM q CROSS JOIN c1 c) WHERE rn <= 2),
-        | pf AS (SELECT q_id, cell, fid FROM (
-        |    SELECT pc.q_id, f.cell, f.fid, row_number()
-        |      OVER (PARTITION BY pc.q_id
-        |            ORDER BY ${c6("list_cosine_similarity(q.q_vec, f.fvec)")} DESC,
-        |                     f.cell, f.fid) AS rn
-        |    FROM pc JOIN f1 f ON f.cell = pc.cell
-        |         JOIN q ON q.q_id = pc.q_id) WHERE rn <= $GraphSeedF),
-        | fr0 AS (SELECT DISTINCT pf.q_id, ent.entry AS vec_id
-        |         FROM pf JOIN ent ON ent.cell = pf.cell AND ent.fid = pf.fid),
-        | ${beamRounds.mkString(",\n ")},
-        | appr AS (SELECT q_id, vec_id FROM (
-        |    SELECT c.q_id, c.vec_id, row_number() OVER (PARTITION BY c.q_id
-        |        ORDER BY ${c6("list_cosine_similarity(q.q_vec, e2.vec)")} DESC,
-        |                 c.vec_id) AS rn
-        |    FROM fr$GraphRounds c JOIN e e2 ON e2.vec_id = c.vec_id
-        |         JOIN q ON q.q_id = c.q_id
-        |    WHERE c.vec_id <> c.q_id) WHERE rn <= $GraphK),
+        | ${seedBeamCteSql("e", "", "ent", "ed", "")},
         | ts AS (SELECT q.q_id, e.vec_id,
-        |          ${c6("list_cosine_similarity(q.q_vec, e.vec)")} AS c6
+        |          ${c6Sql("list_cosine_similarity(q.q_vec, e.vec)")} AS c6
         |        FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
         | truth AS (SELECT q_id, vec_id FROM (
         |    SELECT q_id, vec_id, row_number()
@@ -2850,6 +3032,99 @@ object SimilarityQueries {
         |FROM nt JOIN ns ON ns.q_id = nt.q_id
         |        LEFT JOIN h ON h.q_id = nt.q_id
         |        LEFT JOIN pl ON pl.q_id = nt.q_id
+        |ORDER BY nt.q_id""".stripMargin
+    },
+
+    // s28: base-epoch hier+graph replicas (prefix b) over the organic
+    // corpus, the frozen-hierarchy insert routing + locally-symmetrized
+    // maintenance edges (med), the maintained walk (prefix m, seeded
+    // from the STALE base entries), the full-rebuild control (prefix
+    // r over the union corpus), one shared brute truth — all from the
+    // same generators as s27, so the two oracles cannot desynchronize
+    // on the graph or beam rules.
+    "s28_graph_incremental" -> {
+      s"""WITH org AS (SELECT vec_id, embedding::DOUBLE[] AS vec
+        |              FROM embeddings),
+        | tw AS (SELECT vec_id + 100000 AS vec_id,
+        |          list_transform(vec, x -> x * 1.001) AS vec
+        |        FROM org WHERE vec_id < 3),
+        | e AS (SELECT * FROM org UNION ALL SELECT * FROM tw),
+        | ${hierBuildCteSql("org", "b")},
+        | ${graphCteSql("org", "b")},
+        | ivs AS (SELECT t.vec_id, q.cl_id, t.vec,
+        |           ${c6Sql("list_cosine_similarity(t.vec, q.cvec)")} AS csim
+        |         FROM tw t CROSS JOIN bc1 q),
+        | ivc AS (SELECT vec_id, cl_id AS cell, vec FROM (
+        |           SELECT vec_id, cl_id, vec, row_number()
+        |             OVER (PARTITION BY vec_id ORDER BY csim DESC, cl_id) AS rn
+        |           FROM ivs) WHERE rn = 1),
+        | ifs AS (SELECT g.vec_id, g.cell, f.fid,
+        |           ${c6Sql("list_cosine_similarity(g.vec, f.fvec)")} AS csim
+        |         FROM ivc g JOIN bf1 f ON g.cell = f.cell),
+        | ifr AS (SELECT vec_id, cell, fid, row_number()
+        |           OVER (PARTITION BY vec_id ORDER BY csim DESC, fid) AS rn
+        |         FROM ifs),
+        | inb AS (SELECT src, dst FROM (
+        |    SELECT i.vec_id AS src, m.vec_id AS dst, row_number()
+        |      OVER (PARTITION BY i.vec_id
+        |            ORDER BY ${c6Sql("list_cosine_similarity(ei.vec, em.vec)")} DESC,
+        |                     m.vec_id) AS rn
+        |    FROM ifr i JOIN bfin m ON m.cell = i.cell AND m.fid = i.fid
+        |    JOIN tw ei ON ei.vec_id = i.vec_id
+        |    JOIN org em ON em.vec_id = m.vec_id
+        |    WHERE i.rn = 1) WHERE rn <= $GraphM),
+        | ixe AS (SELECT i.vec_id AS src, ent.entry AS dst
+        |         FROM ifr i JOIN bent ent
+        |           ON ent.cell = i.cell AND ent.fid = i.fid
+        |         WHERE i.rn = 2 AND ent.entry <> i.vec_id),
+        | idr AS (SELECT DISTINCT src, dst FROM
+        |           (SELECT src, dst FROM inb
+        |            UNION ALL SELECT src, dst FROM ixe)),
+        | med AS (SELECT src, dst FROM bed
+        |         UNION SELECT src, dst FROM idr
+        |         UNION SELECT dst AS src, src AS dst FROM idr),
+        | q AS (SELECT vec_id AS q_id, vec AS q_vec FROM org
+        |       WHERE vec_id < 3),
+        | ${seedBeamCteSql("e", "b", "bent", "med", "m")},
+        | ${hierBuildCteSql("e", "r")},
+        | ${graphCteSql("e", "r")},
+        | ${seedBeamCteSql("e", "r", "rent", "red", "r")},
+        | ts AS (SELECT q.q_id, e.vec_id,
+        |          ${c6Sql("list_cosine_similarity(q.q_vec, e.vec)")} AS c6
+        |        FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        | truth AS (SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id, row_number()
+        |      OVER (PARTITION BY q_id ORDER BY c6 DESC, vec_id) AS rn
+        |    FROM ts) WHERE rn <= $GraphK),
+        | nt AS (SELECT q_id, count(*) AS n_truth FROM truth GROUP BY q_id),
+        | hm AS (SELECT t.q_id, count(*) AS n_hit FROM truth t
+        |        JOIN mappr a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+        |        GROUP BY t.q_id),
+        | hr AS (SELECT t.q_id, count(*) AS n_hit FROM truth t
+        |        JOIN rappr a ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+        |        GROUP BY t.q_id),
+        | plm AS (SELECT q_id, true AS fp FROM mappr
+        |         WHERE vec_id = q_id + 100000),
+        | plr AS (SELECT q_id, true AS fp FROM rappr
+        |         WHERE vec_id = q_id + 100000),
+        | cen AS (SELECT (SELECT count(*) FROM tw) AS n_inserts,
+        |                (SELECT count(*) FROM idr) AS n_new_edges)
+        |SELECT nt.q_id, CAST(nt.n_truth AS BIGINT) AS n_truth,
+        | CAST(coalesce(hm.n_hit, 0) AS BIGINT) AS maint_hit,
+        | floor((CAST(coalesce(hm.n_hit, 0) AS DOUBLE) / nt.n_truth)
+        |       *10000+0.5)/10000 AS maint_recall,
+        | coalesce(plm.fp, false) AS maint_found_planted,
+        | CAST(coalesce(hr.n_hit, 0) AS BIGINT) AS rebuilt_hit,
+        | floor((CAST(coalesce(hr.n_hit, 0) AS DOUBLE) / nt.n_truth)
+        |       *10000+0.5)/10000 AS rebuilt_recall,
+        | coalesce(plr.fp, false) AS rebuilt_found_planted,
+        | CAST(cen.n_inserts AS BIGINT) AS n_inserts,
+        | CAST(cen.n_new_edges AS BIGINT) AS n_new_edges
+        |FROM nt LEFT JOIN hm ON hm.q_id = nt.q_id
+        |        LEFT JOIN hr ON hr.q_id = nt.q_id
+        |        LEFT JOIN plm ON plm.q_id = nt.q_id
+        |        LEFT JOIN plr ON plr.q_id = nt.q_id
+        |        CROSS JOIN cen
         |ORDER BY nt.q_id""".stripMargin
     },
 

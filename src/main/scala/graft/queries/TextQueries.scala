@@ -59,6 +59,12 @@ object TextQueries {
     * oracle. A production build iterates to a vocab-size target. */
   val BpeRounds = 8
 
+  /** t46 token-denominated temperature normalizer — the [[TempMixC]]
+    * analog for token masses (token mass ≈ 0.74 × char mass on this
+    * corpus, so 40 yields keep rates comparable to the char path's 50;
+    * a fixed config constant for the same IEEE reason as TempMixC). */
+  val TokMixC = 40.0
+
   /** t44/t45 learned-quality-classifier config: perceptron rounds
     * (training error hits zero by round 6 on the planted corpus at all
     * three SFs — measured, see the t44 scaladoc) and the planted
@@ -1995,6 +2001,89 @@ object TextQueries {
           cnt((col("margin") > 0) =!= col("pass_t13")).as("n_disagree"))
         .orderBy("source")
     }),
+
+    /** TOKEN-denominated mixture reweighting — closing the
+      * tokenizer→mixture loop: t18's temperature resampling weights
+      * sources by CHAR mass, but training budgets are spent in TOKENS
+      * of the shipped tokenizer, and a language that fragments under
+      * it (high fertility) carries more token mass per char — so the
+      * char-denominated mixture systematically over-serves fragmenting
+      * languages relative to the token budget. This publishes BOTH
+      * weightings side by side per language: the t18 α=0.5 gate on
+      * char mass and the same gate on the EXACT token mass under t42's
+      * learned tokenizer (per-doc token counts via
+      * [[graft.operators.BpeMerge.collectMerges]] — the same learner
+      * on the same corpus fold, its 8-row table folded into a static
+      * [[graft.operators.BpeMerge.applyMerges]] replace chain, so the
+      * mass is the shipped tokenizer's by construction and the apply
+      * is ONE narrow pass), plus the share gap — the
+      * number a data-mixing owner compares before retraining weights.
+      * Kept masses are integer sums of integer per-doc masses (the
+      * t18 IEEE argument: no data-dependent double Σ anywhere; the
+      * one Σ per share is a window sum of BIGINTs). On THIS corpus
+      * fertility is nearly uniform across languages (3.72–3.75), so
+      * the published gap is small by construction — the operator
+      * shape, not the magnitude, is the witness (the t03 accuracy
+      * caveat). Scale: one corpus fold to (doc, word) counts, the
+      * 8-round vocabulary-style rewrite, one census aggregate. */
+    "t46_token_mixture" -> ((s, d) => {
+      import graft.operators.BpeMerge
+      val docs = Tables.documents(s, d)
+      // frozen merge table, collected once (8 rows) and folded into a
+      // static replace chain — one narrow pass over the (doc, word)
+      // fold instead of 8 materialized corpus-grain rewrite rounds
+      // (same learner, same fold, same greedy semantics as encode())
+      val merges = BpeMerge.collectMerges(
+        docs.select(explode(tokens).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("freq")),
+        BpeRounds)
+      val perDoc = docs
+        .select(col("doc_id"), col("lang"), explode(tokens).as("w"))
+        .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("freq"))
+        .withColumn("nt", size(graft.operators.BpeMerge.symbolsOf(
+          BpeMerge.applyMerges(col("w"), merges))).cast("long"))
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("freq") * col("nt")).as("d_tokens"))
+      val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(perDoc, Seq("doc_id", "lang"), "left")
+        .withColumn("d_tokens", coalesce(col("d_tokens"), lit(0L)))
+      val stats = base.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars_mass"),
+          sum("d_tokens").as("tokens_mass"))
+        .withColumn("rate_c",
+          least(lit(1.0), lit(TempMixC) / sqrt(col("chars_mass"))))
+        .withColumn("rate_t",
+          least(lit(1.0), lit(TokMixC) / sqrt(col("tokens_mass"))))
+        .withColumn("cut_c", floor(col("rate_c") * 4096))
+        .withColumn("cut_t", floor(col("rate_t") * 4096))
+      def gate(salt: String): Column =
+        pmod(graft.operators.Sampling.portableGate(
+          concat(col("doc_id").cast("string"), lit(salt))), lit(4096))
+      val kept = base.join(broadcast(stats), "lang")
+        .withColumn("keep_c", (gate(":tmixc") < col("cut_c")).cast("long"))
+        .withColumn("keep_t", (gate(":tmixt") < col("cut_t")).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars_mass"),
+          sum("d_tokens").as("tokens_mass"),
+          max(rnd(col("rate_c"), 6)).as("rate_char"),
+          max(rnd(col("rate_t"), 6)).as("rate_tok"),
+          sum("keep_c").as("n_kept_char"),
+          sum("keep_t").as("n_kept_tok"),
+          sum(when(col("keep_c") === 1, col("n_chars")).otherwise(0L))
+            .as("chars_kept"),
+          sum(when(col("keep_t") === 1, col("d_tokens")).otherwise(0L))
+            .as("tokens_kept"))
+        .withColumn("share_char", rnd(
+          col("chars_kept").cast("double") / sum("chars_kept").over(w), 6))
+        .withColumn("share_tok", rnd(
+          col("tokens_kept").cast("double") / sum("tokens_kept").over(w), 6))
+        .withColumn("share_gap",
+          rnd(col("share_tok") - col("share_char"), 6))
+        .orderBy("lang")
+    }),
   )
 
   /** Shared DuckDB replica of the BPE merge learner (t42/t43): the
@@ -2004,7 +2093,7 @@ object TextQueries {
     * oracles can never desynchronize on N. Sums cast to BIGINT
     * (DuckDB sums to HUGEINT); DuckDB prunes unreferenced CTEs, so a
     * consumer pays only the chain it reads. */
-  private def bpeCteSql: String = {
+  private[queries] def bpeCteSql: String = {
     val rounds = (1 to BpeRounds).map { r =>
       val p = r - 1
       s"""c$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_n FROM (
@@ -2129,6 +2218,83 @@ object TextQueries {
         | CAST(sum(CASE WHEN (margin > 0) <> pass_t13 THEN 1 ELSE 0 END)
         |   AS BIGINT) AS n_disagree
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // t46: the shared merge CTEs applied at (doc_id, lang) granularity
+    // (the t43 carry discipline), then t18's gate machinery duplicated
+    // for the char and token denominations with the integer kept-mass
+    // shares and the gap.
+    "t46_token_mixture" -> {
+      val applies = (1 to BpeRounds).map { r =>
+        val p = r - 1
+        s"""te$r AS (SELECT doc_id, lang, freq,
+           |          replace(te$p.sy, '#' || m$r.l_sym || '##' || m$r.r_sym || '#',
+           |                  '#' || m$r.l_sym || m$r.r_sym || '#') AS sy
+           |        FROM te$p, m$r)""".stripMargin
+      }
+      s"""WITH $bpeCteSql,
+        | wd AS (SELECT doc_id, lang, w, count(*) AS freq FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents) GROUP BY 1, 2, 3),
+        | te0 AS (SELECT doc_id, lang, freq,
+        |           '##' || regexp_replace(w, '(.)', '\\1##', 'g') AS sy
+        |         FROM wd),
+        | ${applies.mkString(",\n ")},
+        | pd AS (SELECT doc_id, lang,
+        |          CAST(sum(freq * len(list_filter(string_split(sy, '##'),
+        |            x -> x <> ''))) AS BIGINT) AS d_tokens
+        |        FROM te$BpeRounds GROUP BY 1, 2),
+        | tbase AS (SELECT d.doc_id, d.lang, d.n_chars,
+        |             coalesce(pd.d_tokens, 0) AS d_tokens
+        |           FROM documents d LEFT JOIN pd
+        |             ON pd.doc_id = d.doc_id AND pd.lang = d.lang),
+        | tstats AS (SELECT lang,
+        |              CAST(sum(n_chars) AS BIGINT) AS chars_mass,
+        |              CAST(sum(d_tokens) AS BIGINT) AS tokens_mass
+        |            FROM tbase GROUP BY 1),
+        | tst2 AS (SELECT lang, chars_mass, tokens_mass,
+        |            least(1.0, $TempMixC / sqrt(chars_mass)) AS rate_c,
+        |            least(1.0, $TokMixC / sqrt(tokens_mass)) AS rate_t,
+        |            floor(least(1.0, $TempMixC / sqrt(chars_mass)) * 4096)
+        |              AS cut_c,
+        |            floor(least(1.0, $TokMixC / sqrt(tokens_mass)) * 4096)
+        |              AS cut_t
+        |          FROM tstats),
+        | tk AS (SELECT b.lang, b.n_chars, b.d_tokens, s.rate_c, s.rate_t,
+        |          CASE WHEN ${graft.operators.Sampling.portableGateSql(
+             "CAST(b.doc_id AS VARCHAR) || ':tmixc'")} % 4096 < s.cut_c
+        |               THEN 1 ELSE 0 END AS keep_c,
+        |          CASE WHEN ${graft.operators.Sampling.portableGateSql(
+             "CAST(b.doc_id AS VARCHAR) || ':tmixt'")} % 4096 < s.cut_t
+        |               THEN 1 ELSE 0 END AS keep_t
+        |        FROM tbase b JOIN tst2 s USING (lang)),
+        | tper AS (SELECT lang, count(*) AS n_docs,
+        |            CAST(sum(n_chars) AS BIGINT) AS chars_mass,
+        |            CAST(sum(d_tokens) AS BIGINT) AS tokens_mass,
+        |            max(floor(rate_c * 1000000 + 0.5) / 1000000) AS rate_char,
+        |            max(floor(rate_t * 1000000 + 0.5) / 1000000) AS rate_tok,
+        |            CAST(sum(keep_c) AS BIGINT) AS n_kept_char,
+        |            CAST(sum(keep_t) AS BIGINT) AS n_kept_tok,
+        |            CAST(sum(CASE WHEN keep_c = 1 THEN n_chars ELSE 0 END)
+        |              AS BIGINT) AS chars_kept,
+        |            CAST(sum(CASE WHEN keep_t = 1 THEN d_tokens ELSE 0 END)
+        |              AS BIGINT) AS tokens_kept
+        |          FROM tk GROUP BY lang),
+        | tfin AS (SELECT *,
+        |            floor((CAST(chars_kept AS DOUBLE)
+        |              / CAST(sum(chars_kept) OVER () AS DOUBLE))
+        |              * 1000000 + 0.5) / 1000000 AS share_char,
+        |            floor((CAST(tokens_kept AS DOUBLE)
+        |              / CAST(sum(tokens_kept) OVER () AS DOUBLE))
+        |              * 1000000 + 0.5) / 1000000 AS share_tok
+        |          FROM tper)
+        |SELECT lang, n_docs, chars_mass, tokens_mass, rate_char, rate_tok,
+        | n_kept_char, n_kept_tok, chars_kept, tokens_kept,
+        | share_char, share_tok,
+        | floor((share_tok - share_char) * 1000000 + 0.5) / 1000000
+        |   AS share_gap
+        |FROM tfin ORDER BY lang""".stripMargin
     },
 
     // t42: the shared unrolled merge-round replica; greedy re-pair

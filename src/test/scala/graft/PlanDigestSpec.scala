@@ -261,13 +261,16 @@ class PlanDigestSpec extends AnyFunSuite {
     val cells = accepted.toSeq.map(d =>
       PlanDigest.manifestCell("d13_semantic_dedup", d))
     assert(cells.distinct.size == 1)
-    val cell = cells.head.toOption.get
+    val cell = cells.head match {
+      case Left(c) => c
+      case Right(err) => fail(s"accepted member rejected: $err")
+    }
     accepted.foreach(d => assert(cell.contains(d)))
     assert(cell.contains(note))
     // a never-adjudicated third value fails loudly
     val bad = PlanDigest.manifestCell("d13_semantic_dedup", "deadbeef")
     assert(bad.isLeft == false)
-    assert(bad.swap.toOption.get.contains("deadbeef"))
+    assert(bad.toOption.get.contains("deadbeef"))
     // ordinary rows pass through verbatim
     assert(PlanDigest.manifestCell("q01_agg_battery", "abc") == Left("abc"))
   }

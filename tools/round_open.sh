@@ -23,8 +23,24 @@ import json
 print(max(json.loads(l)['round'] for l in open('PROGRESS.jsonl') if l.strip()))
 ") || { echo "round_open: cannot determine round"; exit 1; }
 
+# Stage ONLY the known driver-artifact paths (r18 advice: a blanket
+# `git add -A` would sweep stray builder edits or untracked junk into
+# a commit mislabeled as driver artifacts). Anything else dirty is a
+# loud warning, left in the tree for the builder to handle explicitly.
+git add -- 'BENCH_r*.json' 'CORRECTNESS_r*.json' VERDICT.md ADVICE.md \
+  LEAKCHECK.json BENCH_LAST.json PROGRESS.jsonl 2>/dev/null || true
+if git diff --cached --quiet; then
+  echo "round_open: tree is dirty but NONE of it is driver artifacts —"
+  git status --short
+  echo "round_open: nothing committed; review the above by hand"
+  exit 0
+fi
+
 echo "round_open: committing driver artifacts for round $ROUND:"
-git status --short
-git add -A
+git diff --cached --stat
 git commit -m "round $((ROUND - 1)): verdict/advice/correctness/bench (driver artifacts, committed at r$ROUND open)"
-echo "round_open: done — tree clean, start building"
+if [ -n "$(git status --porcelain)" ]; then
+  echo "round_open: WARNING — non-driver-artifact changes remain unstaged:"
+  git status --short
+fi
+echo "round_open: done — start building"
