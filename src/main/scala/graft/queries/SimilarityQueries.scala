@@ -1921,13 +1921,20 @@ object SimilarityQueries {
   private def graphEdges(emb: DataFrame, idx: HierIndex): DataFrame = {
     val home = idx.routed.filter(col("rn") === 1)
     val second = idx.routed.filter(col("rn") === 2)
-    // (a) within-cluster kNN edges over the bounded per-cluster frames
-    val pairs = home.select(col("vec_id").as("src"), col("cell"), col("fid"))
-      .join(home.select(col("vec_id").as("dst"), col("cell"), col("fid")),
-        Seq("cell", "fid"))
+    // (a) within-cluster kNN edges over the bounded per-cluster frames.
+    // Vectors attach to the n-row HOME table BEFORE the self-join, so
+    // the one shuffle is cluster-keyed over n rows and the n^1.5 pair
+    // stream is born with both vectors in place — the r19 soak caught
+    // the original shape (pair first, then two equi-joins hauling the
+    // 64-dim vectors onto the exploded stream) going superlinear at
+    // x30, exactly the join-order mistake the 100 TB bar forbids.
+    val homeV = home.select(col("vec_id"), col("cell"), col("fid"))
+      .join(emb, "vec_id")
+    val pairs = homeV.select(col("vec_id").as("src"), col("cell"),
+        col("fid"), col("vec").as("sv"))
+      .join(homeV.select(col("vec_id").as("dst"), col("cell"), col("fid"),
+        col("vec").as("dv")), Seq("cell", "fid"))
       .filter(col("src") =!= col("dst"))
-      .join(emb.select(col("vec_id").as("src"), col("vec").as("sv")), "src")
-      .join(emb.select(col("vec_id").as("dst"), col("vec").as("dv")), "dst")
       .withColumn("c6", RelationalQueries.rnd(cosine(col("sv"), col("dv")), 6))
     val wN = Window.partitionBy("src").orderBy(col("c6").desc, col("dst"))
     val nbEdges = pairs.withColumn("nrn", row_number().over(wN))
