@@ -232,6 +232,19 @@ def main():
         # staying silent would make a skipped gate look like a passed one
         print(f"note: no comparable prior round (class/epoch) for r{last_r:02d}"
               " — regression gate skipped")
+    # adjudicated cells (tools/bench_adjudications.json): a flagged cell
+    # with a matching (round, query) entry — control run + unchanged
+    # digest recorded in BENCH_NOTES — prints as ADJUDICATED instead of
+    # failing, bounded by the entry's max_sec. The bench analog of the
+    # digest manifest's accepted-alternates rows: the close stays
+    # scripted, the adjudication stays committed and auditable.
+    adjudicated = {}
+    try:
+        with open("tools/bench_adjudications.json") as f:
+            for e in json.load(f).get("adjudicated", []):
+                adjudicated[(e["round"], e["query"])] = e
+    except (OSError, ValueError, KeyError):
+        pass
     if same_class:
         prev_r = same_class[-1]
         prev_qs = rounds[prev_r].get("queries", {})
@@ -244,6 +257,12 @@ def main():
                 warnings.append(f"  {q}: FAILED in r{last_r:02d}")
                 continue
             if p and p > 0.05 and v >= HARD_REGRESSION_RATIO * p:
+                adj = adjudicated.get((last_r, q))
+                if adj and v <= adj.get("max_sec", 0):
+                    print(f"ADJUDICATED: {q} r{prev_r:02d} {p:.2f}s -> "
+                          f"r{last_r:02d} {v:.2f}s ({v / p:.1f}x) — "
+                          f"{adj.get('note', '')[:120]}")
+                    continue
                 warnings.append(
                     f"  {q}: r{prev_r:02d} {p:.2f}s -> r{last_r:02d} {v:.2f}s "
                     f"({v / p:.1f}x)")
