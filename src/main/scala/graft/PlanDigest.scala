@@ -447,7 +447,9 @@ object PlanDigest {
     // quantifying a bistable row (the 9th-class protocol) without
     // paying N full sbt launches. Repeat runs never write the manifest.
     val repeat = sys.env.get("SPARK_GRAFT_DIGEST_REPEAT")
-      .map(_.toInt).getOrElse(1).max(1)
+      .map(v => scala.util.Try(v.trim.toInt).getOrElse(sys.error(
+        s"SPARK_GRAFT_DIGEST_REPEAT must be an integer, got '$v'")))
+      .getOrElse(1).max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val rows = names.flatMap { name =>

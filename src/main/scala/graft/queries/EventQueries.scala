@@ -1312,7 +1312,10 @@ object EventQueries {
       val wB = Window.orderBy(col("ks_obs").desc, col("proj"))
       obs.join(broadcast(nGe), "proj")
         .withColumn("board_rank", row_number().over(wB))
-        .select(col("board_rank"), col("proj"), col("w_early"),
+        // proj as BIGINT on both sides — silences the last benign
+        // check_oracle dtype WARN (spark INTEGER vs duck BIGINT, r19)
+        .select(col("board_rank"), col("proj").cast("long").as("proj"),
+          col("w_early"),
           col("w_late"), RelationalQueries.rnd(col("ks_obs"), 6).as("ks"),
           col("ks_value").cast("long").as("ks_value"), col("n_ge"),
           RelationalQueries.rnd(p, 6).as("p_perm"),
@@ -1713,10 +1716,17 @@ object EventQueries {
       * firing, fertility jumps ~1.16× (measured at sf0.01; clean-day
       * ratios sit at ~1.00) — the canonical "new data, old tokenizer"
       * drift. Post-hoc, each closed (day, lang) window compares its
-      * fertility to the lang's day-0 baseline by INTEGER cross-
-      * multiplication (tokens·base_words·100 > base_tokens·words·108 —
-      * exact in both engines; the census is day×lang-sized so the
-      * products stay far below 2^63), flagging ratios above 1.08.
+      * fertility to the lang's day-0 baseline by exact cross-
+      * multiplication (tokens·base_words·100 > base_tokens·words·108),
+      * flagging ratios above 1.08. The OPERANDS are per-(day, lang)
+      * token/word MASSES, not census counts — at the 100 TB operating
+      * point a single (day, lang) cell can carry ~10^11–10^12 tokens,
+      * so the product is ~10^26 and int64 would silently wrap (Spark)
+      * or error (DuckDB). Both sides therefore widen BEFORE the
+      * multiply: Spark to DECIMAL(19,0) operands (product
+      * DECIMAL(38,0), exact to 10^38), DuckDB to HUGEINT (int128,
+      * exact to ~1.7·10^38) — both exact through ~10^26, so the
+      * boolean agrees by construction.
       *
       * Scale: stream state is watermark-bounded day×lang counters
       * (two integer sums per window); the merge table is 8 rows
@@ -1802,8 +1812,11 @@ object EventQueries {
           RelationalQueries.rnd(
             col("n_tokens").cast("double") / col("n_words"), 4)
             .as("fertility"),
-          (col("n_tokens") * col("b_words") * lit(100L) >
-            col("b_tokens") * col("n_words") * lit(108L)).as("drifted"))
+          (col("n_tokens").cast("decimal(19,0)") *
+            col("b_words").cast("decimal(19,0)") * lit(100L) >
+            col("b_tokens").cast("decimal(19,0)") *
+              col("n_words").cast("decimal(19,0)") * lit(108L))
+            .as("drifted"))
         .orderBy("dayi", "lang")
     }),
   )
@@ -2427,8 +2440,10 @@ object EventQueries {
     // sentinel windows never emit). Merge table = TextQueries.bpeCteSql
     // (t42's m1..mN verbatim — the oracle and the stream cannot learn
     // different tokenizers); the plant, the (day, lang, word) fold, a
-    // t43-style carry-column apply, and the integer cross-multiplied
-    // 1.08× drift gate against each lang's day-0 baseline.
+    // t43-style carry-column apply, and the exact cross-multiplied
+    // 1.08× drift gate (HUGEINT here, DECIMAL(38,0) Spark-side — both
+    // exact at 100 TB operand magnitude) against each lang's day-0
+    // baseline.
     "e25_fertility_drift" -> {
       val rounds = graft.queries.TextQueries.BpeRounds
       val days = FertDays
@@ -2465,7 +2480,8 @@ object EventQueries {
         |SELECT cen.dayi, cen.lang, n_words, n_tokens,
         | floor((CAST(n_tokens AS DOUBLE) / n_words)*10000+0.5)/10000
         |   AS fertility,
-        | (n_tokens * b_words * 100 > b_tokens * n_words * 108) AS drifted
+        | (CAST(n_tokens AS HUGEINT) * b_words * 100 >
+        |  CAST(b_tokens AS HUGEINT) * n_words * 108) AS drifted
         |FROM cen JOIN b ON b.lang = cen.lang
         |ORDER BY cen.dayi, cen.lang""".stripMargin
     },

@@ -984,7 +984,9 @@ object SimilarityQueries {
       val emb = base.unionByName(twins)
       // build → graph → seed → walk, via the s27/s28 shared machinery
       // (hierRoute/graphEdges/hierSeeds/beamTopK — extracted r19 for
-      // s28's incremental-maintenance reuse; plan-identical)
+      // s28's incremental-maintenance reuse; result-identical, with
+      // graphEdges' attach-first edge build as the one deliberate
+      // plan change — see the shared-machinery scaladoc)
       val idx = hierRoute(emb)
       val edges = graphEdges(emb, idx)
       val qs = emb.filter(col("vec_id") < 3)
@@ -1876,9 +1878,15 @@ object SimilarityQueries {
     }),
   )
 
-  /** s27/s28 shared graph-ANN machinery (extracted r19, plan-identical
-    * to s27's original inline body — design rationale in the s27
-    * scaladoc). The index: [[hierRoute]] builds the s24 two-level
+  /** s27/s28 shared graph-ANN machinery (extracted r19,
+    * RESULT-identical to s27's original inline body — design rationale
+    * in the s27 scaladoc). NOT plan-identical by construction:
+    * [[graphEdges]] deliberately changed the edge-build join order in
+    * r19 (vectors attached to the n-row home table BEFORE the
+    * cluster-keyed self-join — the superlinear-soak fix, see its
+    * inline comment and tools/BENCH_NOTES.md r19), so the physical
+    * plan is pinned only by the digest manifest, not by this
+    * extraction. The index: [[hierRoute]] builds the s24 two-level
     * hierarchy and routes every vector (rank-1 home + rank-2 cross
     * target + per-cluster entry points); [[graphEdges]] materializes
     * the symmetrized top-[[GraphM]]-within-cluster + cross-shortcut

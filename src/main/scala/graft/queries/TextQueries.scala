@@ -2132,6 +2132,16 @@ object TextQueries {
     * or the plant. All gradient sums are exact integer arithmetic;
     * the one double op per weight (floor(g/denominator)) is
     * correctly-rounded IEEE in both engines. */
+  /** Escape a Scala string into a single-quoted SQL literal (doubles
+    * embedded quotes) — so a future [[BoilerHeader]] containing an
+    * apostrophe cannot break the generated oracle. */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** [[StopWords]] as a SQL literal list — the ONE source both engines
+    * read. Hand-duplicating the list as SQL literals is exactly the
+    * desync class the M11Rounds generated-columns fix closed for m11. */
+  private def stopWordsSql: String = StopWords.map(sqlLit).mkString(",")
+
   private def qcCteSql: String = {
     val plantedText = Seq.fill(QcBannerReps)(BoilerHeader).mkString(" ")
     val xs = (1 to 5).map(i => s"x$i")
@@ -2156,7 +2166,7 @@ object TextQueries {
     }
     s"""qdocs AS (
       |  SELECT doc_id, source,
-      |    CASE WHEN doc_id % 5 = 0 THEN '$plantedText' ELSE text END AS text
+      |    CASE WHEN doc_id % 5 = 0 THEN ${sqlLit(plantedText)} ELSE text END AS text
       |  FROM documents),
       | f0 AS (
       |  SELECT doc_id, source,
@@ -2173,7 +2183,7 @@ object TextQueries {
       |      ELSE 0 END AS BIGINT) AS x2,
       |    CAST(CASE WHEN len(toks) > 0 THEN
       |      floor(10000.0 * len(list_filter(toks,
-      |        t -> t IN ('the','a','of','and','to','in'))) / len(toks))
+      |        t -> t IN ($stopWordsSql))) / len(toks))
       |      ELSE 0 END AS BIGINT) AS x3,
       |    CAST(CASE WHEN len(toks) > 0 THEN
       |      floor(least(CAST(ns AS DOUBLE) / len(toks), 10.0) * 1000)
@@ -2182,7 +2192,7 @@ object TextQueries {
       |    (len(toks) BETWEEN 20 AND 1000
       |      AND CAST(ns AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
       |      AND len(list_intersect(list_distinct(toks),
-      |            ['the','a','of','and','to','in'])) >= 2
+      |            [$stopWordsSql])) >= 2
       |      AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[0-9]')))
       |            AS DOUBLE) / len(toks) <= 0.2) AS pass_t13
       |  FROM f0),

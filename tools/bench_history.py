@@ -263,6 +263,19 @@ def main():
                           f"r{last_r:02d} {v:.2f}s ({v / p:.1f}x) — "
                           f"{adj.get('note', '')[:120]}")
                     continue
+                if adj:
+                    # An adjudication entry matched (round, query) but
+                    # did NOT absorb the regression — say why, so a
+                    # bounds failure is distinguishable from a
+                    # malformed entry that silently never matches.
+                    if "max_sec" not in adj:
+                        print(f"ADJUDICATION IGNORED: {q} r{last_r:02d} "
+                              f"entry has no max_sec bound — fix "
+                              f"tools/bench_adjudications.json")
+                    else:
+                        print(f"ADJUDICATION EXCEEDED: {q} r{last_r:02d} "
+                              f"{v:.2f}s > max_sec {adj['max_sec']} — "
+                              f"bound does not cover this cell")
                 warnings.append(
                     f"  {q}: r{prev_r:02d} {p:.2f}s -> r{last_r:02d} {v:.2f}s "
                     f"({v / p:.1f}x)")
