@@ -82,7 +82,14 @@ object ExecutorLoss {
     // an iterative LEARNER recovers (the BpeMerge-class loop shape
     // under loss, complementing s27's graph-walk leg)
     "t44_quality_learn" -> ((s: SparkSession) =>
-      SparkEntry.queries("t44_quality_learn")(s, sfDir)))
+      SparkEntry.queries("t44_quality_learn")(s, sfDir)),
+    // r20: d29 composes TWO checkpointed iterative builds in one query
+    // — the d09 label fixpoint AND the t44 perceptron (both via their
+    // session memos, built fresh in the kill session) feeding a
+    // per-cluster election window; a kill mid-composition proves the
+    // multi-build consumer shape recovers, not just each build alone
+    "d29_quality_keeper" -> ((s: SparkSession) =>
+      SparkEntry.queries("d29_quality_keeper")(s, sfDir)))
 
   private def session(master: String, mode: String, ckDir: String,
       extraCp: String): SparkSession = {

@@ -580,7 +580,10 @@ object Soak {
     // mixture)
     "m11_interleave_match", "t44_quality_learn", "t45_quality_audit",
     "t46_token_mixture", "s28_graph_incremental", "e25_fertility_drift",
-    "d28_verbatim_removal")
+    "d28_verbatim_removal",
+    // r20: the quality-keeper election (d09 components × t44 margins),
+    // the banded best-fit packer, and the streaming quality monitor
+    "d29_quality_keeper", "t47_bestfit_pack", "e26_quality_drift")
 
   def queries: Seq[(String, (SparkSession, String) => DataFrame)] =
     Verbatim.map(n => n -> SparkEntry.queries(n)) ++
@@ -637,6 +640,16 @@ object Soak {
       try { Bench.force(fn(spark, s"$work/x${scales.min}")); () }
       catch { case scala.util.control.NonFatal(_) => () }
       Bench.scrub(spark)
+      // the soak measures the OPERATOR (build + query), not the r20
+      // session memo: evict shared-build entries so every timed run
+      // pays its full build — without this, sample 2 of a memoized
+      // query (t42-family, s27/s28, t44/t45) would time only the
+      // post-build path and min-of-samples would report it. Same for
+      // d29's shared d09Labels component build.
+      graft.operators.BuildMemo.evictSession(
+        spark.sparkContext.applicationId)
+      graft.queries.DedupQueries.evictSession(
+        spark.sparkContext.applicationId)
     }
     val results = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.Map[Int, Double]]
@@ -657,6 +670,11 @@ object Soak {
           }
           Console.flush()
           Bench.scrub(spark)
+          // full-build timing per run (see the warmup-loop note)
+          graft.operators.BuildMemo.evictSession(
+            spark.sparkContext.applicationId)
+          graft.queries.DedupQueries.evictSession(
+            spark.sparkContext.applicationId)
         }
       }
     }

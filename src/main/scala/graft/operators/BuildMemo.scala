@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memo for EXPENSIVE SHARED BUILDS — the d09Labels
+  * cross-consumer discipline (DedupQueries.scala) factored out so other
+  * build families can ride it without re-implementing the cache +
+  * eviction plumbing. r20 consumers: the BPE merge table (one learn per
+  * (corpus, rounds) instead of four across t42/t43/t46/e25 in a sweep)
+  * and the s27/s28 graph-ANN index (one hierarchy+edge build per
+  * (corpus, variant) instead of three).
+  *
+  * Semantics contract (what keeps the hash oracle and the digest
+  * manifest sound):
+  *  - The memo ONLY skips recomputation. The build closure must be
+  *    deterministic for its key, so memo-hit and memo-miss return
+  *    bit-identical values (spec: BuildMemoSpec). Consumers must route
+  *    ALL inputs through the key — the builder closures here construct
+  *    their corpus folds INTERNALLY from (dir, knobs), so two consumers
+  *    structurally cannot desynchronize on the fold.
+  *  - The published PLAN must not depend on hit vs miss: [[memo]]
+  *    returns the collected VALUE both ways (consumers emit the same
+  *    downstream expressions/local relations), and [[memoParquet]]
+  *    returns a parquet directory both ways (the build writes eagerly
+  *    on miss, then everyone reads) — so PLAN_DIGESTS.md digests are
+  *    order-independent even though the sweep shares the cache.
+  *  - Keys are scoped to (applicationId # session identity), mirroring
+  *    d09's labelCache: a new session never sees another session's
+  *    entries, and an application-end listener evicts + deletes any
+  *    parquet handoff dirs (no leaked temp state across driver runs).
+  *
+  * Driver memory stays bounded: [[memo]] is for BOUNDED collected
+  * values only (the bounded-scalar-read discipline — 8-row merge
+  * tables, 1-row weight vectors, never corpus-sized data); anything
+  * row-count-unbounded goes through [[memoParquet]], which keeps the
+  * data on disk and in executors. */
+object BuildMemo {
+
+  private sealed trait Handle
+  private final case class ValueHandle(v: AnyRef) extends Handle
+  private final case class DirHandle(path: String) extends Handle
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Handle]()
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def sessionKey(s: SparkSession): String =
+    s.sparkContext.applicationId + "#" + System.identityHashCode(s)
+
+  /** Memoize a bounded driver-side value (e.g. a collected 8-row merge
+    * table) under `key`, scoped to `s`'s session. The build runs at
+    * most once per (session, key); later callers get the SAME value. */
+  def memo[T <: AnyRef](s: SparkSession, key: String)(build: => T): T = {
+    installEviction(s)
+    cache.computeIfAbsent((sessionKey(s), key),
+      _ => ValueHandle(build)) match {
+      case ValueHandle(v) => v.asInstanceOf[T]
+      case DirHandle(p) => sys.error(
+        s"BuildMemo: key '$key' already holds a parquet handoff at $p — " +
+          "one key cannot be both a value and a directory")
+    }
+  }
+
+  /** Memoize a PERSISTED build: on miss, creates a temp directory,
+    * runs `build(dir)` (which must write its parquet outputs under
+    * `dir`), and caches the path; on hit, returns the existing path.
+    * The directory is deleted at application end (or [[evictSession]]).
+    * Callers read with `spark.read.parquet(s"$dir/<part>")`, so the
+    * consumer plan is a parquet scan on hit AND miss. */
+  def memoParquet(s: SparkSession, key: String)(build: String => Unit)
+      : String = {
+    installEviction(s)
+    cache.computeIfAbsent((sessionKey(s), key), _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-memo-").toString
+      build(dir)
+      DirHandle(dir)
+    }) match {
+      case DirHandle(p) => p
+      case ValueHandle(_) => sys.error(
+        s"BuildMemo: key '$key' already holds a collected value — " +
+          "one key cannot be both a value and a directory")
+    }
+  }
+
+  /** Test/diagnostic view: Some("memo") for a cached value,
+    * Some(path) for a parquet handoff, None when uncached. */
+  private[graft] def handleInfo(s: SparkSession, key: String)
+      : Option[String] =
+    Option(cache.get((sessionKey(s), key))).map {
+      case ValueHandle(_) => "memo"
+      case DirHandle(p) => p
+    }
+
+  private def deleteDir(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private def dropEntry(key: (String, String)): Unit =
+    Option(cache.remove(key)).foreach {
+      case DirHandle(path) => deleteDir(path)
+      case _ => ()
+    }
+
+  /** Drop memoized builds whose key string equals `key` (any session)
+    * — for callers that mutate an input corpus in place within one
+    * session (the d09 invalidateLabels mirror). */
+  def invalidate(key: String): Unit = {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) { val k = it.next(); if (k._2 == key) dropEntry(k) }
+  }
+
+  /** Drop every entry (and handoff dir) owned by `appId` — the
+    * application-end listener's action, exposed for specs and eager
+    * eviction. */
+  def evictSession(appId: String): Unit = {
+    evictionHooked.remove(appId)
+    val it = cache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next(); if (k._1.startsWith(appId + "#")) dropEntry(k)
+    }
+  }
+
+  private def installEviction(s: SparkSession): Unit = {
+    val appId = s.sparkContext.applicationId
+    if (evictionHooked.add(appId))
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = evictSession(appId)
+        })
+  }
+}

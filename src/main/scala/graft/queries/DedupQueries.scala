@@ -1939,6 +1939,63 @@ object DedupQueries {
           max(md5(col("cleaned_text"))).as("max_cleaned_md5"))
         .orderBy("lang")
     }),
+
+    /** Quality-aware keeper election — SemDeDup/NeMo-Curator's
+      * keep-BEST policy (Abbas et al. 2023 §3; production curators
+      * keep the highest-quality member of each duplicate cluster, not
+      * the lowest id): the r20 composition of the shared [[d09Labels]]
+      * component build with t44's FROZEN learned quality model
+      * ([[TextQueries.qcModel]] — the same memoized weights t44/t45
+      * publish, a bounded 1-row read folded into a row-local literal
+      * margin expression). Per component the keeper is
+      * argmax(margin, doc_id tie-break); published beside it is the
+      * KEEPER-POLICY DELTA vs d17's keep-min-id rule — how many
+      * clusters change keeper, the exact id sums of both elections,
+      * the total margin the quality policy gains (≥ 0 by argmax,
+      * > 0 ⟺ any flip), and the token mass dropped under each policy
+      * — the migration review sheet a heuristic→learned keeper
+      * switch reads.
+      *
+      * Scale: one label-table join against row-local scored features
+      * (no new shuffle class — the d17 shape plus a high-cardinality
+      * per-cluster window over cluster-sized frames), one aggregate.
+      * The d09Corpus plants make the flip PROVABLE: each " graftdup"
+      * copy differs from its base doc in x1/x2/x3/x4 deterministically,
+      * so the election outcome is pinned by the oracle (and
+      * PipelineSpec re-derives one cluster's argmax independently).
+      * All published numbers are exact integers. */
+    "d29_quality_keeper" -> ((s, d) => {
+      import graft.queries.{TextQueries => TQ}
+      val corpus = d09Corpus(s, d)
+      val labels = d09Labels(s, d)
+      val scored = TQ.qcRawFeatureCols(corpus)
+        .withColumn("margin", TQ.qcMarginCol(TQ.qcFrozenWeights(s, d)))
+        .select(col("doc_id").as("node"), col("margin"), col("ntok"))
+      val cl = labels.join(scored, "node")
+      val wK = Window.partitionBy("lbl")
+        .orderBy(col("margin").desc, col("node"))
+      val ranked = cl.withColumn("krn", row_number().over(wK)).materialize
+      val qK = ranked.filter(col("krn") === 1)
+        .select(col("lbl"), col("node").as("keeper_q"),
+          col("margin").as("kq_margin"))
+      val mK = cl.filter(col("node") === col("lbl"))
+        .select(col("lbl"), col("margin").as("km_margin"))
+      val per = qK.join(mK, "lbl")
+      per.agg(count(lit(1)).as("n_clusters"),
+          sum(when(col("keeper_q") =!= col("lbl"), 1L).otherwise(0L))
+            .as("n_changed_keepers"),
+          sum("lbl").as("keeper_min_id_sum"),
+          sum("keeper_q").as("keeper_q_id_sum"),
+          sum(col("kq_margin") - col("km_margin")).as("margin_gain_total"))
+        .crossJoin(ranked.agg(count(lit(1)).as("n_clustered_docs"),
+          sum(when(col("node") =!= col("lbl"), col("ntok")).otherwise(0L))
+            .as("tokens_dropped_min"),
+          sum(when(col("krn") =!= 1, col("ntok")).otherwise(0L))
+            .as("tokens_dropped_q")))
+        .select("n_clusters", "n_clustered_docs", "n_changed_keepers",
+          "keeper_min_id_sum", "keeper_q_id_sum", "margin_gain_total",
+          "tokens_dropped_min", "tokens_dropped_q")
+    }),
   )
 
   /** Shared DuckDB ground-truth prefix for the d09 component family:
@@ -2822,6 +2879,47 @@ object DedupQueries {
         |UNION ALL
         |${segSql(8)}
         |ORDER BY r, j_decile""".stripMargin
+    },
+
+    // d29: the shared DupGraphCteSql ground-truth components, the
+    // shared qcCteSql perceptron replica (ww{QcRounds} = the FROZEN
+    // t44 weights — the oracle retrains them exactly as t44's oracle
+    // does, so the election is certified against independently-derived
+    // weights, not the Spark model), and the raw-feature CTE over the
+    // planted dup corpus. Keeper = argmax(margin, id); delta vs the
+    // min-id rule; exact integer sums throughout.
+    "d29_quality_keeper" -> {
+      import graft.queries.{TextQueries => TQ}
+      s"""WITH RECURSIVE ${TQ.qcCteSql},
+        |${DupGraphCteSql},
+        | ${TQ.qcRawFeatureCteSql("c", "d29")},
+        | d29m AS (SELECT doc_id,
+        |     (w1*x1 + w2*x2 + w3*x3 + w4*x4 + w5*x5) AS margin, ntok
+        |   FROM d29qx, ww${TQ.QcRounds}),
+        | d29cl AS (SELECT lab.node, lab.lbl, m.margin, m.ntok
+        |   FROM lab JOIN d29m m ON m.doc_id = lab.node),
+        | d29rk AS (SELECT *, row_number()
+        |     OVER (PARTITION BY lbl ORDER BY margin DESC, node) AS krn
+        |   FROM d29cl),
+        | d29per AS (SELECT k.lbl, k.node AS keeper_q,
+        |     k.margin AS kq_margin, m.margin AS km_margin
+        |   FROM (SELECT * FROM d29rk WHERE krn = 1) k
+        |   JOIN d29cl m ON m.lbl = k.lbl AND m.node = m.lbl)
+        |SELECT
+        | CAST((SELECT count(*) FROM d29per) AS BIGINT) AS n_clusters,
+        | CAST((SELECT count(*) FROM d29cl) AS BIGINT) AS n_clustered_docs,
+        | CAST((SELECT sum(CASE WHEN keeper_q <> lbl THEN 1 ELSE 0 END)
+        |   FROM d29per) AS BIGINT) AS n_changed_keepers,
+        | CAST((SELECT sum(lbl) FROM d29per) AS BIGINT)
+        |   AS keeper_min_id_sum,
+        | CAST((SELECT sum(keeper_q) FROM d29per) AS BIGINT)
+        |   AS keeper_q_id_sum,
+        | CAST((SELECT sum(kq_margin - km_margin) FROM d29per) AS BIGINT)
+        |   AS margin_gain_total,
+        | CAST((SELECT sum(CASE WHEN node <> lbl THEN ntok ELSE 0 END)
+        |   FROM d29cl) AS BIGINT) AS tokens_dropped_min,
+        | CAST((SELECT sum(CASE WHEN krn <> 1 THEN ntok ELSE 0 END)
+        |   FROM d29rk) AS BIGINT) AS tokens_dropped_q""".stripMargin
     },
   )
 }

@@ -1739,12 +1739,11 @@ object EventQueries {
       import graft.operators.BpeMerge
       val days = FertDays
       val toks = filter(split(col("text"), " "), t => t =!= "")
-      // t42's exact learner on t42's exact corpus fold
-      val corpusWords = Tables.documents(s, d)
-        .select(explode(toks).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-      val merges = BpeMerge.collectMerges(
-        corpusWords, graft.queries.TextQueries.BpeRounds)
+      // t42's exact learner on t42's exact corpus fold, via the
+      // session-memoized bpeLearnTable (r20: one learn per sweep —
+      // the canonical fold lives inside the memo build, so this
+      // consumer structurally cannot desync from t42/t43/t46)
+      val merges = graft.queries.TextQueries.bpeMerges(s, d)
       def encodedLen(w: Column): Column =
         size(BpeMerge.symbolsOf(BpeMerge.applyMerges(w, merges)))
           .cast("long")
@@ -1818,6 +1817,132 @@ object EventQueries {
               col("n_words").cast("decimal(19,0)") * lit(108L))
             .as("drifted"))
         .orderBy("dayi", "lang")
+    }),
+
+    /** Streaming quality-score drift — the post-ship monitor of the
+      * t44 classifier (closing the quality lifecycle the way e25
+      * closed t42's: train t44 → audit t45 → MONITOR e26): the corpus
+      * streams through the e22 append/watermark discipline as
+      * document events on the e25 day axis (day = doc_id %
+      * [[FertDays]]); each micro-batch is scored IN-STREAM by the
+      * FROZEN t44 model — [[TextQueries.qcFrozenWeights]] (a bounded
+      * 1-row read of the memoized [[TextQueries.qcModel]] build)
+      * folded with [[TextQueries.qcRawFeatureCols]] into row-local
+      * literal expressions, so scoring costs no join, no state, no
+      * re-training in-stream. The plant: on the LAST day, every third
+      * doc PER SOURCE — gated on (doc_id div 60) % 3 so the burst
+      * covers every (source = doc_id%20, day = doc_id%6) cell, not
+      * just the residues a doc_id%k gate happens to hit — arrives as
+      * the t44 template banner (the "new template noise source
+      * appears post-ship" incident): the model flags them by its own
+      * training construction, every source's day-5 flag rate jumps
+      * ≳20pp, and the drift gate fires source-by-source.
+      *
+      * Post-hoc, each closed (day, source) window compares its flag
+      * rate to the source's FIRST-OBSERVED-day baseline (min dayi per
+      * source — not a global day 0: sources come and go, and on this
+      * corpus `source` is parity-locked to doc_id, so a day-0-only
+      * baseline would silently drop every odd day INCLUDING the
+      * plant; the per-source-min rule is also what a production
+      * monitor does when a source first appears) by an
+      * ABSOLUTE-jump gate
+      * (rate − base_rate > 10pp), cross-multiplied exactly:
+      * n_flagged·b_docs·100 > b_flagged·n_docs·100 + 10·n_docs·b_docs.
+      * The operands are per-(day, source) doc counts — the e25 lesson
+      * applies, so both sides widen BEFORE the multiply (Spark
+      * DECIMAL(19,0) operands → DECIMAL(38,0) products, DuckDB
+      * HUGEINT; exact through ~10^26, far above any per-day-source
+      * census at 100 TB). An absolute-rate gate has no divide-by-zero
+      * corner when a source's baseline flags are 0.
+      *
+      * Scale: stream state is watermark-bounded day×source counters
+      * (two integer sums per window); the audit is census-sized.
+      * Closed-window completeness asserted doc-exactly (the e22
+      * proof). */
+    "e26_quality_drift" -> ((s, d) => {
+      import graft.queries.{TextQueries => TQ}
+      val days = FertDays
+      val w = TQ.qcFrozenWeights(s, d)
+      val plantedText =
+        Seq.fill(TQ.QcBannerReps)(TQ.BoilerHeader).mkString(" ")
+      val dayi = (col("doc_id") % days).cast("int")
+      val events = Tables.documents(s, d)
+        .withColumn("dayi", dayi)
+        .select(
+          date_add(lit("2024-01-01").cast("date"), col("dayi"))
+            .cast("timestamp").as("ts"),
+          col("source"),
+          // the plant: last-day template burst, 1-in-3 per source
+          when(col("dayi") === days - 1 &&
+            expr("(doc_id div 60) % 3 = 0"),
+            lit(plantedText)).otherwise(col("text")).as("text"))
+      import s.implicits._
+      val sentinel = (ts: String) =>
+        Seq((ts, "zz", "x")).toDF("ts", "source", "text")
+          .select(col("ts").cast("timestamp").as("ts"), col("source"),
+            col("text"))
+      val src = stageReplay("e26", Seq(
+        events.filter(col("ts") < lit("2024-01-03").cast("date")),
+        events.filter(col("ts") >= lit("2024-01-03").cast("date") &&
+          col("ts") < lit("2024-01-05").cast("date")),
+        events.filter(col("ts") >= lit("2024-01-05").cast("date")),
+        sentinel("2024-12-01 00:00:00"),
+        sentinel("2024-12-31 00:00:00")))
+      val ss = streamSession(s)
+      val schema = s.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      // the frozen model, applied row-locally inside the stream
+      val scored = TQ.qcRawFeatureCols(stream)
+        .withColumn("flagged",
+          when(TQ.qcMarginCol(w) <= 0, 1L).otherwise(0L))
+      val cen = scored
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("win"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum("flagged").as("n_flagged"))
+        .select(datediff(col("win.start").cast("date"),
+          lit("2024-01-01").cast("date")).as("dayi"),
+          col("source"), col("n_docs"), col("n_flagged"))
+      val outDir = tempDir("graft_e26_out_")
+      val ckpt = tempDir("graft_e26_ckpt_")
+      val q = cen.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.streaming.IdempotentSink.writeBatch(batch, batchId, outDir)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      require(q.recentProgress.count(_.numInputRows > 0) >= 5,
+        "e26 needs the five staged files as five micro-batches — " +
+          "the forced arrival order collapsed")
+      val out = s.read.parquet(outDir)
+      require(!out.isEmpty, "e26: streaming sink produced zero rows")
+      // closed-window completeness: every real doc is counted in
+      // exactly one emitted window
+      val emitted = out.agg(sum("n_docs")).head().getLong(0)
+      val nTotal = events.count()
+      require(emitted == nTotal,
+        s"e26: closed windows carry $emitted docs, expected $nTotal — " +
+          "the watermark dropped data or a window never flushed")
+      val wB = Window.partitionBy("source").orderBy("dayi")
+      val base = out.withColumn("brn", row_number().over(wB))
+        .filter(col("brn") === 1)
+        .select(col("source"), col("n_docs").as("b_docs"),
+          col("n_flagged").as("b_flagged"))
+      out.join(broadcast(base), "source")
+        .select(col("dayi"), col("source"), col("n_docs"),
+          col("n_flagged"),
+          RelationalQueries.rnd(
+            col("n_flagged").cast("double") / col("n_docs"), 4)
+            .as("flag_rate"),
+          (col("n_flagged").cast("decimal(19,0)") *
+            col("b_docs").cast("decimal(19,0)") * lit(100L) >
+            col("b_flagged").cast("decimal(19,0)") *
+              col("n_docs").cast("decimal(19,0)") * lit(100L) +
+              lit(10L) * col("n_docs").cast("decimal(19,0)") *
+                col("b_docs").cast("decimal(19,0)")).as("drifted"))
+        .orderBy("dayi", "source")
     }),
   )
 
@@ -2484,6 +2609,52 @@ object EventQueries {
         |  CAST(b_tokens AS HUGEINT) * n_words * 108) AS drifted
         |FROM cen JOIN b ON b.lang = cen.lang
         |ORDER BY cen.dayi, cen.lang""".stripMargin
+    },
+
+    // e26: the streaming path reduces to a batch (day, source) census
+    // (the e22/e25 argument: contiguous staged slices + 1h watermark
+    // = zero drops, sentinel windows never emit and carry source 'zz'
+    // absent from the baseline join). Weights = the shared qcCteSql
+    // perceptron replica (ww{QcRounds} — the oracle RETRAINS t44's
+    // exact weights, so the monitor is certified against
+    // independently-derived weights); the plant, the raw-feature CTE,
+    // and the HUGEINT absolute-jump gate against each source's day-0
+    // baseline.
+    "e26_quality_drift" -> {
+      import graft.queries.{TextQueries => TQ}
+      val days = FertDays
+      val plantedSql = ("'" +
+        Seq.fill(TQ.QcBannerReps)(TQ.BoilerHeader).mkString(" ")
+          .replace("'", "''") + "'")
+      s"""WITH ${TQ.qcCteSql},
+        | e26c AS (SELECT doc_id, source,
+        |     CAST(doc_id % $days AS INTEGER) AS dayi,
+        |     CASE WHEN doc_id % $days = ${days - 1}
+        |            AND (doc_id // 60) % 3 = 0
+        |          THEN $plantedSql ELSE text END AS text
+        |   FROM documents),
+        | ${TQ.qcRawFeatureCteSql("e26c", "e26")},
+        | e26m AS (SELECT dayi, source,
+        |     CASE WHEN (w1*x1 + w2*x2 + w3*x3 + w4*x4 + w5*x5) <= 0
+        |          THEN 1 ELSE 0 END AS fl
+        |   FROM e26qx, ww${TQ.QcRounds}),
+        | e26cen AS (SELECT dayi, source, count(*) AS n_docs,
+        |     CAST(sum(fl) AS BIGINT) AS n_flagged
+        |   FROM e26m GROUP BY 1, 2),
+        | e26b AS (SELECT source, n_docs AS b_docs,
+        |     n_flagged AS b_flagged
+        |   FROM (SELECT *, row_number()
+        |       OVER (PARTITION BY source ORDER BY dayi) AS brn
+        |     FROM e26cen) WHERE brn = 1)
+        |SELECT c.dayi, c.source, CAST(n_docs AS BIGINT) AS n_docs,
+        | n_flagged,
+        | floor((CAST(n_flagged AS DOUBLE) / n_docs)*10000+0.5)/10000
+        |   AS flag_rate,
+        | (CAST(n_flagged AS HUGEINT) * b_docs * 100 >
+        |  CAST(b_flagged AS HUGEINT) * n_docs * 100 +
+        |  CAST(10 AS HUGEINT) * n_docs * b_docs) AS drifted
+        |FROM e26cen c JOIN e26b b ON b.source = c.source
+        |ORDER BY c.dayi, c.source""".stripMargin
     },
   )
 }

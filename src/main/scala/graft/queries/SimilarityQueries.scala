@@ -970,25 +970,19 @@ object SimilarityQueries {
       * under a strict hash oracle (the d21 fixed-round discipline
       * applied to search instead of scoring). */
     "s27_graph_beam" -> ((s, d) => {
-      val base = Tables.embeddings(s, d)
-        .select(col("vec_id"), embD(col("embedding")).as("vec"))
-      // planted twins (the s05/d07 pattern): ×1.001 copies of the 3
-      // queries. Positive scaling preserves every cosine, so a twin
-      // routes to its query's own fine cluster and is its rank-1
-      // neighbor — `found_planted` is the structural MUST-FIND beside
-      // the organic recall, which on this near-random corpus is
-      // scatter-limited (the s10/s18 numbers show the same)
-      val twins = base.filter(col("vec_id") < 3)
-        .select((col("vec_id") + 100000).as("vec_id"),
-          transform(col("vec"), x => x * lit(1.001)).as("vec"))
-      val emb = base.unionByName(twins)
+      // corpus = organic + planted ×1.001 twins (the s05/d07 pattern):
+      // positive scaling preserves every cosine, so a twin routes to
+      // its query's own fine cluster and is its rank-1 neighbor —
+      // `found_planted` is the structural MUST-FIND beside the organic
+      // recall, which on this near-random corpus is scatter-limited
+      // (the s10/s18 numbers show the same)
+      val emb = graphCorpus(s, d, union = true)
       // build → graph → seed → walk, via the s27/s28 shared machinery
-      // (hierRoute/graphEdges/hierSeeds/beamTopK — extracted r19 for
-      // s28's incremental-maintenance reuse; result-identical, with
-      // graphEdges' attach-first edge build as the one deliberate
-      // plan change — see the shared-machinery scaladoc)
-      val idx = hierRoute(emb)
-      val edges = graphEdges(emb, idx)
+      // (hierRoute/graphEdges/hierSeeds/beamTopK — extracted r19;
+      // r20: the build rides the session-memoized parquet handoff
+      // graphIndexMemo, shared with s28's staleness-control rebuild —
+      // build once, serve many, the production index lifecycle)
+      val (idx, edges) = graphIndexMemo(s, d, union = true)
       val qs = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
       // seeds feed the beam AND the n_seed census — checkpoint once
@@ -1049,15 +1043,14 @@ object SimilarityQueries {
       * the DuckDB replica end to end. */
     "s28_graph_incremental" -> ((s, d) => {
       import graft.operators.{CentroidBuild => CB}
-      val organic = Tables.embeddings(s, d)
-        .select(col("vec_id"), embD(col("embedding")).as("vec"))
+      val organic = graphCorpus(s, d, union = false)
       val inserts = organic.filter(col("vec_id") < 3)
         .select((col("vec_id") + 100000).as("vec_id"),
           transform(col("vec"), x => x * lit(1.001)).as("vec"))
-      val embU = organic.unionByName(inserts)
+      val embU = graphCorpus(s, d, union = true)
       // BASE EPOCH: hierarchy + graph over the organic corpus only
-      val idxB = hierRoute(organic)
-      val edgesB = graphEdges(organic, idxB)
+      // (r20: memoized parquet handoff — see graphIndexMemo)
+      val (idxB, edgesB) = graphIndexMemo(s, d, union = false)
       // insert routing through the FROZEN hierarchy
       val insCells = CB.nearest(
           CB.similarities(inserts, idxB.coarse, "vec_id", "vec"), "vec_id")
@@ -1097,9 +1090,10 @@ object SimilarityQueries {
       // maintained-path query: frozen seeding (stale entry points)
       val apprM = beamTopK(qs, embU, edgesM, hierSeeds(qs, idxB))
       // staleness control: the full s27 rebuild over the union corpus
-      val idxR = hierRoute(embU)
-      val apprR =
-        beamTopK(qs, embU, graphEdges(embU, idxR), hierSeeds(qs, idxR))
+      // — input-identical to s27's own build, so it reads the SAME
+      // memoized index (one union build per sweep instead of two)
+      val (idxR, edgesR) = graphIndexMemo(s, d, union = true)
+      val apprR = beamTopK(qs, embU, edgesR, hierSeeds(qs, idxR))
       val truth = bruteTruth(qs, embU)
       def hitsOf(appr: DataFrame, tag: String): DataFrame =
         truth.join(appr, Seq("q_id", "vec_id"), "left_semi")
@@ -1895,8 +1889,65 @@ object SimilarityQueries {
     * unrolled frontier⋈edges expansions and the final
     * top-[[GraphK]] re-rank; [[bruteTruth]] is the s10-style exact
     * control on the identical rnd6 ranking rule. */
-  private case class HierIndex(coarse: DataFrame, fine: DataFrame,
+  private[graft] case class HierIndex(coarse: DataFrame, fine: DataFrame,
       routed: DataFrame, entries: DataFrame)
+
+  /** The s27/s28 corpus in its two epochs: `union = false` is the
+    * organic embedding table (s28's base epoch); `union = true` adds
+    * the 3 planted ×1.001 twins at vec_id+100000 (s27's corpus ≡
+    * s28's insert-absorbed union). Lives here so the memoized index
+    * build and the query-side frames read the SAME construction. */
+  private[graft] def graphCorpus(s: SparkSession, d: String,
+      union: Boolean): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), embD(col("embedding")).as("vec"))
+    if (!union) base
+    else base.unionByName(base.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("vec"), x => x * lit(1.001)).as("vec")))
+  }
+
+  /** Memoized graph-ANN index — the r19 verdict's shared-build ask:
+    * one sweep executed the hierarchy+edge build THREE times (s27 on
+    * the union corpus, s28 on the organic base AND again on the union
+    * for its staleness control; s27's union build ≡ s28's rebuild
+    * build input-for-input). This persists each (corpus dir, epoch)
+    * build ONCE per session via [[graft.operators.BuildMemo]]'s
+    * parquet handoff — exactly a production index lifecycle: build
+    * once, serve many. Consumers read parquet on memo hit AND miss
+    * (the build writes eagerly), so published plans are
+    * order-independent; the build itself is deterministic (md5 seeds,
+    * rnd6 + id tie-breaks — the properties the hash oracle already
+    * pins), so memo-hit ≡ memo-miss bit-for-bit
+    * (spec: BuildMemoSpec). */
+  private[graft] def graphIndexMemo(s: SparkSession, d: String,
+      union: Boolean): (HierIndex, DataFrame) = {
+    val variant = if (union) "union" else "organic"
+    val dir = graft.operators.BuildMemo.memoParquet(
+      s, s"graphidx:$d:$variant") { out =>
+      val (idx, edges) = graphIndexDirect(s, d, union)
+      idx.coarse.write.parquet(s"$out/coarse")
+      idx.fine.write.parquet(s"$out/fine")
+      idx.routed.write.parquet(s"$out/routed")
+      idx.entries.write.parquet(s"$out/entries")
+      edges.write.parquet(s"$out/edges")
+    }
+    (HierIndex(s.read.parquet(s"$dir/coarse"),
+      s.read.parquet(s"$dir/fine"),
+      s.read.parquet(s"$dir/routed"),
+      s.read.parquet(s"$dir/entries")),
+      s.read.parquet(s"$dir/edges"))
+  }
+
+  /** The unmemoized build — the memo's closure, exposed so the
+    * memo-hit ≡ memo-miss spec can compare against a direct
+    * computation. */
+  private[graft] def graphIndexDirect(s: SparkSession, d: String,
+      union: Boolean): (HierIndex, DataFrame) = {
+    val emb = graphCorpus(s, d, union)
+    val idx = hierRoute(emb)
+    (idx, graphEdges(emb, idx))
+  }
 
   private def hierRoute(emb: DataFrame): HierIndex = {
     import graft.operators.{CentroidBuild => CB}

@@ -132,6 +132,155 @@ object TextQueries {
         col("nstop") >= 2 && col("digit_frac") <= 0.2).as("pass_t13"))
   }
 
+  /** Memoized t42 merge-table build — the r19 verdict's cross-query
+    * shared-build ask: within one sweep the SAME 8-row merge table was
+    * independently re-learned from the IDENTICAL corpus fold by t42,
+    * t43, t46, and e25 (~4× the roster's single most expensive
+    * iterative build). This routes all four through one
+    * [[graft.operators.BuildMemo]] entry keyed on (corpus dir,
+    * [[BpeRounds]]): the learn loop executes once per session and its
+    * COLLECTED table (BpeRounds rows × 6 cols — the bounded
+    * scalar-read discipline) serves every consumer, so the published
+    * plans carry the merge VALUES as literals/local rows and are
+    * identical on memo hit and miss (PLAN_DIGESTS stays
+    * order-independent). The canonical corpus fold lives HERE, inside
+    * the build closure — consumers structurally cannot learn from a
+    * different fold. Row: (merge_round, l_sym, r_sym, pair_n,
+    * tokens_after, vocab_after). */
+  private[graft] def bpeLearnTable(s: SparkSession, d: String)
+      : Seq[(Int, String, String, Long, Long, Long)] =
+    graft.operators.BuildMemo.memo(s, s"bpe:$d:$BpeRounds") {
+      val words = Tables.documents(s, d)
+        .select(explode(tokens).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      graft.operators.BpeMerge.learn(words, BpeRounds)
+        .orderBy("merge_round")
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+    }
+
+  /** The frozen (l_sym, r_sym) merge list of [[bpeLearnTable]] — what
+    * [[graft.operators.BpeMerge.applyMerges]] consumers fold into
+    * their static replace chains (t43/t46/e25). */
+  private[graft] def bpeMerges(s: SparkSession, d: String)
+      : Seq[(String, String)] =
+    bpeLearnTable(s, d).map(t => (t._2, t._3))
+
+  /** Memoized t44/t45 feature frame (doc-count-sized, so a parquet
+    * handoff rather than a driver collect): one corpus scan shared by
+    * the learn build, the t45 scoring pass, and any future consumer.
+    * Returns the parquet path of [[qcFeatures]]' output. */
+  private[graft] def qcFeaturesDir(s: SparkSession, d: String): String =
+    graft.operators.BuildMemo.memoParquet(s, s"qcfeats:$d") { out =>
+      qcFeatures(s, d).write.parquet(s"$out/feats")
+    }
+
+  private[graft] def qcFeaturesMemo(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${qcFeaturesDir(s, d)}/feats")
+
+  /** Memoized t44 perceptron training trajectory — the [[bpeLearnTable]]
+    * discipline for the quality classifier: one
+    * [[graft.operators.QualityPerceptron.learn]] run per (corpus,
+    * [[QcRounds]]) serves t44 (the curve), t45 (the final weights),
+    * and e26 (the streaming drift monitor's frozen model). Bounded:
+    * QcRounds rows × 7 longs. Row: (learn_round, w1..w5, n_mistakes);
+    * the FINAL weights are the last row's w1..w5 by the learn
+    * contract. */
+  private[graft] def qcModel(s: SparkSession, d: String)
+      : Seq[(Int, Long, Long, Long, Long, Long, Long)] =
+    graft.operators.BuildMemo.memo(s, s"qperc:$d:$QcRounds") {
+      val (_, traj) = graft.operators.QualityPerceptron.learn(
+        qcFeaturesMemo(s, d), QcRounds)
+      traj.orderBy("learn_round")
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+    }
+
+  /** Final t44 weights as a 1-row (w1..w5) frame for
+    * [[graft.operators.QualityPerceptron.score]] — literal longs, so
+    * the scoring plan is identical however the model was obtained. */
+  private[graft] def qcWeights(s: SparkSession, d: String): DataFrame = {
+    val last = qcModel(s, d).last
+    import s.implicits._
+    Seq((last._2, last._3, last._4, last._5, last._6))
+      .toDF("w1", "w2", "w3", "w4", "w5")
+  }
+
+  /** Row-local e4 fixed-point quality features x1..x5 over a frame's
+    * `text` column AS-IS — the t44 feature recipe WITHOUT the label
+    * plant, for scoring real corpora with the frozen model (d29's
+    * keeper election, e26's in-stream monitor). The formulas are
+    * spec-pinned equal to [[qcFeatures]]' (BuildMemoSpec /
+    * PipelineSpec), so every scorer uses the training-time features by
+    * construction. Adds x1..x5 (long) and ntok (long); row-local,
+    * codegen-friendly, stream-safe (no join, no state). */
+  private[graft] def qcRawFeatureCols(df: DataFrame): DataFrame = {
+    val base = df
+      .withColumn("toks", tokens)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("ns",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+    def ratio(num: Column): Column =
+      when(col("n") > 0, floor(num)).otherwise(0L).cast("long")
+    base.withColumn("x1", least(col("n"), lit(100L)) * 100L)
+      .withColumn("x2",
+        ratio(lit(10000.0) * size(array_distinct(col("toks"))) / col("n")))
+      .withColumn("x3", ratio(lit(10000.0) *
+        size(filter(col("toks"), t => t.isin(StopWords: _*))) / col("n")))
+      .withColumn("x4",
+        ratio(least(col("ns").cast("double") / col("n"), lit(10.0))
+          * 1000.0))
+      .withColumn("x5", lit(10000L))
+      .withColumn("ntok", col("n"))
+      .drop("toks", "n", "ns")
+  }
+
+  /** `w·x` margin as a literal-weight expression over x1..x5 columns —
+    * the frozen-model scoring rule (flag ⟺ margin ≤ 0). */
+  private[graft] def qcMarginCol(w: (Long, Long, Long, Long, Long))
+      : Column =
+    col("x1") * lit(w._1) + col("x2") * lit(w._2) +
+      col("x3") * lit(w._3) + col("x4") * lit(w._4) +
+      col("x5") * lit(w._5)
+
+  /** The frozen final weights as a Scala tuple (bounded driver read —
+    * the last [[qcModel]] trajectory row). */
+  private[graft] def qcFrozenWeights(s: SparkSession, d: String)
+      : (Long, Long, Long, Long, Long) = {
+    val last = qcModel(s, d).last
+    (last._2, last._3, last._4, last._5, last._6)
+  }
+
+  /** DuckDB CTE computing the same raw features over an in-scope
+    * (doc_id, text, ...) corpus CTE named `corpus` — yields
+    * `${p}qx(doc_id, x1..x5, ntok)`; interpolated beside [[qcCteSql]]
+    * (which supplies the trained ww{QcRounds} weights) by the d29 and
+    * e26 oracles. The stop-word list interpolates from [[StopWords]]
+    * (the m11 discipline). */
+  private[graft] def qcRawFeatureCteSql(corpus: String, p: String = "")
+      : String =
+    s"""${p}qf AS (SELECT *,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS ns
+      |  FROM $corpus),
+      | ${p}qx AS (SELECT * EXCLUDE (toks, ns),
+      |    CAST(least(len(toks), 100) * 100 AS BIGINT) AS x1,
+      |    CAST(CASE WHEN len(toks) > 0 THEN
+      |      floor(10000.0 * len(list_distinct(toks)) / len(toks))
+      |      ELSE 0 END AS BIGINT) AS x2,
+      |    CAST(CASE WHEN len(toks) > 0 THEN
+      |      floor(10000.0 * len(list_filter(toks,
+      |        t -> t IN ($stopWordsSql))) / len(toks))
+      |      ELSE 0 END AS BIGINT) AS x3,
+      |    CAST(CASE WHEN len(toks) > 0 THEN
+      |      floor(least(CAST(ns AS DOUBLE) / len(toks), 10.0) * 1000)
+      |      ELSE 0 END AS BIGINT) AS x4,
+      |    CAST(10000 AS BIGINT) AS x5,
+      |    CAST(len(toks) AS BIGINT) AS ntok
+      |  FROM ${p}qf)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "t01_token_stats" -> ((s, d) => {
@@ -1893,14 +2042,19 @@ object TextQueries {
       * TakeOrdered winner, and a broadcast crossJoin rewrite — no
       * self-join, no per-round corpus scan, no driver loop over data.
       * The loop itself is [[graft.operators.BpeMerge.learn]] (unit-
-      * tested on synthetic words, incl. the overlap edge case); this
-      * query folds the corpus to the vocabulary and publishes the
-      * learned merge table. */
+      * tested on synthetic words, incl. the overlap edge case); the
+      * corpus fold + learn run through the session-memoized
+      * [[bpeLearnTable]] build (r20 — the learn executes ONCE per
+      * sweep and t43/t46/e25 read the same frozen table), and this
+      * query publishes the collected BpeRounds×6 table. The bench
+      * cell therefore prices the build only when t42 is the sweep's
+      * first tokenizer consumer; the build cost itself lands on
+      * whichever consumer touches the memo first (e25 in roster
+      * order). */
     "t42_bpe_learn" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(explode(tokens).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-      graft.operators.BpeMerge.learn(words, BpeRounds)
+      import s.implicits._
+      bpeLearnTable(s, d).toDF("merge_round", "l_sym", "r_sym",
+        "pair_n", "tokens_after", "vocab_after")
     }),
 
     /** Learned-tokenizer APPLICATION — the other half of the t42
@@ -1909,22 +2063,26 @@ object TextQueries {
       * a tokenizer owner reads before shipping the vocabulary (t30's
       * audit, but of the LEARNED tokenizer instead of a given one —
       * fragmenting languages show fertility ≫ 1 and low
-      * chars_per_token). [[graft.operators.BpeMerge.encode]] runs the
-      * SAME loop as the learner with (lang, word) riding the
-      * vocabulary rows: the pair census ignores the carry columns, so
-      * the merge sequence is t42's by construction — the apply step
-      * structurally cannot use a different tokenizer than the learn
-      * step published (the s10 shared-pipeline discipline, tokenizer
-      * edition). Audit = integer sums (words, chars, post-encode
-      * tokens, distinct symbol types) per language with two final
-      * divisions; everything vocabulary-sized after the one corpus
-      * fold. */
+      * chars_per_token). The tokenizer is the memoized [[bpeMerges]]
+      * table (r20 — the same frozen learn t42 publishes, by the memo's
+      * one-build construction; before that, `encode()`'s carry-column
+      * argument gave the same cannot-desynchronize guarantee), folded
+      * into a static [[graft.operators.BpeMerge.applyMerges]] replace
+      * chain — ONE narrow codegen pass over the (lang, word)
+      * vocabulary instead of BpeRounds materialized rewrite rounds;
+      * result-identical because applyMerges performs the identical
+      * greedy replaces in the identical order. Audit = integer sums
+      * (words, chars, post-encode tokens, distinct symbol types) per
+      * language with two final divisions; everything vocabulary-sized
+      * after the one corpus fold. */
     "t43_bpe_apply" -> ((s, d) => {
+      val merges = bpeMerges(s, d)
       val wordsL = Tables.documents(s, d)
         .select(col("lang"), explode(tokens).as("w"))
         .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
-      val enc = graft.operators.BpeMerge
-        .encode(wordsL, BpeRounds, Seq("lang", "w"))
+      val enc = wordsL
+        .withColumn("sy",
+          graft.operators.BpeMerge.applyMerges(col("w"), merges))
         .materialize // consumed by the audit aggregate AND the vocab census
       val agg = enc
         .withColumn("nt",
@@ -1965,9 +2123,13 @@ object TextQueries {
       * each round is one combinable gradient aggregate against
       * broadcast 1-row weights. */
     "t44_quality_learn" -> ((s, d) => {
-      import graft.operators.Materialize.MaterializeOps
-      val feats = qcFeatures(s, d).materialize
-      graft.operators.QualityPerceptron.learn(feats, QcRounds)._2
+      // r20: the learn runs through the memoized [[qcModel]] build
+      // (one training run per sweep, shared with t45's weights and
+      // e26's frozen monitor); this publishes the collected
+      // QcRounds×7 trajectory.
+      import s.implicits._
+      qcModel(s, d).toDF("learn_round", "w1", "w2", "w3", "w4", "w5",
+        "n_mistakes")
     }),
 
     /** Learned quality classifier, SCORING stage — the corpus census a
@@ -1979,18 +2141,16 @@ object TextQueries {
       * count (model-keep != t13-keep) — the review queue where the
       * learned model and the hand rules differ, which is exactly the
       * set a migration from heuristic to learned filtering audits by
-      * hand. The learner is re-run via the same
-      * [[graft.operators.QualityPerceptron.learn]] loop (the t43
-      * shared-pipeline discipline: the scorer structurally cannot use
-      * different weights than t44 published). One extra broadcast-join
-      * corpus pass over the materialized features. */
+      * hand. The weights come from the memoized [[qcModel]] build
+      * (r20) — the SAME collected trajectory t44 publishes, so the
+      * scorer structurally cannot use different weights than t44
+      * published (previously guaranteed by re-running the identical
+      * learn loop; now by reading the identical frozen table). One
+      * broadcast-join corpus pass over the memoized feature frame. */
     "t45_quality_audit" -> ((s, d) => {
-      import graft.operators.Materialize.MaterializeOps
-      val feats = qcFeatures(s, d).materialize
-      val (wFinal, _) =
-        graft.operators.QualityPerceptron.learn(feats, QcRounds)
+      val feats = qcFeaturesMemo(s, d)
       def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
-      graft.operators.QualityPerceptron.score(feats, wFinal)
+      graft.operators.QualityPerceptron.score(feats, qcWeights(s, d))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           cnt(col("y") === -1L).as("n_planted"),
@@ -2029,14 +2189,12 @@ object TextQueries {
     "t46_token_mixture" -> ((s, d) => {
       import graft.operators.BpeMerge
       val docs = Tables.documents(s, d)
-      // frozen merge table, collected once (8 rows) and folded into a
-      // static replace chain — one narrow pass over the (doc, word)
-      // fold instead of 8 materialized corpus-grain rewrite rounds
-      // (same learner, same fold, same greedy semantics as encode())
-      val merges = BpeMerge.collectMerges(
-        docs.select(explode(tokens).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("freq")),
-        BpeRounds)
+      // frozen merge table from the session-memoized bpeLearnTable
+      // (r20: one learn per sweep), folded into a static replace
+      // chain — one narrow pass over the (doc, word) fold instead of
+      // 8 materialized corpus-grain rewrite rounds (same learner,
+      // same canonical fold, same greedy semantics as encode())
+      val merges = bpeMerges(s, d)
       val perDoc = docs
         .select(col("doc_id"), col("lang"), explode(tokens).as("w"))
         .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("freq"))
@@ -2082,6 +2240,81 @@ object TextQueries {
           col("tokens_kept").cast("double") / sum("tokens_kept").over(w), 6))
         .withColumn("share_gap",
           rnd(col("share_tok") - col("share_char"), 6))
+        .orderBy("lang")
+    }),
+
+    /** Length-banded best-fit-decreasing shard packing — the OTHER
+      * production packer beside t14's concat-and-split: t14 lays docs
+      * end-to-end (zero padding, but documents straddle shard
+      * boundaries — a training example can start mid-document); the
+      * no-split policy packs whole docs and pays PADDING instead. True
+      * best-fit-decreasing is inherently sequential, so the
+      * distributed form is the published length-grouped variant:
+      * bucket docs into 64-token length bands (pure integer rounding,
+      * exact in both engines), order each band decreasing (the FFD
+      * shape), and cut fixed-capacity shards of
+      * cap = ⌊B / band_hi⌋ docs — every shard provably fits its
+      * B=4096 budget because cap·band_hi ≤ B, and padding per shard
+      * is bounded by cap·63 + (B mod band_hi) because band members
+      * are within 64 tokens of the band ceiling. Docs longer than B
+      * get singleton shards (cap clamped to 1, overflow padding
+      * clamped to 0).
+      *
+      * Published per language, BOTH policies side by side: shard
+      * count, straddled-doc count (the offset policy's split cost —
+      * structurally 0 under banded BFD), and padding waste (the BFD
+      * policy's cost — structurally 0 for every non-final offset
+      * shard), plus the banded fill rate in e4 — the sheet a
+      * packing-policy migration reads. All integers ⇒ strict hash
+      * oracle.
+      *
+      * Scale: both rank and offset come from
+      * [[graft.operators.PrefixScan.runningSum]] (the t14 discipline
+      * — no low-cardinality total-order window, no global sort; every
+      * window is bounded by one range partition), then one (lang,
+      * band, shard) aggregate and one per-lang census. The 1e4·Σtok
+      * fill numerator stays exact in int64 to ~10^14 tokens per
+      * language. */
+    "t47_bestfit_pack" -> ((s, d) => {
+      val B = 4096L
+      val docs = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(tokens).cast("long").as("n_tok"))
+      val banded = docs
+        .withColumn("band", expr("greatest(64, ((n_tok + 63) div 64) * 64)"))
+        .withColumn("cap", expr(s"greatest(1, $B div band)"))
+        .withColumn("nord", -col("n_tok"))
+        .withColumn("one", lit(1L))
+      val ranked = graft.operators.PrefixScan.runningSum(
+        banded, group = Seq("lang", "band"), order = Seq("nord", "doc_id"),
+        value = "one", out = "pos")
+      val perShard = ranked
+        .withColumn("shard", expr("(pos - 1) div cap"))
+        .groupBy("lang", "band", "shard")
+        .agg(sum("n_tok").as("fill"))
+      val bfd = perShard.groupBy("lang")
+        .agg(count(lit(1)).as("bfd_shards"),
+          sum(greatest(lit(0L), lit(B) - col("fill"))).as("bfd_padding"))
+      val scanned = graft.operators.PrefixScan.runningSum(
+        docs, group = Seq("lang"), order = Seq("doc_id"),
+        value = "n_tok", out = "cum_tok")
+      val off = scanned.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("sum_tokens"),
+          sum(when(col("n_tok") > 0 &&
+            expr(s"(cum_tok - 1) div $B") =!=
+              expr(s"(cum_tok - n_tok) div $B"), 1L).otherwise(0L))
+            .as("off_straddled"))
+        .withColumn("off_shards", expr(s"(sum_tokens + ${B - 1}) div $B"))
+        .withColumn("off_padding",
+          col("off_shards") * B - col("sum_tokens"))
+      off.join(bfd, "lang")
+        .withColumn("bfd_fill_e4", when(col("bfd_shards") > 0,
+          expr(s"(10000 * sum_tokens) div (bfd_shards * $B)"))
+          .otherwise(0L))
+        .select("lang", "n_docs", "sum_tokens", "off_shards",
+          "off_straddled", "off_padding", "bfd_shards", "bfd_padding",
+          "bfd_fill_e4")
         .orderBy("lang")
     }),
   )
@@ -2140,9 +2373,9 @@ object TextQueries {
   /** [[StopWords]] as a SQL literal list — the ONE source both engines
     * read. Hand-duplicating the list as SQL literals is exactly the
     * desync class the M11Rounds generated-columns fix closed for m11. */
-  private def stopWordsSql: String = StopWords.map(sqlLit).mkString(",")
+  private[graft] def stopWordsSql: String = StopWords.map(sqlLit).mkString(",")
 
-  private def qcCteSql: String = {
+  private[graft] def qcCteSql: String = {
     val plantedText = Seq.fill(QcBannerReps)(BoilerHeader).mkString(" ")
     val xs = (1 to 5).map(i => s"x$i")
     val marginSql = xs.zipWithIndex
@@ -2306,6 +2539,51 @@ object TextQueries {
         |   AS share_gap
         |FROM tfin ORDER BY lang""".stripMargin
     },
+
+    // t47: both packers replicate — the 64-token banding, the
+    // FFD-shape (n_tok DESC, doc_id) rank, fixed cap = B div band,
+    // and the t14 offset scan — integer arithmetic end to end. The
+    // oracle ranks with a plain window (ground truth); the Spark side
+    // uses the PrefixScan two-pass rank, and their equality certifies
+    // the distributed rank (the t23 equivalence discipline).
+    "t47_bestfit_pack" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |    len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS n_tok
+        |  FROM documents),
+        | b AS (SELECT lang, doc_id, n_tok,
+        |    greatest(64, ((n_tok + 63) // 64) * 64) AS band FROM d),
+        | r AS (SELECT *, greatest(1, 4096 // band) AS cap,
+        |    row_number() OVER (PARTITION BY lang, band
+        |                       ORDER BY n_tok DESC, doc_id) AS pos
+        |  FROM b),
+        | sh AS (SELECT lang, band, (pos - 1) // cap AS shard,
+        |    sum(n_tok) AS fill
+        |  FROM r GROUP BY 1, 2, 3),
+        | bfd AS (SELECT lang, count(*) AS bfd_shards,
+        |    CAST(sum(greatest(0, 4096 - fill)) AS BIGINT) AS bfd_padding
+        |  FROM sh GROUP BY 1),
+        | c AS (SELECT lang, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM d),
+        | off AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(CASE WHEN n_tok > 0
+        |        AND (cum_tok - 1) // 4096 <> (cum_tok - n_tok) // 4096
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS off_straddled
+        |  FROM c GROUP BY 1)
+        |SELECT off.lang, n_docs, sum_tokens,
+        | CAST((sum_tokens + 4095) // 4096 AS BIGINT) AS off_shards,
+        | off_straddled,
+        | CAST(((sum_tokens + 4095) // 4096) * 4096 - sum_tokens
+        |   AS BIGINT) AS off_padding,
+        | CAST(bfd_shards AS BIGINT) AS bfd_shards, bfd_padding,
+        | CAST(CASE WHEN bfd_shards > 0
+        |   THEN (10000 * sum_tokens) // (bfd_shards * 4096)
+        |   ELSE 0 END AS BIGINT) AS bfd_fill_e4
+        |FROM off JOIN bfd ON bfd.lang = off.lang
+        |ORDER BY off.lang""".stripMargin,
 
     // t42: the shared unrolled merge-round replica; greedy re-pair
     // replicates via the '#'-boundary replace trick — see the query

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSessionFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BuildMemo's contract is "skip recomputation, change NOTHING else":
+  * the r20 shared-build memoization (BPE merge table, t44 perceptron
+  * model, s27/s28 graph index) is only sound if memo-hit ≡ memo-miss
+  * bit-for-bit and a session's handoff dirs are reclaimed. The
+  * consumer-level equivalence legs compare the memoized accessors
+  * against DIRECT unmemoized computations of the same builds. */
+class BuildMemoSpec extends AnyFunSuite {
+  import SparkSessionFixture.{spark, sf0001}
+
+  test("memo runs the build once per (session, key) and returns the " +
+    "same value to every caller") {
+    var builds = 0
+    def get() = BuildMemo.memo(spark, "spec:counter") {
+      builds += 1; Seq(1, 2, 3)
+    }
+    val a = get(); val b = get()
+    assert(builds == 1, "second call must not re-run the build")
+    assert((a eq b) || a == b)
+    assert(BuildMemo.handleInfo(spark, "spec:counter").contains("memo"))
+    BuildMemo.invalidate("spec:counter")
+    assert(BuildMemo.handleInfo(spark, "spec:counter").isEmpty)
+  }
+
+  test("memoParquet creates the dir once, returns the same path, and " +
+    "evictSession deletes it") {
+    var builds = 0
+    def get() = BuildMemo.memoParquet(spark, "spec:pq") { out =>
+      builds += 1
+      spark.range(3).toDF("n").write.parquet(s"$out/part")
+    }
+    val d1 = get(); val d2 = get()
+    assert(builds == 1 && d1 == d2)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(d1, "part")))
+    assert(spark.read.parquet(s"$d1/part").count() == 3)
+    // eviction reclaims the handoff and forgets the entry; a fresh
+    // call rebuilds into a NEW dir (the application-end listener runs
+    // exactly this method)
+    BuildMemo.evictSession(spark.sparkContext.applicationId)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(d1)),
+      "evictSession must delete the parquet handoff dir")
+    assert(BuildMemo.handleInfo(spark, "spec:pq").isEmpty)
+    val d3 = get()
+    assert(builds == 2 && d3 != d1)
+    BuildMemo.invalidate("spec:pq")
+  }
+
+  test("a key cannot hold both a value and a parquet handoff") {
+    BuildMemo.memo(spark, "spec:dual") { "v" }
+    val e = intercept[RuntimeException] {
+      BuildMemo.memoParquet(spark, "spec:dual") { _ => () }
+    }
+    assert(e.getMessage.contains("cannot be both"))
+    BuildMemo.invalidate("spec:dual")
+  }
+
+  test("bpe memo-hit ≡ memo-miss: the memoized merge table equals a " +
+    "direct BpeMerge.learn over the canonical corpus fold") {
+    import org.apache.spark.sql.functions._
+    val rounds = graft.queries.TextQueries.BpeRounds
+    // direct, unmemoized: the same fold the memo build owns
+    val words = graft.Tables.documents(spark, sf0001)
+      .select(explode(filter(split(col("text"), " "), t => t =!= ""))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val direct = BpeMerge.learn(words, rounds)
+      .orderBy("merge_round").collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val miss = graft.queries.TextQueries.bpeLearnTable(spark, sf0001)
+    val hit = graft.queries.TextQueries.bpeLearnTable(spark, sf0001)
+    assert(miss == direct, "memoized learn diverged from direct learn")
+    assert(hit == direct)
+    assert(BuildMemo
+      .handleInfo(spark, s"bpe:$sf0001:$rounds").contains("memo"))
+  }
+
+  test("qc model memo-hit ≡ memo-miss: the memoized trajectory equals " +
+    "a direct QualityPerceptron.learn over the memoized features") {
+    val rounds = graft.queries.TextQueries.QcRounds
+    val feats = graft.queries.TextQueries.qcFeaturesMemo(spark, sf0001)
+    val direct = QualityPerceptron.learn(feats, rounds)._2
+      .orderBy("learn_round").collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val memo = graft.queries.TextQueries.qcModel(spark, sf0001)
+    assert(memo == direct)
+    // final weights frame = last trajectory row
+    val w = graft.queries.TextQueries.qcWeights(spark, sf0001)
+      .collect()(0)
+    val last = direct.last
+    assert((w.getLong(0), w.getLong(1), w.getLong(2), w.getLong(3),
+      w.getLong(4)) == ((last._2, last._3, last._4, last._5, last._6)))
+  }
+
+  test("graph index memo-hit ≡ memo-miss: memoized edges and routing " +
+    "equal the direct hierRoute/graphEdges build") {
+    val (idxM, edgesM) =
+      graft.queries.SimilarityQueries.graphIndexMemo(
+        spark, sf0001, union = true)
+    val (idxD, edgesD) =
+      graft.queries.SimilarityQueries.graphIndexDirect(
+        spark, sf0001, union = true)
+    import org.apache.spark.sql.functions.col
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(edgesM) == edgeSet(edgesD),
+      "memoized edge set diverged from direct build")
+    def routedSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").cast("long"), col("cell").cast("long"),
+        col("fid").cast("long"), col("rn").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+    assert(routedSet(idxM.routed) == routedSet(idxD.routed),
+      "memoized routing diverged from direct build")
+  }
+}

@@ -440,4 +440,118 @@ class PipelineSpec extends AnyFunSuite {
     assert(tp == planted, s"missed planted docs: tp=$tp of $planted")
     assert(fp == 0L, s"clean docs flagged: fp=$fp")
   }
+
+  test("qcRawFeatureCols matches qcFeatures' formulas on the planted " +
+    "corpus — the d29/e26 scorers use the training-time features") {
+    // re-plant exactly as qcFeatures does, then the raw helper must
+    // produce identical x1..x5 per doc (the formula-desync guard)
+    val plantedText = Seq.fill(TextQueries.QcBannerReps)(
+      TextQueries.BoilerHeader).mkString(" ")
+    val planted = graft.Tables.documents(spark, sf0001)
+      .withColumn("text", when(col("doc_id") % 5 === 0, plantedText)
+        .otherwise(col("text")))
+    val raw = TextQueries.qcRawFeatureCols(planted)
+      .select("doc_id", "x1", "x2", "x3", "x4", "x5").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val feats = TextQueries.qcFeaturesMemo(spark, sf0001)
+      .select("doc_id", "x1", "x2", "x3", "x4", "x5").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      assert(raw(r.getLong(0)) == ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))),
+        s"feature mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("d29: the quality keeper is each cluster's argmax-margin member " +
+    "(independent re-derivation) and the policy provably beats " +
+    "keep-min-id on margin") {
+    val row = DedupQueries.queries("d29_quality_keeper")(spark, sf0001)
+      .collect()(0)
+    // independent re-derivation: score the planted dup corpus with the
+    // frozen weights, group by the label table, take argmax by hand
+    val labels = DedupQueries.d09Labels(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = TextQueries.qcFrozenWeights(spark, sf0001)
+    val margins = TextQueries.qcRawFeatureCols(
+        DedupQueries.d09Corpus(spark, sf0001))
+      .withColumn("margin", TextQueries.qcMarginCol(w))
+      .select("doc_id", "margin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = labels.toSeq.groupBy(_._2).map { case (lbl, ms) =>
+      val keeper = ms.map(_._1).minBy(n => (-margins(n), n))
+      (lbl, keeper)
+    }
+    assert(row.getAs[Long]("n_clusters") == byCluster.size.toLong)
+    assert(row.getAs[Long]("keeper_q_id_sum") ==
+      byCluster.values.sum,
+      "query's elected keepers differ from the hand argmax")
+    assert(row.getAs[Long]("keeper_min_id_sum") ==
+      byCluster.keys.sum)
+    assert(row.getAs[Long]("margin_gain_total") >= 0L,
+      "argmax policy cannot lose margin vs min-id")
+    assert(row.getAs[Long]("n_changed_keepers") ==
+      byCluster.count { case (lbl, k) => k != lbl }.toLong)
+  }
+
+  test("t47: every banded shard fits the 4096 budget (recomputed " +
+    "per-shard fills) and the offset policy measurably straddles " +
+    "where banded BFD structurally cannot") {
+    val rows = TextQueries.queries("t47_bestfit_pack")(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    // the witness numbers: offset packing splits docs, banded BFD pays
+    // bounded padding instead
+    assert(rows.map(_.getAs[Long]("off_straddled")).sum > 0L,
+      "no straddles at sf0.001 — the comparison is vacuous")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bfd_padding") >= 0L)
+      assert(r.getAs[Long]("bfd_fill_e4") <= 10000L)
+    }
+    // independent refill: naive window rank, same banding — every
+    // shard's fill must respect cap*band_hi <= B
+    val docs = graft.Tables.documents(spark, sf0001)
+      .selectExpr("lang", "doc_id",
+        "CAST(size(filter(split(text, ' '), t -> t != '')) AS LONG) AS n_tok")
+      .selectExpr("lang", "doc_id", "n_tok",
+        "greatest(64, ((n_tok + 63) div 64) * 64) AS band")
+      .selectExpr("*", "greatest(1, 4096 div band) AS cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "band")
+      .orderBy(col("n_tok").desc, col("doc_id"))
+    val fills = docs.withColumn("pos", row_number().over(w))
+      .selectExpr("lang", "band", "(pos - 1) div cap AS shard", "n_tok")
+      .groupBy("lang", "band", "shard")
+      .agg(sum("n_tok").as("fill"), max("band").as("hi"))
+      .collect()
+    fills.foreach { r =>
+      val fill = r.getAs[Long]("fill")
+      assert(fill <= 4096L || r.getAs[Long]("hi") > 4096L,
+        s"shard overflows budget: $r")
+    }
+    val shardCounts = fills.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bfd_shards") ==
+        shardCounts(r.getAs[String]("lang")),
+        "distributed PrefixScan rank disagrees with the naive window")
+    }
+  }
+
+  test("e26: exactly the planted last-day template burst flags quality " +
+    "drift") {
+    val rows = EventQueries.queries("e26_quality_drift")(spark, sf0001)
+      .collect()
+    val lastDay = EventQueries.FertDays - 1
+    val (planted, clean) =
+      rows.partition(_.getAs[Int]("dayi") == lastDay)
+    assert(planted.nonEmpty && clean.nonEmpty)
+    planted.foreach(r => assert(r.getAs[Boolean]("drifted"),
+      s"planted window day=$lastDay source=${r.getAs[String]("source")} " +
+        "did not flag"))
+    clean.foreach(r => assert(!r.getAs[Boolean]("drifted"),
+      s"clean window day=${r.getAs[Int]("dayi")} " +
+        s"source=${r.getAs[String]("source")} false-flagged"))
+  }
 }
