@@ -48,13 +48,42 @@ object BuildMemo {
   private def sessionKey(s: SparkSession): String =
     s.sparkContext.applicationId + "#" + System.identityHashCode(s)
 
+  /** Lookup-or-build WITHOUT holding the map's bin lock during the
+    * build: `ConcurrentHashMap.computeIfAbsent` forbids the mapping
+    * function touching the same map, and memo builds legitimately
+    * NEST (qcModel's build reads the qcFeatures handoff — both live
+    * here), which threw `IllegalStateException("Recursive update")`
+    * nondeterministically, only when the two keys landed in the same
+    * bin (caught by the r20 soak's x10 corpus dirs). Computing
+    * outside the map makes nesting safe; a concurrent race builds at
+    * most twice and `putIfAbsent` keeps the first, with the loser's
+    * handoff dir deleted (drivers here are single-threaded, so the
+    * race arm is belt-and-suspenders). */
+  private def getOrBuild(key: (String, String), build: () => Handle)
+      : Handle = {
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
+      val built = build()
+      val prev = cache.putIfAbsent(key, built)
+      if (prev == null) built
+      else {
+        built match {
+          case DirHandle(p) => deleteDir(p)
+          case _ => ()
+        }
+        prev
+      }
+    }
+  }
+
   /** Memoize a bounded driver-side value (e.g. a collected 8-row merge
     * table) under `key`, scoped to `s`'s session. The build runs at
-    * most once per (session, key); later callers get the SAME value. */
+    * most once per (session, key); later callers get the SAME value.
+    * Builds may nest (call [[memo]]/[[memoParquet]] inside a build). */
   def memo[T <: AnyRef](s: SparkSession, key: String)(build: => T): T = {
     installEviction(s)
-    cache.computeIfAbsent((sessionKey(s), key),
-      _ => ValueHandle(build)) match {
+    getOrBuild((sessionKey(s), key), () => ValueHandle(build)) match {
       case ValueHandle(v) => v.asInstanceOf[T]
       case DirHandle(p) => sys.error(
         s"BuildMemo: key '$key' already holds a parquet handoff at $p — " +
@@ -67,11 +96,12 @@ object BuildMemo {
     * `dir`), and caches the path; on hit, returns the existing path.
     * The directory is deleted at application end (or [[evictSession]]).
     * Callers read with `spark.read.parquet(s"$dir/<part>")`, so the
-    * consumer plan is a parquet scan on hit AND miss. */
+    * consumer plan is a parquet scan on hit AND miss. Builds may
+    * nest. */
   def memoParquet(s: SparkSession, key: String)(build: String => Unit)
       : String = {
     installEviction(s)
-    cache.computeIfAbsent((sessionKey(s), key), _ => {
+    getOrBuild((sessionKey(s), key), { () =>
       val dir = java.nio.file.Files
         .createTempDirectory("graft-memo-").toString
       build(dir)

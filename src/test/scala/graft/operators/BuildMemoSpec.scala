@@ -49,6 +49,24 @@ class BuildMemoSpec extends AnyFunSuite {
     BuildMemo.invalidate("spec:pq")
   }
 
+  test("memo builds may NEST — a build that reads another memo entry " +
+    "must not hit ConcurrentHashMap's recursive-update guard (the r20 " +
+    "soak x10 failure: qcModel's build reads the qcFeatures handoff)") {
+    // force many nested pairs so same-bin collisions are overwhelmingly
+    // likely — under computeIfAbsent this threw IllegalStateException
+    (1 to 64).foreach { i =>
+      val outer = BuildMemo.memo(spark, s"spec:nest:outer:$i") {
+        val inner = BuildMemo.memoParquet(spark, s"spec:nest:inner:$i") {
+          out => spark.range(1).toDF("n").write.parquet(s"$out/p")
+        }
+        s"built-from:$inner"
+      }
+      assert(outer.startsWith("built-from:"))
+      BuildMemo.invalidate(s"spec:nest:outer:$i")
+      BuildMemo.invalidate(s"spec:nest:inner:$i")
+    }
+  }
+
   test("a key cannot hold both a value and a parquet handoff") {
     BuildMemo.memo(spark, "spec:dual") { "v" }
     val e = intercept[RuntimeException] {
