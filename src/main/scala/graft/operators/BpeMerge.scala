@@ -53,7 +53,13 @@ object BpeMerge {
 
   /** Learn AND apply: the same loop, with `carry` columns riding the
     * vocabulary rows untouched (e.g. lang, the word itself), returning
-    * the final encoded frame (carry..., freq, sy). The pair census
+    * the final encoded frame (carry..., freq, sy). Library API: since
+    * r20 the roster consumers read the session-memoized learn table
+    * (TextQueries.bpeLearnTable) and fold it with [[applyMerges]]
+    * instead — this form remains for callers that need the per-round
+    * encoded frames or cannot afford a driver collect, and it carries
+    * the same cannot-desynchronize argument via the carry-column
+    * construction (BpeMergeSpec pins the paths equal). The pair census
     * ignores the carry columns, so the learned merge sequence is
     * identical to [[learn]] on the carry-collapsed vocabulary by
     * construction (winner totals are sums over the same (word, freq)
@@ -116,7 +122,8 @@ object BpeMerge {
     * [[applyMerges]] replace chain, one narrow pass instead of
     * `rounds` materialized rewrites. Same learner, same corpus fold —
     * the apply still cannot desynchronize from what [[learn]]
-    * publishes (t46/e25). */
+    * publishes. Roster consumers reach this through the session memo
+    * (TextQueries.bpeLearnTable, r20) so one sweep learns once. */
   def collectMerges(words: DataFrame, rounds: Int): Seq[(String, String)] =
     learn(words, rounds)
       .orderBy("merge_round")

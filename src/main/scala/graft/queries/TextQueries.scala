@@ -2171,9 +2171,9 @@ object TextQueries {
       * languages relative to the token budget. This publishes BOTH
       * weightings side by side per language: the t18 α=0.5 gate on
       * char mass and the same gate on the EXACT token mass under t42's
-      * learned tokenizer (per-doc token counts via
-      * [[graft.operators.BpeMerge.collectMerges]] — the same learner
-      * on the same corpus fold, its 8-row table folded into a static
+      * learned tokenizer (per-doc token counts via the memoized
+      * [[bpeMerges]] table — the same learner on the same canonical
+      * corpus fold, its 8-row table folded into a static
       * [[graft.operators.BpeMerge.applyMerges]] replace chain, so the
       * mass is the shipped tokenizer's by construction and the apply
       * is ONE narrow pass), plus the share gap — the

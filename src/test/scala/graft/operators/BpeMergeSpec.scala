@@ -95,6 +95,24 @@ class BpeMergeSpec extends AnyFunSuite {
       s"encode total $total != learn tokens_after $tokensAfter")
   }
 
+  test("encode ≡ collectMerges + applyMerges static chain — the r20 " +
+      "t43 substitution is result-identical word for word") {
+    val words = Seq(("lower", 2L), ("newer", 6L), ("wider", 3L),
+      ("aaaa", 4L), ("a", 1L))
+    val df = words.toDF("w", "freq")
+    val enc = BpeMerge.encode(df, 3, Seq("w")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val merges = BpeMerge.collectMerges(df, 3)
+    val chain = df.select(org.apache.spark.sql.functions.col("w"),
+        BpeMerge.applyMerges(
+          org.apache.spark.sql.functions.col("w"), merges).as("sy"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    words.foreach { case (w, _) =>
+      assert(enc(w) == chain(w),
+        s"'$w': encode='${enc(w)}' chain='${chain(w)}'")
+    }
+  }
+
   test("merged symbols compose across rounds (multi-char symbols " +
       "merge further, the m+er shape)") {
     val words = Seq(("mer", 4L), ("er", 1L))
