@@ -377,6 +377,29 @@ class QueryPlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
 
+  test("t47: both packing ranks ride PrefixScan — every window is " +
+      "__pid-bounded, no corpus-wide range sort survives to the final " +
+      "plan, no cartesian") {
+    val plan = planOf("t47_bestfit_pack")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // every window spec is partitioned by the range-partition id —
+    // the PrefixScan guarantee that no task ever sorts more than its
+    // own slice (the t14 low-cardinality-window trap, avoided)
+    val specs = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, plan.take(3000))
+    specs.foreach(l => assert(l.contains("__pid"),
+      s"window not bounded by the scan partition id: $l"))
+    // the only range exchange feeding a sort is the final ~5-row
+    // per-language census orderBy — never a corpus-wide doc sort
+    // (PrefixScan's internal range partitioning is cut at its
+    // localCheckpoint boundary)
+    plan.linesIterator.filter(_.contains("rangepartitioning")).foreach {
+      l => assert(!l.contains("doc_id"),
+        s"corpus-wide range sort leaked into the final plan: $l")
+    }
+  }
+
   test("q46: the min/max scalar joins back as a broadcast, not a shuffle") {
     val plan = planOf("q46_histogram")
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
