@@ -212,6 +212,16 @@ def main():
         out.append("")
     with open("BENCH_HISTORY.md", "w") as f:
         f.write("\n".join(out))
+    # gate assertion (r20 verdict ask 2): round_open's empty-driver-artifact
+    # warnings live in BENCH_NOTES.md precisely so regeneration preserves
+    # them — verify the sync actually carried every such line over
+    if os.path.exists("tools/BENCH_NOTES.md"):
+        hist = "\n".join(out)
+        for ln in open("tools/BENCH_NOTES.md"):
+            if "driver correctness artifact" in ln and ln.strip() not in hist:
+                raise AssertionError(
+                    "BENCH_NOTES.md -> BENCH_HISTORY.md sync dropped a "
+                    f"driver-correctness note: {ln.strip()!r}")
     print(f"BENCH_HISTORY.md: {len(queries)} queries x rounds {rids}")
     # CI gate: any query >= HARD_REGRESSION_RATIO x its previous round is
     # a loud WARNINGS block + non-zero exit, so a regression is caught at

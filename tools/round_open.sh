@@ -20,9 +20,12 @@ print(max(json.loads(l)['round'] for l in open('PROGRESS.jsonl') if l.strip()))
 # Driver-artifact sanity (the r19 '{}' lesson): the driver's
 # CORRECTNESS_r{N}.json is EVIDENCE, not truth — validate it before
 # committing, and if it's empty or missing roster queries, log that
-# loudly in BENCH_HISTORY.md so a cold reader never mistakes an empty
-# artifact for zero queries passing. Non-fatal: the builder's own
-# sweep logs + the judge compare are the backstop.
+# loudly in tools/BENCH_NOTES.md (the SOURCE of BENCH_HISTORY.md's
+# notes section — the r20 verdict caught that appending to the
+# generated BENCH_HISTORY.md itself loses the note at the next
+# bench_history.py regeneration) so a cold reader never mistakes an
+# empty artifact for zero queries passing. Non-fatal: the builder's
+# own sweep logs + the judge compare are the backstop.
 python3 - "$ROUND" <<'EOF' || true
 import json, sys, re
 rnd = int(sys.argv[1]) - 1  # artifacts belong to the JUST-CLOSED round
@@ -32,12 +35,16 @@ try:
 except (OSError, ValueError) as e:
     print(f"round_open: NOTE — {path} unreadable ({e}); skipping check")
     sys.exit(0)
+# roster lives in the per-family query maps, NOT SparkEntry.scala
+# (which only aggregates them — the r20 ADVICE caught that regexing
+# SparkEntry yields an empty roster and a vacuous "coverage verified")
+import glob
 roster = set()
-try:
-    src = open("src/main/scala/graft/SparkEntry.scala").read()
-    roster = set(re.findall(r'"([a-z]\d+_\w+)"\s*->', src))
-except OSError:
-    pass
+for f in glob.glob("src/main/scala/graft/queries/*.scala"):
+    try:
+        roster |= set(re.findall(r'"([a-z]\d+_\w+)"\s*->', open(f).read()))
+    except OSError:
+        pass
 keys = set(art) if isinstance(art, dict) else set()
 missing = roster - keys
 if not keys or (roster and len(missing) > len(roster) // 2):
@@ -47,17 +54,22 @@ if not keys or (roster and len(missing) > len(roster) // 2):
                f"short ({len(keys)}/{len(roster)} roster queries)")
             + " — builder sweep logs + judge compare are the evidence; "
               "do not read this as queries failing.")
-    hist = open("BENCH_HISTORY.md").read()
-    if line not in hist:
-        with open("BENCH_HISTORY.md", "a") as f:
+    notes = open("tools/BENCH_NOTES.md").read()
+    if line not in notes:
+        with open("tools/BENCH_NOTES.md", "a") as f:
             f.write("\n" + line + "\n")
         print(f"round_open: WARNING — {line}")
-        print("round_open: appended note to BENCH_HISTORY.md")
+        print("round_open: appended note to tools/BENCH_NOTES.md "
+              "(synced into BENCH_HISTORY.md at the next regeneration)")
+elif not roster:
+    # an empty roster means THIS check is broken, not that coverage held
+    print(f"round_open: WARNING — roster scan found no queries; "
+          f"{path} has {len(keys)} entries but coverage is UNVERIFIED")
 else:
     print(f"round_open: {path} OK "
           f"({len(keys)} entries, roster coverage verified)")
 EOF
-git add BENCH_HISTORY.md 2>/dev/null || true
+git add tools/BENCH_NOTES.md 2>/dev/null || true
 
 if git diff --quiet && git diff --cached --quiet \
     && [ -z "$(git status --porcelain)" ]; then
