@@ -127,8 +127,12 @@ object BuildMemo {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      // Files.walk holds directory handles until closed — materialize
+      // the listing, then close, before deleting (r20 advice)
+      val walk = java.nio.file.Files.walk(p)
+      val entries =
+        try walk.iterator().asScala.toSeq finally walk.close()
+      entries.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
@@ -150,7 +154,13 @@ object BuildMemo {
     * application-end listener's action, exposed for specs and eager
     * eviction. */
   def evictSession(appId: String): Unit = {
-    evictionHooked.remove(appId)
+    // NOTE: deliberately does NOT remove appId from evictionHooked —
+    // an EAGER eviction (Soak's per-timed-run cache reset) must not
+    // cause the next memo call to register a fresh application-end
+    // listener, or a long soak accumulates duplicate listeners on the
+    // shared bus (r20 advice). The hook entry is cleared only from
+    // inside the application-end listener itself, where the appId is
+    // genuinely done.
     val it = cache.keySet().iterator()
     while (it.hasNext) {
       val k = it.next(); if (k._1.startsWith(appId + "#")) dropEntry(k)
@@ -164,7 +174,10 @@ object BuildMemo {
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-              : Unit = evictSession(appId)
+              : Unit = {
+            evictionHooked.remove(appId)
+            evictSession(appId)
+          }
         })
   }
 }

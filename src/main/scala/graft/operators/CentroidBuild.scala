@@ -92,6 +92,33 @@ object CentroidBuild {
       .join(emb, "vec_id")
   }
 
+  /** [[ivfCandidates]] with the probe's RANK in the query's centroid
+    * ordering kept on every candidate row (`prank` ∈ 1..nprobe). Probe
+    * lists at smaller nprobe are nested prefixes of the same ranking
+    * (nearestK's deterministic (csim desc, cl_id) order), so a sweep
+    * over nprobe values builds ONE candidate frame at the largest
+    * point and each arm is `filter(prank <= np)` — one corpus
+    * assignment instead of one per arm (r21, the s23 prefix-sweep
+    * discipline applied to s17; equality with per-arm
+    * [[ivfCandidates]] is pinned in OperatorsSpec). */
+  def ivfCandidatesRanked(emb: DataFrame, cents: DataFrame,
+      queryPred: Column, nprobe: Int): DataFrame = {
+    val sims = similarities(emb, cents, "vec_id", "vec")
+    val assign = nearest(sims, "vec_id")
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cl_id"))
+    val probes = sims.filter(queryPred)
+      .withColumn("prank", row_number().over(w))
+      .filter(col("prank") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cl_id"), col("prank"))
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    assign.join(broadcast(probes), "cl_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(queries), "q_id")
+      .join(emb, "vec_id")
+  }
+
   /** The size-derived k-means build (the s07 pipeline as a reusable
     * operator): seed with the k smallest md5(idCol) rows (a
     * TakeOrdered top-k, no global sort), then run `rounds` Lloyd

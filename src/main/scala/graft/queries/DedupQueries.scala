@@ -654,8 +654,12 @@ object DedupQueries {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      // Files.walk holds directory handles until closed — materialize
+      // the listing, then close, before deleting (r20 advice)
+      val walk = java.nio.file.Files.walk(p)
+      val entries =
+        try walk.iterator().asScala.toSeq finally walk.close()
+      entries.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
@@ -677,7 +681,10 @@ object DedupQueries {
     * application-end listener's action, exposed so the eviction spec
     * can assert it and so services can evict eagerly. */
   def evictSession(appId: String): Unit = {
-    evictionHooked.remove(appId)
+    // deliberately leaves evictionHooked alone: an eager eviction must
+    // not make the next call re-register a duplicate application-end
+    // listener (r20 advice — Soak evicts per timed run); the hook entry
+    // is cleared only from inside the listener itself
     val it = labelCache.keySet().iterator()
     while (it.hasNext) {
       val k = it.next(); if (k._1.startsWith(appId + "#")) dropEntry(k)
@@ -691,8 +698,10 @@ object DedupQueries {
       s.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            evictionHooked.remove(appId)
             evictSession(appId)
+          }
         })
   }
 

@@ -115,6 +115,19 @@ object EventQueries {
       s.conf.getOption("spark.graft.stream.stateStoreProvider").getOrElse(
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider"))
+    // Changelog checkpointing: commit a per-batch CHANGELOG instead of
+    // a full RocksDB snapshot upload — the production setting for
+    // frequent small commits (snapshots still happen, asynchronously
+    // every minDeltasForSnapshot batches, so recovery stays bounded).
+    // Default-off upstream only for checkpoint-format compatibility
+    // with pre-3.5 readers, which these replays never need. Measured
+    // r21: e22 7.3 → 6.6 s at sf0.1 (commit path only — emitted rows
+    // and state contents are unchanged). Overridable like the
+    // provider, and a no-op for the HDFS-backed provider.
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      s.conf.getOption(
+        "spark.graft.stream.rocksdbChangelogCheckpointing").getOrElse("true"))
     ss
   }
 

@@ -173,10 +173,22 @@ object RelationalQueries {
       * the only feasible correctness check of the sketch, and the bare
       * sketch cost is still visible as q12 minus q11's distinct.) */
     "q12_approx_distinct" -> ((s, d) => {
+      // Dedup (flag, partkey) FIRST, then aggregate once: the mixed
+      // distinct + non-distinct aggregate otherwise plans the 4-stage
+      // expand path that drags the rsd=0.01 HLL buffer (2^14 registers)
+      // through a phase grouped by (flag, partkey) — measured 4.0 s vs
+      // 1.5 s at sf0.1 for identical results. HLL sketches are
+      // duplicate-insensitive (register max), so approx_count_distinct
+      // over the deduped pairs is bit-identical to the original, and
+      // count(l_partkey) over them IS countDistinct (both skip nulls).
+      // At scale this is also the right shape: the dedup shuffle is
+      // map-side combinable and the heavy sketch buffers only exist in
+      // the second, 3-group aggregation. (guide §2.3/§2.4)
       Tables.lineitem(s, d)
+        .select("l_returnflag", "l_partkey").distinct()
         .groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey", 0.01).as("approx_parts"),
-          countDistinct("l_partkey").as("exact_parts"))
+          count("l_partkey").as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")).cast("double") /
             col("exact_parts") <= 0.05).as("est_within_5pct"))

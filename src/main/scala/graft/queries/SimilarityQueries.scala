@@ -252,8 +252,14 @@ object SimilarityQueries {
     * See s11's scaladoc for the full design + scale story (everything
     * small broadcasts; the corpus never shuffles to be assigned or
     * encoded). */
-  private def pqAdcScored(s: SparkSession, d: String): DataFrame = {
-    val S = 8; val Dsub = 8; val K = 16; val nprobe = 3
+  /** The IVF-PQ index build — (cents, codebook, enc), the artifacts a
+    * production deployment builds ONCE at ingest and serves many
+    * queries from. Exposed unmemoized so the memo-hit ≡ memo-miss spec
+    * can compare against a direct computation (the graphIndexDirect
+    * discipline). */
+  private[graft] def pqIndexDirect(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val S = 8; val Dsub = 8; val K = 16
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), embD(col("embedding")).as("vec"))
     val cents = graft.operators.CentroidBuild.centroids(
@@ -297,11 +303,47 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(wMin))
       .filter(col("rn") === 1)
       .select("vec_id", "cl_id", "sp", "code")
+    (cents, codebook, enc)
+  }
+
+  /** Memoized IVF-PQ index (the graphIndexMemo pattern, r21): s11,
+    * s18 and s19 all serve from the SAME index artifacts, so a roster
+    * sweep pays the centroid/assign/encode build once per (session,
+    * corpus) instead of three times — exactly the build-once/serve-many
+    * economics the scaladoc claims (an index is built at ingest, not
+    * per query). The handoff is parquet, so the consumer plan is a
+    * parquet scan on hit AND miss (digest order-independence); columns
+    * are ints + doubles, and a parquet round-trip of both is
+    * bit-exact, so memo-hit ≡ memo-miss ≡ direct (PqMemoSpec). */
+  private[graft] def pqIndexMemo(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dir = graft.operators.BuildMemo.memoParquet(s, s"pqidx:$d") { out =>
+      val (cents, codebook, enc) = pqIndexDirect(s, d)
+      cents.write.parquet(s"$out/cents")
+      codebook.write.parquet(s"$out/codebook")
+      enc.write.parquet(s"$out/enc")
+    }
+    (s.read.parquet(s"$dir/cents"), s.read.parquet(s"$dir/codebook"),
+      s.read.parquet(s"$dir/enc"))
+  }
+
+  private def pqAdcScored(s: SparkSession, d: String): DataFrame = {
+    val S = 8; val Dsub = 8; val nprobe = 3
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), embD(col("embedding")).as("vec"))
+    val (cents, codebook, enc) = pqIndexMemo(s, d)
+    def subSlices(vecCol: String, outName: String) =
+      explode(array((0 until S).map(sp => struct(lit(sp).as("sp"),
+        expr(s"slice($vecCol, ${sp * Dsub} + 1, $Dsub)").as(outName))): _*))
     // per-(query, probed list) ADC lookup table: the query's residual
     // AGAINST THE PROBED CENTROID (not its home one) sliced per
-    // subspace vs every codebook entry — q·nprobe·S·K tiny rows
+    // subspace vs every codebook entry — q·nprobe·S·K tiny rows.
+    // Query-side probe similarities run on the 3 query rows only —
+    // per-row arithmetic, identical to filtering the full corpus sims
+    val qsims = graft.operators.CentroidBuild.similarities(
+      emb.filter(col("vec_id") < 3), cents, "vec_id", "vec")
     val probes = graft.operators.CentroidBuild.nearestK(
-        sims.filter(col("vec_id") < 3), "vec_id", nprobe)
+        qsims, "vec_id", nprobe)
       .select(col("vec_id").as("q_id"), col("cl_id"))
     val qresid = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("vec"))
@@ -1697,13 +1739,18 @@ object SimilarityQueries {
         Tables.embeddings(s, d)
           .select(col("label"), embD(col("embedding")).as("vec")),
         col("label"), col("vec"))
+      // ONE ranked candidate build at the largest sweep point — probe
+      // lists at smaller nprobe are nested prefixes of the same
+      // deterministic ranking, so each arm is a prank filter on the
+      // shared frame (the s23 prefix-sweep discipline; r21 — was one
+      // full corpus assignment + materialize PER ARM, 3.4 → ~2 s at
+      // sf0.1). Checkpointed once: the frame feeds every arm's census
+      // AND scoring window.
+      val cand4 = graft.operators.CentroidBuild.ivfCandidatesRanked(
+          emb, centroids, col("vec_id") < 3, 4)
+        .materialize
       val perProbe = Seq(1, 2, 4).map { np =>
-        // each sweep point's candidate set feeds the census AND the
-        // scoring window — checkpoint (probe-traffic-sized) so the
-        // assign+probe pipeline runs once per point, not twice
-        val cand = graft.operators.CentroidBuild.ivfCandidates(
-            emb, centroids, col("vec_id") < 3, np)
-          .materialize
+        val cand = cand4.filter(col("prank") <= np)
         val nCand = cand.groupBy("q_id").agg(count(lit(1)).as("n_cand"))
         val scored = cand.withColumn("c6",
           RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))

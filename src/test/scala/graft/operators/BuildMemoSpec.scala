@@ -115,6 +115,34 @@ class BuildMemoSpec extends AnyFunSuite {
       w.getLong(4)) == ((last._2, last._3, last._4, last._5, last._6)))
   }
 
+  test("pq index memo-hit ≡ memo-miss: memoized cents/codebook/enc " +
+    "equal the direct pqIndexDirect build bit-for-bit (r21: s11/s18/" +
+    "s19 serve one shared index build per sweep)") {
+    import org.apache.spark.sql.functions.col
+    val (centsM, bookM, encM) =
+      graft.queries.SimilarityQueries.pqIndexMemo(spark, sf0001)
+    val (centsD, bookD, encD) =
+      graft.queries.SimilarityQueries.pqIndexDirect(spark, sf0001)
+    def encSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").cast("long"), col("cl_id").cast("long"),
+        col("sp").cast("int"), col("code").cast("int")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSet
+    assert(encSet(encM) == encSet(encD),
+      "memoized PQ codes diverged from direct build")
+    // centroid / codebook vectors must round-trip parquet bit-exactly
+    def vecMap(df: org.apache.spark.sql.DataFrame, ks: String*) =
+      df.collect().map { r =>
+        ks.map(k => r.getAs[Any](k)).mkString(":") ->
+          r.getAs[scala.collection.Seq[Double]]("cvec")
+            .map(java.lang.Double.doubleToRawLongBits).toSeq
+      }.toMap
+    assert(vecMap(centsM, "cl_id") == vecMap(centsD, "cl_id"),
+      "memoized centroids diverged (bitwise) from direct build")
+    assert(vecMap(bookM, "sp", "code") == vecMap(bookD, "sp", "code"),
+      "memoized codebook diverged (bitwise) from direct build")
+  }
+
   test("graph index memo-hit ≡ memo-miss: memoized edges and routing " +
     "equal the direct hierRoute/graphEdges build") {
     val (idxM, edgesM) =

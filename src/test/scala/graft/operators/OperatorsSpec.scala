@@ -323,4 +323,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.filter(_.source == "a").map(_.doc_id).sorted == Seq(10L, 11L))
     assert(out.filter(_.source == "b").map(_.doc_id).sorted == Seq(5L, 6L))
   }
+
+  test("ivfCandidatesRanked prefix-filter ≡ per-arm ivfCandidates for " +
+      "every sweep point (r21: s17 builds one ranked frame and each " +
+      "nprobe arm is a prank filter — probe lists are nested prefixes " +
+      "of the same deterministic ranking)") {
+    import graft.SparkSessionFixture.sf0001
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> double(x))").as("vec"))
+    val cents = CentroidBuild.centroids(
+      graft.Tables.embeddings(spark, sf0001)
+        .select(col("label"),
+          expr("transform(embedding, x -> double(x))").as("vec")),
+      col("label"), col("vec"))
+    val ranked = CentroidBuild.ivfCandidatesRanked(
+      emb, cents, col("vec_id") < 3, 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(1, 2, 4).foreach { np =>
+      val perArm = pairs(CentroidBuild.ivfCandidates(
+        emb, cents, col("vec_id") < 3, np))
+      val prefix = pairs(ranked.filter(col("prank") <= np))
+      assert(prefix == perArm,
+        s"nprobe=$np: prefix-filtered ranked candidates diverged from " +
+          "the per-arm build")
+    }
+  }
 }
