@@ -80,6 +80,55 @@ object DedupQueries {
 
   private def toks: Column = filter(split(col("text"), " "), t => t =!= "")
 
+  /** Verbatim-span window width (Lee et al. 2022's repeated-substring
+    * granularity at word level) — one constant so d14's audit and
+    * d28's excision can never disagree on span width. */
+  private[graft] val VerbatimW = 8
+
+  /** The d14/d28 planted corpus: the boilerplate banner prepended to
+    * every doc_id % 5 == 0 doc at arbitrary alignment. */
+  private def verbatimPlanted(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(lit(TextQueries.BoilerHeader + " "), col("text")))
+        .otherwise(col("text")))
+
+  /** Verbatim-span detection — the repeated-start table (doc_id, lang,
+    * i): every position i whose [i, i+W) word 8-gram occurs in ≥ 2
+    * docs. This IS the duplicate-span artifact an ExactSubstr dedup
+    * pipeline materializes once and then consumes from both its audit
+    * (d14) and its excision pass (d28); exposed unmemoized for the
+    * memo-hit ≡ memo-miss spec. Gram census is map-side combinable;
+    * the repeated-set join is the one allowed shuffle. */
+  private[graft] def verbatimRepStartsDirect(s: SparkSession, d: String)
+      : DataFrame = {
+    val W = VerbatimW
+    val toked = verbatimPlanted(s, d)
+      .select(col("doc_id"), col("lang"), toks.as("tk"))
+      .withColumn("n", size(col("tk")))
+    val grams = toked.filter(col("n") >= W)
+      .withColumn("i", explode(expr(s"sequence(0, n - $W)")))
+      .select(col("doc_id"), col("lang"), col("i"),
+        md5(concat_ws(" ", expr(s"slice(tk, i + 1, $W)"))).as("gm"))
+    val rep = grams.groupBy("gm")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 2).select("gm")
+    grams.join(rep, "gm").select(col("doc_id"), col("lang"), col("i"))
+  }
+
+  /** Memoized [[verbatimRepStartsDirect]] (r21): one positioned-gram
+    * census + df filter per (session, corpus) serves both d14 and d28
+    * — parquet handoff, so consumer plans are scans on hit and miss
+    * and the columns (long, string, int) round-trip exactly. */
+  private[graft] def verbatimRepStarts(s: SparkSession, d: String)
+      : DataFrame = {
+    val dir = graft.operators.BuildMemo.memoParquet(
+      s, s"verbspans:$d") { out =>
+      verbatimRepStartsDirect(s, d).write.parquet(s"$out/starts")
+    }
+    s.read.parquet(s"$dir/starts")
+  }
+
   /** Explode a 64-bit `simhash` column into `bands` bands of `bits`
     * bits each (`bands * bits <= 64`); near-dup candidates are docs
     * agreeing exactly on at least one band.
@@ -1454,29 +1503,20 @@ object DedupQueries {
       * the pipeline end-to-end including the planted-banner ground
       * truth. */
     "d14_verbatim_spans" -> ((s, d) => {
-      val W = 8
-      val planted = Tables.documents(s, d).withColumn("text",
-        when(col("doc_id") % 5 === 0,
-          concat(lit(TextQueries.BoilerHeader + " "), col("text")))
-          .otherwise(col("text")))
+      val W = VerbatimW // kept for the scaladoc's [i, i+W) span math
+      val planted = verbatimPlanted(s, d)
       val toked = planted.select(col("doc_id"), col("lang"), toks.as("tk"))
         .withColumn("n", size(col("tk")))
-      val grams = toked.filter(col("n") >= W)
-        .withColumn("i", explode(expr(s"sequence(0, n - $W)")))
-        .select(col("doc_id"), col("lang"), col("i"),
-          md5(concat_ws(" ", expr(s"slice(tk, i + 1, $W)"))).as("gm"))
-      val rep = grams.groupBy("gm")
-        .agg(countDistinct("doc_id").as("df"))
-        .filter(col("df") >= 2).select("gm")
       // union length of the [i, i+W) spans WITHOUT materializing one
       // row per covered position: sorted by start within the doc, a
       // span adds min(W, i − lag(i)) new positions (every earlier span
       // ends at most at lag(i)+W, so only the immediately preceding
       // start can overlap). One per-doc window; the groupBy below
       // reuses its (doc_id, lang) partitioning — no position explode,
-      // no extra exchange.
+      // no extra exchange. The repeated-start table itself is the
+      // memoized detection build shared with d28 (r21).
       val wDoc = Window.partitionBy("doc_id", "lang").orderBy("i")
-      val masked = grams.join(rep, "gm")
+      val masked = verbatimRepStarts(s, d)
         .select(col("doc_id"), col("lang"), col("i"))
         .withColumn("gap", col("i") - lag("i", 1).over(wDoc))
         .withColumn("add",
@@ -1904,22 +1944,17 @@ object DedupQueries {
       * shuffles. The cleaned corpus in production writes straight out
       * partitioned by lang; here it folds to the census + md5 pins. */
     "d28_verbatim_removal" -> ((s, d) => {
-      val W = 8
+      val W = VerbatimW
       val banner = TextQueries.BoilerHeader
-      val planted = Tables.documents(s, d).withColumn("text",
-        when(col("doc_id") % 5 === 0, concat(lit(banner + " "), col("text")))
-          .otherwise(col("text")))
+      val planted = verbatimPlanted(s, d)
       val toked = planted.select(col("doc_id"), col("lang"), col("text"),
           toks.as("tk"))
         .withColumn("n", size(col("tk")))
-      val grams = toked.filter(col("n") >= W)
-        .withColumn("i", explode(expr(s"sequence(0, n - $W)")))
-        .select(col("doc_id"), col("i"),
-          md5(concat_ws(" ", expr(s"slice(tk, i + 1, $W)"))).as("gm"))
-      val rep = grams.groupBy("gm")
-        .agg(countDistinct("doc_id").as("df"))
-        .filter(col("df") >= 2).select("gm")
-      val starts = grams.join(rep, "gm")
+      // repeated-start detection: the memoized build shared with d14
+      // (r21) — the per-doc start collection is order-insensitive
+      // downstream (covered is consumed as a SET via array_contains /
+      // size after array_distinct)
+      val starts = verbatimRepStarts(s, d)
         .groupBy("doc_id").agg(collect_list("i").as("starts"))
       val cleaned = toked.join(starts, Seq("doc_id"), "left")
         .withColumn("covered", array_distinct(flatten(transform(

@@ -115,6 +115,23 @@ class BuildMemoSpec extends AnyFunSuite {
       w.getLong(4)) == ((last._2, last._3, last._4, last._5, last._6)))
   }
 
+  test("verbatim-span memo-hit ≡ memo-miss: the memoized repeated-start " +
+    "table equals the direct positioned-gram census (r21: d14's audit " +
+    "and d28's excision serve one detection build)") {
+    import org.apache.spark.sql.functions.col
+    def startSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").cast("long"), col("lang"),
+        col("i").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val memo = startSet(
+      graft.queries.DedupQueries.verbatimRepStarts(spark, sf0001))
+    val direct = startSet(
+      graft.queries.DedupQueries.verbatimRepStartsDirect(spark, sf0001))
+    assert(memo == direct,
+      "memoized repeated-start table diverged from direct detection")
+    assert(memo.nonEmpty, "planted banner must produce repeated spans")
+  }
+
   test("pq index memo-hit ≡ memo-miss: memoized cents/codebook/enc " +
     "equal the direct pqIndexDirect build bit-for-bit (r21: s11/s18/" +
     "s19 serve one shared index build per sweep)") {
