@@ -237,9 +237,27 @@ object Bench {
     // misread as 127s-over-the-full-roster when queries failed
     // ONE summary prefix builds both output lines — the full line and
     // the compact tail-capture line below can never desynchronize
+    // host-contamination evidence (r20 verdict ask 3): loadavg before
+    // our own JVM exits says whether OTHER work shared the host, and
+    // sbt_running counts concurrent sbt/compile JVMs — so a cold
+    // reader of BENCH_r{N}.json can adjudicate a 1351-vs-262 gap
+    // mechanically instead of via verdict archaeology. Both reads are
+    // best-effort: a bench must never fail on procfs shape.
+    val loadavg1 =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val sbtRunning =
+      try {
+        import scala.jdk.CollectionConverters._
+        ProcessHandle.allProcesses().iterator().asScala.count(p =>
+          p.info().commandLine().map[Boolean](c =>
+            c.contains("sbt-launch") || c.contains("xsbt.boot")).orElse(false))
+      } catch { case scala.util.control.NonFatal(_) => -1 }
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""samples":$samples,""" +
+        s""""loadavg1":$loadavg1,"sbt_running":$sbtRunning,""" +
         s""""n_passed":${results.count(_._3)},"n_failed":${failed.size}"""
     val line = summary +
         s""","queries":$qs,""" +

@@ -45,8 +45,9 @@ import org.apache.spark.sql.functions._
   *     distinct values inside one equi-width bucket, e.g. one outlier
   *     stretching [lo, hi] to 10^6× the data's real spread) is closed
   *     by an ADAPTIVE second level: a scalar probe over the
-  *     already-materialized census reads the widest bucket's
-  *     distinct-value count, and only when it exceeds
+  *     already-materialized bucket histogram (which carries each
+  *     bucket's distinct-census-row count `nv` — r21) reads the
+  *     widest bucket's distinct-value count, and only when it exceeds
   *     `maxBucketSort` do the targeted buckets re-bucket over their
   *     OWN [min, max] (which collapses the outlier-stretched range)
   *     before the rank-select window runs per (group, bucket,
@@ -174,19 +175,31 @@ object ExactQuantile {
             floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets),
             lit((buckets - 1).toLong)).cast("long")))
 
-    // 3. bucket histogram + exclusive base offsets (≤ buckets rows/group)
+    // 3. bucket histogram + exclusive base offsets (≤ buckets rows/
+    //    group) — MATERIALIZED (r21): the tiny frame feeds the probe,
+    //    the rank targets (twice, via two broadcasts) and nothing
+    //    recomputes the census→histogram→window chain per consumer;
+    //    `nv` (distinct census rows per bucket) rides along so the
+    //    oversized probe is an aggregation of this cached frame
+    //    instead of its own census-wide groupBy job
     val wBucket = Window.partitionBy("g").orderBy("b")
-    val bases = withB.groupBy("g", "b").agg(sum("c").as("bc"))
+    val bases = withB.groupBy("g", "b")
+      .agg(sum("c").as("bc"), count(lit(1)).as("nv"))
       .withColumn("cum", sum("bc").over(wBucket))
       .withColumn("base", col("cum") - col("bc"))
+      .materialize
 
     // 4. rank targets per (group, fraction): order statistics at
-    //    floor(pos) and ceil(pos), located via the bucket histogram
+    //    floor(pos) and ceil(pos), located via the bucket histogram.
+    //    n re-derives from the cached histogram (max cum ≡ Σ bc ≡ n,
+    //    the same integer the census stats carry) so the broadcast
+    //    jobs read ≤ buckets-sized cached rows, not the census
     val sp = df.sparkSession
     import sp.implicits._
     val fLit = fractions.zipWithIndex.map { case ((_, f), i) => (i, f) }
       .toDF("qi", "f")
-    val need = stats.select(col("g"), col("n"))
+    val nPerG = bases.groupBy("g").agg(max("cum").as("n"))
+    val need = nPerG
       .crossJoin(broadcast(fLit))
       .withColumn("pos", col("f") * (col("n") - 1).cast("double"))
       .select(col("g"), col("qi"), col("pos"), explode(array(
@@ -200,12 +213,13 @@ object ExactQuantile {
       .select("g", "qi", "pos", "which", "r", "b", "base")
 
     // 5. in-bucket rank select over targeted buckets only. The scalar
-    //    probe (one tiny agg over the materialized census) keeps this
-    //    single-level — the common-case plan unchanged — unless some
-    //    bucket's DISTINCT-value census would make the rank-select
+    //    probe (one tiny agg over the materialized histogram) keeps
+    //    this single-level — the common-case plan unchanged — unless
+    //    some bucket's DISTINCT-value census would make the rank-select
     //    window a one-task sort funnel; then targeted buckets
     //    re-bucket over their own [min, max] first (see scaladoc §5).
-    val oversized = widestBucket(withB, "g", "b").exists(_ > maxBucketSort)
+    val oversized = Option(bases.agg(max("nv")).head().get(0))
+      .exists(_.asInstanceOf[Long] > maxBucketSort)
     val stat = if (!oversized) {
       val wValue = Window.partitionBy("g", "b").orderBy("v")
       val spans = withB
@@ -256,7 +270,7 @@ object ExactQuantile {
       max(when(col("qi") === i, col("q"))).as(name)
     }
     interp.groupBy("g").agg(named.head, named.tail: _*)
-      .join(stats.select("g", "n"), "g")
+      .join(nPerG, "g")
       .withColumnRenamed("g", groupCol)
   }
 
@@ -325,21 +339,29 @@ object ExactQuantile {
             floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets),
             lit((buckets - 1).toLong)).cast("long")))
 
-    // 3. bucket histogram of weight + exclusive base offsets
+    // 3. bucket histogram of weight + exclusive base offsets —
+    //    MATERIALIZED with the distinct-row count `nv` riding along
+    //    (same r21 move as [[quantiles]] §3: probe and targets read
+    //    the tiny cached histogram instead of re-running the census
+    //    chain per broadcast)
     val wBucket = Window.partitionBy("g").orderBy("b")
-    val bases = withB.groupBy("g", "b").agg(sum("c").as("bc"))
+    val bases = withB.groupBy("g", "b")
+      .agg(sum("c").as("bc"), count(lit(1)).as("nv"))
       .withColumn("cum", sum("bc").over(wBucket))
       .withColumn("base", col("cum") - col("bc"))
+      .materialize
 
     // 4. crossing bucket per (group, fraction): min b with cum ≥ f·W
     //    (cum is strictly increasing over nonempty buckets, so this is
     //    the bucket holding the crossing value; f = 0 lands in the
-    //    first nonempty bucket)
+    //    first nonempty bucket). tw re-derives from the cached
+    //    histogram (max cum ≡ Σ bc ≡ tw, the same weight-sum value)
     val sp = df.sparkSession
     import sp.implicits._
     val fLit = fractions.zipWithIndex.map { case ((_, f), i) => (i, f) }
       .toDF("qi", "f")
-    val need = stats.select(col("g"), col("tw"))
+    val twPerG = bases.groupBy("g").agg(max("cum").as("tw"))
+    val need = twPerG
       .crossJoin(broadcast(fLit))
       .withColumn("t", col("f") * col("tw"))
     val tb = need.join(bases.select("g", "b", "cum"), Seq("g"))
@@ -355,7 +377,8 @@ object ExactQuantile {
     //    census rows per bucket (the sort size — mass concentration
     //    already collapsed through the census), and only a bucket
     //    with too many distinct values triggers the re-bucketing.
-    val oversized = widestBucket(withB, "g", "b").exists(_ > maxBucketSort)
+    val oversized = Option(bases.agg(max("nv")).head().get(0))
+      .exists(_.asInstanceOf[Long] > maxBucketSort)
     val stat = if (!oversized) {
       val wValue = Window.partitionBy("g", "b").orderBy("v")
       val spans = withB
@@ -403,7 +426,7 @@ object ExactQuantile {
       max(when(col("qi") === i, col("q"))).as(name)
     }
     picked.groupBy("g").agg(named.head, named.tail: _*)
-      .join(stats.select(col("g"), col("tw").as("wsum")), "g")
+      .join(twPerG.select(col("g"), col("tw").as("wsum")), "g")
       .withColumnRenamed("g", groupCol)
   }
 }

@@ -150,6 +150,12 @@ def main():
            "`n2`/`n3` column here). The driver's `BENCH_r{N}.json` parsed",
            "block is a post-close samples=1 re-run on a loaded host —",
            "read it only driver-vs-driver.", "",
+           "Since r21 the bench JSON carries `loadavg1` (host 1-min load",
+           "at summary time) and `sbt_running` (concurrent sbt JVMs;",
+           "1 = the bench's own launcher) so host contamination of a",
+           "driver run is machine-readable: loadavg1 far above the",
+           "bench's own core usage, or sbt_running > 1, marks the run",
+           "contaminated — adjudicate against the native close.", "",
            "Regenerated by `python3 tools/bench_history.py`; `**` marks a",
            f"query >= {REGRESSION_RATIO}x slower than the previous round.",
            "On totals, `+` = truncated-tail partial (surviving queries",
