@@ -51,14 +51,52 @@ object Verify {
     // absence of rows in the downstream compare. Empty object {} == green
     // (the artifact is a name->error JSON map, not an array).
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$effOut/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failures(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+    // The dump runs queries from a small thread pool (guide §2.6 —
+    // actions are only sequential because the driver calls them
+    // sequentially; independent jobs back-fill each other's stragglers).
+    // The r19–r21 CORRECTNESS artifacts came back empty `{}` three
+    // rounds running, most plausibly a driver-side time budget the
+    // sequential 197-query dump outgrew when the roster jumped at r19
+    // — so the dump must be fast AND per-query attributable: each
+    // query prints its wall seconds as it lands, so a future timeout
+    // names its culprit instead of zeroing the round. Queries never
+    // conf.set on the shared session (streaming fixtures clone via
+    // streamSession) and memo builds race-safely (BuildMemo), so
+    // concurrent dumps return the same bytes the sequential dump did.
+    // Results stay coalesce(1): every result is a report-sized frame,
+    // and a single part file keeps empty results readable downstream.
+    // 8 threads measured at sf0.01/32 cpus: 245 s sequential → 102 s
+    // wall (4 threads: 133 s); all 197 results value-identical to the
+    // sequential dump both ways (r22 open logs).
+    val threads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
+      .map(_.trim.toInt).filter(_ >= 1).getOrElse(8)
+    val t0All = System.nanoTime()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val tasks = SparkEntry.queries.filter(kv => selected(kv._1)).toSeq
+      .map { case (name, fn) =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val t0 = System.nanoTime()
+            try {
+              spark.sparkContext.setJobDescription(s"verify: $name")
+              fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$effOut/$name")
+              println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            } catch { case e: Throwable =>
+              System.err.println(f"[verify] $name FAILED in " +
+                f"${(System.nanoTime() - t0) / 1e9}%.2f s: ${e.getMessage}")
+              failures.synchronized {
+                failures(name) =
+                  s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+              }
+            }
+          }
+        })
       }
-    }
+    tasks.foreach(_.get())
+    pool.shutdown()
+    println(f"[verify] dump of ${tasks.size} queries took " +
+      f"${(System.nanoTime() - t0All) / 1e9}%.1f s ($threads threads)")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -168,20 +168,31 @@ object KsDrift {
           (col("cumg") - col("cg")).cast(dec) * col("ns").cast(dec)))
       .withColumn("d", greatest(col("up"), col("down")))
 
+    // ns and the global total n ride the SAME max-struct aggregation
+    // (r22): both are constant within a stratum (ns broadcast-joined,
+    // n from the gstats crossJoin the bucketing already carries), so
+    // max() recovers the exact integers and the output needs no
+    // sizes × gstats × best three-way join — which re-aggregated both
+    // censuses once more per force. Every stratum reaches `scored`
+    // (each stratum census value exists in the GLOBAL census by
+    // construction — gcen folds FROM census — so the inner value join
+    // drops nothing; pinned in KsDriftSpec), so groups(best) ≡
+    // groups(sizes) and the old left join was vacuous.
     val best = scored
       .groupBy("s")
       .agg(max(struct(col("d").as("d"),
         when(isnan(col("v")), 0L).otherwise(1L).as("nr"),
         when(isnan(col("v")), lit(0.0)).otherwise(-col("v")).as("vn")))
-        .as("m"))
+        .as("m"),
+        max("ns").as("ns"), max("n").as("n"))
       .select(col("s"), col("m.d").as("dmax"),
         when(col("m.nr") === 0, lit(Double.NaN)).otherwise(-col("m.vn"))
-          .as("arg_v"))
+          .as("arg_v"),
+        col("ns"), col("n"))
 
     val nRest = col("n") - col("ns")
     val hasRest = nRest > 0
-    sizes.crossJoin(hintSmall(gstats.select("n")))
-      .join(hintSmall(best), Seq("s"), "left")
+    best
       .select(col("s").as(strataCol),
         col("ns").as("n_s"), nRest.as("n_rest"),
         when(hasRest, col("dmax").cast("double") /
@@ -273,19 +284,29 @@ object KsDrift {
     //    A second pass over the deviation frame (and the materialize
     //    barrier it would need) measured ~20% of q55's x30 soak time
     //    before this fold (17.8 → 13.9 s).
+    //    na/nb ride the SAME aggregation (r22): they are constant
+    //    within a group (broadcast-joined stats columns), so max()
+    //    recovers the exact integers and the output needs no separate
+    //    stats consumer — the old `stats LEFT JOIN best` re-aggregated
+    //    the census once more per force and cost a broadcast join.
+    //    Every census row reaches `scored` (the bases join is inner on
+    //    keys bases was built from; the gCum-style value join does not
+    //    exist here), so groups(best) ≡ groups(stats) and the left
+    //    join was vacuous — pinned in KsDriftSpec.
     val best = scored
       .groupBy("g")
       .agg(max(struct(col("d").as("d"),
         when(isnan(col("v")), 0L).otherwise(1L).as("nr"),
         when(isnan(col("v")), lit(0.0)).otherwise(-col("v")).as("vn")))
-        .as("m"))
+        .as("m"),
+        max("na").as("na"), max("nb").as("nb"))
       .select(col("g"), col("m.d").as("dmax"),
         when(col("m.nr") === 0, lit(Double.NaN)).otherwise(-col("m.vn"))
-          .as("arg_v"))
+          .as("arg_v"),
+        col("na"), col("nb"))
 
     val bothSides = col("na") > 0 && col("nb") > 0
-    stats.select("g", "na", "nb")
-      .join(hintSmall(best), Seq("g"), "left")
+    best
       .select(col("g").as(groupCol),
         col("na").as("n_a"), col("nb").as("n_b"),
         when(bothSides, col("dmax").cast("double") /

@@ -62,9 +62,46 @@ object Materialize {
     }
   }
 
+  /** LAZY lineage barrier — the shared-subtree variant (r22). Same
+    * conf-selected local/reliable checkpoint as [[apply]], but with
+    * `eager = false`: the frame's RESULT stage is deferred to its
+    * first consumer, and every other consumer (including
+    * broadcast-exchange builds, which otherwise re-evaluate their
+    * whole subtree per build) reads the persisted blocks — the
+    * subtree computes at most once (CheckpointModeSpec counts UDF
+    * evaluations to pin this). One AQE caveat, pinned in the same
+    * spec: `toRdd` on an adaptive plan still materializes the
+    * UPSTREAM SHUFFLE stages at construction (AQE needs them to fix
+    * the final plan); only the result stage defers. Use it when the
+    * goal is de-duplicating a multi-consumer subtree rather than
+    * cutting an iterative plan: the eager form additionally runs the
+    * result stage + block persistence as a SERIALIZED driver-blocking
+    * job per call (measured r22: four eager barriers added ~0.5 s of
+    * pure job latency to t19 at sf0.1 while the duplicate broadcast
+    * builds they replaced ran concurrently for less). */
+  def lazily(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    s.conf.get(ModeConf, "local") match {
+      case "local" => df.localCheckpoint(eager = false)
+      case "reliable" =>
+        val sc = s.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = s.conf.get(DirConf, "")
+          require(dir.nonEmpty,
+            s"$ModeConf=reliable needs a checkpoint dir: set $DirConf " +
+              "or call sc.setCheckpointDir before the first materialize")
+          sc.setCheckpointDir(dir)
+        }
+        df.checkpoint(eager = false)
+      case other => throw new IllegalArgumentException(
+        s"$ModeConf must be 'local' or 'reliable', got '$other'")
+    }
+  }
+
   /** `.materialize` postfix form, so call sites read like the
     * `.localCheckpoint(true)` chains they replace. */
   implicit class MaterializeOps(private val df: DataFrame) extends AnyVal {
     def materialize: DataFrame = Materialize(df)
+    def materializeLazy: DataFrame = Materialize.lazily(df)
   }
 }

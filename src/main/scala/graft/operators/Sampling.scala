@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -189,11 +190,16 @@ object Sampling {
       .withColumn("b", shiftright(col("skey"), shift).cast("long"))
 
     // per-(stratum, bucket) mass → exclusive base offsets; the window
-    // ranges over ≤ 2^bucketBits rows per stratum
+    // ranges over ≤ 2^bucketBits rows per stratum. MATERIALIZED (r22,
+    // the ExactQuantile histogram move): totals/thresholds, tb and
+    // targets each sit under their own broadcast build, and without
+    // the barrier every build re-ran the corpus scan + census + window
+    // chain (52 Exchange nodes in t34's r21 published plan).
     val wB = Window.partitionBy("g").orderBy("b")
     val bases = rows.groupBy("g", "b").agg(sum("w").as("bw"))
       .withColumn("cum", sum("bw").over(wB))
       .withColumn("base", col("cum") - col("bw"))
+      .materializeLazy
     val totals = bases.groupBy("g").agg(sum("bw").as("tw"))
 
     // k systematic thresholds per stratum: t_j = (j+0.5)·W/k ∈ (0, W),

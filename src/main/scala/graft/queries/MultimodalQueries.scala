@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Materialize.MaterializeOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -410,10 +411,17 @@ object MultimodalQueries {
       val ds = base.unionByName(planted)
         .select(col("doc_id"), col("text").cast("binary").as("content"))
         .as[(Long, Array[Byte])]
+      // MATERIALIZED (r22): sigs is an OPAQUE kernel pass (Dataset.map
+      // — no column pruning through it, guide §2.3) consumed four ways
+      // (both sides of the band self-join + both sides of the verify
+      // join); without the barrier each consumer re-ran the payload
+      // decode + phash kernel — at 100 TB the §8 rule verbatim: decode
+      // the heavy bytes once, shuffle only (id, 4×int) rows after.
       val sigs = ds.mapPartitions(_.map { case (id, bytes) =>
         val b = stubPHashBands(bytes)
         (id, b(0), b(1), b(2), b(3))
       }).toDF("doc_id", "b0", "b1", "b2", "b3")
+        .materializeLazy
       val tabled = sigs.select(col("doc_id"),
         explode(array((0 until 4).map(j =>
           struct(lit(j).as("j"), col(s"b$j").as("bv"))): _*)).as("e"))

@@ -828,7 +828,16 @@ object TextQueries {
       val B = 64
       val docs = Tables.documents(s, d)
         .select(col("lang"), col("n_chars").cast("double").as("v"))
-      val mm = docs.agg(min("v").as("lo"), max("v").as("hi"))
+      // mm / hist / bounds / hist2 are MATERIALIZED (r22): every one of
+      // them sits under at least two downstream broadcast subtrees
+      // (bounds under the hist2 chain AND the final gate scan; mm under
+      // hist AND bounds; …), and each broadcast build re-ran the whole
+      // upstream corpus-scan chain — the published plan carried 108
+      // Exchange nodes for a 64-bucket report (plans/r22/
+      // t19_length_winsorize_before.txt). The barriers are 1-to-66-row
+      // frames; after them the gate scan is the only corpus pass in the
+      // force plan (guide §2.4/§5 — the ExactQuantile histogram lesson).
+      val mm = docs.agg(min("v").as("lo"), max("v").as("hi")).materializeLazy
       def bucketOf(v: Column, lo: Column, hi: Column): Column =
         when(hi === lo, lit(0L))
           .otherwise(least(floor((v - lo) / (hi - lo) * B),
@@ -836,6 +845,7 @@ object TextQueries {
       val hist = docs.crossJoin(broadcast(mm))
         .withColumn("bucket", bucketOf(col("v"), col("lo"), col("hi")))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .materializeLazy
       val wcum = org.apache.spark.sql.expressions.Window.orderBy("bucket")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
@@ -853,6 +863,7 @@ object TextQueries {
           (col("lo") + col("b_lo") * (col("hi") - col("lo")) / B).as("lo2"),
           (col("lo") + (col("b_hi") + 1) * (col("hi") - col("lo")) / B)
             .as("hi2"))
+        .materializeLazy
       val staged = docs.crossJoin(broadcast(bounds))
         .withColumn("b1", bucketOf(col("v"), col("lo"), col("hi")))
       // second-level histogram over the in-range mass only; the
@@ -864,6 +875,7 @@ object TextQueries {
         .withColumn("b2", when(col("zone") === 0,
           bucketOf(col("v"), col("lo2"), col("hi2"))).otherwise(lit(-1L)))
         .groupBy("zone", "b2").agg(count(lit(1)).as("n2"))
+        .materializeLazy
       val nb = hist2.agg(
         sum(when(col("zone") === -1, col("n2")).otherwise(0L)).as("n_below"))
       val cum2 = hist2.filter(col("zone") === 0)
@@ -1021,12 +1033,20 @@ object TextQueries {
       // on doc_id — no corpus shuffle.
       val srcTexts = base.filter(col("doc_id") % 97 === 0)
         .select((col("doc_id") + 1).as("doc_id"), col("text").as("copy_text"))
+      // MATERIALIZED (r22): the (doc_id, md5) frame feeds the five
+      // split-count aggregates and the broadcast id/hash sets — without
+      // the barrier each of the ~8 consumers re-scanned the corpus and
+      // re-hashed every text (76 Exchange nodes in the r21 published
+      // plan). One narrow row per doc; the §8 lightweight-proxy shape.
       val docs = base.join(broadcast(srcTexts), Seq("doc_id"), "left")
         .select(col("doc_id"),
           md5(coalesce(col("copy_text"), col("text"))).as("h"))
+        .materializeLazy
       val tdIds = docs.filter(col("doc_id") % 97 === 0).select("doc_id")
+        .materializeLazy
       val tdHashes = docs.join(broadcast(tdIds), "doc_id")
         .select("h").distinct()
+        .materializeLazy
       val byId = docs.join(broadcast(tdIds), Seq("doc_id"), "left_semi")
       val byContent = docs
         .join(broadcast(tdIds), Seq("doc_id"), "left_anti")
@@ -1299,6 +1319,12 @@ object TextQueries {
       val c2 = en.groupBy("b2").agg(sum("c").as("c2"))
       val term = (lit(64) + length(bin(coalesce(col("c1"), lit(0L)) + 1))
         - length(bin(coalesce(col("c2"), lit(0L)) + 1))).cast("long")
+      // sc is MATERIALIZED (r22): it has three consumers — the score
+      // histogram, the doc-count broadcast under `cum`, and the final
+      // bucket scan — and each one otherwise re-ran the corpus bigram
+      // explode + census shuffle + c1/c2 broadcast builds from scratch
+      // (62 Exchange nodes in the r21 published plan). One narrow row
+      // per doc; at 100 TB this is the §8 "decide on small rows" shape.
       val sc = census
         .join(broadcast(c1), Seq("b1"), "left")
         .join(broadcast(c2), Seq("b2"), "left")
@@ -1306,6 +1332,7 @@ object TextQueries {
         .agg(sum(term * col("c")).as("nll"), sum("c").as("n_pairs"))
         .select(col("doc_id"), col("lang"),
           expr("nll * 1000 div n_pairs").as("s"))
+        .materializeLazy
       val hist = sc.groupBy("s").agg(count(lit(1)).as("c"))
       val cum = hist.withColumn("cum", sum("c").over(
           org.apache.spark.sql.expressions.Window.orderBy("s")))
@@ -1975,15 +2002,24 @@ object TextQueries {
     "t36_robust_outliers" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("lang"), col("n_chars").cast("double").as("v"))
+      // med / mad are MATERIALIZED (r22): both are ≤|lang|-row frames
+      // broadcast into corpus-grain scans (`dev` appears under the mad
+      // census AND the final gate aggregate), and without the barrier
+      // each broadcast build re-ran the ENTIRE ExactQuantile pipeline
+      // that produced them — the published plan carried 88 Exchange
+      // nodes (plans/r22/t36_robust_outliers_before.txt). Guide
+      // §2.4/§5; values unchanged (a checkpoint only cuts lineage).
       val med = graft.operators.ExactQuantile.quantiles(
         docs, "lang", "v", Seq("med" -> 0.5))
         .select(col("lang"), col("med"))
+        .materialize
       val dev = docs.join(broadcast(med), "lang")
         .withColumn("adev", abs(col("v") - col("med")))
       val mad = graft.operators.ExactQuantile.quantiles(
         dev.select(col("lang"), col("adev")), "lang", "adev",
         Seq("mad" -> 0.5))
         .select(col("lang"), col("mad"))
+        .materialize
       dev.join(broadcast(mad), "lang")
         .groupBy("lang")
         .agg(count(lit(1)).as("n"),

@@ -73,4 +73,44 @@ class CheckpointModeSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD") && !plan.contains("Scan parquet"),
       plan.take(2000))
   }
+
+  test("materializeLazy is value-identical to materialize, defers the " +
+      "RESULT stage past construction (AQE still materializes upstream " +
+      "shuffle stages — the documented caveat), and computes the " +
+      "deferred stage exactly once for multiple consumers") {
+    import Materialize.MaterializeOps
+    import org.apache.spark.sql.functions._
+    // two accumulators: mapEvals counts a pre-shuffle (map-stage) udf,
+    // resEvals counts a post-shuffle (result-stage) udf
+    val mapEvals = spark.sparkContext.longAccumulator("lazyMapEvals")
+    val resEvals = spark.sparkContext.longAccumulator("lazyResEvals")
+    val markMap = udf { (x: Long) => mapEvals.add(1L); x }
+    val markRes = udf { (x: Long) => resEvals.add(1L); x }
+    val base = spark.range(0, 500)
+      .select(col("id"), markMap(col("id")).as("m"))
+      .groupBy(expr("id % 7").as("g")).agg(sum("m").as("s0"))
+      .select(col("g"), markRes(col("s0")).as("s"))
+    val lz = base.materializeLazy
+    // AQE materialized the upstream shuffle stage at construction (the
+    // caveat the scaladoc documents)...
+    assert(mapEvals.value == 500L,
+      s"expected the AQE map stage at construction, saw ${mapEvals.value}")
+    // ...but the RESULT stage is deferred: the post-shuffle udf has not
+    // evaluated a single group yet
+    assert(resEvals.value == 0L, "lazy barrier ran the result stage at construction")
+    // two consumers (an agg and a self-join) share ONE evaluation of
+    // the deferred stage: 7 groups evaluated once, not once per consumer
+    val expected = lz.agg(sum("s")).collect()(0).getLong(0)
+    assert(resEvals.value == 7L,
+      s"result stage evaluated ${resEvals.value} times for 7 groups")
+    val again = lz.join(lz.withColumnRenamed("s", "s2"), "g")
+      .agg(sum("s")).collect()(0).getLong(0)
+    assert(again == expected)
+    assert(resEvals.value == 7L,
+      s"lazy subtree re-evaluated for a second consumer: ${resEvals.value}")
+    // value parity with the eager barrier
+    mapEvals.reset(); resEvals.reset()
+    assert(lz.collect().map(_.toString).sorted.toSeq ==
+      base.materialize.collect().map(_.toString).sorted.toSeq)
+  }
 }
