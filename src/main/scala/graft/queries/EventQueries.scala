@@ -223,15 +223,23 @@ object EventQueries {
 
   /** Forced-arrival-order replay staging — ONE shared utility (e15/e18/
     * e19 each re-implemented this per query through r11, paying one
-    * scan-and-write Spark job PER stage; the twins are now this) and
-    * ONE Spark job total: the stage frames union with a literal stage
-    * index, the shuffle routes each index to a single task
-    * (`repartition` on the index column), and a single partitioned
-    * parquet write emits every stage's lone part-file, which then
-    * renames into the source dir with ascending mtimes so a
-    * `maxFilesPerTrigger=1` file stream replays the stages as separate
-    * ordered micro-batches. The partition column stays in the dir name,
-    * not the file, so the staged schema is exactly the frames' own.
+    * SEQUENTIAL scan-and-write Spark job per stage; the twins are now
+    * this): each stage writes its lone part-file as its own
+    * `coalesce(1)` job, all stages CONCURRENTLY from a small thread
+    * pool (guide §2.6 — independent jobs back-fill each other), and
+    * the part-files then rename into the source dir with ascending
+    * mtimes so a `maxFilesPerTrigger=1` file stream replays the stages
+    * as separate ordered micro-batches.
+    *
+    * Write-shape history: r11→r21 used one union + a
+    * `repartition(stages.size, _stage)` + partitionBy write. That
+    * shuffle routed every stage through a single reducer task anyway
+    * (one task per stage index — the SAME single-writer bottleneck
+    * coalesce(1) has), and paid a full shuffle of the staged rows to
+    * get there. Measured r22 at sf0.1 (e22's five stages, warm,
+    * min of 3): union+shuffle 0.52 s, concurrent per-stage
+    * coalesce(1) 0.32 s — and at scale the removed shuffle is the
+    * staged corpus crossing the wire once for nothing.
     * Harness scaffolding, not pipeline: production streams have real
     * arrival order; this manufactures one deterministically for the
     * bounded replays whose oracles depend on it. */
@@ -239,48 +247,45 @@ object EventQueries {
       allowEmptyStages: Boolean = false): String = {
     val src = tempDir(s"graft_${prefix}_src_")
     val tmp = tempDir(s"graft_${prefix}_stage_")
-    val tagged = stages.zipWithIndex
-      .map { case (df, i) => df.withColumn("_stage", lit(i)) }
-      .reduce(_ unionByName _)
-    tagged.repartition(stages.size, col("_stage"))
-      .write.partitionBy("_stage").mode("overwrite").parquet(tmp)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(math.max(stages.size, 1), 6))
+    try stages.zipWithIndex.map { case (df, i) =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_stage=$i")
+      })
+    }.foreach(_.get())
+    finally pool.shutdown()
     val base = System.currentTimeMillis() - 10 * 60000L
     stages.indices.foreach { i =>
       val dir = new java.io.File(tmp, s"_stage=$i")
       val parts = Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))
-      require(parts.length <= 1,
-        s"$prefix: stage $i wrote ${parts.length} part files (want ≤1 — " +
+      require(parts.length == 1,
+        s"$prefix: stage $i wrote ${parts.length} part files (want 1 — " +
           "a split write breaks the forced order)")
-      val dst = new java.io.File(src, s"f$i.parquet")
-      val part = parts.headOption.getOrElse {
-        // a CONTENT-GATED stage can legitimately select zero rows on a
-        // new testdata epoch (e15's straggler gate); partitionBy skips
-        // the dir entirely, so stage an explicit zero-row file with the
-        // frame's own schema — the replay still gets its ordered
-        // micro-batch and the query audits an empty stage instead of
-        // crashing (the pre-refactor per-query staging behaved this way).
-        // OPT-IN: only a caller that declares its stages content-gated
-        // gets the fallback — for everyone else an empty stage means
-        // the input regressed, and silently staging a zero-row file
-        // would surface (if at all) only as an opaque oracle mismatch,
-        // so fail fast here instead.
-        require(allowEmptyStages,
+      val part = parts.head
+      // coalesce(1) writes a schema-only part file even for an empty
+      // stage, so the replay always gets its ordered micro-batch. A
+      // CONTENT-GATED stage can legitimately select zero rows on a new
+      // testdata epoch (e15's straggler gate) — but for everyone else
+      // an empty stage means the input regressed, and silently staging
+      // a zero-row file would surface (if at all) only as an opaque
+      // oracle mismatch, so fail fast here instead. The emptiness check
+      // reads the parquet footer's row count driver-side — no Spark job.
+      if (!allowEmptyStages) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+            new org.apache.hadoop.conf.Configuration()))
+        val rows = try reader.getRecordCount finally reader.close()
+        require(rows > 0L,
           s"$prefix: stage $i selected ZERO rows but is not declared " +
             "content-gated (allowEmptyStages=false) — the stage frames " +
             "no longer match the testdata; fix the gate or opt in")
-        val etmp = tempDir(s"graft_${prefix}_empty${i}_")
-        stages(i).limit(0).repartition(1)
-          .write.mode("overwrite").parquet(etmp)
-        val ep = Option(new java.io.File(etmp).listFiles)
-          .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-        require(ep.length == 1,
-          s"$prefix: empty-stage $i staging wrote ${ep.length} part files")
-        ep.head
       }
+      val dst = new java.io.File(src, s"f$i.parquet")
       require(part.renameTo(dst) &&
         dst.setLastModified(base + i * 60000L),
         s"$prefix: staging file $i failed")
