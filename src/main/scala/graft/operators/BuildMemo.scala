@@ -114,6 +114,19 @@ object BuildMemo {
     }
   }
 
+  private val stageSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** One-shot STAGED build — the cold-build bench cells' primitive
+    * (r22): same parquet handoff + application-end cleanup as
+    * [[memoParquet]], but keyed with a per-call sequence number so the
+    * build ALWAYS runs (nothing is ever served from a previous call)
+    * and never touches — or races with — the real memo entry another
+    * query may be reading concurrently (the parallel Verify dump runs
+    * x-cells beside the memo consumers). */
+  def stageParquet(s: SparkSession, tag: String)(build: String => Unit)
+      : String =
+    memoParquet(s, s"stage:$tag:#${stageSeq.incrementAndGet}")(build)
+
   /** Test/diagnostic view: Some("memo") for a cached value,
     * Some(path) for a parquet handoff, None when uncached. */
   private[graft] def handleInfo(s: SparkSession, key: String)

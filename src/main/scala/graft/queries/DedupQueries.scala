@@ -1502,22 +1502,8 @@ object DedupQueries {
       * portable (md5 grams, integer positions), so DuckDB replicates
       * the pipeline end-to-end including the planted-banner ground
       * truth. */
-    "d14_verbatim_spans" -> ((s, d) => {
-      val W = VerbatimW // kept for the scaladoc's [i, i+W) span math
-      val planted = verbatimPlanted(s, d)
-      val toked = planted.select(col("doc_id"), col("lang"), toks.as("tk"))
-        .withColumn("n", size(col("tk")))
-      // union length of the [i, i+W) spans WITHOUT materializing one
-      // row per covered position: sorted by start within the doc, a
-      // span adds min(W, i − lag(i)) new positions (every earlier span
-      // ends at most at lag(i)+W, so only the immediately preceding
-      // start can overlap). One per-doc window; the groupBy below
-      // reuses its (doc_id, lang) partitioning — no position explode,
-      // no extra exchange. The repeated-start table itself is the
-      // memoized detection build shared with d28 (r21).
-      val wDoc = Window.partitionBy("doc_id", "lang").orderBy("i")
-      val masked = verbatimRepStarts(s, d)
-        .select(col("doc_id"), col("lang"), col("i"))
+    "d14_verbatim_spans" -> ((s, d) =>
+      d14Report(s, d, verbatimRepStarts(s, d))),
         .withColumn("gap", col("i") - lag("i", 1).over(wDoc))
         .withColumn("add",
           when(col("gap").isNull || col("gap") >= W, lit(W.toLong))

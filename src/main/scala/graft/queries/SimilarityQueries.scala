@@ -327,11 +327,33 @@ object SimilarityQueries {
       s.read.parquet(s"$dir/enc"))
   }
 
-  private def pqAdcScored(s: SparkSession, d: String): DataFrame = {
+  /** One-shot COLD-staged IVF-PQ index — the x01 bench cell's build
+    * (r22): identical artifacts and parquet handoff as [[pqIndexMemo]],
+    * but through [[graft.operators.BuildMemo.stageParquet]], so every
+    * call re-runs the build and never touches the memo entry the
+    * s11/s18/s19 cells share. Prices the build cold every round so the
+    * memo's amortization cannot hide a build-cost regression. */
+  private[graft] def pqIndexColdStaged(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dir = graft.operators.BuildMemo.stageParquet(s, s"pqidx:$d") { out =>
+      val (cents, codebook, enc) = pqIndexDirect(s, d)
+      cents.write.parquet(s"$out/cents")
+      codebook.write.parquet(s"$out/codebook")
+      enc.write.parquet(s"$out/enc")
+    }
+    (s.read.parquet(s"$dir/cents"), s.read.parquet(s"$dir/codebook"),
+      s.read.parquet(s"$dir/enc"))
+  }
+
+  private def pqAdcScored(s: SparkSession, d: String): DataFrame =
+    pqAdcScoredFrom(s, d, pqIndexMemo(s, d))
+
+  private[graft] def pqAdcScoredFrom(s: SparkSession, d: String,
+      index: (DataFrame, DataFrame, DataFrame)): DataFrame = {
     val S = 8; val Dsub = 8; val nprobe = 3
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), embD(col("embedding")).as("vec"))
-    val (cents, codebook, enc) = pqIndexMemo(s, d)
+    val (cents, codebook, enc) = index
     def subSlices(vecCol: String, outName: String) =
       explode(array((0 until S).map(sp => struct(lit(sp).as("sp"),
         expr(s"slice($vecCol, ${sp * Dsub} + 1, $Dsub)").as(outName))): _*))
@@ -367,6 +389,22 @@ object SimilarityQueries {
       .join(broadcast(lut), Seq("q_id", "cl_id", "sp", "code"))
       .groupBy("q_id", "vec_id")
       .agg(sum("d_e6").as("adc_e6"))
+  }
+
+  /** s11's published frame from an EXPLICIT index triple — one tail
+    * shared by the roster cell (memoized index) and the x01 cold-build
+    * cell (fresh staged build), so both serve the identical ranking
+    * and the identical DuckDB oracle. */
+  private[graft] def pqAdcReport(s: SparkSession, d: String,
+      index: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("adc_e6").asc, col("vec_id"))
+    pqAdcScoredFrom(s, d, index)
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        col("adc_e6"))
+      .orderBy("q_id", "rank")
   }
 
   /** Shared binary-quantization shortlist pipeline — s22's index AND
@@ -1018,37 +1056,13 @@ object SimilarityQueries {
       // `found_planted` is the structural MUST-FIND beside the organic
       // recall, which on this near-random corpus is scatter-limited
       // (the s10/s18 numbers show the same)
-      val emb = graphCorpus(s, d, union = true)
       // build → graph → seed → walk, via the s27/s28 shared machinery
       // (hierRoute/graphEdges/hierSeeds/beamTopK — extracted r19;
       // r20: the build rides the session-memoized parquet handoff
       // graphIndexMemo, shared with s28's staleness-control rebuild —
-      // build once, serve many, the production index lifecycle)
-      val (idx, edges) = graphIndexMemo(s, d, union = true)
-      val qs = emb.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
-      // seeds feed the beam AND the n_seed census — checkpoint once
-      val seeds = hierSeeds(qs, idx)
-      val approx = beamTopK(qs, emb, edges, seeds)
-      // brute truth on the identical ranking rule (the s10 audit)
-      val truth = bruteTruth(qs, emb)
-      val hits = truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
-        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
-      val planted = approx.filter(col("vec_id") === col("q_id") + 100000)
-        .select(col("q_id"), lit(true).as("found_planted"))
-      val nSeed = seeds.groupBy("q_id").agg(count(lit(1)).as("n_seed"))
-      truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
-        .join(broadcast(nSeed), "q_id")
-        .join(hits, Seq("q_id"), "left")
-        .join(broadcast(planted), Seq("q_id"), "left")
-        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
-        .withColumn("found_planted",
-          coalesce(col("found_planted"), lit(false)))
-        .withColumn("recall_at_k", RelationalQueries.rnd(
-          col("n_hit").cast("double") / col("n_truth"), 4))
-        .select("q_id", "n_seed", "n_truth", "n_hit", "recall_at_k",
-          "found_planted")
-        .orderBy("q_id")
+      // build once, serve many, the production index lifecycle; the
+      // report tail is shared with x03's cold-build cell, r22)
+      graphBeamReport(s, d, graphIndexMemo(s, d, union = true))
     }),
 
     /** INCREMENTAL graph-index maintenance — the production property
@@ -1305,15 +1319,8 @@ object SimilarityQueries {
       * BEFORE the 8-way ADC sum (integer-exact, immune to summation
       * order), rank on (adc_e6 asc, vec_id) — the full composed
       * pipeline hash-matches the DuckDB replica. */
-    "s11_ivfpq_adc" -> ((s, d) => {
-      val wTop = Window.partitionBy("q_id")
-        .orderBy(col("adc_e6").asc, col("vec_id"))
-      pqAdcScored(s, d).withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
-          col("adc_e6"))
-        .orderBy("q_id", "rank")
-    }),
+    "s11_ivfpq_adc" -> ((s, d) =>
+      pqAdcReport(s, d, pqIndexMemo(s, d))),
 
     /** PQ index-quality evaluation — recall@k of the s11 IVF-PQ ADC
       * ranking against brute-force rnd6-cosine ground truth, closing
@@ -1840,9 +1847,15 @@ object SimilarityQueries {
       val short50 = bqShortlist(emb, 50, keepRank = true)
       val qVecs = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+      // lazy barrier (r22): the reranked shortlist is ≤ queries×C rows,
+      // but each of the 4 sweep arms consumes it twice (top-k window +
+      // n_ret census), and un-cached every consumer re-ran the corpus
+      // scan + shortlist broadcast join — 8 scans for 150 rows (123
+      // Exchange nodes in the r21 published plan)
       val reranked = emb.join(broadcast(short50), "vec_id")
         .join(broadcast(qVecs), "q_id")
         .withColumn("c6", RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
+        .materializeLazy
       val wT = Window.partitionBy("q_id").orderBy(col("c6").desc, col("vec_id"))
       val truth = broadcast(emb.join(broadcast(qVecs), col("q_id") =!= col("vec_id"))
         .withColumn("c6", RelationalQueries.rnd(cosine(col("q_vec"), col("vec")), 6))
@@ -1984,6 +1997,64 @@ object SimilarityQueries {
       s.read.parquet(s"$dir/routed"),
       s.read.parquet(s"$dir/entries")),
       s.read.parquet(s"$dir/edges"))
+  }
+
+  /** One-shot COLD-staged graph index — x03's build (r22): identical
+    * artifacts and parquet handoff as [[graphIndexMemo]], but through
+    * [[graft.operators.BuildMemo.stageParquet]] so every call re-runs
+    * the hierarchy + edge build and never touches the memo entry
+    * s27/s28 read. */
+  private[graft] def graphIndexColdStaged(s: SparkSession, d: String,
+      union: Boolean): (HierIndex, DataFrame) = {
+    val variant = if (union) "union" else "organic"
+    val dir = graft.operators.BuildMemo.stageParquet(
+      s, s"graphidx:$d:$variant") { out =>
+      val (idx, edges) = graphIndexDirect(s, d, union)
+      idx.coarse.write.parquet(s"$out/coarse")
+      idx.fine.write.parquet(s"$out/fine")
+      idx.routed.write.parquet(s"$out/routed")
+      idx.entries.write.parquet(s"$out/entries")
+      edges.write.parquet(s"$out/edges")
+    }
+    (HierIndex(s.read.parquet(s"$dir/coarse"),
+      s.read.parquet(s"$dir/fine"),
+      s.read.parquet(s"$dir/routed"),
+      s.read.parquet(s"$dir/entries")),
+      s.read.parquet(s"$dir/edges"))
+  }
+
+  /** s27's published frame from an EXPLICIT (index, edges) pair — one
+    * tail shared by the roster cell (memoized build) and the x03
+    * cold-build cell (fresh staged build), so both serve the identical
+    * beam evaluation and the identical DuckDB oracle. */
+  private[graft] def graphBeamReport(s: SparkSession, d: String,
+      idxEdges: (HierIndex, DataFrame)): DataFrame = {
+    val emb = graphCorpus(s, d, union = true)
+    val (idx, edges) = idxEdges
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    // seeds feed the beam AND the n_seed census — checkpoint once
+    val seeds = hierSeeds(qs, idx)
+    val approx = beamTopK(qs, emb, edges, seeds)
+    // brute truth on the identical ranking rule (the s10 audit)
+    val truth = bruteTruth(qs, emb)
+    val hits = truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    val planted = approx.filter(col("vec_id") === col("q_id") + 100000)
+      .select(col("q_id"), lit(true).as("found_planted"))
+    val nSeed = seeds.groupBy("q_id").agg(count(lit(1)).as("n_seed"))
+    truth.groupBy("q_id").agg(count(lit(1)).as("n_truth"))
+      .join(broadcast(nSeed), "q_id")
+      .join(hits, Seq("q_id"), "left")
+      .join(broadcast(planted), Seq("q_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("found_planted",
+        coalesce(col("found_planted"), lit(false)))
+      .withColumn("recall_at_k", RelationalQueries.rnd(
+        col("n_hit").cast("double") / col("n_truth"), 4))
+      .select("q_id", "n_seed", "n_truth", "n_hit", "recall_at_k",
+        "found_planted")
+      .orderBy("q_id")
   }
 
   /** The unmemoized build — the memo's closure, exposed so the
